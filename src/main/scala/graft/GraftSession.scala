@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with graft's scale-oriented defaults.
+  *
+  * Local testing runs `local[32]` in one JVM, but every knob here is chosen
+  * for the 1000-executor / 100 TB target:
+  *   - AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+  *   - `nanosAsLong` because upstream parquet carries TIMESTAMP(NANOS), which
+  *     Spark's vectorized reader otherwise rejects; graft converts explicitly
+  *     via [[functions.Conversions.nanosToTimestamp]].
+  *   - session TZ pinned UTC so timestamp semantics are deployment-invariant
+  *     (the reference's Europe/Oslo wall-clock outputs are produced by
+  *     explicit `from_utc_timestamp` conversions, never by session TZ).
+  */
+object GraftSession {
+
+  /** Shuffle partition count: on a real cluster set this to 2-3x total
+    * executor cores (or leave AQE's coalescing to trim it down from a high
+    * initial value); locally match the core count.
+    */
+  def defaultShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", defaultShufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Apply graft settings to an externally-built session (Verify/Bench). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar conversion registry — graft's equivalent of the reference's
+  * `TRANSFORMS` table (`/root/reference/src/transform.py:112-119`).
+  *
+  * Every function here is a composition of built-in, whole-stage-codegen'd
+  * Catalyst expressions — no UDFs, no interpreted fallbacks — so transform
+  * select-lists stay inside a single codegen stage at any scale.
+  *
+  * Timezone model: the reference emits naive Europe/Oslo wall-clock datetimes
+  * (`_adjust_timezone`, `/root/reference/src/transform.py:8-21`). graft
+  * reproduces that with `from_utc_timestamp(instant, "Europe/Oslo")` under a
+  * UTC session TZ: the stored value IS the Oslo wall-clock reading of the
+  * instant. Known edge divergence: the reference resolves the autumn DST
+  * ambiguity with pytz `is_dst=True` keyed on the *naive UTC* wall clock,
+  * which mislabels the 1-hour fold window; graft (and any instant-based
+  * engine, incl. the DuckDB oracle) converts by instant, which is the
+  * correct and scale-stable semantics.
+  */
+object Conversions {
+
+  private val Oslo = "Europe/Oslo"
+
+  /** Upstream TIMESTAMP(NANOS) parquet columns arrive as Long nanos (see
+    * [[graft.GraftSession]]); truncate to Spark's microsecond timestamps.
+    */
+  def nanosToTimestamp(c: Column): Column =
+    timestamp_micros(floor(c.cast("double") / lit(1000d)).cast("long"))
+
+  /** Long nanos -> epoch milliseconds (floor), matching DuckDB `epoch_ms`. */
+  def nanosToEpochMs(c: Column): Column =
+    floor(c.cast("double") / lit(1e6)).cast("long")
+
+  /** `str -> str-code` (`/root/reference/src/transform.py:33-46`):
+    * DVH code standard. NULL -> "UKJENT"; whitespace runs -> `_`; uppercase;
+    * AE/OE/AA-fold Norwegian letters; strip anything outside `[0-9A-Z_]`;
+    * empty -> "UKJENT". Composed entirely from codegen'd builtins.
+    */
+  def strCode(c: Column): Column = {
+    val collapsed = regexp_replace(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+", "_")
+    val folded = regexp_replace(
+      regexp_replace(regexp_replace(upper(collapsed), "Æ", "A"), "Ø", "O"),
+      "Å", "AA")
+    val stripped = regexp_replace(folded, "[^0-9A-Z_]", "")
+    coalesce(nullif(stripped, lit("")), lit("UKJENT"))
+  }
+
+  /** `str -> datetime-no` (`/root/reference/src/transform.py:49-60`): lenient
+    * date parse (reference uses `dateparser` with English locale), then Oslo
+    * wall clock; unparseable -> NULL. graft tries a fixed format ladder with
+    * `try_to_timestamp` — deterministic, codegen'd, and covering the formats
+    * the reference's data actually carries (ISO-8601 first).
+    */
+  def lenientDateOslo(c: Column): Column = {
+    val s = trim(c)
+    val parsed = coalesce(
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(s, lit("yyyy-MM-dd")),
+      try_to_timestamp(s, lit("yyyy/MM/dd")),
+      try_to_timestamp(s, lit("dd.MM.yyyy HH:mm:ss")),
+      try_to_timestamp(s, lit("dd.MM.yyyy")),
+      try_to_timestamp(s, lit("dd/MM/yyyy")),
+      try_to_timestamp(s, lit("MMM dd yyyy")),
+      try_to_timestamp(s, lit("MMMM dd, yyyy")))
+    from_utc_timestamp(parsed, Oslo)
+  }
+
+  /** `int-unix-s -> datetime-no` (`/root/reference/src/transform.py:63-74`). */
+  def unixSecondsOslo(c: Column): Column =
+    from_utc_timestamp(timestamp_seconds(c), Oslo)
+
+  /** `int-unix-ms -> datetime-no` (`/root/reference/src/transform.py:77-87`),
+    * millisecond precision preserved.
+    */
+  def unixMillisOslo(c: Column): Column =
+    from_utc_timestamp(timestamp_millis(c.cast("long")), Oslo)
+
+  /** `bool -> int` (`/root/reference/src/transform.py:90-98`), null-safe. */
+  def boolToInt(c: Column): Column = c.cast("int")
+
+  /** `datetime -> datetime-no` (`/root/reference/src/transform.py:101-109`):
+    * instant (UTC) -> Oslo wall clock.
+    */
+  def datetimeOslo(c: Column): Column = from_utc_timestamp(c, Oslo)
+
+  /** T15 (`/root/reference/src/kafka_source.py:77-78`): big-endian int64 key
+    * bytes -> decimal string. `conv(hex(bytes),16,10)` is unsigned; matches
+    * Python `int.from_bytes(x, "big")` for the non-negative ids Kafka keys
+    * carry.
+    */
+  def bigEndianLongKey(c: Column): Column = conv(hex(c), 16, 10)
+
+  /** T16 (`/root/reference/src/kafka_source.py:130`): Confluent wire-format
+    * schema id — big-endian uint32 at bytes 2-5.
+    */
+  def schemaId(c: Column): Column = conv(hex(substring(c, 2, 4)), 16, 10).cast("int")
+
+  /** T13: lowercase-hex sha256 content hash, matching Python `hexdigest()`
+    * (`/root/reference/src/kafka_source.py:114,126,150`) and DuckDB `sha256`.
+    */
+  def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
+
+  /** JSON-quote a bare string like Python `json.dumps(str)` — used by the
+    * string deserializer's `kafka_message`
+    * (`/root/reference/src/kafka_source.py:124`). `to_json(array(s))` gives
+    * `["..."]` with full escape handling; strip the brackets.
+    */
+  def jsonQuote(c: Column): Column = {
+    val arr = to_json(array(c))
+    when(c.isNull, lit(null).cast("string"))
+      .otherwise(arr.substr(lit(2), length(arr) - 2))
+  }
+
+  /** The conversion-registry lookup used by the transform compiler
+    * (`fun:` key -> Column function). Unknown keys fail at plan build, like
+    * the reference's KeyError at transform construction.
+    */
+  val registry: Map[String, Column => Column] = Map(
+    "str -> str-code" -> strCode,
+    "str -> datetime-no" -> lenientDateOslo,
+    "int-unix-s -> datetime-no" -> unixSecondsOslo,
+    "int-unix-ms -> datetime-no" -> unixMillisOslo,
+    "bool -> int" -> boolToInt,
+    "datetime -> datetime-no" -> datetimeOslo)
+
+  def resolve(fun: Option[String]): Column => Column =
+    fun match {
+      case None => identity
+      case Some(f) =>
+        registry.getOrElse(f, throw new IllegalArgumentException(s"unknown transform fun: $f"))
+    }
+}
