@@ -44,10 +44,17 @@ object GraftSession {
     spark
   }
 
-  /** Apply graft settings to an externally-built session (Verify/Bench). */
+  /** Apply graft settings to an externally-built session (Verify/Bench).
+    * Pins session TZ to UTC: the Conversions timestamp semantics
+    * (naive-parse + from_utc_timestamp) depend on it, so a host session in
+    * another TZ must not silently shift datetime-no outputs.
+    */
   def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     functions.GraftFunctions.register(spark)
     spark
   }

@@ -24,15 +24,25 @@ object Conversions {
 
   private val Oslo = "Europe/Oslo"
 
+  /** Floor-division of a Long column by a positive constant, in exact decimal
+    * arithmetic. Epoch-nanos (~1.77e18) exceed double's 2^53 exact range, so a
+    * double detour can be off by 1 unit near boundaries; decimal(20,0) holds
+    * the full Long range and the quotient's scale-6 result is exact for the
+    * divisors used here. Floor (not truncate) so pre-1970 negatives round the
+    * same way as Python `//` and DuckDB's epoch functions.
+    */
+  private def floorDivExact(c: Column, divisor: Long): Column =
+    floor(c.cast("decimal(20,0)") / lit(divisor)).cast("long")
+
   /** Upstream TIMESTAMP(NANOS) parquet columns arrive as Long nanos (see
     * [[graft.GraftSession]]); truncate to Spark's microsecond timestamps.
     */
   def nanosToTimestamp(c: Column): Column =
-    timestamp_micros(floor(c.cast("double") / lit(1000d)).cast("long"))
+    timestamp_micros(floorDivExact(c, 1000L))
 
   /** Long nanos -> epoch milliseconds (floor), matching DuckDB `epoch_ms`. */
   def nanosToEpochMs(c: Column): Column =
-    floor(c.cast("double") / lit(1e6)).cast("long")
+    floorDivExact(c, 1000000L)
 
   /** `str -> str-code` (`/root/reference/src/transform.py:33-46`):
     * DVH code standard. NULL -> "UKJENT"; whitespace runs -> `_`; uppercase;
@@ -57,6 +67,14 @@ object Conversions {
   def lenientDateOslo(c: Column): Column = {
     val s = trim(c)
     val parsed = coalesce(
+      // Offset-bearing ISO forms first (XXX accepts both `Z` and `+02:00`);
+      // the parsed instant is already UTC-anchored, so the trailing
+      // from_utc_timestamp lands on the same Oslo wall clock the reference's
+      // dateparser + _adjust_timezone pipeline produces.
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ssXXX")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
       try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss")),

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config._
+import graft.functions.Conversions
+
+/** S3–S7: the Kafka envelope projection + value deserializers, as one
+  * declarative `select` over a raw message frame.
+  *
+  * Input contract (the canonical Kafka source relation shape — what
+  * `spark.read.format("kafka")` yields, and what [[graft.sources]] adapters
+  * produce from files for tests):
+  * {{{
+  *   key       BINARY      nullable
+  *   value     BINARY      nullable
+  *   topic     STRING
+  *   partition INT
+  *   offset    LONG
+  *   timestamp LONG        epoch millis
+  * }}}
+  *
+  * Output: the reference's fixed envelope (`/root/reference/src/kafka_source.py:197-205`,
+  * DDL `/root/reference/README.md:174-184`) plus a typed `payload` struct:
+  * `kafka_key, kafka_timestamp, kafka_offset, kafka_partition, kafka_topic,
+  * kafka_hash, kafka_message[, kafka_schema_id], payload`.
+  *
+  * Everything here is a single projection — no shuffle, fully codegen'd; the
+  * whole deserialize→drop→flag→predicate chain fuses into one stage exactly
+  * like the reference's hand-fused per-message loop (§4 of SURVEY.md).
+  */
+object Envelope {
+
+  /** S3: key deserializer (`/root/reference/src/kafka_source.py:74-82`). */
+  def decodeKey(key: Column, decoder: KeyDecoder): Column = decoder match {
+    case KeyDecoder.Utf8 => key.cast(StringType)
+    case KeyDecoder.Int64 => Conversions.bigEndianLongKey(key)
+  }
+
+  /** Build the envelope for JSON schema-mode (S4).
+    *
+    * Reference parity points (`/root/reference/src/kafka_source.py:102-119`):
+    *  - hash is sha256 over the *raw* value bytes, before any field ops;
+    *  - F1 drops and F2 flags apply to the payload *before* `kafka_message`
+    *    is re-serialized, so the persisted JSON reflects the filtered view;
+    *  - a NULL message value yields NULL hash/message/payload;
+    *  - F3 `message-filters` nullify `kafka_message` only — the envelope row
+    *    survives and payload columns remain available to transforms.
+    */
+  def json(raw: DataFrame, cfg: SourceConfig, payloadSchema: StructType): DataFrame = {
+    val payloadRaw = from_json(col("value").cast(StringType), payloadSchema)
+    val payload = PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+    val message = when(col("value").isNull, lit(null).cast(StringType)).otherwise(to_json(payload))
+    project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters), schemaId = None)
+  }
+
+  /** S6: string schema-mode — payload is the UTF-8 text itself; the persisted
+    * `kafka_message` is the JSON-quoted string (`json.dumps(str)` parity,
+    * `/root/reference/src/kafka_source.py:121-127`).
+    */
+  def string(raw: DataFrame, cfg: SourceConfig): DataFrame = {
+    val text = col("value").cast(StringType)
+    val message = Conversions.jsonQuote(text)
+    // F3 on string mode compares the whole text (no fields to address).
+    project(raw, cfg, text, applyMessageFilters(message, struct(text.as("value")), cfg.messageFilters), schemaId = None)
+  }
+
+  /** S5: Confluent-Avro schema-mode. The 5-byte wire header is stripped and
+    * the datum decoded against the (registry-resolved, driver-cached) writer
+    * schema; `kafka_schema_id` is the big-endian uint32 at bytes 2–5
+    * (`/root/reference/src/kafka_source.py:129-151`).
+    */
+  def avro(raw: DataFrame, cfg: SourceConfig, writerSchemaJson: String, payloadSchema: StructType): DataFrame = {
+    val datum = expr("substring(value, 6, 2147483647)") // payload after magic byte + schema id
+    val payloadRaw = graft.sources.ConfluentAvro.decode(datum, writerSchemaJson, payloadSchema)
+    val payload = PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+    val message = when(col("value").isNull, lit(null).cast(StringType)).otherwise(to_json(payload))
+    val env = project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
+      schemaId = Some(Conversions.schemaId(col("value"))),
+      // Reference hashes the Avro *payload* bytes (after the 5-byte header),
+      // not the whole message (`src/kafka_source.py:150`).
+      hashOver = Some(datum))
+    env
+  }
+
+  /** F3 (`message-filters`): OR-list of top-level equality predicates; a
+    * non-matching row keeps its envelope but gets a NULL `kafka_message`
+    * (`/root/reference/src/kafka_source.py:207-218`) — a projection, never a
+    * `filter()`.
+    */
+  def applyMessageFilters(message: Column, payload: Column, filters: Seq[MessageFilter]): Column =
+    if (filters.isEmpty) message
+    else {
+      val hit = filters.map(f => payload.getField(f.key).cast(StringType) === lit(f.allowedValue)).reduce(_ || _)
+      when(hit, message).otherwise(lit(null).cast(StringType))
+    }
+
+  /** S7: the envelope projection proper. */
+  private def project(
+      raw: DataFrame,
+      cfg: SourceConfig,
+      payload: Column,
+      message: Column,
+      schemaId: Option[Column],
+      hashOver: Option[Column] = None): DataFrame = {
+    val hashSrc = hashOver.getOrElse(col("value"))
+    val base = Seq(
+      decodeKey(col("key"), cfg.keyDecoder).as("kafka_key"),
+      col("timestamp").cast(LongType).as("kafka_timestamp"),
+      col("offset").cast(LongType).as("kafka_offset"),
+      col("partition").cast(IntegerType).as("kafka_partition"),
+      col("topic").cast(StringType).as("kafka_topic"),
+      Conversions.sha256Hex(hashSrc).as("kafka_hash"),
+      message.as("kafka_message")) ++
+      schemaId.map(_.as("kafka_schema_id")).toSeq :+
+      payload.as("payload")
+    raw.select(base: _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.config.K6FilterConfig
+
+/** J1/J2 — the reference's two (Oracle-delegated) joins, re-expressed as
+  * Spark joins with explicit scale strategy.
+  */
+object Joins {
+
+  /** J1: K6/K7 privacy screening (`/root/reference/src/oracle_target.py:53-93`).
+    *
+    * Semantics: a row whose person-id appears in the screening dimension with
+    * a validity interval containing the row's (day-truncated) timestamp gets
+    * `kafka_message := NULL` — masked, never dropped.
+    *
+    * Scale shape: the dimension (pre-filtered to `skjermet_kode IN (6,7)` —
+    * pushed to the JDBC source when it is one) is BROADCAST; the probe is then
+    * a shuffle-free per-row lookup, the cluster analogue of the reference's
+    * batched `IN`-list probe without its 100k-id ceiling. To avoid row
+    * multiplication when a person carries several (possibly overlapping)
+    * validity rows, the match set is reduced to distinct (pid, day) pairs
+    * before the mask join — both joins stay broadcast.
+    *
+    * Divergence (documented, deliberate): the reference probes with the LAST
+    * message's timestamp for the whole batch (`src/oracle_target.py:56-57`);
+    * graft evaluates the interval per-row, which is order-independent — the
+    * only semantics that is well-defined under distributed execution.
+    */
+  def k6Mask(batch: DataFrame, dim: DataFrame, cfg: K6FilterConfig, payloadField: String = "payload"): DataFrame = {
+    val pid = {
+      val segs = PayloadOps.splitPath(cfg.col, cfg.colKeypathSeparator)
+      segs.foldLeft(col(payloadField))((c, s) => c.getField(s)).cast("string")
+    }
+    val day = date_trunc("DAY", timestamp_millis(col(cfg.timestamp)))
+    val probe = batch.select(pid.as("_pid"), day.as("_day")).distinct()
+    val hits = probe.join(
+        broadcast(dim),
+        probe("_pid") === dim(cfg.filterCol).cast("string") &&
+          probe("_day").between(dim("gyldig_fra_dato"), dim("gyldig_til_dato")),
+        "left_semi")
+      .withColumn("_k6_hit", lit(1))
+    batch
+      .join(broadcast(hits), pid === hits("_pid") && day === hits("_day"), "left_outer")
+      .withColumn("kafka_message", when(col("_k6_hit").isNotNull, lit(null).cast("string")).otherwise(col("kafka_message")))
+      .drop("_pid", "_day", "_k6_hit")
+  }
+
+  /** J2: `skip-duplicates-with` (`/root/reference/src/oracle_target.py:99-104`) —
+    * insert only rows with no existing match on the key column set, and (like
+    * the reference's row-by-row NOT EXISTS inside one transaction) drop
+    * intra-batch duplicates too.
+    *
+    * Scale shape: both sides shuffle on the key columns — the correct plan
+    * when `existing` is the full sink table; when the existing key set is
+    * known-small, pass `broadcastExisting = true` to pin a broadcast
+    * anti-join. With AQE on, a small filtered `existing` converts to
+    * broadcast at runtime anyway.
+    */
+  def dedupAgainst(
+      batch: DataFrame,
+      existing: DataFrame,
+      keys: Seq[String],
+      broadcastExisting: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "skip-duplicates-with requires at least one key column")
+    val ex0 = existing.select(keys.map(col): _*).dropDuplicates(keys)
+    val ex = if (broadcastExisting) broadcast(ex0) else ex0
+    batch.dropDuplicates(keys).join(ex, keys, "left_anti")
+  }
+
+  /** Key equality helper for tests: the join condition `dedupAgainst` uses. */
+  def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
+    keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S1/S2: the bounded message scan.
+  *
+  * The engine consumes any relation in the canonical Kafka shape
+  * (`key BINARY, value BINARY, topic STRING, partition INT, offset LONG,
+  * timestamp LONG-epoch-ms` — see [[graft.operators.Envelope]]). On a real
+  * cluster that relation is `spark.read.format("kafka")` with
+  * `startingOffsetsByTimestamp`/`endingOffsetsByTimestamp` carrying the
+  * `DATA_INTERVAL_START/END` bounds — Spark's Kafka source resolves them to
+  * per-partition offset ranges broker-side, the exact analogue of the
+  * reference's `offsets_for_times` + per-partition retirement
+  * (`/root/reference/src/kafka_source.py:220-265,330-338`), with one input
+  * partition per Kafka partition and no driver-side polling loop.
+  *
+  * This build environment ships no kafka connector jar, so the adapters here
+  * produce the same shape from files/memory; every operator downstream is
+  * source-agnostic.
+  */
+object MessageSource {
+
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  /** Kafka relation for a bounded time interval (assign-strategy parity).
+    * `startMs`/`endMs` are the `DATA_INTERVAL_START/END` epoch-ms bounds; the
+    * end bound is exclusive like `endingOffsetsByTimestamp`.
+    */
+  def kafka(spark: SparkSession, brokers: String, topic: String, startMs: Long, endMs: Long): DataFrame = {
+    val byTs = (ms: Long) => s"""{"$topic": {"-1": $ms}}"""
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsetsByTimestamp", byTs(startMs))
+      .option("endingOffsetsByTimestamp", byTs(endMs))
+      .load()
+      .select(
+        col("key"),
+        col("value"),
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        (col("timestamp").cast(LongType) * 1000 + expr("extract(milliseconds from timestamp)").cast(LongType) % 1000).as("timestamp"))
+  }
+
+  /** File-backed topic: the driver's `events` table re-shaped into the
+    * canonical message frame. `event_id` plays offset, `user_id` the key,
+    * `props` the JSON value, `ts` (nanos → ms) the broker timestamp;
+    * partition = user_id % partitions (stable, like key-hash partitioning).
+    *
+    * The time-interval bound (ST1) is a plain filter on `timestamp` — against
+    * parquet it reaches the scan as a pushed predicate (the analogue of
+    * offsets_for_times partition pruning).
+    */
+  def fromEvents(
+      spark: SparkSession,
+      sfDir: String,
+      topic: String = "events",
+      partitions: Int = 8,
+      startMs: Option[Long] = None,
+      endMs: Option[Long] = None): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsMs = graft.functions.Conversions.nanosToEpochMs(col("ts"))
+    var df = ev.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      col("props").cast(BinaryType).as("value"),
+      lit(topic).as("topic"),
+      pmod(col("user_id"), lit(partitions)).cast(IntegerType).as("partition"),
+      col("event_id").cast(LongType).as("offset"),
+      tsMs.as("timestamp"))
+    startMs.foreach(s => df = df.filter(col("timestamp") >= s))
+    endMs.foreach(e => df = df.filter(col("timestamp") < e))
+    df
+  }
+
+  /** In-memory topic for unit tests. */
+  def fromRows(spark: SparkSession, rows: Seq[(Array[Byte], Array[Byte], String, Int, Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val data = rows.map { case (k, v, t, p, o, ts) => org.apache.spark.sql.Row(k, v, t, p, o, ts) }
+    spark.createDataFrame(data.asJava, schema)
+  }
+}
