@@ -95,7 +95,7 @@ final class Pipeline(
       count(lit(1)).as("events"),
       count(when(col("kafka_message").isNull, 1)).as("empty"),
       count(when(col("kafka_message").isNotNull, 1)).as("non_empty"),
-      count(when(col("kafka_hash").isNotNull && col("payload").isNull, 1)).as("errors")).head()
+      count(when(col("kafka_error"), 1)).as("errors")).head()
 
     ProcessSummary(
       eventCount = facets.getLong(0),

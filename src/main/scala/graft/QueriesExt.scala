@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** The training-data-pipeline extension slice of the correctness gate:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + LSH-bucketed ANN), multimodal
+  * binary columns (stubbed decode, real plumbing), and text analysis —
+  * each with a DuckDB oracle that replays the exact math (md5-based hashes,
+  * strict-left-fold double reductions).
+  */
+object QueriesExt {
+
+  import QueriesParity.Q
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  // --------------------------------------------------------------- dedup
+  private val dedupExact: Q = "x_dedup_exact" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.exact(docs(s, dir), "doc_id", md5(col("text"))),
+    """SELECT md5(text) AS dup_key, min(doc_id) AS kept_id, count(*) AS dup_cnt
+      |FROM documents GROUP BY md5(text)""".stripMargin))
+
+  private def minhashOracle: String = {
+    val mh = (0 until 12).map(j => s"min(md5('$j:'||s)) AS m$j").mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2} AS bv FROM mh")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+       |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+       |mh AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id""".stripMargin
+  }
+  private val dedupMinhash: Q = "x_dedup_minhash_lsh" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", n = 3, numHashes = 12, bands = 4),
+    minhashOracle))
+
+  private val dedupSimhash: Q = "x_dedup_simhash" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"), Dedup.simHash(col("text"), bits = 16).as("simhash")),
+    """WITH toks AS (SELECT DISTINCT doc_id, t
+      |  FROM documents, UNNEST(string_split(trim(text),' ')) AS u(t)),
+      |bits AS (SELECT doc_id, b,
+      |    CASE WHEN sum(CASE WHEN ((('0x'||substr(md5(t),1,4))::INT >> b) & 1)=1
+      |                      THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bitv
+      |  FROM toks, UNNEST(range(0,16)) AS r(b) GROUP BY doc_id, b)
+      |SELECT doc_id, sum(bitv * (1::BIGINT << b))::BIGINT AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin))
+
+  private val dedupJaccard: Q = "x_dedup_ngram_jaccard" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter
+      |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT id_a, id_b, n_inter::DOUBLE/(ca.n + cb.n - n_inter) AS jaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3""".stripMargin))
+
+  private val dedupEmbedding: Q = "x_dedup_embedding" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.4),
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding,b.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(a.nrm*b.nrm) AS cosine
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding,b.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(a.nrm*b.nrm) > 0.4""".stripMargin))
+
+  // --------------------------------------------------------------- ANN
+  private val annOracleCte =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.embedding,c.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(q.nrm*c.nrm) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+  private val annBruteforce: Q = "x_ann_bruteforce" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.topK(e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10)
+    },
+    annOracleCte))
+
+  private val annLshOracle = {
+    val bucket = (0 until 8)
+      .map(i => s"CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH n AS (SELECT vec_id, embedding, ($bucket)::BIGINT AS bucket,
+       |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+       |       (a,b)->a+b)) nrm FROM embeddings),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.embedding,c.embedding),
+       |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(q.nrm*c.nrm) AS cosine
+       |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id WHERE q.vec_id < 100)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) WHERE rank <= 5""".stripMargin
+  }
+  private val annLsh: Q = "x_ann_lsh" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.topKBucketed(e.where(col("vec_id") < 100), e, "vec_id", "embedding", k = 5, nBits = 8)
+    },
+    annLshOracle))
+
+  // --------------------------------------------------------------- text
+  private val textLangid: Q = "x_text_langid" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("lang_id")),
+    {
+      val hits = TextAnalysis.markers.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(",")
+        s"len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($inList))) AS h_$lang"
+      }.mkString(",\n  ")
+      val best = TextAnalysis.markers.map { case (l, _) => s"h_$l" }.mkString("greatest(", ",", ")")
+      val cases = TextAnalysis.markers.map { case (l, _) =>
+        s"WHEN h_$l = best AND best > 0 THEN '$l'"
+      }.mkString(" ")
+      s"""WITH h AS (SELECT doc_id, lang AS labeled_lang,
+         |  $hits
+         |FROM documents),
+         |b AS (SELECT *, $best AS best FROM h)
+         |SELECT doc_id, labeled_lang, CASE $cases ELSE 'und' END AS lang_id FROM b""".stripMargin
+    }))
+
+  private val textQuality: Q = "x_text_quality" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.nChars(col("text")).as("n_chars_m"),
+        TextAnalysis.nTokens(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality")),
+    {
+      val en = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len(string_split(trim(text), ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE AS punct_ratio,
+         |  len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE
+         |    / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE AS stopword_ratio,
+         |  round(
+         |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.5
+         |    + (len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE
+         |       / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE) * 0.4
+         |    + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+         |                   / greatest(length(text),1)::DOUBLE * 10.0, 1.0)) * 0.1, 6) AS quality
+         |FROM documents""".stripMargin
+    }))
+
+  private val textTokens: Q = "x_text_tokens" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.nTokens(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_token_len")),
+    """SELECT doc_id,
+      |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(trim(text),' '),
+      |      t -> length(t)::BIGINT)), (a,b)->a+b)::DOUBLE
+      |    / greatest(len(string_split(trim(text),' ')),1)::DOUBLE AS mean_token_len
+      |FROM documents""".stripMargin))
+
+  private val textFingerprint: Q = "x_text_fingerprint" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint")),
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT,
+      |    list_transform(range(1, length(text)+1), i -> ascii(substr(text, i, 1))::BIGINT)),
+      |    (acc,c) -> (acc*31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin))
+
+  // --------------------------------------------------------------- multimodal
+  private val mmMetaOracle =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  64 + ('0x'||substr(md5(text),1,2))::INT % 192 * 4 AS width,
+      |  64 + ('0x'||substr(md5(text),3,2))::INT % 192 * 4 AS height,
+      |  (['jpeg','png','webp'])[('0x'||substr(md5(text),5,2))::INT % 3 + 1] AS format
+      |FROM documents""".stripMargin
+
+  private val mmMeta: Q = "x_multimodal_meta" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      d.select(Multimodal.metaColumns(col("doc_id"), col("text").cast("binary")): _*)
+    },
+    mmMetaOracle))
+
+  private val mmDecode: Q = "x_multimodal_decode" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.decodeStub(docs(s, dir).withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob"),
+    mmMetaOracle))
+
+  private val mmFrames: Q = "x_multimodal_frames" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.sampleFrames(docs(s, dir).withColumn("blob", col("text").cast("binary")),
+        "doc_id", "blob", frameBytes = 32, step = 4),
+    """SELECT doc_id, n_frames, frame_idx::INT AS frame_idx FROM (
+      |  SELECT doc_id, (octet_length(text::BLOB) // 32)::INT AS n_frames FROM documents),
+      |  UNNEST(range(0, n_frames, 4)) AS t(frame_idx)
+      |WHERE n_frames >= 1""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
+    annBruteforce, annLsh,
+    textLangid, textQuality, textTokens, textFingerprint,
+    mmMeta, mmDecode, mmFrames)
+}

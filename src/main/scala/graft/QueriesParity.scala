@@ -1,0 +1,484 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config._
+import graft.functions.Conversions
+import graft.operators.{Envelope, Joins, Transforms}
+import graft.sources.{ConfluentAvro, MessageSource}
+
+/** The reference-parity slice of the driver's correctness gate: one query per
+  * operator of SURVEY.md §2 (S/F/T/J/A inventory), each paired with ANSI SQL
+  * the DuckDB oracle replays on the same parquet tables.
+  *
+  * The `events` table stands in for the Kafka topic via
+  * [[MessageSource.fromEvents]] (canonical key/value/topic/partition/offset/
+  * timestamp frame); every query is a bounded run of the same declarative
+  * plan the production Kafka source would feed.
+  */
+object QueriesParity {
+
+  private val propsSchema = StructType(Seq(StructField("k", LongType)))
+
+  /** Oslo wall-clock string at second precision — shared output convention so
+    * timestamp comparisons are representation-independent.
+    */
+  private def fmtS(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def fmtMs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** type Q = name -> (query, oracleSql) */
+  type Q = (String, ((SparkSession, String) => DataFrame, String))
+
+  // ---------------------------------------------------------------- S3 / T15
+  private val s3KeyInt64: Q = "s3_key_int64" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      // Round-trip: user_id -> 8-byte big-endian key bytes -> decoded decimal
+      // string (T15); utf-8 path alongside (S3).
+      val beKey = unhex(lpad(hex(col("user_id")), 16, "0"))
+      ev.select(
+        col("event_id").as("kafka_offset"),
+        Envelope.decodeKey(beKey, KeyDecoder.Int64).as("key_int64"),
+        Envelope.decodeKey(col("user_id").cast(StringType).cast(BinaryType), KeyDecoder.Utf8).as("key_utf8"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  user_id::VARCHAR AS key_int64,
+      |  user_id::VARCHAR AS key_utf8
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- S4+S7
+  private val s4EnvJson: Q = "s4_env_json" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = MessageSource.fromEvents(s, dir)
+      Envelope.json(raw, SourceConfig(topic = "events"), propsSchema)
+        .select(col("kafka_key"), col("kafka_timestamp"), col("kafka_offset"),
+          col("kafka_partition"), col("kafka_topic"), col("kafka_hash"),
+          col("kafka_message"), col("payload.k").as("k"))
+    },
+    """SELECT user_id::VARCHAR AS kafka_key,
+      |  epoch_ms(ts) AS kafka_timestamp,
+      |  event_id AS kafka_offset,
+      |  (user_id % 8)::INT AS kafka_partition,
+      |  'events' AS kafka_topic,
+      |  sha256(props) AS kafka_hash,
+      |  '{"k":' || (props->>'k') || '}' AS kafka_message,
+      |  (props->>'k')::BIGINT AS k
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- S6
+  private val s6EnvString: Q = "s6_env_string" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = MessageSource.fromEvents(s, dir)
+      Envelope.string(raw, SourceConfig(topic = "events"))
+        .select(col("kafka_offset"), col("kafka_hash"), col("kafka_message"),
+          col("payload").as("payload_text"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  sha256(props) AS kafka_hash,
+      |  to_json(props) AS kafka_message,
+      |  props AS payload_text
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- S5 + T16
+  private val avroSchemaJson =
+    """{"type":"record","name":"ev","fields":[
+      |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+  private val s5AvroRoundtrip: Q = "s5_avro_roundtrip" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val wire = ConfluentAvro.encode(
+        struct(col("event_id").as("id"), col("event_type").as("name")),
+        avroSchemaJson, schemaId = 1)
+      val raw = ev.select(
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        wire.as("value"),
+        lit("events").as("topic"),
+        pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"),
+        Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+      Envelope.avro(raw, SourceConfig(topic = "events", schemaMode = SchemaMode.Avro),
+          avroSchemaJson, payloadSchema)
+        .select(col("kafka_offset"), col("kafka_schema_id"),
+          col("payload.id").as("id"), col("payload.name").as("name"),
+          col("kafka_message"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  1 AS kafka_schema_id,
+      |  event_id AS id,
+      |  event_type AS name,
+      |  '{"id":' || event_id || ',"name":"' || event_type || '"}' AS kafka_message
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- F1
+  /** Nested payload used by the F1/F2 fixtures: k + user{id, secret}. */
+  private def nestedRaw(s: SparkSession, dir: String, secretNullOnError: Boolean): DataFrame = {
+    val ev = events(s, dir)
+    val secret =
+      if (secretNullOnError)
+        when(col("event_type") === "error", lit(null).cast(StringType)).otherwise(col("event_type"))
+      else col("event_type")
+    val payload = struct(
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+      struct(col("user_id").as("id"), secret.as("secret")).as("user"))
+    ev.select(
+      col("user_id").cast(StringType).cast(BinaryType).as("key"),
+      to_json(payload).cast(BinaryType).as("value"),
+      lit("events").as("topic"),
+      pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+      col("event_id").as("offset"),
+      Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+  }
+  private val nestedSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("user", StructType(Seq(
+      StructField("id", LongType), StructField("secret", StringType))))))
+
+  private val f1FieldsFilter: Q = "f1_fields_filter" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = nestedRaw(s, dir, secretNullOnError = false)
+      Envelope.json(raw,
+          SourceConfig(topic = "events", messageFieldsFilter = Seq("user.secret")),
+          nestedSchema)
+        .select(col("kafka_offset"), col("kafka_message"),
+          col("payload.k").as("k"), col("payload.user.id").as("user_id"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  '{"k":' || (props->>'k') || ',"user":{"id":' || user_id || '}}' AS kafka_message,
+      |  (props->>'k')::BIGINT AS k,
+      |  user_id
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- F2
+  private val f2FlagFields: Q = "f2_flag_fields" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = nestedRaw(s, dir, secretNullOnError = true)
+      Envelope.json(raw,
+          SourceConfig(topic = "events", flagFieldConfig = Seq("user.secret")),
+          nestedSchema)
+        .select(col("kafka_offset"), col("kafka_message"),
+          col("payload.user.secret").as("secret_flag"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  '{"k":' || (props->>'k') || ',"user":{"id":' || user_id || ',"secret":'
+      |    || (CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) || '}}' AS kafka_message,
+      |  CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS secret_flag
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- F3
+  private val f3MessageFilters: Q = "f3_message_filters" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = MessageSource.fromEvents(s, dir)
+      Envelope.json(raw,
+          SourceConfig(topic = "events",
+            messageFilters = Seq(MessageFilter("k", "1"), MessageFilter("k", "2"), MessageFilter("k", "3"))),
+          propsSchema)
+        .select(col("kafka_offset"), col("kafka_message"), col("payload.k").as("k"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  CASE WHEN (props->>'k') IN ('1','2','3')
+      |       THEN '{"k":' || (props->>'k') || '}' ELSE NULL END AS kafka_message,
+      |  (props->>'k')::BIGINT AS k
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- T1–T4, T9
+  private val tTransformRules: Q = "t_transform_rules" -> ((
+    (s: SparkSession, dir: String) => {
+      val raw = MessageSource.fromEvents(s, dir)
+      val env = Envelope.json(raw, SourceConfig(topic = "events"), propsSchema)
+      val rules = Seq(
+        TransformRule("kafka_key", "t_key"),
+        TransformRule("kafka_offset", "t_offset"),
+        TransformRule("kafka_timestamp", "t_ts_no", fun = Some("int-unix-ms -> datetime-no")),
+        TransformRule("k", "t_k"),
+        TransformRule("$GRAFT", "t_source"),
+        TransformRule("$$BATCH_TIME", "t_batch"),
+        TransformRule("missing.path", "t_missing", allowUndefined = true))
+      Transforms(env, rules, Timestamp.valueOf("2024-06-01 12:00:00"))
+        .select(col("t_key"), col("t_offset"), fmtMs(col("t_ts_no")).as("t_ts_no"),
+          col("t_k"), col("t_source"), fmtMs(col("t_batch")).as("t_batch"),
+          col("t_missing").cast(StringType).as("t_missing"))
+    },
+    """SELECT user_id::VARCHAR AS t_key,
+      |  event_id AS t_offset,
+      |  strftime(timezone('Europe/Oslo', timezone('UTC', epoch_ms(epoch_ms(ts)))),
+      |           '%Y-%m-%d %H:%M:%S.%g') AS t_ts_no,
+      |  (props->>'k')::BIGINT AS t_k,
+      |  'GRAFT' AS t_source,
+      |  '2024-06-01 12:00:00.000' AS t_batch,
+      |  NULL::VARCHAR AS t_missing
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- T6
+  private val t6StrCode: Q = "t6_str_code" -> ((
+    (s: SparkSession, dir: String) => {
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val inp = when(col("p_partkey") % 97 === 0, lit(null).cast(StringType))
+        .when(col("p_partkey") % 101 === 0, lit("  "))
+        .otherwise(concat(col("p_name"), lit(" æøå-x")))
+      p.select(col("p_partkey"), Conversions.strCode(inp).as("code"))
+    },
+    """SELECT p_partkey,
+      |  CASE WHEN p_partkey % 97 = 0 THEN 'UKJENT' ELSE
+      |    coalesce(nullif(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              upper(regexp_replace(regexp_replace(
+      |                CASE WHEN p_partkey % 101 = 0 THEN '  '
+      |                     ELSE p_name || ' æøå-x' END,
+      |                '^\s+|\s+$', '', 'g'), '\s+', '_', 'g')),
+      |              'Æ', 'A', 'g'),
+      |            'Ø', 'O', 'g'),
+      |          'Å', 'AA', 'g'),
+      |        '[^0-9A-Z_]', '', 'g'),
+      |      ''), 'UKJENT')
+      |  END AS code
+      |FROM part""".stripMargin))
+
+  // ---------------------------------------------------------------- T7
+  private val t7DatetimeNo: Q = "t7_datetime_no" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val d = col("o_orderdate")
+      val k = col("o_orderkey")
+      val inp = when(k % 7 === 0, lit("absolutely not a date"))
+        .when(k % 5 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(k % 5 === 1, date_format(d, "yyyy-MM-dd HH:mm:ss"))
+        .when(k % 5 === 2, date_format(d, "yyyy-MM-dd"))
+        .when(k % 5 === 3, date_format(d, "dd.MM.yyyy"))
+        .otherwise(concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
+      o.select(k.as("o_orderkey"), fmtS(Conversions.lenientDateOslo(inp)).as("dt_no"))
+    },
+    """SELECT o_orderkey,
+      |  CASE
+      |    WHEN o_orderkey % 7 = 0 THEN NULL
+      |    WHEN o_orderkey % 5 IN (0,1,2,3)
+      |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
+      |                    '%Y-%m-%d %H:%M:%S')
+      |    ELSE strftime(timezone('Europe/Oslo',
+      |                    timezone('UTC', o_orderdate - INTERVAL 2 HOUR)),
+      |                  '%Y-%m-%d %H:%M:%S')
+      |  END AS dt_no
+      |FROM orders""".stripMargin))
+
+  // ---------------------------------------------------------------- T8–T13
+  private val tScalarConvs: Q = "t_scalar_convs" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir) // ts arrives as Long nanos (nanosAsLong)
+      val ns = col("ts")
+      val ms = Conversions.nanosToEpochMs(ns)
+      val secs = floor(ms.cast("decimal(20,0)") / 1000L).cast(LongType)
+      ev.select(
+        col("event_id"),
+        fmtS(Conversions.unixSecondsOslo(secs)).as("unix_s_no"),
+        fmtMs(Conversions.unixMillisOslo(ms)).as("unix_ms_no"),
+        Conversions.boolToInt(col("value") > 100.0).as("bool_int"),
+        date_format(Conversions.nanosToTimestamp(ns), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_micro"),
+        ms.as("ts_ms"))
+    },
+    """SELECT event_id,
+      |  strftime(timezone('Europe/Oslo', timezone('UTC', epoch_ms((epoch_ms(ts)//1000)*1000))),
+      |           '%Y-%m-%d %H:%M:%S') AS unix_s_no,
+      |  strftime(timezone('Europe/Oslo', timezone('UTC', epoch_ms(epoch_ms(ts)))),
+      |           '%Y-%m-%d %H:%M:%S.%g') AS unix_ms_no,
+      |  CAST(value > 100 AS INT) AS bool_int,
+      |  strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts_micro,
+      |  epoch_ms(ts) AS ts_ms
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- J1
+  private val j1K6Mask: Q = "j1_k6_mask" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val payload = struct(
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        struct(col("user_id").cast(StringType).as("ident")).as("person"))
+      val raw = ev.select(
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        to_json(payload).cast(BinaryType).as("value"),
+        lit("events").as("topic"),
+        pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"),
+        Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("person", StructType(Seq(StructField("ident", StringType))))))
+      val env = Envelope.json(raw, SourceConfig(topic = "events"), schema)
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"),
+          lit(Timestamp.valueOf("2024-01-01 00:00:00")).as("gyldig_fra_dato"),
+          lit(Timestamp.valueOf("2024-12-31 00:00:00")).as("gyldig_til_dato"))
+      Joins.k6Mask(env, dim,
+          K6FilterConfig(filterTable = "customer", filterCol = "c_custkey",
+            col = "person.ident", timestamp = "kafka_timestamp"))
+        .select(col("kafka_offset"), col("kafka_key"), col("kafka_message"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  user_id::VARCHAR AS kafka_key,
+      |  CASE WHEN user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |        AND date_trunc('day', epoch_ms(epoch_ms(ts)))
+      |            BETWEEN TIMESTAMP '2024-01-01' AND TIMESTAMP '2024-12-31'
+      |       THEN NULL
+      |       ELSE '{"k":' || (props->>'k') || ',"person":{"ident":"' || user_id || '"}}'
+      |  END AS kafka_message
+      |FROM events""".stripMargin))
+
+  // ---------------------------------------------------------------- J2
+  private val j2DedupAnti: Q = "j2_dedup_anti" -> ((
+    (s: SparkSession, dir: String) => {
+      val env = Envelope.json(MessageSource.fromEvents(s, dir),
+        SourceConfig(topic = "events"), propsSchema)
+      val keys = Seq("kafka_partition", "kafka_offset", "kafka_topic")
+      val existing = env.where(col("kafka_offset") < 2000)
+      // Intra-batch duplicates: [1000, 2500) appended a second time.
+      val batch = env.where(col("kafka_offset") < 3000)
+        .union(env.where(col("kafka_offset") >= 1000 && col("kafka_offset") < 2500))
+      Joins.dedupAgainst(batch, existing, keys)
+        .select(col("kafka_partition"), col("kafka_offset"), col("kafka_topic"), col("kafka_key"))
+    },
+    """SELECT (user_id % 8)::INT AS kafka_partition,
+      |  event_id AS kafka_offset,
+      |  'events' AS kafka_topic,
+      |  user_id::VARCHAR AS kafka_key
+      |FROM events WHERE event_id >= 2000 AND event_id < 3000""".stripMargin))
+
+  // ---------------------------------------------------------------- S11/A1
+  private val a1DeltaWatermark: Q = "a1_delta_watermark" -> ((
+    (s: SparkSession, dir: String) => {
+      val env = Envelope.json(MessageSource.fromEvents(s, dir),
+        SourceConfig(topic = "events"), propsSchema)
+      env.agg(max(col("kafka_timestamp")).as("delta_watermark_ms"))
+    },
+    "SELECT max(epoch_ms(ts)) AS delta_watermark_ms FROM events"))
+
+  // ---------------------------------------------------------------- A2
+  private val a2Summary: Q = "a2_summary" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val value = when(col("event_id") % 13 === 0, lit("{not json")).otherwise(col("props"))
+      val raw = ev.select(
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        value.cast(BinaryType).as("value"),
+        lit("events").as("topic"),
+        pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"),
+        Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+      val env = Envelope.json(raw,
+        SourceConfig(topic = "events",
+          messageFilters = Seq(MessageFilter("k", "1"), MessageFilter("k", "2"), MessageFilter("k", "3"))),
+        propsSchema)
+      env.agg(
+        count(lit(1)).as("event_count"),
+        count(when(col("kafka_error"), 1)).as("error_count"),
+        count(when(col("kafka_message").isNull, 1)).as("empty_count"),
+        count(when(col("kafka_message").isNotNull, 1)).as("non_empty_count"))
+    },
+    """SELECT count(*) AS event_count,
+      |  count(*) FILTER (WHERE event_id % 13 = 0) AS error_count,
+      |  count(*) FILTER (WHERE event_id % 13 = 0 OR (props->>'k') NOT IN ('1','2','3')) AS empty_count,
+      |  count(*) FILTER (WHERE event_id % 13 <> 0 AND (props->>'k') IN ('1','2','3')) AS non_empty_count
+      |FROM events""".stripMargin))
+
+  // ------------------------------------------------- core SQL (§2.9, Spark-native)
+  private val q1PricingAgg: Q = "q1_pricing_agg" -> ((
+    (s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      l.where(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin))
+
+  private val q3JoinTopk: Q = "q3_join_topk" -> ((
+    (s: SparkSession, dir: String) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").where(col("c_mktsegment") === "BUILDING")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") < lit(Timestamp.valueOf("1997-03-15 00:00:00")))
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .where(col("l_shipdate") > lit(Timestamp.valueOf("1997-03-15 00:00:00")))
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val disc = col("l_discount").cast("decimal(18,2)")
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+    },
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |  AND o_orderdate < TIMESTAMP '1997-03-15' AND l_shipdate > TIMESTAMP '1997-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  private val qWindowRank: Q = "q_window_rank" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("o_totalprice"))
+    },
+    """SELECT o_custkey, o_orderkey, rn, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin))
+
+  private val qSessionize: Q = "q_sessionize" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val ms = Conversions.nanosToEpochMs(col("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), ms.as("ts_ms"))
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 21600000L, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+    """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 21600000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events) GROUP BY user_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(
+    s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip,
+    f1FieldsFilter, f2FlagFields, f3MessageFilters,
+    tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
+    j1K6Mask, j2DedupAnti, a1DeltaWatermark, a2Summary,
+    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize)
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the 100 TB training-data pipeline surface:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Design for scale (the whole point of these over naive pairwise):
+  *  - every candidate-generation path is *relational* — explode → hash →
+  *    groupBy/join — so Catalyst plans partial aggregation map-side and the
+  *    only shuffles are keyed by shingle/band/signature, never an O(n²)
+  *    cross product;
+  *  - all hash primitives are md5 over deterministic strings, so results are
+  *    engine-reproducible (the DuckDB oracle replays them bit-for-bit) and
+  *    stable across Spark versions (no Murmur3 seed drift);
+  *  - per-row signature computation (simhash, minhash aggs) stays inside
+  *    whole-stage codegen — no UDFs.
+  */
+object Dedup {
+
+  /** Whitespace tokens of trimmed text — the shared primitive (matches
+    * [[graft.functions.TextAnalysis.tokens]]).
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word n-gram shingles as an array column; docs with fewer than `n` tokens
+    * yield an empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    val gram = (i: Column) => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)
+    when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (id, shingle) inverted-index table, distinct per doc. At scale this is
+    * the one materialization all near-dup ops share; partial-agg + shuffle on
+    * shingle.
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle")).distinct()
+
+  /** Exact dedup via hash-groupBy: one row per distinct key expression with
+    * the minimum id as the survivor and the duplicate count. Map-side partial
+    * aggregation makes this a single keyed shuffle at any scale.
+    */
+  def exact(df: DataFrame, idCol: String, keyExpr: Column): DataFrame =
+    df.groupBy(keyExpr.as("dup_key"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_cnt"))
+
+  /** MinHash signature aggregation exprs: for seed j, `min(md5("j:" ++ s))`.
+    * Lexicographic min of the md5 hex string is order-isomorphic to numeric
+    * min of the 128-bit value — same minhash, no 64-bit truncation games, and
+    * trivially reproducible in any engine with md5.
+    */
+  def minHashAggs(shingle: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(j => min(md5(concat(lit(s"$j:"), shingle))).as(s"mh$j"))
+
+  /** MinHash+LSH candidate pairs: shingle → numHashes minhashes → `bands`
+    * bands of `numHashes/bands` rows → bucket-join on (band, bandValue).
+    *
+    * Scale shape: two keyed shuffles (shingle-distinct + signature groupBy,
+    * then band bucket join); the band join degenerates to a hot-bucket
+    * problem only when many docs are near-identical, which AQE skew-join
+    * splitting absorbs. Returns distinct (id_a < id_b) candidate pairs.
+    */
+  def minHashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sig = sh.groupBy(col(idCol)).agg(minHashAggs(col("shingle"), numHashes).head,
+      minHashAggs(col("shingle"), numHashes).tail: _*)
+    val bandFrames = (0 until bands).map { b =>
+      val bv = concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
+      sig.select(col(idCol), lit(b).as("band"), bv.as("band_val"))
+    }
+    val banded = bandFrames.reduce(_ unionAll _)
+    val a = banded.select(col("band"), col("band_val"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("band_val"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash over distinct tokens: bit b of the signature is the majority
+    * vote of bit b of `md5(token)[0:4]` (16-bit fingerprint) across tokens.
+    * Pure per-row Column math — shuffle-free, codegen'd; near-dup docs land
+    * on equal or Hamming-close signatures, so a groupBy(simhash) is the
+    * cluster step at scale.
+    */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val toks = array_distinct(tokens(text))
+    val tokenFp = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("int")
+    val bitCols = (0 until bits).map { b =>
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when((shiftright(tokenFp(t), b) % 2) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** n-gram Jaccard similarity pairs above `threshold`, via the shingle
+    * inverted index: pairs sharing ≥1 shingle get their intersection counted
+    * by a self-join on shingle (keyed shuffle, not n²), then
+    * `|A∩B| / (|A|+|B|-|A∩B|)`.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") > threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column (label,
+    * shard, LSH bucket, …): the block join bounds the pair count, cosine is
+    * the strict-left-fold double math of [[Similarity.cosine]] so any engine
+    * reproduces it bit-for-bit.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val n = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val a = n.select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = n.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -50,10 +50,24 @@ object Envelope {
     *    survives and payload columns remain available to transforms.
     */
   def json(raw: DataFrame, cfg: SourceConfig, payloadSchema: StructType): DataFrame = {
-    val payloadRaw = from_json(col("value").cast(StringType), payloadSchema)
-    val payload = PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
-    val message = when(col("value").isNull, lit(null).cast(StringType)).otherwise(to_json(payload))
-    project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters), schemaId = None)
+    // ST5 error channel: malformed JSON surfaces in a corrupt-record field
+    // (PERMISSIVE), becomes `kafka_error = true` + NULL payload/message, and
+    // is COUNTED, not fatal — the reference's count-and-continue semantics
+    // (`/root/reference/src/kafka_source.py:309-323`) without failing tasks.
+    val corruptField = "_graft_corrupt"
+    val schemaWithCorrupt = payloadSchema.add(StructField(corruptField, StringType))
+    val parsed = from_json(col("value").cast(StringType), schemaWithCorrupt,
+      Map("columnNameOfCorruptRecord" -> corruptField))
+    val isCorrupt = col("value").isNotNull && parsed.getField(corruptField).isNotNull
+    val payloadClean = parsed.dropFields(corruptField)
+    val resultSchema = PayloadOps.resultSchema(
+      payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+    val payload = when(isCorrupt, lit(null).cast(resultSchema))
+      .otherwise(PayloadOps(payloadClean, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator))
+    val message = when(col("value").isNull || isCorrupt, lit(null).cast(StringType))
+      .otherwise(to_json(payload))
+    project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
+      schemaId = None, error = Some(isCorrupt))
   }
 
   /** S6: string schema-mode — payload is the UTF-8 text itself; the persisted
@@ -104,7 +118,8 @@ object Envelope {
       payload: Column,
       message: Column,
       schemaId: Option[Column],
-      hashOver: Option[Column] = None): DataFrame = {
+      hashOver: Option[Column] = None,
+      error: Option[Column] = None): DataFrame = {
     val hashSrc = hashOver.getOrElse(col("value"))
     val base = Seq(
       decodeKey(col("key"), cfg.keyDecoder).as("kafka_key"),
@@ -114,8 +129,8 @@ object Envelope {
       col("topic").cast(StringType).as("kafka_topic"),
       Conversions.sha256Hex(hashSrc).as("kafka_hash"),
       message.as("kafka_message")) ++
-      schemaId.map(_.as("kafka_schema_id")).toSeq :+
-      payload.as("payload")
+      schemaId.map(_.as("kafka_schema_id")).toSeq ++
+      Seq(error.getOrElse(lit(false)).as("kafka_error"), payload.as("payload"))
     raw.select(base: _*)
   }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata.
+  *
+  * The actual media decode is STUBBED (this environment ships no image/audio
+  * libraries): `decodeStub` derives deterministic fake dimensions from the
+  * md5 of the bytes, so the schema, partition-preserving `mapPartitions`
+  * execution path, and batch shape are real and testable, and a SQL oracle
+  * can replay the fake exactly. Swapping the stub body for a real JNI/lib
+  * decode changes nothing about the plan.
+  *
+  * Scale notes: `decodeStub` is a narrow per-partition map (no shuffle, no
+  * driver collect); the blob column rides along only as far as the decode and
+  * is dropped immediately after, so downstream stages shuffle metadata, not
+  * media bytes.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  private val formats = Array("jpeg", "png", "webp")
+
+  private def hex(bytes: Array[Byte]): String = bytes.map("%02x".format(_)).mkString
+
+  /** The deterministic fake decode — REPLACE THIS BODY for real media:
+    * width/height/format are functions of md5(blob) so every engine agrees.
+    */
+  def stubDecode(id: Long, blob: Array[Byte]): Row = {
+    val md5h = hex(MessageDigest.getInstance("MD5").digest(blob))
+    val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
+    val w = 64 + Integer.parseInt(md5h.substring(0, 2), 16) % 192 * 4
+    val h = 64 + Integer.parseInt(md5h.substring(2, 4), 16) % 192 * 4
+    val fmt = formats(Integer.parseInt(md5h.substring(4, 6), 16) % 3)
+    Row(id, blob.length, sha, w, h, fmt)
+  }
+
+  /** Imperative decode path: `mapPartitions` over (id, blob) rows — the
+    * Scala analogue of a Pandas-UDF `mapInPandas` decode stage. Partition
+    * count and ordering are preserved; one `MessageDigest` pair per row keeps
+    * the stub allocation-light (real decoders would amortize codec init per
+    * partition here, which is the point of mapPartitions over a per-row UDF).
+    */
+  def decodeStub(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      rows.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(RowEncoder.encoderFor(metaSchema))
+  }
+
+  /** Declarative twin of [[decodeStub]] — same metadata from pure codegen'd
+    * Column math (md5/sha2/conv), for when the "decode" is cheap enough to
+    * inline. Keeping both proves the stub and the plan agree.
+    */
+  def metaColumns(id: Column, blob: Column): Seq[Column] = {
+    val md5h = md5(blob)
+    val hx = (from: Int, len: Int) => conv(substring(md5h, from, len), 16, 10).cast("int")
+    Seq(
+      id.cast(LongType).as("doc_id"),
+      length(blob).cast(IntegerType).as("n_bytes"),
+      sha2(blob, 256).as("content_sha"),
+      (lit(64) + hx(1, 2) % 192 * 4).as("width"),
+      (lit(64) + hx(3, 2) % 192 * 4).as("height"),
+      element_at(lit(formats), (hx(5, 2) % 3) + 1).as("format"))
+  }
+
+  /** Frame sampling over a "video" blob: every `step`-th frame index of
+    * `n_frames = floor(n_bytes / frameBytes)` frames, exploded to one row per
+    * sampled frame. The real pipeline would then `mapPartitions`-decode each
+    * (blob, frame_idx) pair; here the index stream itself is the deliverable.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String, frameBytes: Int, step: Int): DataFrame = {
+    val nFrames = floor(length(col(blobCol)) / frameBytes).cast(IntegerType)
+    df.select(col(idCol), nFrames.as("n_frames"))
+      .where(col("n_frames") >= 1)
+      .select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
+  }
+}

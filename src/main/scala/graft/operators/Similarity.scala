@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Numeric policy: every reduction is a strict left fold over
+  * double-promoted elements (`aggregate(zip_with(...))`), so the result is
+  * bit-identical in any IEEE-754 engine that folds in element order — the
+  * DuckDB oracle reproduces scores exactly, no epsilon comparisons needed.
+  *
+  * Scale policy: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — a BroadcastNestedLoopJoin with no shuffle of the
+  * big side; the LSH path buckets both sides by deterministic sign-bits so
+  * the join is a keyed equi-join (shuffle or broadcast by bucket) touching
+  * only same-bucket candidates — the 100 TB path.
+  */
+object Similarity {
+
+  /** Strict-fold dot product, elements promoted to double before multiply. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm, same fold discipline. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: exact baseline. `queries` is broadcast; the
+    * corpus is scanned once per partition; ranking is a window over the
+    * query id with a deterministic (score desc, id) tie-break.
+    */
+  def topK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Deterministic sign-bit LSH bucket: bit i set iff element i+1 > 0.
+    * For zero-centered embeddings this is a random-hyperplane LSH with the
+    * coordinate axes as hyperplanes — engine-reproducible with no stored
+    * projection matrix.
+    */
+  def signBucket(vec: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { i =>
+      when(element_at(vec, i + 1) > lit(0.0f), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k: both sides keyed by [[signBucket]]; the join
+    * is a bucket equi-join so each query only scores its own bucket —
+    * recall trades against the 2^nBits fan-out. At 100 TB the corpus side is
+    * bucketed once (write-time partitioning) and the probe shuffles only the
+    * query set.
+    */
+  def topKBucketed(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm"), signBucket(col(vecCol), nBits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"), signBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

@@ -71,6 +71,35 @@ object ConfluentAvro {
     udf(fn, sparkSchema).apply(datum)
   }
 
+  /** Confluent wire-format ENCODER — the test/round-trip twin of [[decode]]
+    * (and the S9 Kafka-producer path, `/root/reference/src/kafka_target.py:39-52`):
+    * magic byte 0x00 + big-endian int32 schema id + binary-encoded datum.
+    * Input is a struct column whose fields match the writer schema's record
+    * fields positionally (long/string/double/boolean/bytes primitives).
+    */
+  def encode(datum: Column, writerSchemaJson: String, schemaId: Int): Column = {
+    val fn = (row: Row) =>
+      if (row == null) null
+      else {
+        val schema = new Schema.Parser().parse(writerSchemaJson)
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        schema.getFields.forEach { f =>
+          rec.put(f.name(), row.get(f.pos()) match {
+            case s: String => new org.apache.avro.util.Utf8(s)
+            case other => other
+          })
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(0)
+        bos.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
+        val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(bos, null)
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+        enc.flush()
+        bos.toByteArray
+      }
+    udf(fn.asInstanceOf[AnyRef], BinaryType).apply(datum)
+  }
+
   /** Avro-record → schema mapping used when the Spark schema is derived from
     * the writer schema (primitive + nested record/array/union-null support —
     * the shapes the reference's payloads use).
