@@ -80,14 +80,12 @@ final class Pipeline(
         case None => out.dropDuplicates(keys)
       }
     }
-    // Envelope-level accounting in the same job via observe() on the envelope
-    // frame feeding the final plan would double-trigger the source; instead
-    // observe on the written frame and count envelope facets with when().
-    val observed = deduped.observe(
-      "graft_summary",
-      count(lit(1)).as("written"))
+    // Written-row accounting rides the write job itself via the Observation
+    // API (executor-side aggregation, no second pass over the data).
+    val obs = org.apache.spark.sql.Observation()
+    val observed = deduped.observe(obs, count(lit(1)).as("written"))
     sink.write(observed)
-    val written = lastMetric(observed, "graft_summary", "written")
+    val written = obs.get("written").asInstanceOf[Long]
 
     // Source-facet counts come from one lightweight aggregate over the raw
     // frame (scan-only, no shuffle — parquet/Kafka count pushdown applies).
@@ -105,13 +103,4 @@ final class Pipeline(
       writtenToDbCount = written)
   }
 
-  private def lastMetric(df: DataFrame, obsName: String, metric: String): Long = {
-    // Dataset.observe metrics surface through the QueryExecutionListener; for
-    // batch jobs Spark also exposes them on the observation API. Fall back to
-    // a recount only if the metric is unavailable.
-    try {
-      val m = df.queryExecution.observedMetrics
-      m.get(obsName).map(_.getAs[Long](metric)).getOrElse(df.count())
-    } catch { case _: Throwable => df.count() }
-  }
 }

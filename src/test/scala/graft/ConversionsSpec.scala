@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Conversions
+
+class ConversionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nanosToEpochMs floors exactly, incl. above 2^53 and negatives") {
+    val ns = Seq(
+      1704067798778549829L, // 2024 — above double's exact range
+      1704067798778999999L,
+      -1L,                  // pre-1970: floor, not truncate-toward-zero
+      -999999L,
+      0L, 999999L, 1000000L)
+    val got = ns.toDF("ns").select(Conversions.nanosToEpochMs(col("ns"))).as[Long].collect()
+    val want = ns.map(n => Math.floorDiv(n, 1000000L))
+    assert(got.toSeq == want)
+  }
+
+  test("nanosToEpochMs matches floorDiv for random longs (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    val ns = Seq.fill(200)(rnd.nextLong() / 2)
+    val got = ns.toDF("ns").select(Conversions.nanosToEpochMs(col("ns"))).as[Long].collect()
+    assert(got.toSeq == ns.map(n => Math.floorDiv(n, 1000000L)))
+  }
+
+  test("strCode: DVH code standard parity") {
+    val cases = Seq(
+      ("blå himmel", "BLAA_HIMMEL"),
+      ("  padded  words ", "PADDED_WORDS"),
+      ("æøå", "AOAA"),
+      ("a-b.c!d", "ABCD"),
+      ("", "UKJENT"),
+      ("   ", "UKJENT"),
+      ("!!!", "UKJENT"),
+      (null, "UKJENT"),
+      ("already_OK_123", "ALREADY_OK_123"))
+    val got = cases.map(_._1).toDF("s").select(Conversions.strCode(col("s"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("lenientDateOslo: format ladder incl. offsets; garbage -> null") {
+    val got = Seq(
+      "2024-06-15T12:00:00",        // naive -> UTC -> Oslo +2 (CEST)
+      "2024-01-15T12:00:00+01:00",  // offset-bearing: instant 11:00Z -> Oslo 12:00
+      "2024-01-15",
+      "15.01.2024",
+      "nonsense")
+      .toDF("s")
+      .select(date_format(Conversions.lenientDateOslo(col("s")), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq(
+      "2024-06-15 14:00:00",
+      "2024-01-15 12:00:00",
+      "2024-01-15 01:00:00",
+      "2024-01-15 01:00:00",
+      null))
+  }
+
+  test("unix seconds/millis to Oslo wall clock across DST boundary") {
+    // 2024-03-31 00:30Z is CET (+1); 01:30Z is after the 01:00Z spring jump (+2)
+    val got = Seq(1711845000L, 1711848600L)
+      .toDF("s")
+      .select(date_format(Conversions.unixSecondsOslo(col("s")), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("2024-03-31 01:30:00", "2024-03-31 03:30:00"))
+  }
+
+  test("bigEndianLongKey decodes 8-byte big-endian ids") {
+    val got = Seq(13L, 0L, 123456789012L)
+      .toDF("id")
+      .select(Conversions.bigEndianLongKey(unhex(lpad(hex(col("id")), 16, "0"))))
+      .as[String].collect()
+    assert(got.toSeq == Seq("13", "0", "123456789012"))
+  }
+
+  test("schemaId reads big-endian uint32 at bytes 2-5") {
+    val wire = Array[Byte](0, 0, 0, 1, 5) ++ "datum".getBytes("UTF-8")
+    val got = Seq(wire).toDF("v").select(Conversions.schemaId(col("v"))).as[Int].head()
+    assert(got == (1 << 8 | 5)) // 0x00000105
+  }
+
+  test("jsonQuote matches JSON string escaping") {
+    val got = Seq("""{"k": 87}""", "a\"b\\c", null)
+      .toDF("s").select(Conversions.jsonQuote(col("s"))).as[String].collect()
+    assert(got.toSeq == Seq("\"{\\\"k\\\": 87}\"", "\"a\\\"b\\\\c\"", null))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // near-dup of 0
+    (2L, "completely different words appear in this unrelated document body"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("shingles: word 3-grams; short docs yield empty array") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+      .select(col("id"), Dedup.shingles(col("t"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq.empty)
+  }
+
+  test("exact dedup groups identical texts, survivor = min id") {
+    val out = Dedup.exact(docs, "doc_id", md5(col("text")))
+      .orderBy("kept_id")
+      .select("kept_id", "dup_cnt").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds near and exact dup pairs, not the unrelated doc") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup collides in ≥1 band
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhash: identical texts equal; unrelated text differs") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    assert(sh(0L) != sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("jaccard pairs: exact dup = 1.0, near-dup high, unrelated absent") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((0L, 3L)) == 1.0)
+    assert(out((0L, 1L)) > 0.8)
+    assert(!out.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("cosine topK: hand-checked neighbors with deterministic ranking") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topK(vecs.where(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("bucketed topK only scores same-bucket candidates") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f)),   // bucket 3
+      (1L, Array(1.0f, 0.5f)),   // bucket 3
+      (2L, Array(-1.0f, 1.0f)))  // bucket 2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.topKBucketed(vecs.where(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", k = 5, nBits = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  test("embedding near-dup pairs respect the block column") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.99f, 0.01f), 1)) // same vector, different block -> never paired
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("multimodal stub decode agrees with the declarative twin") {
+    val d = docs.withColumn("blob", col("text").cast("binary"))
+    val viaMap = Multimodal.decodeStub(d, "doc_id", "blob").orderBy("doc_id").collect().toSeq
+    val viaCols = d.select(Multimodal.metaColumns(col("doc_id"), col("blob")): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaMap == viaCols)
+  }
+
+  test("frame sampling: every step-th frame of floor(bytes/frameBytes)") {
+    val d = Seq((1L, ("x" * 100).getBytes("UTF-8"))).toDF("id", "blob")
+    val out = Multimodal.sampleFrames(d, "id", "blob", frameBytes = 32, step = 2)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(out == Seq(0, 2)) // 3 frames -> indices 0,2
+  }
+}

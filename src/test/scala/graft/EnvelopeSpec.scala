@@ -1,0 +1,97 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config._
+import graft.operators.Envelope
+import graft.sources.{ConfluentAvro, MessageSource}
+
+class EnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sha(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val schema = StructType(Seq(StructField("k", LongType)))
+
+  private def raw(values: (String, Long)*) = MessageSource.fromRows(spark,
+    values.toSeq.map { case (v, off) =>
+      (s"key$off".getBytes("UTF-8"),
+        if (v == null) null else v.getBytes("UTF-8"),
+        "t", (off % 4).toInt, off, 1700000000000L + off)
+    })
+
+  test("S4 JSON envelope: all columns, hash over raw bytes") {
+    val env = Envelope.json(raw(("""{"k": 7}""", 3L)), SourceConfig(topic = "t"), schema)
+    val r = env.head()
+    assert(r.getAs[String]("kafka_key") == "key3")
+    assert(r.getAs[Long]("kafka_timestamp") == 1700000000003L)
+    assert(r.getAs[Long]("kafka_offset") == 3L)
+    assert(r.getAs[Int]("kafka_partition") == 3)
+    assert(r.getAs[String]("kafka_topic") == "t")
+    assert(r.getAs[String]("kafka_hash") == sha("""{"k": 7}"""))
+    assert(r.getAs[String]("kafka_message") == """{"k":7}""")
+    assert(!r.getAs[Boolean]("kafka_error"))
+    assert(r.getAs[Row]("payload").getAs[Long]("k") == 7L)
+  }
+
+  test("S4 null value -> null hash/message/payload, no error") {
+    val env = Envelope.json(raw((null, 1L)), SourceConfig(topic = "t"), schema)
+    val r = env.head()
+    assert(r.getAs[String]("kafka_hash") == null)
+    assert(r.getAs[String]("kafka_message") == null)
+    assert(!r.getAs[Boolean]("kafka_error"))
+  }
+
+  test("ST5 malformed JSON -> kafka_error counted, payload/message null, row survives") {
+    val env = Envelope.json(raw(("{oops", 1L), ("""{"k": 2}""", 2L)), SourceConfig(topic = "t"), schema)
+    val rows = env.orderBy("kafka_offset").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Boolean]("kafka_error"))
+    assert(rows(0).getAs[String]("kafka_message") == null)
+    assert(rows(0).getAs[Row]("payload") == null)
+    assert(rows(0).getAs[String]("kafka_hash") == sha("{oops")) // hash still over raw bytes
+    assert(!rows(1).getAs[Boolean]("kafka_error"))
+  }
+
+  test("F3 message filter nullifies kafka_message but keeps the row and payload") {
+    val env = Envelope.json(raw(("""{"k": 1}""", 1L), ("""{"k": 9}""", 2L)),
+      SourceConfig(topic = "t", messageFilters = Seq(MessageFilter("k", "1"))), schema)
+    val rows = env.orderBy("kafka_offset").collect()
+    assert(rows(0).getAs[String]("kafka_message") == """{"k":1}""")
+    assert(rows(1).getAs[String]("kafka_message") == null)
+    assert(rows(1).getAs[Row]("payload").getAs[Long]("k") == 9L)
+  }
+
+  test("S6 string envelope JSON-quotes the text") {
+    val env = Envelope.string(raw(("hello \"you\"", 1L)), SourceConfig(topic = "t", schemaMode = SchemaMode.Str))
+    val r = env.head()
+    assert(r.getAs[String]("kafka_message") == "\"hello \\\"you\\\"\"")
+    assert(r.getAs[String]("payload") == "hello \"you\"")
+  }
+
+  test("S5 Confluent-Avro round trip: wire header, schema id, payload, datum hash") {
+    val schemaJson =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val payloadSchema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val input = Seq((7L, "alpha"), (8L, "beta")).toDF("id", "name")
+    val rawAvro = input.select(
+      lit("k".getBytes("UTF-8")).as("key"),
+      ConfluentAvro.encode(struct(col("id"), col("name")), schemaJson, 42).as("value"),
+      lit("t").as("topic"), lit(0).as("partition"),
+      col("id").as("offset"), lit(1700000000000L).as("timestamp"))
+    val env = Envelope.avro(rawAvro, SourceConfig(topic = "t", schemaMode = SchemaMode.Avro),
+      schemaJson, payloadSchema)
+    val rows = env.orderBy("kafka_offset").collect()
+    assert(rows(0).getAs[Int]("kafka_schema_id") == 42)
+    assert(rows(0).getAs[Row]("payload").getAs[Long]("id") == 7L)
+    assert(rows(0).getAs[Row]("payload").getAs[String]("name") == "alpha")
+    assert(rows(0).getAs[String]("kafka_message") == """{"id":7,"name":"alpha"}""")
+    assert(rows(1).getAs[Row]("payload").getAs[String]("name") == "beta")
+  }
+}

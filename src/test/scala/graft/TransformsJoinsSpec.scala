@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.config._
+import graft.operators.{Joins, Transforms}
+
+class TransformsJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val env = Seq(
+    (1L, """x""", 1704067200000L, 7L),
+    (2L, """y""", 1704070800000L, 8L))
+    .toDF("kafka_offset", "kafka_message", "kafka_timestamp", "k")
+    .select(col("kafka_offset"), col("kafka_message"), col("kafka_timestamp"),
+      struct(col("k"), struct(lit("id1").as("ident")).as("person")).as("payload"))
+
+  test("T1 $$BATCH_TIME is the frozen plan-time literal, constant across rows") {
+    val bt = Timestamp.valueOf("2024-06-01 12:00:00")
+    val out = Transforms(env, Seq(
+      TransformRule("$$BATCH_TIME", "lastet_tid"),
+      TransformRule("kafka_offset", "off")), bt)
+    assert(out.select("lastet_tid").distinct().as[Timestamp].collect().toSeq == Seq(bt))
+  }
+
+  test("T2 $literal and T3 nested payload path") {
+    val out = Transforms(env, Seq(
+      TransformRule("$KILDE", "kildesystem"),
+      TransformRule("person.ident", "ident"),
+      TransformRule("k", "saldo")), new Timestamp(0))
+    val r = out.head()
+    assert(r.getAs[String]("kildesystem") == "KILDE")
+    assert(r.getAs[String]("ident") == "id1")
+    assert(r.getAs[Long]("saldo") == 7L)
+  }
+
+  test("T3 missing path fails at plan build unless allowUndefined") {
+    val bt = new Timestamp(0)
+    intercept[Transforms.CompileError] {
+      Transforms(env, Seq(TransformRule("missing.path", "x")), bt)
+    }
+    val out = Transforms(env, Seq(TransformRule("missing.path", "x", allowUndefined = true)), bt)
+    assert(out.select(col("x").cast("string")).as[String].head() == null)
+  }
+
+  test("T4 output columns are exactly the rule list, in order") {
+    val out = Transforms(env, Seq(
+      TransformRule("kafka_offset", "a"),
+      TransformRule("$L", "b"),
+      TransformRule("k", "c")), new Timestamp(0))
+    assert(out.columns.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("unknown transform fun fails at plan build (reference KeyError parity)") {
+    intercept[IllegalArgumentException] {
+      Transforms(env, Seq(TransformRule("k", "x", fun = Some("no-such-fun"))), new Timestamp(0))
+    }
+  }
+
+  test("J1 k6 mask: interval-matched ids masked, others untouched, rows preserved") {
+    val dim = Seq(
+      ("id1", Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-12-31 00:00:00")))
+      .toDF("fnr", "gyldig_fra_dato", "gyldig_til_dato")
+    val cfg = K6FilterConfig(filterTable = "dim", filterCol = "fnr",
+      col = "person.ident", timestamp = "kafka_timestamp")
+    val masked = Joins.k6Mask(env, dim, cfg)
+    val rows = masked.orderBy("kafka_offset").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("kafka_message") == null)) // both rows carry id1
+    // A dim that matches nothing leaves messages intact
+    val dim2 = Seq(("other", Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-12-31 00:00:00"))).toDF("fnr", "gyldig_fra_dato", "gyldig_til_dato")
+    val untouched = Joins.k6Mask(env, dim2, cfg)
+    assert(untouched.where(col("kafka_message").isNotNull).count() == 2)
+    // An expired interval does not mask
+    val dim3 = Seq(("id1", Timestamp.valueOf("2020-01-01 00:00:00"),
+      Timestamp.valueOf("2020-12-31 00:00:00"))).toDF("fnr", "gyldig_fra_dato", "gyldig_til_dato")
+    assert(Joins.k6Mask(env, dim3, cfg).where(col("kafka_message").isNotNull).count() == 2)
+  }
+
+  test("J2 dedupAgainst: drops sink matches and intra-batch duplicates") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val batch = Seq((2L, "b"), (3L, "c"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val out = Joins.dedupAgainst(batch, existing, Seq("id")).orderBy("id")
+    assert(out.as[(Long, String)].collect().toSeq == Seq((3L, "c"), (4L, "d")))
+  }
+}
