@@ -26,20 +26,38 @@ object Dedup {
 
   /** Word n-gram shingles as an array column; docs with fewer than `n` tokens
     * yield an empty array.
+    *
+    * NOTE for composition: expressions inside higher-order-function lambdas
+    * are interpreted (no whole-stage codegen, no common-subexpression
+    * elimination), so `ws` must be a cheap bound reference — pass a
+    * materialized array COLUMN, not `tokens(text)`, or the tokenizer re-runs
+    * per element. [[shingleTable]] does this; use it as the template.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  def shinglesOf(ws: Column, n: Int): Column = {
     val gram = (i: Column) => concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)
     when(size(ws) >= n, transform(sequence(lit(0), size(ws) - n), gram))
       .otherwise(array().cast("array<string>"))
   }
 
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
+
   /** (id, shingle) inverted-index table, distinct per doc. At scale this is
     * the one materialization all near-dup ops share; partial-agg + shuffle on
     * shingle.
+    *
+    * Shape notes: the tokenizer output is materialized as a column before the
+    * gram lambda reads it (see [[shinglesOf]]), and the input is repartitioned
+    * BEFORE the explode — document tables are small on disk relative to their
+    * exploded shingle volume, so without this a compact parquet file arrives
+    * as one input partition and the ~100x expansion runs on one core.
     */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("shingle")).distinct()
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .repartition(parallelism, col(idCol))
+      .select(col(idCol), explode(shinglesOf(col("_ws"), n)).as("shingle"))
+      .distinct()
+  }
 
   /** Exact dedup via hash-groupBy: one row per distinct key expression with
     * the minimum id as the survivor and the duplicate count. Map-side partial
@@ -75,16 +93,28 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val sh = shingleTable(df, idCol, textCol, n)
-    val sig = sh.groupBy(col(idCol)).agg(minHashAggs(col("shingle"), numHashes).head,
-      minHashAggs(col("shingle"), numHashes).tail: _*)
-    val bandFrames = (0 until bands).map { b =>
-      val bv = concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)
-      sig.select(col(idCol), lit(b).as("band"), bv.as("band_val"))
-    }
-    val banded = bandFrames.reduce(_ unionAll _)
-    val a = banded.select(col("band"), col("band_val"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("band_val"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "band_val"))
+    val aggs = minHashAggs(col("shingle"), numHashes)
+    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // One projection explodes the signature into its bands — the expensive
+    // signature aggregation is computed exactly ONCE (a union-of-bands or a
+    // self-join would re-evaluate it per branch/side).
+    val bandStructs = array((0 until bands).map { b =>
+      val bv = concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r")): _*)
+      struct(lit(b).as("band"), bv.as("band_val"))
+    }: _*)
+    val banded = sig
+      .select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    // Bucket members are gathered per (band, value); pair generation is a
+    // local double-explode over each bucket — no second pass over documents.
+    // Buckets are near-dup clusters, so they stay small unless the corpus is
+    // massively self-similar; a pathological hot bucket is a data-quality
+    // signal (and AQE skew handling bounds the damage of the final distinct).
+    banded.groupBy(col("band"), col("band_val"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -117,13 +147,16 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
+    // The self-join on shingle is the one heavy shuffle; per-doc set sizes
+    // are a tiny keyed aggregate that AQE turns into broadcast joins around
+    // it. Both self-join sides are the same subplan — ReuseExchange serves
+    // them from a single shuffle write of the shingle table.
     val sh = shingleTable(df, idCol, textCol, n)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
