@@ -228,9 +228,85 @@ object QueriesExt {
       |  UNNEST(range(0, n_frames, 4)) AS t(frame_idx)
       |WHERE n_frames >= 1""".stripMargin))
 
+  // ----------------------------------------------- event-time windows (ST6+)
+  private val eventWindows: Q = "x_event_windows" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ts = graft.functions.Conversions.nanosToTimestamp(col("ts"))
+      ev.groupBy(window(ts, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // --------------------------------------------------------------- IVF ANN
+  private val annIvfOracle =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM n WHERE vec_id < 16),
+      |cellscore AS (SELECT n.vec_id, n.embedding, n.nrm, cent.cid,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(n.embedding, cemb),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (a,b)->a+b)/(n.nrm*cnrm) AS c_cos
+      |  FROM n, cent),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid) AS crank
+      |  FROM cellscore),
+      |cells AS (SELECT vec_id AS neighbor_id, embedding AS n_emb, nrm AS n_nrm, cid
+      |  FROM ranked WHERE crank = 1),
+      |probes AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, cid
+      |  FROM ranked WHERE crank <= 2 AND vec_id >= 100 AND vec_id < 120),
+      |scored AS (SELECT query_id, neighbor_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q_emb, n_emb),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (a,b)->a+b)/(q_nrm*n_nrm) AS cosine
+      |  FROM cells JOIN probes USING (cid) WHERE query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
+  private val annIvf: Q = "x_ann_ivf" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.topKIvf(
+        queries = e.where(col("vec_id") >= 100 && col("vec_id") < 120),
+        corpus = e,
+        centroids = e.where(col("vec_id") < 16),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+    },
+    annIvfOracle))
+
+  // ------------------------------------------------------ embedding utilities
+  private val embNormalize: Q = "x_emb_normalize" -> ((
+    (s: SparkSession, dir: String) => {
+      val normed = Similarity.normalize(col("embedding"))
+      emb(s, dir).select(col("vec_id"),
+        element_at(normed, 1).as("e_first"),
+        element_at(normed, 64).as("e_last"),
+        Similarity.norm(normed).as("unit_norm"))
+    },
+    """WITH n AS (SELECT vec_id,
+      |  list_transform(embedding, x -> x::DOUBLE /
+      |    sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, y -> y::DOUBLE*y::DOUBLE)),
+      |         (a,b)->a+b))) AS ne
+      |FROM embeddings)
+      |SELECT vec_id, ne[1] AS e_first, ne[64] AS e_last,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(ne, x -> x*x)), (a,b)->a+b)) AS unit_norm
+      |FROM n""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
-    annBruteforce, annLsh,
+    annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames)
+    mmMeta, mmDecode, mmFrames, eventWindows)
+
+  /** Operators whose results are sketch-based and engine-specific — gated as
+    * rows-only (no oracle SQL). */
+  val noOracle: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "x_dedup_hll_stats" -> ((s: SparkSession, dir: String) =>
+      docs(s, dir).agg(
+        approx_count_distinct(col("text"), 0.02).as("approx_distinct_docs"),
+        count(lit(1)).as("total_docs"))))
 }

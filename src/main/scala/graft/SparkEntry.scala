@@ -46,7 +46,8 @@ object SparkEntry {
     * graft function registry) before building its plan.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (QueriesParity.all ++ QueriesExt.all).map { case (name, (fn, _)) =>
+    ((QueriesParity.all ++ QueriesExt.all).map { case (name, (fn, _)) => name -> fn }
+      ++ QueriesExt.noOracle).map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => {
         GraftSession.configure(s)
         fn(s, dir)

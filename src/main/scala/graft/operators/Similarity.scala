@@ -57,6 +57,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** L2-normalize an embedding column (elements promoted to double). */
+  def normalize(vec: Column): Column = {
+    val nrm = norm(vec)
+    transform(vec, x => x.cast("double") / nrm)
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
+    * to its nearest centroid (one broadcast pass — the "inverted lists");
+    * each query probes only its `nProbe` closest cells and ranks candidates
+    * within them.
+    *
+    * Scale shape: `centroids` is small and broadcast on both passes; the
+    * corpus is scanned once for assignment (at 100 TB the assignment is a
+    * write-time partitioning — `partitionBy(cell)` — and probes prune to
+    * nProbe/nCells of the data via partition pruning); the probe join is a
+    * keyed equi-join on the cell id. Deterministic ties: (score desc, id).
+    */
+  def topKIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col(idCol).as("cid"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm")))
+    def nearestCells(df: DataFrame, outId: String, outVec: String, outNorm: String, keep: Int) = {
+      val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec), norm(col(vecCol)).as(outNorm))
+        .join(cent)
+        .withColumn("c_cos", cosine(col(outVec), col("c_vec"), col(outNorm), col("c_norm")))
+      val w = Window.partitionBy(outId).orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= keep)
+        .drop("c_vec", "c_norm", "c_cos", "crank")
+    }
+    val cells = nearestCells(corpus, "neighbor_id", "c_vec2", "n_norm", keep = 1)
+    val probes = nearestCells(queries, "query_id", "q_vec", "q_norm", keep = nProbe)
+    val scored = cells.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec2"), col("q_norm"), col("n_norm")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Deterministic sign-bit LSH bucket: bit i set iff element i+1 > 0.
     * For zero-centered embeddings this is a random-hyperplane LSH with the
     * coordinate axes as hyperplanes — engine-reproducible with no stored

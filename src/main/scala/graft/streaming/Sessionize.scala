@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time sessionization with custom keyed state — the Structured
+  * Streaming extension surface (`KeyValueGroupedDataset.flatMapGroupsWithState`).
+  *
+  * A session is a run of events for one user with gaps < `gapMs`; a session
+  * closes when the event-time WATERMARK passes its last event + gap (not on
+  * wall clock), so results are deterministic under replay. State per key is
+  * one [[Sessionize.SessionState]] — O(active users), not O(events).
+  *
+  * At scale: state lives in the state store keyed by user (RocksDB-backed on
+  * a real cluster), partitioned by the groupBy key — adding executors shards
+  * the state; no driver involvement per event.
+  */
+object Sessionize {
+
+  final case class Event(userId: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long, sumValue: Double)
+
+  /** The state-transition function: accumulate events while the gap holds,
+    * emit a [[Session]] when the watermark times the key out.
+    */
+  def updateState(gapMs: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(Session(userId, s.start, s.last, s.n, s.sum))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last < gapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed ::= Session(userId, s.start, s.last, s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + gapMs)
+      }
+      closed.reverseIterator
+    }
+  }
+
+  /** Wire the stateful sessionizer onto a streaming frame with columns
+    * `user_id LONG, ts TIMESTAMP, value DOUBLE`. Emits sessions as they
+    * close (watermark-timed append output).
+    */
+  def sessions(spark: SparkSession, events: Dataset[_], gapMs: Long, watermarkDelay: String): Dataset[Session] = {
+    import spark.implicits._
+    val typed = events.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("userId"), col("ts"),
+        col("value").cast("double").as("value"))
+      .as[Event](Encoders.product[Event])
+    typed.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateState(gapMs))
+  }
+}

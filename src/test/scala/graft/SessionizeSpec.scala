@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Sessionize
+
+/** Stateful event-time sessionization: sessions close on WATERMARK progress,
+  * not wall clock; late data within the delay still extends a session.
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("sessions split on gap and close via watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "0 seconds")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // user 1: events at 10:00, 10:02 (one session), then 10:30 (new session)
+    input.addData((1L, ts(0), 1.0), (1L, ts(2), 2.0))
+    query.processAllAvailable()
+    input.addData((1L, ts(30), 3.0)) // watermark jumps to 10:30 -> first session times out
+    query.processAllAvailable()
+    input.addData((1L, ts(59), 4.0)) // watermark to 10:59 -> second session times out
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_out").as[Sessionize.Session].collect()
+      .sortBy(_.startMs)
+    query.stop()
+
+    assert(out.length == 2)
+    assert(out(0) == Sessionize.Session(1L, ts(0).getTime, ts(2).getTime, 2, 3.0))
+    assert(out(1) == Sessionize.Session(1L, ts(30).getTime, ts(30).getTime, 1, 3.0))
+  }
+
+  test("state is per key: interleaved users do not merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "0 seconds")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_out2")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(0), 1.0), (2L, ts(1), 10.0), (1L, ts(3), 1.0), (2L, ts(4), 10.0))
+    query.processAllAvailable()
+    input.addData((3L, ts(45), 0.0)) // push watermark far ahead -> both sessions close
+    query.processAllAvailable()
+    val out = spark.table("sessions_out2").as[Sessionize.Session].collect().sortBy(_.userId)
+    query.stop()
+
+    assert(out.length == 2)
+    assert(out(0).userId == 1L && out(0).nEvents == 2 && out(0).sumValue == 2.0)
+    assert(out(1).userId == 2L && out(1).nEvents == 2 && out(1).sumValue == 20.0)
+  }
+}
