@@ -47,9 +47,20 @@ object Conversions {
   /** `str -> str-code` (`/root/reference/src/transform.py:33-46`):
     * DVH code standard. NULL -> "UKJENT"; whitespace runs -> `_`; uppercase;
     * AE/OE/AA-fold Norwegian letters; strip anything outside `[0-9A-Z_]`;
-    * empty -> "UKJENT". Composed entirely from codegen'd builtins.
+    * empty -> "UKJENT".
+    *
+    * Implemented as the native codegen'd [[graft.expressions.StrCode]]
+    * expression (one fused pass); [[strCodeBuiltins]] is the equivalent
+    * builtin composition, kept as the executable spec the property test
+    * checks the expression against.
     */
   def strCode(c: Column): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.StrCode(Shim.expression(c)))
+  }
+
+  /** The 6-step builtin chain with identical semantics (reference spec). */
+  def strCodeBuiltins(c: Column): Column = {
     val collapsed = regexp_replace(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+", "_")
     val folded = regexp_replace(
       regexp_replace(regexp_replace(upper(collapsed), "Æ", "A"), "Ø", "O"),

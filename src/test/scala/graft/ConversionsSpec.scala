@@ -41,6 +41,19 @@ class ConversionsSpec extends SparkSpec {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("StrCode expression == builtin chain on adversarial random strings") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab C_9.!-æøåÆØÅß \t\n  èÉ§" // ws runs, unicode, 1:N uppercase
+    val inputs = Seq("", " ", "  \t ", null, "æ ø å", "__", "ß sharp") ++
+      Seq.fill(300)(Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = inputs.toDF("s")
+    val got = df.select(Conversions.strCode(col("s")), Conversions.strCodeBuiltins(col("s")))
+      .as[(String, String)].collect()
+    got.zip(inputs).foreach { case ((custom, builtin), in) =>
+      assert(custom == builtin, s"mismatch for input ${Option(in).map(_.map(_.toInt))}")
+    }
+  }
+
   test("lenientDateOslo: format ladder incl. offsets; garbage -> null") {
     val got = Seq(
       "2024-06-15T12:00:00",        // naive -> UTC -> Oslo +2 (CEST)
