@@ -296,11 +296,32 @@ object QueriesExt {
       |  sqrt(list_reduce(list_prepend(0.0, list_transform(ne, x -> x*x)), (a,b)->a+b)) AS unit_norm
       |FROM n""".stripMargin))
 
+  // ------------------------------------------------------- skew-safe agg
+  /** Salted two-phase aggregation produces the same result as a plain
+    * groupBy — the oracle IS the plain groupBy; the Spark side takes the
+    * salted path (event_type has 5 hot values over 32 partitions).
+    */
+  private val skewSaltedAgg: Q = "x_skew_salted_agg" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Skew.saltedAgg(
+        s.read.parquet(s"$dir/events.parquet"),
+        keys = Seq("event_type"), spreadOn = Seq("event_id"), salts = 16)(
+        partial = Seq(
+          sum(col("value").cast("decimal(18,2)")).as("ps"),
+          count(lit(1)).as("pn")),
+        merge = Seq(
+          sum(col("ps")).cast("double").as("sum_value"),
+          sum(col("pn")).cast("long").as("n"))),
+    """SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows)
+    mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */
