@@ -21,10 +21,22 @@ final case class ProcessSummary(
     emptyCount: Long,
     nonEmptyCount: Long,
     errorCount: Long,
-    writtenToDbCount: Long) {
+    writtenToDbCount: Long,
+    /** Messages successfully collected into the run (reference `data_count`,
+      * `/root/reference/src/kafka_source.py:328`): events minus hard errors.
+      */
+    dataCount: Long = -1,
+    /** −1 outside producer mode, like the reference's assign-strategy marker
+      * (`/root/reference/src/kafka_source.py:295`).
+      */
+    committedToProducerCount: Long = -1) {
+  private def data: Long = if (dataCount >= 0) dataCount else eventCount - errorCount
   def xcomJson: String =
-    s"""{"event_count":$eventCount,"empty_count":$emptyCount,"non_empty_count":$nonEmptyCount,""" +
-      s""""error_count":$errorCount,"written_to_db_count":$writtenToDbCount}"""
+    s"""{"event_count":$eventCount,"data_count":$data,"empty_count":$emptyCount,""" +
+      s""""non_empty_count":$nonEmptyCount,"error_count":$errorCount,""" +
+      s""""written_to_db_count":$writtenToDbCount,""" +
+      s""""committed_to_producer_count":$committedToProducerCount,""" +
+      s""""messages":$eventCount,"errors":$errorCount}"""
 }
 
 /** The reference's `Mapping` (`/root/reference/src/mapping.py:13-65`) as a

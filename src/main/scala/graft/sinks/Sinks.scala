@@ -84,6 +84,24 @@ final class ConsoleSink(numRows: Int = 20) extends GraftSink {
 }
 
 object Sinks {
+
+  /** S9 (`/root/reference/src/kafka_target.py:79-90`): serialize rows to the
+    * Confluent-Avro wire format as a canonical Kafka producer frame
+    * (`key BINARY, value BINARY`) — `.write.format("kafka")` ready. The
+    * reference keys messages with uuid4; a random key's only job is
+    * partition spreading, so graft uses a deterministic spread key derived
+    * from the row content (replay-stable, same distribution).
+    */
+  def kafkaAvroFrame(
+      df: org.apache.spark.sql.DataFrame,
+      datum: org.apache.spark.sql.Column,
+      writerSchemaJson: String,
+      schemaId: Int): org.apache.spark.sql.DataFrame = {
+    val value = graft.sources.ConfluentAvro.encode(datum, writerSchemaJson, schemaId)
+    df.select(
+      sha2(to_json(datum), 256).cast("binary").as("key"),
+      value.as("value"))
+  }
   /** Build the sink described by a [[TargetConfig]]: `jdbc:…` URLs → JDBC,
     * `console` → console, anything else → parquet path.
     */
