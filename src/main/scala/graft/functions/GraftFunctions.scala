@@ -24,7 +24,14 @@ object GraftFunctions {
     "graft_sha256" -> Conversions.sha256Hex,
     "graft_json_quote" -> Conversions.jsonQuote,
     "graft_key_int64" -> Conversions.bigEndianLongKey,
-    "graft_schema_id" -> Conversions.schemaId)
+    "graft_schema_id" -> Conversions.schemaId,
+    // text-analysis surface (see [[TextAnalysis]])
+    "graft_lang_id" -> TextAnalysis.langId,
+    "graft_quality" -> TextAnalysis.qualityScore,
+    "graft_n_tokens" -> TextAnalysis.nTokens,
+    "graft_bpeish_count" -> TextAnalysis.bpeishCount,
+    "graft_fingerprint" -> TextAnalysis.rollingFingerprint,
+    "graft_simhash" -> (c => graft.operators.Dedup.simHash(c)))
 
   def register(spark: SparkSession): Unit = {
     fns1.foreach { case (name, f) =>

@@ -147,16 +147,24 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.3): DataFrame = {
-    // The self-join on shingle is the one heavy shuffle; per-doc set sizes
-    // are a tiny keyed aggregate that AQE turns into broadcast joins around
-    // it. Both self-join sides are the same subplan — ReuseExchange serves
-    // them from a single shuffle write of the shingle table.
+    // Inverted-index aggregation instead of a self-join: group the shingle
+    // table by shingle, DROP singleton postings (a shingle in one document
+    // can never witness a pair — the overwhelming majority in natural text),
+    // and expand each surviving posting list into its local pairs. One
+    // shuffle on shingle + one on (id_a, id_b); the self-join formulation
+    // shuffles the full table twice and only then discovers the singletons.
+    // A pathological posting list (a shingle in thousands of docs) is the
+    // stop-shingle signal; callers at that scale should pre-filter by
+    // document frequency.
     val sh = shingleTable(df, idCol, textCol, n)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+    val inter = sh.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
