@@ -53,6 +53,13 @@ object Joins {
     * the reference's row-by-row NOT EXISTS inside one transaction) drop
     * intra-batch duplicates too.
     *
+    * Documented divergence: among intra-batch rows sharing a key but
+    * differing in non-key columns, the reference keeps the FIRST in consume
+    * order; `dropDuplicates` keeps an arbitrary one — "first" is undefined
+    * under distributed consumption, and the reference's own dedup keys
+    * (partition/offset/topic or content hash) make colliding rows identical
+    * anyway.
+    *
     * Scale shape: both sides shuffle on the key columns — the correct plan
     * when `existing` is the full sink table; when the existing key set is
     * known-small, pass `broadcastExisting = true` to pin a broadcast
