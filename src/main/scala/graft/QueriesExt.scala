@@ -317,11 +317,21 @@ object QueriesExt {
       |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin))
 
+  /** Deterministic 10% training-split sample over documents — selection is a
+    * pure content-hash function, so the oracle replays it exactly.
+    */
+  private val sampleSystematic: Q = "x_sample_systematic" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Dedup.systematicSample(docs(s, dir), col("doc_id"), percent = 10.0)
+        .select("doc_id", "lang", "source"),
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::INT % 10000 < 1000""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg)
+    mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg, sampleSystematic)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -97,8 +97,11 @@ object Conversions {
       try_to_timestamp(s, lit("dd.MM.yyyy HH:mm:ss")),
       try_to_timestamp(s, lit("dd.MM.yyyy")),
       try_to_timestamp(s, lit("dd/MM/yyyy")),
+      try_to_timestamp(s, lit("d MMM yyyy")),
+      try_to_timestamp(s, lit("d MMMM yyyy")),
       try_to_timestamp(s, lit("MMM dd yyyy")),
-      try_to_timestamp(s, lit("MMMM dd, yyyy")))
+      try_to_timestamp(s, lit("MMMM dd, yyyy")),
+      try_to_timestamp(s, lit("yyyyMMdd")))
     from_utc_timestamp(parsed, Oslo)
   }
 

@@ -173,6 +173,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Deterministic systematic sample: keep rows whose content-hash bucket
+    * falls below `percent` of the 0–9999 space. Unlike seeded `sample()`,
+    * the selection is a pure function of the key — reproducible across
+    * engines, runs, partitionings, and retries, and stable under appends
+    * (old rows never flip in or out), which is what training-data splits
+    * need. md5-based so any engine can replay it.
+    */
+  def systematicSample(df: DataFrame, keyCol: Column, percent: Double): DataFrame = {
+    require(percent > 0 && percent <= 100, "percent must be in (0, 100]")
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int") % 10000
+    df.where(bucket < lit((percent * 100).toInt))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,
     * shard, LSH bucket, …): the block join bounds the pair count, cosine is
     * the strict-left-fold double math of [[Similarity.cosine]] so any engine

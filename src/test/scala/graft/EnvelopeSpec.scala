@@ -74,6 +74,18 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getAs[String]("payload") == "hello \"you\"")
   }
 
+  test("S5 corrupt Avro bytes are FATAL (strict schema mode), unlike JSON's count-and-continue") {
+    val schemaJson =
+      """{"type":"record","name":"ev","fields":[{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""
+    val payloadSchema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // 5-byte header + garbage datum: a long varint promising a huge string
+    val bad = Array[Byte](0, 0, 0, 0, 42) ++ Array.fill(4)(0xff.toByte)
+    val raw = MessageSource.fromRows(spark, Seq((null, bad, "t", 0, 1L, 1700000000000L)))
+    val env = Envelope.avro(raw, SourceConfig(topic = "t", schemaMode = SchemaMode.Avro),
+      schemaJson, payloadSchema)
+    intercept[org.apache.spark.SparkException](env.collect())
+  }
+
   test("S5 Confluent-Avro round trip: wire header, schema id, payload, datum hash") {
     val schemaJson =
       """{"type":"record","name":"ev","fields":[
