@@ -30,14 +30,20 @@ object QueriesExt {
       |FROM documents GROUP BY md5(text)""".stripMargin))
 
   private def minhashOracle: String = {
-    val mh = (0 until 12).map(j => s"min(md5('$j:'||s)) AS m$j").mkString(", ")
+    // Same hash family as Dedup.minHashAggs: one md5 per (doc, shingle),
+    // 32-bit base hash, (a_j*h+b_j) mod 2^32 per family member — constants
+    // shared with the Spark side via Dedup.minHashParams.
+    val mh = Dedup.minHashParams(12).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a*h+$b)%4294967296) AS m$j" }
+      .mkString(", ")
     val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2} AS bv FROM mh")
       .mkString(" UNION ALL ")
     s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
-       |mh AS (SELECT doc_id, $mh FROM sh GROUP BY doc_id),
+       |hs AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h FROM sh),
+       |mh AS (SELECT doc_id, $mh FROM hs GROUP BY doc_id),
        |bands AS ($bands)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id""".stripMargin

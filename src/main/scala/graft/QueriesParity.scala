@@ -342,9 +342,14 @@ object QueriesParity {
         SourceConfig(topic = "events"), propsSchema)
       val keys = Seq("kafka_partition", "kafka_offset", "kafka_topic")
       val existing = env.where(col("kafka_offset") < 2000)
-      // Intra-batch duplicates: [1000, 2500) appended a second time.
+      // Intra-batch duplicates: [1000, 2500) present twice. Replicate via a
+      // posexplode over a per-row repeat count instead of a union of two
+      // filters — a union re-runs the whole envelope decode per branch.
       val batch = env.where(col("kafka_offset") < 3000)
-        .union(env.where(col("kafka_offset") >= 1000 && col("kafka_offset") < 2500))
+        .withColumn("_rep",
+          explode(when(col("kafka_offset") >= 1000 && col("kafka_offset") < 2500,
+            array(lit(0), lit(1))).otherwise(array(lit(0)))))
+        .drop("_rep")
       Joins.dedupAgainst(batch, existing, keys)
         .select(col("kafka_partition"), col("kafka_offset"), col("kafka_topic"), col("kafka_key"))
     },

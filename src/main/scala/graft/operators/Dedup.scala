@@ -41,23 +41,34 @@ object Dedup {
 
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
-  /** (id, shingle) inverted-index table, distinct per doc. At scale this is
-    * the one materialization all near-dup ops share; partial-agg + shuffle on
-    * shingle.
+  /** Per-doc DISTINCT shingle arrays: (id, shingles array<string>). The
+    * within-doc dedup is `array_distinct` — a LOCAL per-row pass — instead of
+    * a `distinct()` over the exploded table, which at 100 TB would be a full
+    * extra shuffle of the ~100x-expanded shingle volume. All near-dup ops
+    * derive from this one shape.
     *
     * Shape notes: the tokenizer output is materialized as a column before the
     * gram lambda reads it (see [[shinglesOf]]), and the input is repartitioned
-    * BEFORE the explode — document tables are small on disk relative to their
-    * exploded shingle volume, so without this a compact parquet file arrives
-    * as one input partition and the ~100x expansion runs on one core.
+    * BEFORE the expansion — document tables are small on disk relative to
+    * their shingle volume, so without this a compact parquet file arrives as
+    * one input partition and the ~100x expansion runs on one core. Callers
+    * that share this subplan (e.g. [[jaccardPairs]]'s count + posting-list
+    * sides) issue the IDENTICAL call so ReuseExchange serves both from one
+    * shuffle.
     */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
     df.select(col(idCol), tokens(col(textCol)).as("_ws"))
       .repartition(parallelism, col(idCol))
-      .select(col(idCol), explode(shinglesOf(col("_ws"), n)).as("shingle"))
-      .distinct()
+      .select(col(idCol), array_distinct(shinglesOf(col("_ws"), n)).as("shingles"))
   }
+
+  /** (id, shingle) inverted-index table, distinct per doc (shuffle-free —
+    * see [[shingleArrays]]).
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
 
   /** Exact dedup via hash-groupBy: one row per distinct key expression with
     * the minimum id as the survivor and the duplicate count. Map-side partial
@@ -67,13 +78,38 @@ object Dedup {
     df.groupBy(keyExpr.as("dup_key"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("dup_cnt"))
 
-  /** MinHash signature aggregation exprs: for seed j, `min(md5("j:" ++ s))`.
-    * Lexicographic min of the md5 hex string is order-isomorphic to numeric
-    * min of the 128-bit value — same minhash, no 64-bit truncation games, and
-    * trivially reproducible in any engine with md5.
+  /** 32-bit base hash of a string: first 8 hex chars of its md5, as a Long in
+    * [0, 2^32). One md5 per row; every derived hash family is integer math on
+    * top of it. Reproducible in any engine with md5 + hex parse.
     */
-  def minHashAggs(shingle: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(j => min(md5(concat(lit(s"$j:"), shingle))).as(s"mh$j"))
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Deterministic universal-hash parameters (a_j, b_j) for the minhash
+    * family h_j(x) = (a_j * hash32(x) + b_j) mod 2^32. Knuth/Murmur-style odd
+    * multipliers; a_j is masked below 2^30 so a_j * h < 2^62 never overflows
+    * a signed 64-bit Long (in Spark or in the DuckDB oracle's BIGINT).
+    */
+  def minHashParams(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map { j =>
+      val a = (0x9E3779B1L * j) & 0x3FFFFFFFL | 1L
+      val b = (0x85EBCA77L * j) & 0xFFFFFFFFL
+      (a, b)
+    }
+
+  /** MinHash signature aggregation exprs over a pre-materialized [[hash32]]
+    * column: for family member j, `min((a_j*h + b_j) mod 2^32)`.
+    *
+    * One md5 per (doc, shingle) row total — the 12-way family is
+    * multiply-add on the shared 32-bit base hash (the naive per-seed
+    * `md5(seed || shingle)` does numHashes× the hashing work), and the
+    * partial-agg state is a Long, not a 32-char string. Pass a COLUMN bound
+    * to the materialized hash (not `hash32(shingle)` inline) so the md5 is
+    * not re-evaluated per family member.
+    */
+  def minHashAggs(h32: Column, numHashes: Int): Seq[Column] =
+    minHashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * h32 + lit(b)) % lit(1L << 32)).as(s"mh$j")
+    }
 
   /** MinHash+LSH candidate pairs: shingle → numHashes minhashes → `bands`
     * bands of `numHashes/bands` rows → bucket-join on (band, bandValue).
@@ -93,13 +129,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val sh = shingleTable(df, idCol, textCol, n)
-    val aggs = minHashAggs(col("shingle"), numHashes)
+      .withColumn("_h32", hash32(col("shingle")))
+    val aggs = minHashAggs(col("_h32"), numHashes)
     val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     // One projection explodes the signature into its bands — the expensive
     // signature aggregation is computed exactly ONCE (a union-of-bands or a
     // self-join would re-evaluate it per branch/side).
     val bandStructs = array((0 until bands).map { b =>
-      val bv = concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r")): _*)
+      val bv = concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r").cast("string")): _*)
       struct(lit(b).as("band"), bv.as("band_val"))
     }: _*)
     val banded = sig
@@ -156,8 +193,13 @@ object Dedup {
     // A pathological posting list (a shingle in thousands of docs) is the
     // stop-shingle signal; callers at that scale should pre-filter by
     // document frequency.
-    val sh = shingleTable(df, idCol, textCol, n)
-    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    //
+    // Per-doc shingle counts come from `size(shingles)` on the SAME
+    // shingleArrays subplan (ReuseExchange serves both consumers from one
+    // shuffle) — no groupBy(id) aggregation pass over the exploded table.
+    val base = shingleArrays(df, idCol, textCol, n)
+    val sh = base.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val cnt = base.select(col(idCol), size(col("shingles")).as("n_sh"))
     val inter = sh.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
