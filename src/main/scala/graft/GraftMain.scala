@@ -80,9 +80,11 @@ object GraftMain {
       case (None, Some(d)) =>
         sink.maxWatermark(spark, d.deltaColumn).map { wm =>
           // Oslo wall-clock watermark -> UTC epoch-ms (int_ms_to_date inverse,
-          // `/root/reference/src/oracle_target.py:36-42`).
+          // `/root/reference/src/oracle_target.py:36-42`). The wall clock is
+          // read explicitly in UTC — Timestamp.toLocalDateTime would render it
+          // in the JVM default zone, shifting the bound on a non-UTC driver.
           val oslo = java.time.ZoneId.of("Europe/Oslo")
-          wm.toLocalDateTime.atZone(oslo).toInstant.toEpochMilli
+          wm.toInstant.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.atZone(oslo).toInstant.toEpochMilli
         }
       case _ => None
     }

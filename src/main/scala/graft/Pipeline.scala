@@ -67,8 +67,13 @@ final class Pipeline(
   }
 
   /** Full transform plan minus the sink-side dedup (which needs the sink). */
-  def transformed(raw: DataFrame, k6Dim: Option[DataFrame] = None): DataFrame = {
-    val env = envelope(raw)
+  def transformed(raw: DataFrame, k6Dim: Option[DataFrame] = None): DataFrame =
+    maskAndTransform(envelope(raw), k6Dim)
+
+  /** Mask + transform stages over an already-built envelope frame (lets
+    * [[run]] interpose an `observe` between envelope and the rest).
+    */
+  private def maskAndTransform(env: DataFrame, k6Dim: Option[DataFrame]): DataFrame = {
     val masked = (cfg.target.k6Filter, k6Dim) match {
       case (Some(k6), Some(dim)) => Joins.k6Mask(env, dim, k6)
       case (Some(_), None) =>
@@ -84,7 +89,18 @@ final class Pipeline(
     * reference's count-and-continue channel.
     */
   def run(spark: SparkSession, raw: DataFrame, sink: GraftSink, k6Dim: Option[DataFrame] = None): ProcessSummary = {
-    val out = transformed(raw, k6Dim)
+    // BOTH accounting facets ride the write job itself via the Observation
+    // API: one observe on the envelope stage (source facets) and one on the
+    // final frame (written count). ONE job, ONE source scan — with a real
+    // Kafka source a second pass would be a full topic re-read.
+    val facetObs = org.apache.spark.sql.Observation()
+    val env = envelope(raw).observe(
+      facetObs,
+      count(lit(1)).as("events"),
+      count(when(col("kafka_message").isNull, 1)).as("empty"),
+      count(when(col("kafka_message").isNotNull, 1)).as("non_empty"),
+      count(when(col("kafka_error"), 1)).as("errors"))
+    val out = maskAndTransform(env, k6Dim)
     val deduped = cfg.target.skipDuplicatesWith match {
       case Nil => out
       case keys => sink.existing(spark, keys) match {
@@ -92,26 +108,17 @@ final class Pipeline(
         case None => out.dropDuplicates(keys)
       }
     }
-    // Written-row accounting rides the write job itself via the Observation
-    // API (executor-side aggregation, no second pass over the data).
     val obs = org.apache.spark.sql.Observation()
     val observed = deduped.observe(obs, count(lit(1)).as("written"))
     sink.write(observed)
     val written = obs.get("written").asInstanceOf[Long]
-
-    // Source-facet counts come from one lightweight aggregate over the raw
-    // frame (scan-only, no shuffle — parquet/Kafka count pushdown applies).
-    val facets = envelope(raw).agg(
-      count(lit(1)).as("events"),
-      count(when(col("kafka_message").isNull, 1)).as("empty"),
-      count(when(col("kafka_message").isNotNull, 1)).as("non_empty"),
-      count(when(col("kafka_error"), 1)).as("errors")).head()
+    val facets = facetObs.get
 
     ProcessSummary(
-      eventCount = facets.getLong(0),
-      emptyCount = facets.getLong(1),
-      nonEmptyCount = facets.getLong(2),
-      errorCount = facets.getLong(3),
+      eventCount = facets("events").asInstanceOf[Long],
+      emptyCount = facets("empty").asInstanceOf[Long],
+      nonEmptyCount = facets("non_empty").asInstanceOf[Long],
+      errorCount = facets("errors").asInstanceOf[Long],
       writtenToDbCount = written)
   }
 

@@ -223,9 +223,12 @@ object Dedup {
     * need. md5-based so any engine can replay it.
     */
   def systematicSample(df: DataFrame, keyCol: Column, percent: Double): DataFrame = {
-    require(percent > 0 && percent <= 100, "percent must be in (0, 100]")
+    // The bucket space is 10000 wide, so the resolution floor is one basis
+    // point; below it the floor would silently select ZERO rows — fail loudly
+    // instead (and require whole-bucket rates so the floor is exact).
+    require(percent >= 0.01 && percent <= 100, "percent must be in [0.01, 100] (selection granularity is 0.01%)")
     val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int") % 10000
-    df.where(bucket < lit((percent * 100).toInt))
+    df.where(bucket < lit(math.round(percent * 100).toInt))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,

@@ -62,8 +62,32 @@ final class JdbcSink(
     withTypes.jdbc(url, table, props)
   }
 
+  /** Existing rows for the J2 anti-join. ONLY "table does not exist" maps to
+    * None (first run against a fresh target); connectivity/auth/any other
+    * JDBC failure propagates. Swallowing those would silently degrade the
+    * skip-duplicates guarantee to intra-batch-only and double-insert.
+    */
   override def existing(spark: SparkSession, cols: Seq[String]): Option[DataFrame] =
-    scala.util.Try(spark.read.jdbc(url, table, props).select(cols.map(col): _*)).toOption
+    try Some(spark.read.jdbc(url, table, props).select(cols.map(col): _*))
+    catch { case e: Throwable if JdbcSink.isMissingTable(e) => None }
+}
+
+object JdbcSink {
+  /** True iff the exception chain denotes a missing table/view, by SQLState
+    * (ANSI/MySQL 42S02, Postgres 42P01, Derby 42X05), vendor code (Oracle
+    * ORA-00942) or, for wrapped analysis errors, message text.
+    */
+  private[sinks] def isMissingTable(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    chain.exists {
+      case s: java.sql.SQLException =>
+        val state = Option(s.getSQLState).getOrElse("")
+        state == "42S02" || state == "42P01" || state == "42X05" || s.getErrorCode == 942
+      case other =>
+        val m = Option(other.getMessage).getOrElse("")
+        m.matches("(?is).*(table or view does not exist|table or view .* not found|table .* (does not exist|not found)).*")
+    }
+  }
 }
 
 /** Parquet-backed sink for the file test pyramid; append semantics like the

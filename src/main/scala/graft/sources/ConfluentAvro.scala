@@ -36,6 +36,18 @@ object ConfluentAvro {
       new GenericDatumReader[GenericRecord](s)
     })
 
+  // Encoder twin of `readers`: parsed schema + DatumWriter cached per JVM.
+  // GenericDatumWriter keeps no per-call state, so sharing across threads is
+  // safe; without this the encode UDF re-parses the schema per row.
+  @transient private lazy val writers =
+    TrieMap.empty[String, (Schema, org.apache.avro.generic.GenericDatumWriter[GenericRecord])]
+
+  private def writer(schemaJson: String): (Schema, org.apache.avro.generic.GenericDatumWriter[GenericRecord]) =
+    writers.getOrElseUpdate(schemaJson, {
+      val s = new Schema.Parser().parse(schemaJson)
+      (s, new org.apache.avro.generic.GenericDatumWriter[GenericRecord](s))
+    })
+
   private def convert(value: Any, dt: DataType): Any = (value, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
@@ -81,7 +93,7 @@ object ConfluentAvro {
     val fn = (row: Row) =>
       if (row == null) null
       else {
-        val schema = new Schema.Parser().parse(writerSchemaJson)
+        val (schema, datumWriter) = writer(writerSchemaJson)
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
         schema.getFields.forEach { f =>
           rec.put(f.name(), row.get(f.pos()) match {
@@ -93,7 +105,7 @@ object ConfluentAvro {
         bos.write(0)
         bos.write(java.nio.ByteBuffer.allocate(4).putInt(schemaId).array())
         val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(bos, null)
-        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+        datumWriter.write(rec, enc)
         enc.flush()
         bos.toByteArray
       }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * (`key BINARY, value BINARY, topic STRING, partition INT, offset LONG,
   * timestamp LONG-epoch-ms` — see [[graft.operators.Envelope]]). On a real
   * cluster that relation is `spark.read.format("kafka")` with
-  * `startingOffsetsByTimestamp`/`endingOffsetsByTimestamp` carrying the
+  * `startingTimestamp`/`endingTimestamp` carrying the
   * `DATA_INTERVAL_START/END` bounds — Spark's Kafka source resolves them to
   * per-partition offset ranges broker-side, the exact analogue of the
   * reference's `offsets_for_times` + per-partition retirement
@@ -31,18 +31,28 @@ object MessageSource {
     StructField("offset", LongType, nullable = false),
     StructField("timestamp", LongType, nullable = false)))
 
+  /** Reader options for the bounded interval. The `*ByTimestamp` options
+    * require an explicit per-partition map (no `-1` wildcard exists for
+    * them), so the bounds ride the global `startingTimestamp` /
+    * `endingTimestamp` options instead — the broker resolves them to
+    * per-partition offsets (`KafkaConsumer.offsetsForTimes`), exactly like
+    * the reference's `offsets_for_times` call. Factored out so the spec can
+    * assert the exact options without a broker.
+    */
+  def kafkaOptions(brokers: String, topic: String, startMs: Long, endMs: Long): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "subscribe" -> topic,
+    "startingTimestamp" -> startMs.toString,
+    "endingTimestamp" -> endMs.toString)
+
   /** Kafka relation for a bounded time interval (assign-strategy parity).
     * `startMs`/`endMs` are the `DATA_INTERVAL_START/END` epoch-ms bounds; the
-    * end bound is exclusive like `endingOffsetsByTimestamp`.
+    * end bound is exclusive like `endingTimestamp`.
     */
   def kafka(spark: SparkSession, brokers: String, topic: String, startMs: Long, endMs: Long): DataFrame = {
-    val byTs = (ms: Long) => s"""{"$topic": {"-1": $ms}}"""
     spark.read
       .format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsetsByTimestamp", byTs(startMs))
-      .option("endingOffsetsByTimestamp", byTs(endMs))
+      .options(kafkaOptions(brokers, topic, startMs, endMs))
       .load()
       .select(
         col("key"),
