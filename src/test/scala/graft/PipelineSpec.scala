@@ -62,6 +62,22 @@ class PipelineSpec extends SparkSpec {
     assert(s1.xcomJson.contains("\"event_count\":20"))
   }
 
+  test("A2 summary facets ride the write job: exactly ONE source scan/job") {
+    val out = Files.createTempDirectory("graft-onescan").toString + "/sink"
+    // No dedup keys -> no sink read; the whole run must be the single write
+    // job, with BOTH observe() metrics filled by it (with a real Kafka source
+    // a second facet pass would re-read the topic).
+    val pipe = new Pipeline(cfg.copy(target = cfg.target.copy(skipDuplicatesWith = Nil)),
+      StructType(Seq(StructField("k", LongType))),
+      batchTime = Timestamp.valueOf("2024-06-01 12:00:00"))
+    val sc = spark.sparkContext
+    sc.setJobGroup("one-scan", "single-pass summary assertion")
+    val s = try pipe.run(spark, mkRaw(20), new ParquetSink(out)) finally sc.clearJobGroup()
+    assert(s.eventCount == 20 && s.errorCount == 4 && s.emptyCount == 4
+      && s.nonEmptyCount == 16 && s.writtenToDbCount == 20)
+    assert(sc.statusTracker.getJobIdsForGroup("one-scan").length == 1)
+  }
+
   test("delta watermark from the sink (S11/A1)") {
     val out = Files.createTempDirectory("graft-wm").toString + "/sink"
     val pipe = new Pipeline(cfg.copy(transform = cfg.transform :+
