@@ -54,12 +54,20 @@ final class Pipeline(
     val cfg: PipelineConfig,
     payloadSchema: StructType,
     avroWriterSchemaJson: Option[String] = None,
-    val batchTime: Timestamp = new Timestamp(System.currentTimeMillis())) {
+    val batchTime: Timestamp = new Timestamp(System.currentTimeMillis()),
+    /** id → writer schema JSON, registry-resolved at plan build. When
+      * non-empty, S5 dispatches per message on the wire schema id (the
+      * production shape — schema evolution means mixed ids in one read);
+      * `avroWriterSchemaJson` alone keeps the single-schema fast path.
+      */
+    avroSchemasById: Map[Int, String] = Map.empty) {
 
   /** Envelope stage (S3–S7 + F1–F3) over a canonical message frame. */
   def envelope(raw: DataFrame): DataFrame = cfg.source.schemaMode match {
     case SchemaMode.Json => Envelope.json(raw, cfg.source, payloadSchema)
     case SchemaMode.Str => Envelope.string(raw, cfg.source)
+    case SchemaMode.Avro if avroSchemasById.nonEmpty =>
+      Envelope.avroMulti(raw, cfg.source, avroSchemasById, payloadSchema)
     case SchemaMode.Avro =>
       val writer = avroWriterSchemaJson.getOrElse(
         throw new IllegalArgumentException("avro schema-mode requires a writer schema (registry-resolved)"))

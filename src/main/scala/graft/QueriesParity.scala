@@ -119,6 +119,54 @@ object QueriesParity {
       |  '{"id":' || event_id || ',"name":"' || event_type || '"}' AS kafka_message
       |FROM events""".stripMargin))
 
+  // ------------------------------------------------- S5 multi-schema dispatch
+  /** Two writer schemas in ONE frame (schema evolution on a live topic):
+    * id 1 = (id, name), id 2 = (id, name, extra). Even offsets encode with
+    * schema 1, odd with schema 2; the reader view is the union shape, so
+    * schema-1 rows surface `extra` as NULL — per-message dispatch, not a
+    * plan-time single writer schema.
+    */
+  private val avroSchemaV2Json =
+    """{"type":"record","name":"ev","fields":[
+      |{"name":"id","type":"long"},{"name":"name","type":"string"},
+      |{"name":"extra","type":"long"}]}""".stripMargin
+  private val s5AvroMultischema: Q = "s5_avro_multischema" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val payloadSchema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("extra", LongType)))
+      val wireV1 = ConfluentAvro.encode(
+        struct(col("event_id").as("id"), col("event_type").as("name")),
+        avroSchemaJson, schemaId = 1)
+      val wireV2 = ConfluentAvro.encode(
+        struct(col("event_id").as("id"), col("event_type").as("name"), col("user_id").as("extra")),
+        avroSchemaV2Json, schemaId = 2)
+      val raw = ev.select(
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        when(col("event_id") % 2 === 0, wireV1).otherwise(wireV2).as("value"),
+        lit("events").as("topic"),
+        pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"),
+        Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+      Envelope.avroMulti(raw, SourceConfig(topic = "events", schemaMode = SchemaMode.Avro),
+          Map(1 -> avroSchemaJson, 2 -> avroSchemaV2Json), payloadSchema)
+        .select(col("kafka_offset"), col("kafka_schema_id"), col("kafka_error"),
+          col("payload.id").as("id"), col("payload.name").as("name"),
+          col("payload.extra").as("extra"), col("kafka_message"))
+    },
+    """SELECT event_id AS kafka_offset,
+      |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS kafka_schema_id,
+      |  false AS kafka_error,
+      |  event_id AS id,
+      |  event_type AS name,
+      |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE user_id END AS extra,
+      |  CASE WHEN event_id % 2 = 0
+      |    THEN '{"id":' || event_id || ',"name":"' || event_type || '"}'
+      |    ELSE '{"id":' || event_id || ',"name":"' || event_type || '","extra":' || user_id || '}'
+      |  END AS kafka_message
+      |FROM events""".stripMargin))
+
   // ---------------------------------------------------------------- F1
   /** Nested payload used by the F1/F2 fixtures: k + user{id, secret}. */
   private def nestedRaw(s: SparkSession, dir: String, secretNullOnError: Boolean): DataFrame = {
@@ -481,7 +529,7 @@ object QueriesParity {
       |  FROM events) GROUP BY user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip,
+    s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, a1DeltaWatermark, a2Summary,

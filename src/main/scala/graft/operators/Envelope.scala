@@ -99,6 +99,30 @@ object Envelope {
     env
   }
 
+  /** S5 with per-message schema-id dispatch — the production shape for any
+    * long-lived topic (schema evolution means mixed ids within one bounded
+    * read). Each message decodes against its own writer schema from
+    * `schemasById` (plan-time registry resolution, see
+    * [[graft.sources.ConfluentAvro.decodeMulti]]); fields absent from an
+    * older writer schema surface as NULL. A schema id missing from the map
+    * routes the row to the ST5 error channel (`kafka_error = true`, NULL
+    * payload/message) — counted, not fatal.
+    */
+  def avroMulti(raw: DataFrame, cfg: SourceConfig, schemasById: Map[Int, String], payloadSchema: StructType): DataFrame = {
+    val datum = expr("substring(value, 6, 2147483647)")
+    val payloadRaw = graft.sources.ConfluentAvro.decodeMulti(col("value"), schemasById, payloadSchema)
+    val isError = col("value").isNotNull && payloadRaw.isNull
+    val resultSchema = PayloadOps.resultSchema(
+      payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+    val payload = when(isError, lit(null).cast(resultSchema))
+      .otherwise(PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator))
+    val message = when(col("value").isNull || isError, lit(null).cast(StringType)).otherwise(to_json(payload))
+    project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
+      schemaId = Some(Conversions.schemaId(col("value"))),
+      hashOver = Some(datum),
+      error = Some(isError))
+  }
+
   /** F3 (`message-filters`): OR-list of top-level equality predicates; a
     * non-matching row keeps its envelope but gets a NULL `kafka_message`
     * (`/root/reference/src/kafka_source.py:207-218`) — a projection, never a

@@ -51,7 +51,13 @@ object ConfluentAvro {
   private def convert(value: Any, dt: DataType): Any = (value, dt) match {
     case (null, _) => null
     case (r: GenericRecord, st: StructType) =>
-      Row.fromSeq(st.fields.map(f => convert(r.get(f.name), f.dataType)).toIndexedSeq)
+      // Probe by name: a field absent from THIS writer schema (older schema
+      // version under multi-id dispatch) is NULL in the reader view;
+      // Record.get(name) would throw on it.
+      Row.fromSeq(st.fields.map { f =>
+        val af = r.getSchema.getField(f.name)
+        if (af == null) null else convert(r.get(af.pos()), f.dataType)
+      }.toIndexedSeq)
     case (l: java.util.List[_], ArrayType(et, _)) =>
       l.asInstanceOf[java.util.List[Any]].toArray.map(convert(_, et)).toSeq
     case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
@@ -81,6 +87,39 @@ object ConfluentAvro {
         convert(rec, sparkSchema).asInstanceOf[Row]
       }
     udf(fn, sparkSchema).apply(datum)
+  }
+
+  /** Per-message schema-id dispatch over FULL wire-format bytes (magic byte +
+    * big-endian int32 schema id + datum): each message is decoded against ITS
+    * OWN writer schema, looked up in `schemasById` — the reference's
+    * per-message `schema_cache` dispatch (`/root/reference/src/kafka_source.py:129-133,153-161`)
+    * and the behavior a long-lived topic with schema evolution requires.
+    *
+    * `schemasById` is resolved ONCE at plan build on the driver (via
+    * [[SchemaRegistry]]) and ships inside the closure — executors never talk
+    * to the registry. Records are projected onto `sparkSchema` BY FIELD NAME,
+    * so a writer schema missing a newer field yields null there (Avro
+    * forward-compat reads without needing per-pair schema resolution).
+    *
+    * Rows whose schema id is absent from the map decode to NULL — the caller
+    * routes them to the count-and-continue error channel (ST5) instead of
+    * failing the job; at 100 TB a task retry storm over one stray id is the
+    * wrong failure mode.
+    */
+  def decodeMulti(value: Column, schemasById: Map[Int, String], sparkSchema: StructType): Column = {
+    val fn = (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length < 6) null
+      else {
+        val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) | ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
+        schemasById.get(id) match {
+          case None => null
+          case Some(schemaJson) =>
+            val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+            val rec = reader(schemaJson).read(null, dec)
+            convert(rec, sparkSchema).asInstanceOf[Row]
+        }
+      }
+    udf(fn, sparkSchema).apply(value)
   }
 
   /** Confluent wire-format ENCODER — the test/round-trip twin of [[decode]]

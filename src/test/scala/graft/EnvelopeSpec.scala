@@ -106,4 +106,42 @@ class EnvelopeSpec extends SparkSpec {
     assert(rows(0).getAs[String]("kafka_message") == """{"id":7,"name":"alpha"}""")
     assert(rows(1).getAs[Row]("payload").getAs[String]("name") == "beta")
   }
+
+  test("S5 multi-schema dispatch: per-message writer schema, evolution nulls, unknown id -> error channel") {
+    val v1 =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val v2 =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},
+        |{"name":"extra","type":"long"}]}""".stripMargin
+    val payloadSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType), StructField("extra", LongType)))
+    val input = Seq((1L, "old", 0L), (2L, "new", 99L), (3L, "stray", 0L)).toDF("id", "name", "extra")
+    val value = when(col("id") === 1, ConfluentAvro.encode(struct(col("id"), col("name")), v1, 1))
+      .when(col("id") === 2, ConfluentAvro.encode(struct(col("id"), col("name"), col("extra")), v2, 2))
+      .otherwise(ConfluentAvro.encode(struct(col("id"), col("name")), v1, 777)) // id 777 not registered
+    val raw = input.select(
+      lit("k".getBytes("UTF-8")).as("key"), value.as("value"),
+      lit("t").as("topic"), lit(0).as("partition"),
+      col("id").as("offset"), lit(1700000000000L).as("timestamp"))
+    val env = Envelope.avroMulti(raw, SourceConfig(topic = "t", schemaMode = SchemaMode.Avro),
+      Map(1 -> v1, 2 -> v2), payloadSchema)
+    val rows = env.orderBy("kafka_offset").collect()
+    // v1 message: decodes with its own schema; `extra` (added in v2) is NULL
+    assert(rows(0).getAs[Int]("kafka_schema_id") == 1)
+    assert(rows(0).getAs[Row]("payload").getAs[String]("name") == "old")
+    assert(rows(0).getAs[Row]("payload").isNullAt(2))
+    assert(rows(0).getAs[String]("kafka_message") == """{"id":1,"name":"old"}""")
+    assert(!rows(0).getAs[Boolean]("kafka_error"))
+    // v2 message: full shape
+    assert(rows(1).getAs[Int]("kafka_schema_id") == 2)
+    assert(rows(1).getAs[Row]("payload").getAs[Long]("extra") == 99L)
+    assert(rows(1).getAs[String]("kafka_message") == """{"id":2,"name":"new","extra":99}""")
+    // unregistered id: count-and-continue, not fatal
+    assert(rows(2).getAs[Int]("kafka_schema_id") == 777)
+    assert(rows(2).getAs[Boolean]("kafka_error"))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("payload")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("kafka_message")))
+  }
 }
