@@ -36,17 +36,22 @@ object QueriesExt {
     val mh = Dedup.minHashParams(12).zipWithIndex
       .map { case ((a, b), j) => s"min(($a*h+$b)%4294967296) AS m$j" }
       .mkString(", ")
+    // Band value md5-hashed and buckets df-capped at 1000 members, mirroring
+    // Dedup.minHashLshPairs(maxBucket = 1000) exactly (the cap is a no-op at
+    // test SF but part of the declared operator semantics).
     val bands = (0 until 4)
-      .map(b => s"SELECT doc_id, $b AS band, m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2} AS bv FROM mh")
+      .map(b => s"SELECT doc_id, $b AS band, md5(m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2}) AS bv FROM mh")
       .mkString(" UNION ALL ")
     s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
        |hs AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h FROM sh),
        |mh AS (SELECT doc_id, $mh FROM hs GROUP BY doc_id),
-       |bands AS ($bands)
+       |bands AS ($bands),
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) <= 1000)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id""".stripMargin
+       |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id
+       |JOIN ok ON ok.band=a.band AND ok.bv=a.bv""".stripMargin
   }
   private val dedupMinhash: Q = "x_dedup_minhash_lsh" -> ((
     (s: SparkSession, dir: String) =>
@@ -68,9 +73,14 @@ object QueriesExt {
   private val dedupJaccard: Q = "x_dedup_ngram_jaccard" -> ((
     (s: SparkSession, dir: String) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3),
+    // Stop-shingle df cap at 1000 mirrors Dedup.jaccardPairs(maxDf = 1000):
+    // shingles in >1000 docs leave the shingle space entirely (intersection
+    // AND union). No-op at test SF; declared operator semantics.
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
       |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
       |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter
       |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)

@@ -65,10 +65,21 @@ object Dedup {
 
   /** (id, shingle) inverted-index table, distinct per doc (shuffle-free —
     * see [[shingleArrays]]).
+    *
+    * `explode_outer` + null-filter instead of plain `explode` is a measured
+    * 12× on this plan, not a style choice: `InferFiltersFromGenerate` infers
+    * `size(arr) > 0 AND isnotnull(arr)` from a non-outer explode and predicate
+    * pushdown then sinks that filter BELOW the repartition exchange,
+    * substituting the whole tokenize→shingle pipeline into it — the map stage
+    * re-runs the regex split per element_at, ~150× per document, single-task.
+    * The outer variant is exempt from that rule; the explicit `isNotNull` on
+    * the OUTPUT column restores explode semantics (drops empty/null-array
+    * docs) and cannot be pushed below the Generate that produces it.
     */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     shingleArrays(df, idCol, textCol, n)
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
+      .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
 
   /** Exact dedup via hash-groupBy: one row per distinct key expression with
     * the minimum id as the survivor and the duplicate count. Map-side partial
@@ -119,13 +130,23 @@ object Dedup {
     * problem only when many docs are near-identical, which AQE skew-join
     * splitting absorbs. Returns distinct (id_a < id_b) candidate pairs.
     */
+  /** MinHash+LSH candidate pairs. `maxBucket` is the document-frequency cap
+    * on one LSH bucket: buckets with more members are DROPPED from pair
+    * generation (a bucket that large means thousands of near-identical docs —
+    * a data-quality signal to handle upstream, not a pair list worth
+    * O(maxBucket²) work). The cap is what makes the plan memory-bounded at
+    * 100 TB: the membership count is aggregated FIRST (a Long buffer per
+    * bucket, never a list), only qualifying buckets' members are gathered,
+    * so no aggregation buffer exceeds `maxBucket` ids.
+    */
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
       numHashes: Int = 12,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val sh = shingleTable(df, idCol, textCol, n)
@@ -134,22 +155,27 @@ object Dedup {
     val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     // One projection explodes the signature into its bands — the expensive
     // signature aggregation is computed exactly ONCE (a union-of-bands or a
-    // self-join would re-evaluate it per branch/side).
+    // self-join would re-evaluate it per branch/side). The band value is
+    // md5-hashed: a fixed 32-char key through the shuffle instead of the
+    // concatenated signature numbers (md5 keeps it engine-reproducible).
     val bandStructs = array((0 until bands).map { b =>
-      val bv = concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r").cast("string")): _*)
+      val bv = md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r").cast("string")): _*))
       struct(lit(b).as("band"), bv.as("band_val"))
     }: _*)
     val banded = sig
       .select(col(idCol), explode(bandStructs).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
-    // Bucket members are gathered per (band, value); pair generation is a
-    // local double-explode over each bucket — no second pass over documents.
-    // Buckets are near-dup clusters, so they stay small unless the corpus is
-    // massively self-similar; a pathological hot bucket is a data-quality
-    // signal (and AQE skew handling bounds the damage of the final distinct).
-    banded.groupBy(col("band"), col("band_val"))
+    // Membership COUNT first (bounded partial-agg state), then gather members
+    // for qualifying buckets only. The qualifying set is small (multi-doc
+    // buckets = near-dup clusters), so AQE broadcasts it back onto `banded`;
+    // every collect_list that follows is provably ≤ maxBucket elements.
+    val qualifying = banded.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1 && col("_n") <= maxBucket)
+      .select("band", "band_val")
+    banded.join(qualifying, Seq("band", "band_val"))
+      .groupBy(col("band"), col("band_val"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -178,29 +204,44 @@ object Dedup {
     * by a self-join on shingle (keyed shuffle, not n²), then
     * `|A∩B| / (|A|+|B|-|A∩B|)`.
     */
+  /** n-gram Jaccard with an IN-PLAN stop-shingle cap: shingles whose document
+    * frequency exceeds `maxDf` are removed from the shingle space entirely
+    * (both intersection AND union counts — standard stop-word-filtered
+    * Jaccard), so no posting list ever exceeds `maxDf` ids and the pair
+    * expansion is bounded by C(maxDf, 2) per shingle. A df-1000+ shingle is
+    * boilerplate (headers, license text) that contributes no discrimination
+    * anyway.
+    */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      maxDf: Int = 1000): DataFrame = {
     // Inverted-index aggregation instead of a self-join: group the shingle
     // table by shingle, DROP singleton postings (a shingle in one document
-    // can never witness a pair — the overwhelming majority in natural text),
-    // and expand each surviving posting list into its local pairs. One
-    // shuffle on shingle + one on (id_a, id_b); the self-join formulation
-    // shuffles the full table twice and only then discovers the singletons.
-    // A pathological posting list (a shingle in thousands of docs) is the
-    // stop-shingle signal; callers at that scale should pre-filter by
-    // document frequency.
+    // can never witness a pair — the overwhelming majority in natural text)
+    // and stop-shingles (df > maxDf, removed via a broadcast anti-join — the
+    // stop set is small by construction), and expand each surviving posting
+    // list into its local pairs. The df pre-count is a Long-buffer aggregate,
+    // never a list, so no unbounded aggregation state exists anywhere.
     //
-    // Per-doc shingle counts come from `size(shingles)` on the SAME
-    // shingleArrays subplan (ReuseExchange serves both consumers from one
-    // shuffle) — no groupBy(id) aggregation pass over the exploded table.
+    // Per-doc shingle counts start from `size(shingles)` on the SAME
+    // shingleArrays subplan and subtract the doc's stop-shingle hits (small
+    // join), keeping |A| and |B| consistent with the filtered space.
     val base = shingleArrays(df, idCol, textCol, n)
-    val sh = base.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val cnt = base.select(col(idCol), size(col("shingles")).as("n_sh"))
-    val inter = sh.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
+    val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull) // see shingleTable: InferFiltersFromGenerate trap
+    val dfCnt = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val stop = dfCnt.where(col("_df") > maxDf).select("shingle")
+    val shKept = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
+    val stopHits = sh.join(broadcast(stop), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_stop"))
+    val cnt = base.select(col(idCol), size(col("shingles")).as("_n_all"))
+      .join(stopHits, Seq(idCol), "left")
+      .select(col(idCol), (col("_n_all") - coalesce(col("_n_stop"), lit(0))).as("n_sh"))
+    val inter = shKept.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

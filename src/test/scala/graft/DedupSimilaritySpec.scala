@@ -37,6 +37,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhash LSH maxBucket cap drops oversize buckets (hot-cluster guard)") {
+    // docs 0/1/3 form near-dup buckets of size 2-3; maxBucket = 1 disqualifies
+    // every multi-member bucket, so pair generation yields nothing.
+    val capped = Dedup.minHashLshPairs(docs, "doc_id", "text", n = 3, numHashes = 12, bands = 4, maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("jaccard maxDf stop-shingles leave the shingle space (intersection AND union)") {
+    // Three docs: 10 & 11 share ALL their shingles with each other; shingle
+    // set of 12 overlaps them only via the hot prefix "a b c d e f" that all
+    // three share (df = 3).
+    val d = Seq(
+      (10L, "a b c d e f x1 y1 z1"),
+      (11L, "a b c d e f x1 y1 z1"),
+      (12L, "a b c d e f q r s t u v w")).toDF("doc_id", "text")
+    val loose = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.05)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(loose((10L, 11L)) == 1.0)
+    assert(loose.contains((10L, 12L))) // hot prefix witnesses the pair
+    // maxDf = 2 stops every df-3 shingle (the shared prefix): 10-12 loses its
+    // only witnesses; 10-11 stays 1.0 because union counts shrink WITH the
+    // intersection (filtered space, not just filtered postings).
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.05, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(capped((10L, 11L)) == 1.0)
+    assert(!capped.contains((10L, 12L)) && !capped.contains((11L, 12L)))
+  }
+
   test("simhash: identical texts equal; unrelated text differs") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
