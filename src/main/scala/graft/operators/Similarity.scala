@@ -92,7 +92,23 @@ object Similarity {
       scored.withColumn("crank", row_number().over(w)).where(col("crank") <= keep)
         .drop("c_vec", "c_norm", "c_cos", "crank")
     }
-    val cells = nearestCells(corpus, "neighbor_id", "c_vec2", "n_norm", keep = 1)
+    // Corpus cell ASSIGNMENT (keep = 1) is an argmax, not a ranking: a
+    // map-side-combining `max(struct(score, -cid, payload))` aggregate, so
+    // the ×nCells expansion collapses to one buffer per vector BEFORE the
+    // shuffle — the row_number window formulation shuffles and sorts the
+    // whole expansion. Tie-break matches the window's (score desc, cid asc)
+    // via the negated-cid struct field.
+    def assignCell(df: DataFrame, outId: String, outVec: String, outNorm: String) = {
+      val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec), norm(col(vecCol)).as(outNorm))
+        .join(cent)
+        .withColumn("c_cos", cosine(col(outVec), col("c_vec"), col(outNorm), col("c_norm")))
+      scored.groupBy(col(outId))
+        .agg(max(struct(col("c_cos"), (-col("cid")).as("_negcid"), col("cid"),
+          col(outVec), col(outNorm))).as("_m"))
+        .select(col(outId), col("_m.cid").as("cid"),
+          col(s"_m.$outVec").as(outVec), col(s"_m.$outNorm").as(outNorm))
+    }
+    val cells = assignCell(corpus, "neighbor_id", "c_vec2", "n_norm")
     val probes = nearestCells(queries, "query_id", "q_vec", "q_norm", keep = nProbe)
     val scored = cells.join(probes, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))

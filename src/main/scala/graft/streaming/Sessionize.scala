@@ -43,7 +43,12 @@ object Sessionize {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last < gapMs =>
-            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+            // Order-insensitive merge: a late-but-within-watermark event from
+            // a LATER micro-batch can carry t < s.last (the sort above is
+            // batch-local); taking last = t there would move the session end
+            // BACKWARDS and shorten the timeout. min/max keeps the extent
+            // correct under any cross-batch arrival order.
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed ::= Session(userId, s.start, s.last, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
@@ -53,7 +58,10 @@ object Sessionize {
       }
       cur.foreach { s =>
         state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
+        // Clamp above the current watermark: a timeout timestamp at or below
+        // it is invalid (the session would never time out / Spark rejects it).
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
       }
       closed.reverseIterator
     }

@@ -42,6 +42,34 @@ class SessionizeSpec extends SparkSpec {
     assert(out(1) == Sessionize.Session(1L, ts(30).getTime, ts(30).getTime, 1, 3.0))
   }
 
+  test("late-but-within-watermark event in a LATER batch cannot move the session end backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    // 30-minute delay so a 10:01 event is still on time when the max seen is 10:04.
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "30 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_late")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(0), 1.0), (1L, ts(4), 2.0)) // state: [10:00, 10:04]
+    query.processAllAvailable()
+    input.addData((1L, ts(1), 4.0)) // LATE: t < state.last; must merge, end stays 10:04
+    query.processAllAvailable()
+    input.addData((2L, ts(45), 0.0)) // watermark to 10:15 -> 10:04+gap passes, session closes
+    query.processAllAvailable()
+    input.addData((2L, ts(59), 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_late").as[Sessionize.Session].collect().filter(_.userId == 1L)
+    query.stop()
+
+    assert(out.length == 1)
+    // endMs = 10:04 (NOT dragged back to 10:01); all three events accounted.
+    assert(out(0) == Sessionize.Session(1L, ts(0).getTime, ts(4).getTime, 3, 7.0))
+  }
+
   test("state is per key: interleaved users do not merge") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
