@@ -119,6 +119,48 @@ object QueriesParity {
       |  '{"id":' || event_id || ',"name":"' || event_type || '"}' AS kafka_message
       |FROM events""".stripMargin))
 
+  // ---------------------------------------------------------------- S2 + ST2
+  /** Subscribe strategy end-to-end: the message frame is materialized as a
+    * file topic, consumed with `Trigger.AvailableNow` through [[graft.streaming.StreamRunner]]
+    * (checkpointed micro-batches, commit-after-write, J2 dedup inside each
+    * batch), and the gate compares the SINK CONTENTS — the same oracle the
+    * assign path answers, proving both strategies produce identical rows.
+    */
+  private val s2SubscribeSink: Q = "s2_subscribe_sink" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
+      MessageSource.fromEvents(s, dir).write.parquet(s"$tmp/topic")
+      val cfg = PipelineConfig(
+        source = SourceConfig(topic = "events"),
+        target = TargetConfig(table = s"$tmp/sink",
+          skipDuplicatesWith = Seq("kafka_partition", "kafka_offset", "kafka_topic")),
+        transform = Seq(
+          TransformRule("kafka_key", "kafka_key"),
+          TransformRule("kafka_offset", "kafka_offset"),
+          TransformRule("kafka_partition", "kafka_partition"),
+          TransformRule("kafka_topic", "kafka_topic"),
+          TransformRule("kafka_hash", "kafka_hash"),
+          TransformRule("kafka_message", "kafka_message"),
+          TransformRule("k", "k"))).validated
+      val pipe = new Pipeline(cfg, propsSchema,
+        batchTime = Timestamp.valueOf("2024-06-01 12:00:00"))
+      val sink = new graft.sinks.ParquetSink(s"$tmp/sink")
+      val runner = new graft.streaming.StreamRunner(pipe, sink, s"$tmp/ckpt")
+      val stream = s.readStream.schema(MessageSource.schema).parquet(s"$tmp/topic")
+      runner.runAvailableNow(s, stream)
+      s.read.parquet(s"$tmp/sink")
+        .select("kafka_key", "kafka_offset", "kafka_partition", "kafka_topic",
+          "kafka_hash", "kafka_message", "k")
+    },
+    """SELECT user_id::VARCHAR AS kafka_key,
+      |  event_id AS kafka_offset,
+      |  (user_id % 8)::INT AS kafka_partition,
+      |  'events' AS kafka_topic,
+      |  sha256(props) AS kafka_hash,
+      |  '{"k":' || (props->>'k') || '}' AS kafka_message,
+      |  (props->>'k')::BIGINT AS k
+      |FROM events""".stripMargin))
+
   // ------------------------------------------------- S5 multi-schema dispatch
   /** Two writer schemas in ONE frame (schema evolution on a live topic):
     * id 1 = (id, name), id 2 = (id, name, extra). Even offsets encode with
@@ -301,17 +343,20 @@ object QueriesParity {
       val d = col("o_orderdate")
       val k = col("o_orderkey")
       val inp = when(k % 7 === 0, lit("absolutely not a date"))
-        .when(k % 5 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
-        .when(k % 5 === 1, date_format(d, "yyyy-MM-dd HH:mm:ss"))
-        .when(k % 5 === 2, date_format(d, "yyyy-MM-dd"))
-        .when(k % 5 === 3, date_format(d, "dd.MM.yyyy"))
+        .when(k % 8 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(k % 8 === 1, date_format(d, "yyyy-MM-dd HH:mm:ss"))
+        .when(k % 8 === 2, date_format(d, "yyyy-MM-dd"))
+        .when(k % 8 === 3, date_format(d, "dd.MM.yyyy"))
+        .when(k % 8 === 4, date_format(d, "dd-MM-yyyy HH:mm:ss"))
+        .when(k % 8 === 5, date_format(d, "dd/MM/yyyy hh:mm a"))
+        .when(k % 8 === 6, date_format(d, "MMM d, yyyy hh:mm a"))
         .otherwise(concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
       o.select(k.as("o_orderkey"), fmtS(Conversions.lenientDateOslo(inp)).as("dt_no"))
     },
     """SELECT o_orderkey,
       |  CASE
       |    WHEN o_orderkey % 7 = 0 THEN NULL
-      |    WHEN o_orderkey % 5 IN (0,1,2,3)
+      |    WHEN o_orderkey % 8 IN (0,1,2,3,4,5,6)
       |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
       |                    '%Y-%m-%d %H:%M:%S')
       |    ELSE strftime(timezone('Europe/Oslo',
@@ -529,7 +574,7 @@ object QueriesParity {
       |  FROM events) GROUP BY user_id""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
+    s2SubscribeSink, s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, a1DeltaWatermark, a2Summary,

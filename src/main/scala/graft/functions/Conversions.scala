@@ -96,7 +96,15 @@ object Conversions {
       try_to_timestamp(s, lit("yyyy/MM/dd")),
       try_to_timestamp(s, lit("dd.MM.yyyy HH:mm:ss")),
       try_to_timestamp(s, lit("dd.MM.yyyy")),
+      try_to_timestamp(s, lit("dd/MM/yyyy HH:mm:ss")),
       try_to_timestamp(s, lit("dd/MM/yyyy")),
+      try_to_timestamp(s, lit("dd-MM-yyyy HH:mm:ss")),
+      try_to_timestamp(s, lit("dd-MM-yyyy")),
+      // 12-hour AM/PM forms (dateparser's en locale accepts these)
+      try_to_timestamp(s, lit("yyyy-MM-dd hh:mm:ss a")),
+      try_to_timestamp(s, lit("yyyy-MM-dd hh:mm a")),
+      try_to_timestamp(s, lit("dd/MM/yyyy hh:mm a")),
+      try_to_timestamp(s, lit("MMM d, yyyy hh:mm a")),
       try_to_timestamp(s, lit("d MMM yyyy")),
       try_to_timestamp(s, lit("d MMMM yyyy")),
       try_to_timestamp(s, lit("MMM dd yyyy")),

@@ -16,36 +16,48 @@ object Joins {
     * a validity interval containing the row's (day-truncated) timestamp gets
     * `kafka_message := NULL` — masked, never dropped.
     *
-    * Scale shape: the dimension (pre-filtered to `skjermet_kode IN (6,7)` —
-    * pushed to the JDBC source when it is one) is BROADCAST; the probe is then
-    * a shuffle-free per-row lookup, the cluster analogue of the reference's
-    * batched `IN`-list probe without its 100k-id ceiling. To avoid row
-    * multiplication when a person carries several (possibly overlapping)
-    * validity rows, the match set is reduced to distinct (pid, day) pairs
-    * before the mask join — both joins stay broadcast.
+    * Scale shape: ONE pass over the batch. The dimension (pre-filtered to
+    * `skjermet_kode IN (6,7)` — pushed to the JDBC source when it is one) is
+    * aggregated to one row per person carrying its validity intervals as an
+    * array, then joined on person-id alone; interval containment is an
+    * `exists(...)` over that (tiny) array in the projection. One dim row per
+    * pid means NO row multiplication from overlapping validity rows, and
+    * nothing data-dependent is ever broadcast — the earlier shape probed a
+    * distinct (pid, day) set (second scan of the batch subplan) and broadcast
+    * the resulting hit set back.
+    *
+    * `broadcastDim = true` (default) pins the broadcast — correct while the
+    * screened population is small, which it is by construction. If it ever
+    * is not, pass false: the join runs as a plain equi-join on pid (shuffle,
+    * AQE still free to convert back to broadcast at runtime).
     *
     * Divergence (documented, deliberate): the reference probes with the LAST
     * message's timestamp for the whole batch (`src/oracle_target.py:56-57`);
     * graft evaluates the interval per-row, which is order-independent — the
     * only semantics that is well-defined under distributed execution.
     */
-  def k6Mask(batch: DataFrame, dim: DataFrame, cfg: K6FilterConfig, payloadField: String = "payload"): DataFrame = {
+  def k6Mask(
+      batch: DataFrame,
+      dim: DataFrame,
+      cfg: K6FilterConfig,
+      payloadField: String = "payload",
+      broadcastDim: Boolean = true): DataFrame = {
     val pid = {
       val segs = PayloadOps.splitPath(cfg.col, cfg.colKeypathSeparator)
       segs.foldLeft(col(payloadField))((c, s) => c.getField(s)).cast("string")
     }
     val day = date_trunc("DAY", timestamp_millis(col(cfg.timestamp)))
-    val probe = batch.select(pid.as("_pid"), day.as("_day")).distinct()
-    val hits = probe.join(
-        broadcast(dim),
-        probe("_pid") === dim(cfg.filterCol).cast("string") &&
-          probe("_day").between(dim("gyldig_fra_dato"), dim("gyldig_til_dato")),
-        "left_semi")
-      .withColumn("_k6_hit", lit(1))
+    val dimAgg0 = dim.groupBy(dim(cfg.filterCol).cast("string").as("_pid"))
+      .agg(collect_list(struct(
+        dim("gyldig_fra_dato").as("fra"), dim("gyldig_til_dato").as("til"))).as("_ivals"))
+    val dimAgg = if (broadcastDim) broadcast(dimAgg0) else dimAgg0
+    val screened = exists(col("_ivals"),
+      i => day.between(i.getField("fra"), i.getField("til")))
     batch
-      .join(broadcast(hits), pid === hits("_pid") && day === hits("_day"), "left_outer")
-      .withColumn("kafka_message", when(col("_k6_hit").isNotNull, lit(null).cast("string")).otherwise(col("kafka_message")))
-      .drop("_pid", "_day", "_k6_hit")
+      .join(dimAgg, pid === col("_pid"), "left_outer")
+      .withColumn("kafka_message",
+        when(col("_ivals").isNotNull && screened, lit(null).cast("string")).otherwise(col("kafka_message")))
+      .drop("_pid", "_ivals")
   }
 
   /** J2: `skip-duplicates-with` (`/root/reference/src/oracle_target.py:99-104`) —

@@ -60,6 +60,10 @@ class ConversionsSpec extends SparkSpec {
       "2024-01-15T12:00:00+01:00",  // offset-bearing: instant 11:00Z -> Oslo 12:00
       "2024-01-15",
       "15.01.2024",
+      "15-01-2024 12:00:00",        // dd-MM-yyyy with time
+      "15/01/2024 01:30 PM",        // 12-hour clock, PM
+      "2024-01-15 12:00:00 AM",     // 12 AM = midnight
+      "Jan 15, 2024 11:59 PM",      // month-name + 12-hour clock
       "nonsense")
       .toDF("s")
       .select(date_format(Conversions.lenientDateOslo(col("s")), "yyyy-MM-dd HH:mm:ss"))
@@ -69,6 +73,10 @@ class ConversionsSpec extends SparkSpec {
       "2024-01-15 12:00:00",
       "2024-01-15 01:00:00",
       "2024-01-15 01:00:00",
+      "2024-01-15 13:00:00",
+      "2024-01-15 14:30:00",
+      "2024-01-15 01:00:00",
+      "2024-01-16 00:59:00",
       null))
   }
 

@@ -81,6 +81,26 @@ class TransformsJoinsSpec extends SparkSpec {
     assert(Joins.k6Mask(env, dim3, cfg).where(col("kafka_message").isNotNull).count() == 2)
   }
 
+  test("J1 k6 mask: overlapping validity rows never multiply batch rows; shuffle path agrees") {
+    // One person with THREE overlapping intervals (and one covering the probe
+    // day twice over): the per-pid interval-array shape must keep exactly one
+    // output row per input row.
+    val dim = Seq(
+      ("id1", Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-12-31 00:00:00")),
+      ("id1", Timestamp.valueOf("2024-06-01 00:00:00"), Timestamp.valueOf("2024-07-01 00:00:00")),
+      ("id1", Timestamp.valueOf("2023-01-01 00:00:00"), Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("fnr", "gyldig_fra_dato", "gyldig_til_dato")
+    val cfg = K6FilterConfig(filterTable = "dim", filterCol = "fnr",
+      col = "person.ident", timestamp = "kafka_timestamp")
+    val masked = Joins.k6Mask(env, dim, cfg)
+    assert(masked.count() == env.count())
+    assert(masked.where(col("kafka_message").isNotNull).count() == 0)
+    // Large-dimension fallback: same result without the pinned broadcast.
+    val shuffled = Joins.k6Mask(env, dim, cfg, broadcastDim = false)
+    assert(shuffled.count() == env.count())
+    assert(shuffled.where(col("kafka_message").isNotNull).count() == 0)
+  }
+
   test("J2 dedupAgainst: drops sink matches and intra-batch duplicates") {
     val existing = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val batch = Seq((2L, "b"), (3L, "c"), (3L, "c"), (4L, "d")).toDF("id", "v")
