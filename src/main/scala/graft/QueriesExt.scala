@@ -343,8 +343,36 @@ object QueriesExt {
     """SELECT doc_id, lang, source FROM documents
       |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::INT % 10000 < 1000""".stripMargin))
 
+  /** Cluster resolution over the Jaccard candidate pairs: pair lists alone
+    * under-dedup (A~B, B~C ⇒ one kept doc even when A!~C); the oracle
+    * replays the fixpoint as a recursive reachability CTE (feasible at test
+    * SF; the Spark side's iterative min-label propagation is the scale
+    * path).
+    */
+  private val dedupClusters: Q = "x_dedup_clusters" -> ((
+    (s: SparkSession, dir: String) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    },
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter
+      |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+      |pairs AS (SELECT id_a, id_b
+      |  FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |  WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding,
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg, sampleSystematic)

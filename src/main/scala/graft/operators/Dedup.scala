@@ -292,4 +292,77 @@ object Dedup {
       .where(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Connected components over an undirected candidate-pair list — the
+    * cluster-resolution step that turns [[minHashLshPairs]] /
+    * [[jaccardPairs]] / [[embeddingNearDupPairs]] output into duplicate
+    * CLUSTERS (pair lists alone under-dedup: A~B and B~C with A!~C must
+    * still collapse to one kept document, which is what production
+    * near-dedup pipelines do after candidate generation).
+    *
+    * Algorithm: Pregel-style min-label propagation — the same fixpoint
+    * GraphX's `ConnectedComponents` computes — expressed in DataFrame ops so
+    * each iteration is Catalyst-planned (one keyed join shuffle + one
+    * partial-agg min shuffle, both on the id key; map-side combine keeps the
+    * agg state at one Long per id). The driver-side loop is inherent to any
+    * iterative fixpoint (GraphX's Pregel does the same); each iteration's
+    * result is `localCheckpoint`ed to truncate lineage — without it the
+    * self-referential plan doubles in depth per iteration and analysis cost
+    * explodes long before data cost does.
+    *
+    * Convergence: iterations are bounded by the graph diameter. Near-dup
+    * graphs are unions of near-cliques (an LSH bucket or a shared-shingle
+    * posting list emits ALL its pairs, not a spanning path), so the diameter
+    * is small — chains only arise from transitive bucket overlap; `maxIter`
+    * is a guard against pathological inputs, and hitting it raises rather
+    * than returning a half-converged labeling.
+    *
+    * Returns (id, component) with `component` = min id reachable; rows cover
+    * every id present in `pairs` (ids with no pair are their own singleton
+    * component and don't need rows — [[resolveClusters]] treats absence as
+    * kept).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), col("component"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // One tiny action per iteration: did ANY label improve? (min-label is
+      // monotone decreasing, so strict `<` is the full change test.)
+      converged = next.join(labels.withColumnRenamed("component", "_prev"), "id")
+        .where(col("component") < col("_prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Keep-one cluster resolution: drop every document that is NOT its
+    * cluster's representative (the min id). Documents absent from
+    * `components` (no candidate pair) are kept. One broadcast-able anti-join
+    * — the loser set is |pairs-covered docs − clusters|, tiny relative to the
+    * corpus.
+    */
+  def resolveClusters(df: DataFrame, idCol: String, components: DataFrame): DataFrame = {
+    val losers = components.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -130,4 +130,33 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("frame_idx").as[Int].collect().toSeq
     assert(out == Seq(0, 2)) // 3 frames -> indices 0,2
   }
+
+  test("connected components: chains collapse transitively, islands stay apart") {
+    // 1-2, 2-3, 3-4 is a 4-node chain (diameter 3 -> needs >1 propagation
+    // round); 10-11 is a separate island; pair order (id_a < id_b) is not
+    // assumed by the operator beyond undirectedness.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: maxIter guard fails loudly, not half-converged") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+    // and with room to converge, the whole chain is one component
+    val ok = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(ok.map(_._2).toSet == Set(1L))
+  }
+
+  test("resolveClusters keeps cluster representative + unpaired docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+    val comp = Dedup.connectedComponents(pairs)
+    val kept = Dedup.resolveClusters(docs, "doc_id", comp)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0/1/3 are one near-dup cluster (rep 0); doc 2 has no pair
+    assert(kept == Set(0L, 2L))
+  }
 }
