@@ -371,8 +371,56 @@ object QueriesExt {
       |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin))
 
+  /** PII scrub gate. The synthetic corpus carries no digits, so the gate
+    * deterministically plants one email/fnr/phone per document FROM doc_id
+    * (same expression on both sides) — the operator under test is the
+    * redaction chain + counts, which must agree with DuckDB's RE2 running
+    * the very same patterns.
+    */
+  private val textPii: Q = "x_text_pii" -> ((
+    (s: SparkSession, dir: String) => {
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" kontakt bruker"), col("doc_id").cast("string"),
+          lit("@etat.example.no fnr "), (col("doc_id") + 10000000000L).cast("string"),
+          lit(" tlf +47 "), (col("doc_id") + 10000000L).cast("string")).as("t"))
+      val counts = TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.cast("long").as(n) }
+      aug.select(Seq(col("doc_id"), TextAnalysis.redactPii(col("t")).as("redacted")) ++ counts: _*)
+    }, {
+      val (pe, pf, pp) =
+        (TextAnalysis.piiEmailPattern, TextAnalysis.piiFnrPattern, TextAnalysis.piiPhonePattern)
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' kontakt bruker' || doc_id::VARCHAR || '@etat.example.no fnr ' ||
+         |  (doc_id+10000000000)::VARCHAR || ' tlf +47 ' || (doc_id+10000000)::VARCHAR AS t FROM documents),
+         |st AS (SELECT doc_id, t, regexp_replace(t, '$pe', '<EMAIL>', 'g') AS t1 FROM aug),
+         |st2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$pf', '<FNR>', 'g') AS t2 FROM st)
+         |SELECT doc_id,
+         |  regexp_replace(t2, '$pp', '<PHONE>', 'g') AS redacted,
+         |  len(regexp_extract_all(t, '$pe')) AS n_email,
+         |  len(regexp_extract_all(t1, '$pf')) AS n_fnr,
+         |  len(regexp_extract_all(t2, '$pp')) AS n_phone
+         |FROM st2""".stripMargin
+    }))
+
+  /** Gopher-style repetition metrics gate: per-row facets + the relational
+    * top-bigram plan, replayed by DuckDB list/group math.
+    */
+  private val textRepetition: Q = "x_text_repetition" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Repetition.metrics(docs(s, dir), "doc_id", "text"),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') ws, string_split(text, chr(10)) ls FROM documents),
+      |per AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+      |  1 - len(list_distinct(ws))::DOUBLE/greatest(len(ws),1) AS dup_word_frac,
+      |  1 - len(list_distinct(ls))::DOUBLE/greatest(len(ls),1) AS dup_line_frac FROM toks),
+      |bg AS (SELECT doc_id, ws[i]||' '||ws[i+1] AS b FROM toks, UNNEST(range(1, len(ws))) t(i)),
+      |cnt AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1,2),
+      |top AS (SELECT doc_id, max(c)::DOUBLE/sum(c) AS top_bigram_frac FROM cnt GROUP BY 1)
+      |SELECT per.doc_id, n_words, dup_word_frac, dup_line_frac,
+      |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM per LEFT JOIN top ON per.doc_id = top.doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
+    textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg, sampleSystematic)

@@ -87,4 +87,46 @@ object TextAnalysis {
     val codes = transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1))))
     aggregate(codes, lit(0L), (acc, c) => pmod(acc * lit(31L) + c.cast("long"), lit(1000000007L)))
   }
+
+  // ------------------------------------------------------------------ PII
+  // Training corpora must be scrubbed of personal identifiers before use;
+  // the reference's whole privacy surface (F2 flag-fields, J1 k6-masking)
+  // is the same concern at the per-field level — this is the free-text
+  // counterpart. Patterns are deliberately RE2-compatible (no backrefs, no
+  // lookaround) so any engine — and the DuckDB oracle — runs them verbatim.
+  // Norwegian shapes to match the reference's domain: fnr (11-digit national
+  // id) and 8-digit phone numbers with optional +47 prefix.
+  val piiEmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiFnrPattern: String = "\\b\\d{11}\\b"
+  // NB: two alternatives, not one optional prefix — `\b` cannot sit between
+  // a space and '+' (both non-word) nor between the 7 of "+47" and the
+  // number's first digit (both word chars), so the prefixed form is anchored
+  // by the literal `\+` alone and only the bare form carries the leading \b.
+  val piiPhonePattern: String = "\\+47 ?\\d{8}\\b|\\b\\d{8}\\b"
+
+  /** Redact PII in place with type-tagged placeholders. Replacement ORDER is
+    * part of the semantics: emails first (their local/domain parts can
+    * contain digit runs a later pattern would shred), then the longer digit
+    * shape (fnr) before the shorter (phone) — `\b` alone keeps an 8-digit
+    * match out of the middle of an 11-digit run, but not out of
+    * `+47`-prefixed text. Pure codegen'd regexp chain, shuffle-free.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, piiEmailPattern, "<EMAIL>")
+    val f = regexp_replace(e, piiFnrPattern, "<FNR>")
+    regexp_replace(f, piiPhonePattern, "<PHONE>")
+  }
+
+  /** Per-type PII match counts (audit/reporting facet of [[redactPii]] —
+    * counted on the same intermediate stages the redaction chain sees, so
+    * counts and redactions always agree).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(text, piiEmailPattern, "<EMAIL>")
+    val afterFnr = regexp_replace(afterEmail, piiFnrPattern, "<FNR>")
+    Seq(
+      "n_email" -> regexp_count(text, lit(piiEmailPattern)),
+      "n_fnr" -> regexp_count(afterEmail, lit(piiFnrPattern)),
+      "n_phone" -> regexp_count(afterFnr, lit(piiPhonePattern)))
+  }
 }

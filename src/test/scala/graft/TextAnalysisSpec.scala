@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Repetition
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t"))).as[String].head()
+
+  test("pii redaction: email, fnr, phone (with and without +47)") {
+    assert(redact("mail ola.nordmann+x@nav.example.no her") == "mail <EMAIL> her")
+    assert(redact("fnr 12345678901 slutt") == "fnr <FNR> slutt")
+    assert(redact("ring 99887766 eller +47 99887766") == "ring <PHONE> eller <PHONE>")
+    assert(redact("alt: a@b.no 12345678901 +4799887766") == "alt: <EMAIL> <FNR> <PHONE>")
+  }
+
+  test("pii redaction: order prevents cross-type shredding") {
+    // 11-digit fnr must NOT be half-eaten by the 8-digit phone pattern,
+    // digits inside an email local part must not leak as phone/fnr
+    assert(redact("12345678901") == "<FNR>")
+    assert(redact("user12345678@x.no") == "<EMAIL>")
+    // 8 digits inside a longer digit run: no word boundary -> untouched
+    assert(redact("123456789012345") == "123456789012345")
+  }
+
+  test("pii counts agree with redaction placeholders") {
+    val df = Seq("a@b.no og 12345678901 og +47 99887766 og c@d.org").toDF("t")
+    val row = df.select(TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*).head()
+    assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((2, 1, 1)))
+  }
+
+  test("repetition metrics: duplicate lines and dominant bigram") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),             // one distinct word; bigram 'spam spam' x3
+      (2L, "a b\na b\nc d"),                   // 3 lines, one duplicated
+      (3L, "w")                                // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val m = Repetition.metrics(d, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "dup_line_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 4 && m(1L)._3 == 0.75 && m(1L)._5 == 1.0)
+    assert(m(2L)._4 == 1.0 - 2.0 / 3.0)
+    assert(m(3L)._5 == 0.0)
+  }
+}
