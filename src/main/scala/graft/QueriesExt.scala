@@ -401,6 +401,28 @@ object QueriesExt {
          |FROM st2""".stripMargin
     }))
 
+  /** Benchmark-decontamination gate: every 97th document plays the "eval
+    * set"; n=5 (vs the operator's n=8 default) so the corpus's one genuine
+    * cross-document overlap — a near-dup of a benchmark doc — exercises the
+    * non-self hit path, not just containment of the benchmark docs
+    * themselves.
+    */
+  private val decontaminate: Q = "x_decontaminate" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d, "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5, minHits = 1)
+    }, {
+      val gram = (0 until 5).map(j => s"ws[i+$j]").mkString("||' '||")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, $gram AS s FROM toks, UNNEST(range(1, len(ws)-3)) t(i)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |hits AS (SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN bench USING (s) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |  CASE WHEN coalesce(n_hits, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
+    }))
+
   /** Gopher-style repetition metrics gate: per-row facets + the relational
     * top-bigram plan, replayed by DuckDB list/group math.
     */
@@ -420,7 +442,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
-    textPii, textRepetition,
+    decontaminate, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg, sampleSystematic)

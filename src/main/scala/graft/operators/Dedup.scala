@@ -365,4 +365,39 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minHits`
+    * word `n`-grams with a benchmark/eval set — the pre-training hygiene step
+    * that keeps test questions out of training data (long n-grams, n≈8–13,
+    * are the standard detector: natural text almost never repeats an 8-gram
+    * by chance).
+    *
+    * Scale shape: the benchmark's distinct gram set is tiny relative to the
+    * corpus (eval suites are MBs against 100 TB), so the membership probe is
+    * a BROADCAST semi-join against the corpus shingle table — no corpus
+    * shuffle at all; the only shuffles are the per-doc hit count (keyed by
+    * id, map-side combined) and its join back onto the corpus, which AQE
+    * turns into a broadcast of the hit table (only contaminated docs have
+    * rows). Returns every corpus row's id with `n_hits` and a 0/1
+    * `contaminated` flag — a projection the caller filters or reports on.
+    */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val benchGrams = shingleTable(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    val hits = shingleTable(df, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", when(col("n_hits") >= minHits, 1).otherwise(0))
+  }
 }

@@ -151,6 +151,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.map(_._2).toSet == Set(1L))
   }
 
+  test("decontaminate flags docs sharing n-grams with the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // contains the bench 5-gram
+      (2L, "totally unrelated words without overlap here"),
+      (3L, "alpha beta gamma delta epsilon")         // the benchmark doc itself
+    ).toDF("doc_id", "text")
+    val bench = corpus.where(col("doc_id") === 3L)
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", bench, "doc_id", "text",
+        n = 5, minHits = 1)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((1L, 1)))  // "alpha..epsilon" 5-gram hit
+    assert(out(2L) == ((0L, 0)))
+    assert(out(3L) == ((1L, 1)))  // self-containment
+  }
+
   test("resolveClusters keeps cluster representative + unpaired docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
     val comp = Dedup.connectedComponents(pairs)
