@@ -70,9 +70,180 @@ final class JdbcSink(
   override def existing(spark: SparkSession, cols: Seq[String]): Option[DataFrame] =
     try Some(spark.read.jdbc(url, table, props).select(cols.map(col): _*))
     catch { case e: Throwable if JdbcSink.isMissingTable(e) => None }
+
+  /** J2 write with the dup-check INSIDE each INSERT — the reference's exact
+    * SQL shape (`INSERT INTO t (cols) SELECT :binds FROM dual WHERE NOT
+    * EXISTS (dup-check)`, `/root/reference/src/oracle_target.py:99-104`) —
+    * instead of the read-existing-then-append anti-join, whose existing-set
+    * snapshot is stale for the whole batch: a concurrent writer (or a task
+    * retry after a partial commit) lands duplicates the snapshot never saw.
+    * Here every row's check and insert are one statement in one transaction,
+    * so retries are idempotent and the only remaining race is two writers
+    * passing the SAME row's NOT EXISTS concurrently — close that end-state
+    * with a unique index on the keys, exactly as the reference deployment
+    * does.
+    *
+    * Executor-side streaming: each partition opens one connection, binds a
+    * prepared statement per row, `executeBatch` + commit every `batchSize`
+    * rows (the reference's executemany-then-commit cadence). The driver
+    * never materializes the batch. Returns the number of rows actually
+    * inserted (batch update counts; a 0 count = duplicate skipped).
+    */
+  def writeSkipDuplicates(df: DataFrame, keys: Seq[String], numConnections: Int = 8): Long = {
+    require(keys.nonEmpty, "writeSkipDuplicates needs at least one dedup key column")
+    val schema = df.schema
+    require(keys.forall(schema.fieldNames.contains), s"keys $keys must be columns of the frame")
+    // Spark's JDBC writer creates columns as QUOTED (case-exact) identifiers;
+    // unquoted refs would resolve case-insensitively and miss them.
+    val q = (c: String) => "\"" + c + "\""
+    // Target must exist for the NOT EXISTS probe: create it empty on first
+    // run (same DDL path as append — createTableColumnTypes honored), plus a
+    // unique index on the keys: it turns the probe into an index lookup
+    // (instead of a table scan that lock-conflicts every concurrent writer)
+    // and closes the two-writers-pass-the-same-NOT-EXISTS race at the
+    // constraint level — the violation is absorbed by the idempotent-replay
+    // flush below.
+    if (existing(df.sparkSession, Seq(schema.fieldNames.head)).isEmpty) {
+      write(df.limit(0))
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try conn.createStatement().execute(
+        s"CREATE UNIQUE INDEX ${table.replace('.', '_')}_gdx ON $table (${keys.map(q).mkString(", ")})")
+      catch { case _: java.sql.SQLException => () } // optimization only; NOT EXISTS stays the correctness path
+      finally conn.close()
+    }
+    val overrides = columnTypes.map(o => o.column -> o.sqlType).toMap
+    val castType = schema.fields.map(f => f.name ->
+      overrides.getOrElse(f.name, JdbcSink.sqlCastType(f.dataType))).toMap
+    val cols = schema.fieldNames.toSeq
+    val binds = cols.map(c => s"CAST(? AS ${castType(c)})").mkString(", ")
+    val dupCheck = keys.map(k => s"x.${q(k)} = CAST(? AS ${castType(k)})").mkString(" AND ")
+    val sql =
+      s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
+         |SELECT $binds FROM ${JdbcSink.dualTable(url)}
+         |WHERE NOT EXISTS (SELECT 1 FROM $table x WHERE $dupCheck)""".stripMargin
+    // Locals only in the task closure — capturing fields would drag `this`
+    // (and a non-serializable Properties) into every task.
+    val (u, bs) = (url, batchSize)
+    val cp = connProps
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val jdbcTypes = schema.fields.map(f => JdbcSink.jdbcTypeCode(f.dataType))
+    val inserted = df.sparkSession.sparkContext.longAccumulator("graft.merge.inserted")
+    // Bounded connection fan-in: a 1000-executor stage must not open 32k
+    // sessions against one DB — the sink, not the upstream plan, owns the
+    // write parallelism (the reference is the degenerate numConnections=1).
+    df.coalesce(numConnections).foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val p = new java.util.Properties()
+        cp.foreach { case (k, v) => p.setProperty(k, v) }
+        val conn = java.sql.DriverManager.getConnection(u, p)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](bs)
+          // Flush with idempotent replay: on deadlock / lock-timeout /
+          // unique-violation the transaction is rolled back and the SAME
+          // mini-batch re-executed — safe precisely because each statement
+          // skips rows that already landed. Anything non-retriable (or the
+          // 6th consecutive failure) propagates and fails the task.
+          def flush(): Unit = if (buf.nonEmpty) {
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try {
+                buf.foreach { row =>
+                  var i = 0
+                  while (i < row.length) {
+                    if (row.isNullAt(i)) ps.setNull(i + 1, jdbcTypes(i))
+                    else ps.setObject(i + 1, row.get(i))
+                    i += 1
+                  }
+                  keyIdx.zipWithIndex.foreach { case (ki, j) =>
+                    if (row.isNullAt(ki)) ps.setNull(row.length + j + 1, jdbcTypes(ki))
+                    else ps.setObject(row.length + j + 1, row.get(ki))
+                  }
+                  ps.addBatch()
+                }
+                inserted.add(ps.executeBatch().map(_.max(0).toLong).sum)
+                conn.commit()
+                done = true
+              } catch {
+                case e: java.sql.SQLException if attempt < 5 && JdbcSink.isRetriableWrite(e) =>
+                  attempt += 1
+                  try conn.rollback() catch { case _: java.sql.SQLException => () }
+                  ps.clearBatch()
+                  Thread.sleep(50L * attempt + java.util.concurrent.ThreadLocalRandom.current().nextInt(50))
+              }
+            }
+            buf.clear()
+          }
+          rows.foreach { row =>
+            buf += row
+            if (buf.size >= bs) flush()
+          }
+          flush()
+          ps.close()
+        } finally conn.close()
+      }
+    }
+    inserted.value
+  }
 }
 
 object JdbcSink {
+  /** The single-row dummy relation for `INSERT … SELECT binds FROM <dual>`:
+    * Oracle's `dual`, Derby/DB2's `SYSIBM.SYSDUMMY1`.
+    */
+  private[sinks] def dualTable(url: String): String =
+    if (url.startsWith("jdbc:oracle")) "dual" else "SYSIBM.SYSDUMMY1"
+
+  /** SQL type for binding casts (Derby rejects untyped `?` in a SELECT list;
+    * Oracle infers but the cast is harmless). Overridable per column via
+    * [[ColumnTypeOverride]].
+    */
+  private[sinks] def sqlCastType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType | ShortType | ByteType => "INTEGER"
+      case DoubleType | FloatType => "DOUBLE"
+      case BooleanType => "BOOLEAN"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case DateType => "DATE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case _ => "VARCHAR(4000)"
+    }
+  }
+
+  private[sinks] def jdbcTypeCode(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType | ShortType | ByteType => java.sql.Types.INTEGER
+      case DoubleType | FloatType => java.sql.Types.DOUBLE
+      case BooleanType => java.sql.Types.BOOLEAN
+      case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+      case DateType => java.sql.Types.DATE
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case _ => java.sql.Types.VARCHAR
+    }
+  }
+
+  /** Retriable write failures for the idempotent-replay flush: deadlock
+    * (SQLState 40001, Oracle ORA-00060), Derby lock timeouts (40XL1/40XL2),
+    * and unique-key violation (23505 — two writers passed the same row's
+    * NOT EXISTS; replay skips it).
+    */
+  private[sinks] def isRetriableWrite(e: java.sql.SQLException): Boolean = {
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    chain.exists {
+      case s: java.sql.SQLException =>
+        val state = Option(s.getSQLState).getOrElse("")
+        state == "40001" || state == "40XL1" || state == "40XL2" || state == "23505" ||
+          s.getErrorCode == 60
+      case _ => false
+    }
+  }
+
   /** True iff the exception chain denotes a missing table/view, by SQLState
     * (ANSI/MySQL 42S02, Postgres 42P01, Derby 42X05), vendor code (Oracle
     * ORA-00942) or, for wrapped analysis errors, message text.

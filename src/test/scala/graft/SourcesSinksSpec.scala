@@ -49,6 +49,38 @@ class SourcesSinksSpec extends SparkSpec {
     assert(sink.existing(spark, Seq("k")).isEmpty)
   }
 
+  test("S8/J2 writeSkipDuplicates: dup check inside each INSERT, idempotent re-write") {
+    val url = derbyUrl()
+    val sink = new JdbcSink(url, "dedup_t", batchSize = 3) // multiple flush/commit rounds
+    val df = spark.range(10).select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+    assert(sink.writeSkipDuplicates(df, Seq("k")) == 10) // fresh target auto-created
+    // overlapping re-write (task-retry / second run shape): only the 5 new land
+    val df2 = spark.range(5, 15).select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+    assert(sink.writeSkipDuplicates(df2, Seq("k")) == 5)
+    assert(sink.existing(spark, Seq("k")).get.count() == 15)
+    // exact replay is a no-op
+    assert(sink.writeSkipDuplicates(df, Seq("k")) == 0)
+  }
+
+  test("S8/J2 writeSkipDuplicates: concurrent overlapping writers converge, zero dupes") {
+    val url = derbyUrl()
+    val sink = new JdbcSink(url, "conc_t", batchSize = 5)
+    // Create table + unique index serially; the race under test is row
+    // writes, not first-run DDL.
+    sink.writeSkipDuplicates(
+      spark.range(0).select(col("id").as("k"), col("id").cast("string").as("s")), Seq("k"))
+    val a = spark.range(0, 40).select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+    val b = spark.range(20, 60).select(col("id").as("k"), concat(lit("v"), col("id")).as("s"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(sink.writeSkipDuplicates(a, Seq("k"), numConnections = 2))
+    val fb = Future(sink.writeSkipDuplicates(b, Seq("k"), numConnections = 2))
+    val total = Await.result(fa, 3.minutes) + Await.result(fb, 3.minutes)
+    assert(total == 60) // each row inserted exactly once across both writers
+    assert(sink.existing(spark, Seq("k")).get.count() == 60)
+  }
+
   test("S8 JdbcSink.existing: connectivity failure propagates (no silent dedup degrade)") {
     // No network Derby server is running and no client driver is present:
     // this must THROW, not return None — returning None would silently turn
