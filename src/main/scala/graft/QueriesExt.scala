@@ -260,6 +260,55 @@ object QueriesExt {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** ST6 extension, STREAMING correctness gate: the same tumbling-window
+    * aggregation as [[eventWindows]] run through an actual Structured
+    * Streaming query — file-stream source, event-time watermark, append-mode
+    * windowed agg, AvailableNow run-to-completion, parquet sink — gated
+    * against the batch oracle.
+    *
+    * Determinism notes (why this matches the batch SQL exactly):
+    *  - all real events land in ONE micro-batch (no maxFilesPerTrigger), so
+    *    the previous-batch watermark of 0 filters nothing — no late-drop
+    *    divergence from batch semantics regardless of file order;
+    *  - a single sentinel row 2h past max(ts) advances the watermark beyond
+    *    every real window end, so the no-data flush batch finalizes and
+    *    emits them all; the sentinel's own window stays open and is
+    *    excluded by its marker event_type.
+    */
+  private val stWindowedCounts: Q = "st_windowed_counts" -> ((
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stwin").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+      ev.write.parquet(s"$tmp/topic")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      Seq((new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L), "___wm", 0.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(s"$tmp/topic")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+      val agg = stream.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+      val q = agg.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").where(col("event_type") =!= "___wm")
+    },
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
   // --------------------------------------------------------------- IVF ANN
   private val annIvfOracle =
     """WITH n AS (SELECT vec_id, embedding,
@@ -445,7 +494,7 @@ object QueriesExt {
     decontaminate, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows, skewSaltedAgg, sampleSystematic)
+    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, skewSaltedAgg, sampleSystematic)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */
