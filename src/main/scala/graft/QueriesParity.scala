@@ -343,6 +343,8 @@ object QueriesParity {
       val d = col("o_orderdate")
       val k = col("o_orderkey")
       val inp = when(k % 7 === 0, lit("absolutely not a date"))
+        .when(k % 11 === 0, unix_timestamp(d).cast("string"))            // epoch seconds in string
+        .when(k % 11 === 1, (unix_timestamp(d) * 1000).cast("string"))   // epoch millis in string
         .when(k % 8 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
         .when(k % 8 === 1, date_format(d, "yyyy-MM-dd HH:mm:ss"))
         .when(k % 8 === 2, date_format(d, "yyyy-MM-dd"))
@@ -356,7 +358,7 @@ object QueriesParity {
     """SELECT o_orderkey,
       |  CASE
       |    WHEN o_orderkey % 7 = 0 THEN NULL
-      |    WHEN o_orderkey % 8 IN (0,1,2,3,4,5,6)
+      |    WHEN o_orderkey % 11 IN (0,1) OR o_orderkey % 8 IN (0,1,2,3,4,5,6)
       |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
       |                    '%Y-%m-%d %H:%M:%S')
       |    ELSE strftime(timezone('Europe/Oslo',

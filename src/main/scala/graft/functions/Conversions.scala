@@ -109,7 +109,14 @@ object Conversions {
       try_to_timestamp(s, lit("d MMMM yyyy")),
       try_to_timestamp(s, lit("MMM dd yyyy")),
       try_to_timestamp(s, lit("MMMM dd, yyyy")),
-      try_to_timestamp(s, lit("yyyyMMdd")))
+      try_to_timestamp(s, lit("yyyyMMdd")),
+      // Epoch-in-string (dateparser accepts bare epochs): 9–10 digits =
+      // seconds, 12–13 = milliseconds. 8-digit runs stay with `yyyyMMdd`
+      // above and 11 digits is ambiguous (kept unparsed) — the digit-count
+      // bands are disjoint from every format rung, so ladder order is
+      // irrelevant for these.
+      when(s.rlike("^\\d{9,10}$"), timestamp_seconds(s.cast("long"))),
+      when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long"))))
     from_utc_timestamp(parsed, Oslo)
   }
 

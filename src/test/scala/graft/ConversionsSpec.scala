@@ -64,6 +64,9 @@ class ConversionsSpec extends SparkSpec {
       "15/01/2024 01:30 PM",        // 12-hour clock, PM
       "2024-01-15 12:00:00 AM",     // 12 AM = midnight
       "Jan 15, 2024 11:59 PM",      // month-name + 12-hour clock
+      "1705320000",                 // epoch seconds in string: 2024-01-15 12:00Z
+      "1705320000000",              // epoch millis in string: same instant
+      "17053200001",                // 11 digits: ambiguous -> null
       "nonsense")
       .toDF("s")
       .select(date_format(Conversions.lenientDateOslo(col("s")), "yyyy-MM-dd HH:mm:ss"))
@@ -77,6 +80,9 @@ class ConversionsSpec extends SparkSpec {
       "2024-01-15 14:30:00",
       "2024-01-15 01:00:00",
       "2024-01-16 00:59:00",
+      "2024-01-15 13:00:00",
+      "2024-01-15 13:00:00",
+      null,
       null))
   }
 
