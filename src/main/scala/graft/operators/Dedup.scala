@@ -327,27 +327,42 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+    val edgesRaw = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
       .localCheckpoint(true)
+    // Size the ITERATION width from the measured edge count (free — edges are
+    // already materialized), not the session shuffle width: the pair graph of
+    // a deduped corpus is a sliver of the corpus, and running each tiny
+    // iteration at full width makes the loop task-scheduling-bound (32 tasks
+    // per job to move a few thousand rows). One partition per ~100k edges,
+    // capped at the session width for genuinely large graphs.
+    val sessionWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val width = math.max(1, math.min(sessionWidth, (edgesRaw.count() / 100000L).toInt))
+    val edges = edgesRaw.repartition(width, col("u")).localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // The previous label rides along through the union (`_prev` is non-null
+      // exactly on the one row each id contributes from `labels`), so the
+      // convergence test needs NO second join: the only job per iteration is
+      // the propagate+min-agg that materializes `next`, and the change test
+      // (min-label is monotone decreasing, so strict `<` is the full test)
+      // scans the just-checkpointed blocks.
+      val prev = labels.select(col("id"), col("component"),
+        col("component").as("_prev"))
       val prop = edges.join(labels.withColumnRenamed("id", "u"), "u")
-        .select(col("v").as("id"), col("component"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("v").as("id"), col("component"),
+          lit(null).cast(labels.schema("component").dataType).as("_prev"))
+      val next = prev.union(prop)
+        .repartition(width, col("id"))
+        .groupBy("id").agg(min("component").as("component"), min("_prev").as("_prev"))
         .localCheckpoint(true)
-      // One tiny action per iteration: did ANY label improve? (min-label is
-      // monotone decreasing, so strict `<` is the full change test.)
-      converged = next.join(labels.withColumnRenamed("component", "_prev"), "id")
-        .where(col("component") < col("_prev"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("component") < col("_prev")).isEmpty
+      labels = next.select("id", "component")
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
