@@ -489,9 +489,64 @@ object QueriesExt {
       |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
       |FROM per LEFT JOIN top ON per.doc_id = top.doc_id""".stripMargin))
 
+  /** FLAGSHIP composition: the full corpus-curation pipeline a training-data
+    * run executes, end to end — repetition/quality filter → exact dedup
+    * (keep-one) → near-dup candidate pairs → connected-component cluster
+    * resolution → benchmark decontamination — every stage an operator gated
+    * individually above, here composed and gated as ONE plan against one
+    * chained-CTE oracle. This is the "could a user run their whole workload"
+    * query: 500 docs in, 418 curated docs out at sf0.01.
+    */
+  private val corpusPipeline: Q = "x_corpus_pipeline" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val rep = graft.operators.Repetition.metrics(d, "doc_id", "text")
+      val q1 = d.join(
+        rep.where(col("n_words") >= 20 && col("dup_word_frac") < 0.7 &&
+          col("top_bigram_frac") < 0.15).select("doc_id", "n_words"), "doc_id")
+      val dd = q1.join(
+        Dedup.exact(q1, "doc_id", md5(col("text"))).select(col("kept_id").as("doc_id")), "doc_id")
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(dd, "doc_id", "text", n = 3, threshold = 0.3))
+      val kept = Dedup.resolveClusters(dd, "doc_id", comp)
+      val clean = Dedup.decontaminate(kept, "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5, minHits = 1)
+        .where(col("contaminated") === 0).select("doc_id")
+      kept.join(clean, "doc_id").select("doc_id", "n_words", "source")
+    }, {
+      val g5 = (0 until 5).map(j => s"ws[i+$j]").mkString("||' '||")
+      s"""WITH RECURSIVE toks0 AS (SELECT doc_id, source, text, string_split(trim(text),' ') ws FROM documents),
+         |rep AS (SELECT doc_id, len(ws)::BIGINT n_words,
+         |        1 - len(list_distinct(ws))::DOUBLE/greatest(len(ws),1) AS dwf FROM toks0),
+         |bgt AS (SELECT doc_id, ws[i]||' '||ws[i+1] b FROM toks0, UNNEST(range(1,len(ws))) t(i)),
+         |bgc AS (SELECT doc_id, b, count(*) c FROM bgt GROUP BY 1,2),
+         |tbf AS (SELECT doc_id, max(c)::DOUBLE/sum(c) f FROM bgc GROUP BY 1),
+         |q1 AS (SELECT toks0.doc_id, source, text, ws, n_words FROM toks0
+         |       JOIN rep USING (doc_id) LEFT JOIN tbf USING (doc_id)
+         |       WHERE n_words >= 20 AND dwf < 0.7 AND coalesce(f, 0.0) < 0.15),
+         |d1 AS (SELECT min(doc_id) doc_id FROM q1 GROUP BY md5(text)),
+         |dd AS (SELECT q1.* FROM q1 JOIN d1 USING (doc_id)),
+         |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] s FROM dd, UNNEST(range(1,len(ws)-1)) t(i)),
+         |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+         |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2),
+         |prs AS (SELECT id_a, id_b FROM inter JOIN cnt ca ON ca.doc_id=id_a JOIN cnt cb ON cb.doc_id=id_b
+         |        WHERE n_inter::DOUBLE/(ca.n+cb.n-n_inter) > 0.3),
+         |edges AS (SELECT id_a u, id_b v FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |comp AS (SELECT id, min(r) component FROM reach GROUP BY id),
+         |kept AS (SELECT dd.* FROM dd WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+         |g5 AS (SELECT DISTINCT doc_id, $g5 s FROM toks0, UNNEST(range(1,len(ws)-3)) t(i)),
+         |bench AS (SELECT DISTINCT s FROM g5 WHERE doc_id % 97 = 0),
+         |conta AS (SELECT DISTINCT g5.doc_id FROM g5 JOIN bench USING (s))
+         |SELECT doc_id, n_words, source FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM conta)""".stripMargin
+    }))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
-    decontaminate, textPii, textRepetition,
+    decontaminate, corpusPipeline, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, skewSaltedAgg, sampleSystematic)
