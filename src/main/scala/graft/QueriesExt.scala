@@ -504,8 +504,15 @@ object QueriesExt {
       val q1 = d.join(
         rep.where(col("n_words") >= 20 && col("dup_word_frac") < 0.7 &&
           col("top_bigram_frac") < 0.15).select("doc_id", "n_words"), "doc_id")
+      // Materialize the stage boundary: the survivor frame feeds FOUR
+      // consumers (pair generation, keep-one resolution, decontamination
+      // probe, final projection) and connectedComponents' eager checkpoint
+      // splits the lineage into separate jobs, so without a persist the
+      // quality+dedup upstream re-executes once per consumer. At 100 TB the
+      // same boundary is a parquet write between pipeline stages.
       val dd = q1.join(
         Dedup.exact(q1, "doc_id", md5(col("text"))).select(col("kept_id").as("doc_id")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val comp = Dedup.connectedComponents(
         Dedup.jaccardPairs(dd, "doc_id", "text", n = 3, threshold = 0.3))
       val kept = Dedup.resolveClusters(dd, "doc_id", comp)
