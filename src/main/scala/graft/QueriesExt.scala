@@ -551,12 +551,26 @@ object QueriesExt {
          |SELECT doc_id, n_words, source FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM conta)""".stripMargin
     }))
 
+  /** Corpus-mixing sample: per-source keep rates + default, same
+    * content-hash selection as the systematic sample.
+    */
+  private val sampleStratified: Q = "x_sample_stratified" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.stratifiedSample(docs(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 100.0, "src1" -> 50.0, "src2" -> 10.0), defaultPercent = 20.0)
+        .select("doc_id", "source"),
+    """SELECT doc_id, source FROM documents
+      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::INT % 10000 <
+      |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+      |              WHEN 'src2' THEN 1000 ELSE 2000 END""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, skewSaltedAgg, sampleSystematic)
+    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, skewSaltedAgg,
+    sampleSystematic, sampleStratified)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

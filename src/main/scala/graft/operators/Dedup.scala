@@ -272,6 +272,35 @@ object Dedup {
     df.where(bucket < lit(math.round(percent * 100).toInt))
   }
 
+  /** Stratified deterministic sample — the corpus-MIXING primitive: each
+    * stratum (source, language, quality band, …) gets its own keep rate, so
+    * one pass re-weights the training mix ("keep 100% of books, 10% of
+    * common-crawl"). Selection per row is the same pure content-hash bucket
+    * as [[systematicSample]] (append-stable, engine-reproducible, no seed
+    * drift across retries/partitionings); the stratum only chooses the
+    * THRESHOLD, so this is a shuffle-free codegen'd filter the scan can
+    * absorb. Strata absent from `ratesPercent` fall back to
+    * `defaultPercent` (0.0 = drop unlisted strata — explicit mixes stay
+    * explicit).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      ratesPercent: Map[String, Double],
+      defaultPercent: Double = 0.0): DataFrame = {
+    (ratesPercent.values.toSeq :+ defaultPercent).foreach { p =>
+      require(p == 0.0 || (p >= 0.01 && p <= 100),
+        s"rate $p must be 0 (drop) or in [0.01, 100] (selection granularity is 0.01%)")
+    }
+    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int") % 10000
+    val threshold = ratesPercent.foldLeft(lit(math.round(defaultPercent * 100).toInt)) {
+      case (acc, (stratum, pct)) =>
+        when(stratumCol === stratum, lit(math.round(pct * 100).toInt)).otherwise(acc)
+    }
+    df.where(bucket < threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,
     * shard, LSH bucket, …): the block join bounds the pair count, cosine is
     * the strict-left-fold double math of [[Similarity.cosine]] so any engine

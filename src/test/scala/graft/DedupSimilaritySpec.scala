@@ -151,6 +151,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.map(_._2).toSet == Set(1L))
   }
 
+  test("stratified sample: per-stratum rates, default for unlisted, 0 drops") {
+    val d = spark.range(10000).selectExpr("id AS k", "concat('s', id % 2) AS src")
+    val out = Dedup.stratifiedSample(d, col("k"), col("src"),
+      Map("s0" -> 100.0, "s1" -> 10.0))
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("s0") == 5000)                      // 100% of stratum
+    assert(bySrc("s1") > 300 && bySrc("s1") < 700)   // ~10% of 5000
+    // unlisted stratum with defaultPercent 0 -> dropped entirely
+    val out2 = Dedup.stratifiedSample(d.withColumn("src", lit("other")), col("k"), col("src"),
+      Map("s0" -> 100.0))
+    assert(out2.count() == 0)
+    // deterministic: same selection on re-run
+    assert(out.select("k").as[Long].collect().sorted.toSeq ==
+      Dedup.stratifiedSample(d, col("k"), col("src"), Map("s0" -> 100.0, "s1" -> 10.0))
+        .select("k").as[Long].collect().sorted.toSeq)
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains the bench 5-gram
