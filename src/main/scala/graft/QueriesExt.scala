@@ -309,6 +309,54 @@ object QueriesExt {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Custom keyed STATE correctness gate: `flatMapGroupsWithState`
+    * sessionization (watermark-timed, order-insensitive merge) against the
+    * batch lag-window sessionizer in DuckDB. Same single-batch + sentinel
+    * flush mechanics as [[stWindowedCounts]] — the sentinel user's watermark
+    * push times out every real user's final open session; `sum_value` is
+    * deliberately NOT gated (float accumulation order differs between a
+    * state fold and a group agg; extent and counts are order-exact).
+    */
+  private val stSessionize: Q = "st_sessionize" -> ((
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stsess").toString
+      val gapMs = 21600000L // 6h, as the batch q_sessionize gate
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
+          col("value"))
+      ev.write.parquet(s"$tmp/topic")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + gapMs + 2 * 3600 * 1000L), 0.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(s"$tmp/topic")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+      val sessions = graft.streaming.Sessionize
+        .sessions(s, stream, gapMs = gapMs, watermarkDelay = "10 minutes")
+      val q = sessions.toDF()
+        .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+          col("endMs").as("end_ms"), col("nEvents").as("n_events"))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").where(col("user_id") >= 0)
+    },
+    """WITH e AS (SELECT user_id, epoch_ms(ts) t FROM events),
+      |m AS (SELECT user_id, t,
+      |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 21600000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin))
+
   // --------------------------------------------------------------- IVF ANN
   private val annIvfOracle =
     """WITH n AS (SELECT vec_id, embedding,
@@ -569,7 +617,7 @@ object QueriesExt {
     decontaminate, corpusPipeline, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, skewSaltedAgg,
+    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified)
 
   /** Operators whose results are sketch-based and engine-specific — gated as

@@ -42,7 +42,11 @@ object Sessionize {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last < gapMs =>
+          // `<=`: a new session starts only when the gap is EXCEEDED —
+          // the same convention as the batch lag-window sessionizer
+          // (`diff > gap` breaks), so batch and streaming agree at the
+          // exact-boundary instant.
+          case Some(s) if t - s.last <= gapMs =>
             // Order-insensitive merge: a late-but-within-watermark event from
             // a LATER micro-batch can carry t < s.last (the sort above is
             // batch-local); taking last = t there would move the session end
