@@ -31,7 +31,8 @@ object GraftFunctions {
     "graft_n_tokens" -> TextAnalysis.nTokens,
     "graft_bpeish_count" -> TextAnalysis.bpeishCount,
     "graft_fingerprint" -> TextAnalysis.rollingFingerprint,
-    "graft_simhash" -> (c => graft.operators.Dedup.simHash(c)))
+    "graft_simhash" -> (c => graft.operators.Dedup.simHash(c)),
+    "graft_redact_pii" -> TextAnalysis.redactPii)
 
   def register(spark: SparkSession): Unit = {
     fns1.foreach { case (name, f) =>
