@@ -567,7 +567,13 @@ object QueriesExt {
       val clean = Dedup.decontaminate(kept, "doc_id", "text",
         d.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5, minHits = 1)
         .where(col("contaminated") === 0).select("doc_id")
-      kept.join(clean, "doc_id").select("doc_id", "n_words", "source")
+      // Materialize the (small) final result, then RELEASE the stage cache —
+      // Verify/Bench run ~49 queries in one session, and a leaked persist
+      // would shrink every later query's memory.
+      val out = kept.join(clean, "doc_id").select("doc_id", "n_words", "source")
+        .localCheckpoint(true)
+      dd.unpersist()
+      out
     }, {
       val g5 = (0 until 5).map(j => s"ws[i+$j]").mkString("||' '||")
       s"""WITH RECURSIVE toks0 AS (SELECT doc_id, source, text, string_split(trim(text),' ') ws FROM documents),

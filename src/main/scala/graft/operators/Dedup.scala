@@ -222,10 +222,19 @@ object Dedup {
     // Inverted-index aggregation instead of a self-join: group the shingle
     // table by shingle, DROP singleton postings (a shingle in one document
     // can never witness a pair — the overwhelming majority in natural text)
-    // and stop-shingles (df > maxDf, removed via a broadcast anti-join — the
-    // stop set is small by construction), and expand each surviving posting
+    // and stop-shingles (df > maxDf), and expand each surviving posting
     // list into its local pairs. The df pre-count is a Long-buffer aggregate,
     // never a list, so no unbounded aggregation state exists anywhere.
+    //
+    // Stop-shingle handling is ONE co-partitioned join, not a broadcast: the
+    // number of df>maxDf shingles GROWS with corpus size (Zipf — at web
+    // scale millions of boilerplate n-grams clear any fixed cap), so pinning
+    // a broadcast build side would trade away the bounded-memory guarantee
+    // this operator exists for. Instead the posting table joins its own
+    // df-count aggregate — both sides hash-partitioned by shingle from the
+    // SAME exchange (ReuseExchange), so the join, the kept/stop split, and
+    // the downstream posting-list groupBy all run in that one partitioning
+    // with zero additional shuffles of the expanded table.
     //
     // Per-doc shingle counts start from `size(shingles)` on the SAME
     // shingleArrays subplan and subtract the doc's stop-shingle hits (small
@@ -234,9 +243,9 @@ object Dedup {
     val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull) // see shingleTable: InferFiltersFromGenerate trap
     val dfCnt = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val stop = dfCnt.where(col("_df") > maxDf).select("shingle")
-    val shKept = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
-    val stopHits = sh.join(broadcast(stop), Seq("shingle"))
+    val withDf = sh.join(dfCnt, Seq("shingle"))
+    val shKept = withDf.where(col("_df") <= maxDf).select(col(idCol), col("shingle"))
+    val stopHits = withDf.where(col("_df") > maxDf)
       .groupBy(col(idCol)).agg(count(lit(1)).as("_n_stop"))
     val cnt = base.select(col(idCol), size(col("shingles")).as("_n_all"))
       .join(stopHits, Seq(idCol), "left")

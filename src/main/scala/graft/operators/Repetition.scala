@@ -41,7 +41,13 @@ object Repetition {
         greatest(size(col("_ws")), lit(1)).cast("double")).as("dup_word_frac"),
       (lit(1.0) - size(array_distinct(col("_ls"))).cast("double") /
         greatest(size(col("_ls")), lit(1)).cast("double")).as("dup_line_frac"))
-    val cnt = base.select(col(idCol), explode(Dedup.shinglesOf(col("_ws"), 2)).as("bg"))
+    // explode_outer + null-filter, NOT plain explode: InferFiltersFromGenerate
+    // would infer `size(shinglesOf(..)) > 0` from a non-outer explode and
+    // predicate pushdown sinks it below the repartition exchange, re-running
+    // the tokenizer per element on the single compact pre-shuffle partition
+    // (the measured 12x trap documented at Dedup.shingleTable).
+    val cnt = base.select(col(idCol), explode_outer(Dedup.shinglesOf(col("_ws"), 2)).as("bg"))
+      .where(col("bg").isNotNull)
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
     val top = cnt.groupBy(col(idCol)).agg(max("c").as("mx"), sum("c").as("tot"))
       .select(col(idCol), (col("mx").cast("double") / col("tot").cast("double")).as("top_bigram_frac"))

@@ -88,6 +88,13 @@ final class JdbcSink(
     * rows (the reference's executemany-then-commit cadence). The driver
     * never materializes the batch. Returns the number of rows actually
     * inserted (batch update counts; a 0 count = duplicate skipped).
+    *
+    * Count caveat: the SINK state is exact under any failure (every statement
+    * is idempotent), but the returned count is exact only absent Spark TASK
+    * retries — a task that dies after committing some mini-batches loses
+    * those accumulator updates, and its replacement re-observes the rows as
+    * duplicates (0 counts): the total under-reports what this call inserted.
+    * Audit-grade counts should query the sink, not trust the return.
     */
   def writeSkipDuplicates(df: DataFrame, keys: Seq[String], numConnections: Int = 8): Long = {
     require(keys.nonEmpty, "writeSkipDuplicates needs at least one dedup key column")
@@ -163,8 +170,12 @@ final class JdbcSink(
                   }
                   ps.addBatch()
                 }
-                inserted.add(ps.executeBatch().map(_.max(0).toLong).sum)
+                val counts = ps.executeBatch().map(_.max(0).toLong).sum
                 conn.commit()
+                // Count only AFTER the commit: a retriable failure at commit
+                // time replays the mini-batch, and counts added before it
+                // would double-tally rows whose insert never became durable.
+                inserted.add(counts)
                 done = true
               } catch {
                 case e: java.sql.SQLException if attempt < 5 && JdbcSink.isRetriableWrite(e) =>

@@ -114,9 +114,16 @@ object ConfluentAvro {
         schemasById.get(id) match {
           case None => null
           case Some(schemaJson) =>
-            val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
-            val rec = reader(schemaJson).read(null, dec)
-            convert(rec, sparkSchema).asInstanceOf[Row]
+            // A malformed/truncated datum under a KNOWN id must also take the
+            // count-and-continue channel — an uncaught decode throw here would
+            // be a task-retry storm over one stray message, the very failure
+            // mode this path exists to avoid. (The single-schema [[decode]]
+            // stays strict-fatal by design — Avro strict mode, spec'd.)
+            try {
+              val dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
+              val rec = reader(schemaJson).read(null, dec)
+              convert(rec, sparkSchema).asInstanceOf[Row]
+            } catch { case scala.util.control.NonFatal(_) => null }
         }
       }
     udf(fn, sparkSchema).apply(value)

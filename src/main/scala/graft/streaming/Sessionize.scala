@@ -45,17 +45,27 @@ object Sessionize {
           // `<=`: a new session starts only when the gap is EXCEEDED —
           // the same convention as the batch lag-window sessionizer
           // (`diff > gap` breaks), so batch and streaming agree at the
-          // exact-boundary instant.
-          case Some(s) if t - s.last <= gapMs =>
-            // Order-insensitive merge: a late-but-within-watermark event from
-            // a LATER micro-batch can carry t < s.last (the sort above is
-            // batch-local); taking last = t there would move the session end
-            // BACKWARDS and shorten the timeout. min/max keeps the extent
-            // correct under any cross-batch arrival order.
+          // exact-boundary instant. The merge window is the full interval
+          // [start − gap, last + gap]: a late-but-within-watermark event
+          // from a LATER micro-batch can carry t < s.last (the sort above
+          // is batch-local), and min/max keeps the extent correct under any
+          // cross-batch arrival order — but ONLY within gap of the interval;
+          // see the straggler case below.
+          case Some(s) if t - s.last <= gapMs && s.start - t <= gapMs =>
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.sum + e.value))
-          case Some(s) =>
+          case Some(s) if t - s.last > gapMs =>
             closed ::= Session(userId, s.start, s.last, s.n, s.sum)
             cur = Some(SessionState(t, t, 1, e.value))
+          case Some(_) =>
+            // Pre-start straggler: a cross-batch late event MORE than gap
+            // before the open session's start. Absorbing it would stretch
+            // `start` backwards across a gap the batch sessionizer breaks
+            // on; it belongs to an earlier session, so emit it as its own
+            // closed singleton. (Known divergence: two such stragglers
+            // arriving in different micro-batches that would merge with
+            // EACH OTHER emit separately — exact repair needs a per-key
+            // event buffer, not O(1) state.)
+            closed ::= Session(userId, t, t, 1, e.value)
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }

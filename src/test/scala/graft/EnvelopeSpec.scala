@@ -142,6 +142,34 @@ class EnvelopeSpec extends SparkSpec {
     assert(rows(2).getAs[Int]("kafka_schema_id") == 777)
     assert(rows(2).getAs[Boolean]("kafka_error"))
     assert(rows(2).isNullAt(rows(2).fieldIndex("payload")))
-    assert(rows(2).isNullAt(rows(2).fieldIndex("kafka_message")))
+  }
+
+  test("S5 multi-schema dispatch: corrupt datum under a REGISTERED id -> error channel, not fatal") {
+    // functions.udf consults the THREAD-active SQLConf at Column-build time;
+    // make this session (with allowUntypedScalaUDF) active before building
+    // encode/decode columns outside any DataFrame context.
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val v1 =
+      """{"type":"record","name":"ev","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val payloadSchema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // valid wire header for registered id 1, then garbage: a varint promising
+    // a huge string (same corpse as the strict-mode test — but multi-schema
+    // dispatch promises count-and-continue, unlike single-schema strict mode)
+    val bad = Array[Byte](0, 0, 0, 0, 1) ++ Array.fill(4)(0xff.toByte)
+    val ok = ConfluentAvro.encode(struct(lit(7L).as("id"), lit("fin").as("name")), v1, 1)
+    val raw = spark.range(2).select(
+      lit("k".getBytes("UTF-8")).as("key"),
+      when(col("id") === 0, lit(bad)).otherwise(ok).as("value"),
+      lit("t").as("topic"), lit(0).as("partition"),
+      col("id").as("offset"), lit(1700000000000L).as("timestamp"))
+    val env = Envelope.avroMulti(raw, SourceConfig(topic = "t", schemaMode = SchemaMode.Avro),
+      Map(1 -> v1), payloadSchema)
+    val rows = env.orderBy("kafka_offset").collect()
+    assert(rows(0).getAs[Boolean]("kafka_error"))      // corrupt: flagged, job survives
+    assert(rows(0).isNullAt(rows(0).fieldIndex("payload")))
+    assert(!rows(1).getAs[Boolean]("kafka_error"))     // healthy sibling decodes
+    assert(rows(1).getAs[Row]("payload").getAs[String]("name") == "fin")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("kafka_message")))
   }
 }

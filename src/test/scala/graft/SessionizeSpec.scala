@@ -70,6 +70,35 @@ class SessionizeSpec extends SparkSpec {
     assert(out(0) == Sessionize.Session(1L, ts(0).getTime, ts(4).getTime, 3, 7.0))
   }
 
+  test("pre-start straggler (beyond gap before session start) closes as its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "40 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_straggler")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(20), 1.0), (1L, ts(22), 2.0)) // state: [10:20, 10:22]
+    query.processAllAvailable()
+    // LATE but on time (watermark 09:42): 10:05 is > gap before 10:20 — the
+    // batch sessionizer breaks there, so it must NOT stretch start backwards.
+    input.addData((1L, ts(5), 4.0))
+    query.processAllAvailable()
+    input.addData((2L, ts(59), 0.0)) // watermark forward -> open session times out
+    query.processAllAvailable()
+    input.addData((2L, ts(75), 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_straggler").as[Sessionize.Session].collect()
+      .filter(_.userId == 1L).sortBy(_.startMs)
+    query.stop()
+    assert(out.toSeq == Seq(
+      Sessionize.Session(1L, ts(5).getTime, ts(5).getTime, 1, 4.0),
+      Sessionize.Session(1L, ts(20).getTime, ts(22).getTime, 2, 3.0)))
+  }
+
   test("state is per key: interleaved users do not merge") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
