@@ -605,6 +605,21 @@ object QueriesExt {
          |SELECT doc_id, n_words, source FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM conta)""".stripMargin
     }))
 
+  /** Sequence packing (pretraining shape): global token offsets via the
+    * scalable two-phase prefix sum, replayed by an ordinary window in the
+    * oracle.
+    */
+  private val packSequences: Q = "x_pack_sequences" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Packing.packSequences(docs(s, dir), "doc_id", "text", maxTokens = 2048),
+    """WITH t AS (SELECT doc_id, len(string_split(trim(text),' '))::BIGINT AS n_tokens FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS off FROM t)
+      |SELECT doc_id, n_tokens, off::BIGINT AS token_offset,
+      |  (off // 2048)::BIGINT AS seq_first,
+      |  ((off + greatest(n_tokens, 1) - 1) // 2048)::BIGINT AS seq_last
+      |FROM o""".stripMargin))
+
   /** Corpus-mixing sample: per-source keep rates + default, same
     * content-hash selection as the systematic sample.
     */
@@ -624,7 +639,7 @@ object QueriesExt {
     annBruteforce, annLsh, annIvf, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
-    sampleSystematic, sampleStratified)
+    sampleSystematic, sampleStratified, packSequences)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

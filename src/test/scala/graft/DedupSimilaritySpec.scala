@@ -168,6 +168,19 @@ class DedupSimilaritySpec extends SparkSpec {
         .select("k").as[Long].collect().sorted.toSeq)
   }
 
+  test("sequence packing: global offsets in id order, boundary-straddling docs span bins") {
+    val d = Seq(
+      (1L, "a b c"),          // offset 0, bin 0
+      (2L, ("w " * 6).trim),  // offset 3, 6 tokens: crosses the 8-token boundary -> bins 0..1
+      (3L, "x y"))            // offset 9, bin 1
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing.packSequences(d, "doc_id", "text", maxTokens = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "token_offset", "seq_first", "seq_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0L, 0L), (2L, 6L, 3L, 0L, 1L), (3L, 2L, 9L, 1L, 1L)))
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains the bench 5-gram
