@@ -45,20 +45,24 @@ object Packing {
       .collect()
     var acc = 0L
     val offsets = partials.sortBy(_.getAs[Int]("_pid")).map { r =>
-      val pair = r.getAs[Int]("_pid") -> acc
+      val pair = (r.getAs[Int]("_pid"), acc)
       acc += r.getAs[Long]("_t")
       pair
-    }.toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(e)
     }
+    // Prefix offsets ride back as a BROADCAST join on _pid (one row per
+    // partition) — a literal when-chain would be a thousands-deep CaseWhen
+    // tree on a real cluster's partition count.
+    import df.sparkSession.implicits._
+    val offsetsDf = offsets.toSeq.toDF("_pid", "_part_offset")
     val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counted
-      .withColumn("token_offset", offsetExpr + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(offsetsDf), Seq("_pid"))
+      .withColumn("token_offset",
+        col("_part_offset") + sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("seq_first", floor(col("token_offset") / maxTokens))
       .withColumn("seq_last",
         floor((col("token_offset") + greatest(col("n_tokens"), lit(1L)) - 1) / maxTokens))
-      .drop("_pid")
+      .drop("_pid", "_part_offset")
   }
 }
