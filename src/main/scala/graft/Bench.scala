@@ -16,7 +16,10 @@ object Bench {
     // first query's time is its own, not the JVM's.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     Seq("events", "documents", "embeddings", "orders", "lineitem").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+      // Tolerant like the query loop below: a partial dataset dir should
+      // degrade that table's queries, not abort the whole bench.
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -8,14 +8,16 @@ import graft.operators.Dedup
 /** Manual scale probe (not part of the driver contract or the test suite):
   * replicates the sf0.1 documents table `xN` with disjoint id spaces and runs
   * the heavy dedup path — minhash-LSH pairs → connected components — to
-  * check that the plans HOLD as data grows: shuffle volumes scale linearly,
-  * no aggregation buffer grows with corpus size, the CC iteration count
-  * stays put (cluster structure replicates with the data).
+  * check that the plans HOLD as the data (and worse, the pair volume) grows.
   *
   * `runMain graft.ScaleProbe [factor]` — prints one timing line per stage.
-  * Replication multiplies every near-dup cluster by N (each copy is disjoint
-  * by construction), which is exactly the hostile shape for bucket-bounded
-  * dedup: more buckets, same bucket sizes.
+  * This is a deliberately HOSTILE shape: the one-token suffix per replica
+  * leaves cross-replica copies near-identical, so every document's N copies
+  * form an N-clique and candidate pairs grow QUADRATICALLY with the factor
+  * (measured: 250k pairs at 10×, 2.4M at 30×) while docs grow linearly. The
+  * claim under test is that `maxBucket`/`maxDf` keep per-task state flat and
+  * wall clock tracks the keyed-shuffle volume, not the clique blowup — see
+  * BASELINE.md "Scale-growth probe" for the measured table.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -33,9 +35,9 @@ object ScaleProbe {
     val n = base.count()
     val big = (0 until factor).map { i =>
       base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
-        // Perturb each replica's text so replicas are near-dups only WITHIN
-        // a replica (suffix token differs) — total docs grow xN while every
-        // cluster keeps its original size, the linear-scaling shape.
+        // One differing suffix token keeps cross-replica copies ABOVE the
+        // near-dup thresholds: each doc's N copies form an N-clique and the
+        // pair volume grows quadratically — the hostile shape (see header).
         concat(col("text"), lit(s" replica$i")).as("text"))
     }.reduce(_ union _)
     println(s"[probe] docs = ${n * factor} (factor $factor)")

@@ -226,15 +226,17 @@ object Dedup {
     // list into its local pairs. The df pre-count is a Long-buffer aggregate,
     // never a list, so no unbounded aggregation state exists anywhere.
     //
-    // Stop-shingle handling is ONE co-partitioned join, not a broadcast: the
+    // Stop-shingle handling is a shingle-keyed join, not a broadcast: the
     // number of df>maxDf shingles GROWS with corpus size (Zipf — at web
     // scale millions of boilerplate n-grams clear any fixed cap), so pinning
     // a broadcast build side would trade away the bounded-memory guarantee
     // this operator exists for. Instead the posting table joins its own
-    // df-count aggregate — both sides hash-partitioned by shingle from the
-    // SAME exchange (ReuseExchange), so the join, the kept/stop split, and
-    // the downstream posting-list groupBy all run in that one partitioning
-    // with zero additional shuffles of the expanded table.
+    // df-count aggregate: both sides arrive hash-partitioned on shingle (the
+    // posting rows via the join's exchange, the counts via their agg
+    // exchange — distinct subplans, so ReuseExchange does NOT unify them,
+    // but each is reused across the kept/stop branches), and the downstream
+    // posting-list groupBy runs in the join's partitioning without a new
+    // shuffle.
     //
     // Per-doc shingle counts start from `size(shingles)` on the SAME
     // shingleArrays subplan and subtract the doc's stop-shingle hits (small

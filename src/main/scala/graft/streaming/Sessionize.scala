@@ -39,6 +39,15 @@ object Sessionize {
       val sorted = events.toSeq.sortBy(_.ts.getTime)
       var closed = List.empty[Session]
       var cur = state.getOption
+      // Pending pre-start straggler run (see the straggler case below):
+      // successive stragglers within gap of EACH OTHER belong to one earlier
+      // session and must merge before closing — the batch-local sorted fold
+      // has them adjacent, so an O(1) accumulator suffices.
+      var strag = Option.empty[SessionState]
+      def closeStrag(): Unit = strag.foreach { s =>
+        closed ::= Session(userId, s.start, s.last, s.n, s.sum)
+        strag = None
+      }
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
@@ -60,16 +69,24 @@ object Sessionize {
             // Pre-start straggler: a cross-batch late event MORE than gap
             // before the open session's start. Absorbing it would stretch
             // `start` backwards across a gap the batch sessionizer breaks
-            // on; it belongs to an earlier session, so emit it as its own
-            // closed singleton. (Known divergence: two such stragglers
-            // arriving in different micro-batches that would merge with
-            // EACH OTHER emit separately — exact repair needs a per-key
-            // event buffer, not O(1) state.)
-            closed ::= Session(userId, t, t, 1, e.value)
+            // on; it belongs to an earlier session. Same-batch stragglers
+            // within gap of each other merge via the accumulator; the run
+            // closes when it breaks (or at batch end). (Known divergence:
+            // stragglers split across DIFFERENT micro-batches that would
+            // merge with each other emit separately — exact repair needs a
+            // per-key event buffer, not O(1) state.)
+            strag match {
+              case Some(s) if t - s.last <= gapMs =>
+                strag = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+              case _ =>
+                closeStrag()
+                strag = Some(SessionState(t, t, 1, e.value))
+            }
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
+      closeStrag()
       cur.foreach { s =>
         state.update(s)
         // Clamp above the current watermark: a timeout timestamp at or below

@@ -142,6 +142,7 @@ class EnvelopeSpec extends SparkSpec {
     assert(rows(2).getAs[Int]("kafka_schema_id") == 777)
     assert(rows(2).getAs[Boolean]("kafka_error"))
     assert(rows(2).isNullAt(rows(2).fieldIndex("payload")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("kafka_message")))
   }
 
   test("S5 multi-schema dispatch: corrupt datum under a REGISTERED id -> error channel, not fatal") {

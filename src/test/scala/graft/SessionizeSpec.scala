@@ -99,6 +99,35 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.Session(1L, ts(20).getTime, ts(22).getTime, 2, 3.0)))
   }
 
+  test("same-batch stragglers within gap of each other merge into ONE earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "40 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_straggler2")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(20), 1.0), (1L, ts(22), 2.0)) // state: [10:20, 10:22]
+    query.processAllAvailable()
+    // Late run 10:05, 10:08 (3 min apart — one earlier session, as the batch
+    // sessionizer would emit) plus 10:11 which continues that same run.
+    input.addData((1L, ts(5), 1.0), (1L, ts(8), 1.0), (1L, ts(11), 1.0))
+    query.processAllAvailable()
+    input.addData((2L, ts(59), 0.0))
+    query.processAllAvailable()
+    input.addData((2L, ts(75), 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_straggler2").as[Sessionize.Session].collect()
+      .filter(_.userId == 1L).sortBy(_.startMs)
+    query.stop()
+    assert(out.toSeq == Seq(
+      Sessionize.Session(1L, ts(5).getTime, ts(11).getTime, 3, 3.0),
+      Sessionize.Session(1L, ts(20).getTime, ts(22).getTime, 2, 3.0)))
+  }
+
   test("state is per key: interleaved users do not merge") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
