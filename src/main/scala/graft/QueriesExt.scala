@@ -380,6 +380,26 @@ object QueriesExt {
       |SELECT query_id, neighbor_id, rank, cosine FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM scored) WHERE rank <= 5""".stripMargin
+  /** The IVF WRITE-TIME layout path: cell assignment persisted once with
+    * `partitionBy(cid)`, probes run against the read-back table — same
+    * results as the in-plan x_ann_ivf (same oracle), but the corpus scan is
+    * partition-prunable (the 100 TB shape; pruning itself is asserted in
+    * ParquetLayoutSpec).
+    */
+  private val annIvfLayout: Q = "x_ann_ivf_layout" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      Similarity.assignCells(e, e.where(col("vec_id") < 16), "vec_id", "embedding")
+        .write.partitionBy("cid").parquet(s"$tmp/ivf")
+      Similarity.topKIvfPrebuilt(
+        queries = e.where(col("vec_id") >= 100 && col("vec_id") < 120),
+        assigned = s.read.parquet(s"$tmp/ivf"),
+        centroids = e.where(col("vec_id") < 16),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+    },
+    annIvfOracle))
+
   private val annIvf: Q = "x_ann_ivf" -> ((
     (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -636,7 +656,7 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition,
-    annBruteforce, annLsh, annIvf, embNormalize,
+    annBruteforce, annLsh, annIvf, annIvfLayout, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences)

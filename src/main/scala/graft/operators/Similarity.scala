@@ -81,35 +81,64 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int = 2): DataFrame = {
-    val cent = broadcast(centroids.select(col(idCol).as("cid"), col(vecCol).as("c_vec"),
+      nProbe: Int = 2): DataFrame =
+    topKIvfPrebuilt(queries, assignCells(corpus, centroids, idCol, vecCol),
+      centroids, idCol, vecCol, k, nProbe)
+
+  private def centFrame(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    broadcast(centroids.select(col(idCol).as("cid"), col(vecCol).as("c_vec"),
       norm(col(vecCol)).as("c_norm")))
-    def nearestCells(df: DataFrame, outId: String, outVec: String, outNorm: String, keep: Int) = {
-      val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec), norm(col(vecCol)).as(outNorm))
+
+  /** Corpus → cell assignment (the IVF "inverted lists"), exposed so the
+    * write-time layout path can persist it once: `assignCells(...).write
+    * .partitionBy("cid").parquet(...)` gives probes partition pruning — at
+    * 100 TB each query touches nProbe/nCells of the files, the point of IVF.
+    *
+    * The assignment (keep = 1) is an argmax, not a ranking: a
+    * map-side-combining `max(struct(score, -cid, payload))` aggregate, so
+    * the ×nCells expansion collapses to one buffer per vector BEFORE the
+    * shuffle — a row_number window formulation would shuffle and sort the
+    * whole expansion. Tie-break matches the probe window's (score desc,
+    * cid asc) via the negated-cid struct field. Returns
+    * (idCol, cid, vecCol, `_nrm`).
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cent = centFrame(centroids, idCol, vecCol)
+    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nrm"))
+      .join(cent)
+      .withColumn("c_cos", cosine(col(vecCol), col("c_vec"), col("_nrm"), col("c_norm")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("c_cos"), (-col("cid")).as("_negcid"), col("cid"),
+        col(vecCol), col("_nrm"))).as("_m"))
+      .select(col(idCol), col("_m.cid").as("cid"),
+        col(s"_m.$vecCol").as(vecCol), col("_m._nrm").as("_nrm"))
+  }
+
+  /** IVF probe over a PREBUILT cell assignment (from [[assignCells]], fresh
+    * or read back from a `partitionBy("cid")` layout): queries rank their
+    * `nProbe` nearest cells and score only those cells' members — with the
+    * partitioned layout, a partition-pruned scan.
+    */
+  def topKIvfPrebuilt(
+      queries: DataFrame,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val cent = centFrame(centroids, idCol, vecCol)
+    val probes = {
+      val scored = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
         .join(cent)
-        .withColumn("c_cos", cosine(col(outVec), col("c_vec"), col(outNorm), col("c_norm")))
-      val w = Window.partitionBy(outId).orderBy(col("c_cos").desc, col("cid"))
-      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= keep)
+        .withColumn("c_cos", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+      val w = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
         .drop("c_vec", "c_norm", "c_cos", "crank")
     }
-    // Corpus cell ASSIGNMENT (keep = 1) is an argmax, not a ranking: a
-    // map-side-combining `max(struct(score, -cid, payload))` aggregate, so
-    // the ×nCells expansion collapses to one buffer per vector BEFORE the
-    // shuffle — the row_number window formulation shuffles and sorts the
-    // whole expansion. Tie-break matches the window's (score desc, cid asc)
-    // via the negated-cid struct field.
-    def assignCell(df: DataFrame, outId: String, outVec: String, outNorm: String) = {
-      val scored = df.select(col(idCol).as(outId), col(vecCol).as(outVec), norm(col(vecCol)).as(outNorm))
-        .join(cent)
-        .withColumn("c_cos", cosine(col(outVec), col("c_vec"), col(outNorm), col("c_norm")))
-      scored.groupBy(col(outId))
-        .agg(max(struct(col("c_cos"), (-col("cid")).as("_negcid"), col("cid"),
-          col(outVec), col(outNorm))).as("_m"))
-        .select(col(outId), col("_m.cid").as("cid"),
-          col(s"_m.$outVec").as(outVec), col(s"_m.$outNorm").as(outNorm))
-    }
-    val cells = assignCell(corpus, "neighbor_id", "c_vec2", "n_norm")
-    val probes = nearestCells(queries, "query_id", "q_vec", "q_norm", keep = nProbe)
+    val cells = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec2"), col("_nrm").as("n_norm"), col("cid"))
     val scored = cells.join(probes, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec2"), col("q_norm"), col("n_norm")))

@@ -32,4 +32,28 @@ class ParquetLayoutSpec extends SparkSpec {
     // All rows survive the layout round trip.
     assert(spark.read.parquet(out).count() == 10000)
   }
+
+  test("IVF cell layout: probes read a partition-pruned subset of cells") {
+    import graft.operators.Similarity
+    val out = Files.createTempDirectory("graft-ivf-layout").toString + "/ivf"
+    val vecs = (0 until 200)
+      .map(i => (i.toLong, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") < 4)
+    Similarity.assignCells(vecs, cents, "vec_id", "embedding")
+      .write.partitionBy("cid").parquet(out)
+    val back = spark.read.parquet(out)
+    // Static cell filter → PartitionFilters prune the scan to that directory.
+    val pruned = back.where(col("cid") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"))
+    assert(pruned.count() > 0 && pruned.count() < 200)
+    // And the prebuilt probe path returns the same rows as the in-plan IVF.
+    val q = vecs.where(col("vec_id") >= 190)
+    val a = Similarity.topKIvfPrebuilt(q, back, cents, "vec_id", "embedding", k = 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.topKIvf(q, vecs, cents, "vec_id", "embedding", k = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
