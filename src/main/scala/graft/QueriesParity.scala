@@ -454,6 +454,27 @@ object QueriesParity {
       |  user_id::VARCHAR AS kafka_key
       |FROM events WHERE event_id >= 2000 AND event_id < 3000""".stripMargin))
 
+  /** J2 via the Bloom pre-prune — IDENTICAL results to j2_dedup_anti by
+    * construction (the filter only routes, the anti-join stays exact), gated
+    * against the same oracle. Batch is checkpointed first: the two union
+    * routes must not re-run the envelope decode.
+    */
+  private val j2DedupBloom: Q = "x_dedup_anti_bloom" -> ((
+    (s: SparkSession, dir: String) => {
+      val env = Envelope.json(MessageSource.fromEvents(s, dir),
+        SourceConfig(topic = "events"), propsSchema)
+      val keys = Seq("kafka_partition", "kafka_offset", "kafka_topic")
+      val existing = env.where(col("kafka_offset") < 2000)
+      val batch = env.where(col("kafka_offset") < 3000).localCheckpoint(true)
+      Joins.dedupAgainstBloom(batch, existing, keys, expectedExisting = 2000)
+        .select(col("kafka_partition"), col("kafka_offset"), col("kafka_topic"), col("kafka_key"))
+    },
+    """SELECT (user_id % 8)::INT AS kafka_partition,
+      |  event_id AS kafka_offset,
+      |  'events' AS kafka_topic,
+      |  user_id::VARCHAR AS kafka_key
+      |FROM events WHERE event_id >= 2000 AND event_id < 3000""".stripMargin))
+
   // ---------------------------------------------------------------- S11/A1
   private val a1DeltaWatermark: Q = "a1_delta_watermark" -> ((
     (s: SparkSession, dir: String) => {
@@ -579,6 +600,6 @@ object QueriesParity {
     s2SubscribeSink, s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
-    j1K6Mask, j2DedupAnti, a1DeltaWatermark, a2Summary,
+    j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize)
 }

@@ -107,4 +107,20 @@ class TransformsJoinsSpec extends SparkSpec {
     val out = Joins.dedupAgainst(batch, existing, Seq("id")).orderBy("id")
     assert(out.as[(Long, String)].collect().toSeq == Seq((3L, "c"), (4L, "d")))
   }
+
+  test("J2 bloom pre-prune: identical rows AND column order to the plain anti-join") {
+    val existing = spark.range(500).selectExpr("id", "concat('v', id) AS v")
+    val batch = spark.range(400, 900).selectExpr("id", "concat('v', id) AS v")
+    val plain = Joins.dedupAgainst(batch, existing, Seq("id"))
+    val bloom = Joins.dedupAgainstBloom(batch, existing, Seq("id"), expectedExisting = 500)
+    assert(bloom.columns.toSeq == plain.columns.toSeq)
+    assert(bloom.orderBy("id").as[(Long, String)].collect().toSeq ==
+      plain.orderBy("id").as[(Long, String)].collect().toSeq)
+    // multi-key + a tiny filter (high fp pressure) still exact
+    val e2 = Seq((1L, "x"), (2L, "y")).toDF("a", "b")
+    val b2 = Seq((1L, "x"), (2L, "z"), (3L, "x")).toDF("a", "b")
+    val out = Joins.dedupAgainstBloom(b2, e2, Seq("a", "b"), expectedExisting = 2, fpp = 0.5)
+      .orderBy("a").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "z"), (3L, "x")))
+  }
 }
