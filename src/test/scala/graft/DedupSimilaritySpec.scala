@@ -196,6 +196,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(3L) == ((1L, 1)))  // self-containment
   }
 
+  test("connected components property: matches driver union-find on 30 seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 30).foreach { trial =>
+      val nNodes = 2 + rnd.nextInt(40)
+      val nEdges = 1 + rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // brute-force union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"trial $trial: graph $edges")
+      }
+    }
+  }
+
+  test("sequence packing property: offsets equal the naive ordered prefix sum") {
+    val rnd = new scala.util.Random(7)
+    // sparse, shuffled, gappy ids — the arithmetic bucketing must not care
+    val rows = rnd.shuffle((0 until 300).map(i => i * 17 + rnd.nextInt(5)).distinct.toList)
+      .map(id => (id.toLong, ("w " * (1 + rnd.nextInt(30))).trim))
+    val df = rows.toDF("doc_id", "text")
+    val got = graft.operators.Packing.packSequences(df, "doc_id", "text", maxTokens = 64)
+      .select("doc_id", "token_offset").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, text) =>
+      assert(got(id) == acc, s"doc $id")
+      acc += text.split("\\s+").length
+    }
+  }
+
   test("resolveClusters keeps cluster representative + unpaired docs") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
     val comp = Dedup.connectedComponents(pairs)
