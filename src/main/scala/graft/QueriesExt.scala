@@ -625,6 +625,23 @@ object QueriesExt {
          |SELECT doc_id, n_words, source FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM conta)""".stripMargin
     }))
 
+  /** Document chunking: overlapping token windows (chunkSize 32, overlap 8)
+    * — the embedding-prep step; the oracle replays the window starts with a
+    * stepped range + slice.
+    */
+  private val textChunks: Q = "x_text_chunks" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Chunking.chunkTokens(docs(s, dir), "doc_id", "text", chunkSize = 32, overlap = 8),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') ws FROM documents),
+      |st AS (SELECT doc_id, ws, i AS chunk_start,
+      |       row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+      |       FROM toks, UNNEST(range(0, greatest(len(ws),1), 24)) t(i)
+      |       WHERE i = 0 OR i + 8 < len(ws))
+      |SELECT doc_id, chunk_idx::INT AS chunk_idx, chunk_start::INT AS chunk_start,
+      |  len(list_slice(ws, chunk_start+1, chunk_start+32))::INT AS n_chunk_tokens,
+      |  array_to_string(list_slice(ws, chunk_start+1, chunk_start+32), ' ') AS chunk_text
+      |FROM st""".stripMargin))
+
   /** Sequence packing (pretraining shape): global token offsets via the
     * scalable two-phase prefix sum, replayed by an ordinary window in the
     * oracle.
@@ -659,7 +676,7 @@ object QueriesExt {
     annBruteforce, annLsh, annIvf, annIvfLayout, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
-    sampleSystematic, sampleStratified, packSequences)
+    sampleSystematic, sampleStratified, packSequences, textChunks)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

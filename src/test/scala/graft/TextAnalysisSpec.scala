@@ -33,6 +33,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert((row.getInt(0), row.getInt(1), row.getInt(2)) == ((2, 1, 1)))
   }
 
+  test("chunking: overlap windows, short docs one chunk, contained tails dropped") {
+    val d = Seq(
+      (1L, "t1 t2 t3"),                                     // < chunkSize: one chunk
+      (2L, (1 to 10).map("w" + _).mkString(" "))            // 10 tokens
+    ).toDF("doc_id", "text")
+    // chunkSize 8, overlap 4, step 4: doc 2 starts 0,4 (8 dropped: 8+4 >= 10)
+    val out = graft.operators.Chunking.chunkTokens(d, "doc_id", "text", chunkSize = 8, overlap = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 0, 3, "t1 t2 t3"),
+      (2L, 0, 0, 8, (1 to 8).map("w" + _).mkString(" ")),
+      (2L, 1, 4, 6, (5 to 10).map("w" + _).mkString(" "))))
+  }
+
   test("repetition metrics: duplicate lines and dominant bigram") {
     val d = Seq(
       (1L, "spam spam spam spam"),             // one distinct word; bigram 'spam spam' x3
