@@ -104,14 +104,17 @@ object Similarity {
     */
   def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val cent = centFrame(centroids, idCol, vecCol)
-    corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nrm"))
+    // Corpus columns aliased BEFORE the join: idCol/vecCol named like the
+    // centroid frame's internals (cid/c_vec/c_norm) would otherwise be
+    // ambiguous after it.
+    corpus.select(col(idCol).as("_aid"), col(vecCol).as("_avec"), norm(col(vecCol)).as("_anrm"))
       .join(cent)
-      .withColumn("c_cos", cosine(col(vecCol), col("c_vec"), col("_nrm"), col("c_norm")))
-      .groupBy(col(idCol))
+      .withColumn("c_cos", cosine(col("_avec"), col("c_vec"), col("_anrm"), col("c_norm")))
+      .groupBy(col("_aid"))
       .agg(max(struct(col("c_cos"), (-col("cid")).as("_negcid"), col("cid"),
-        col(vecCol), col("_nrm"))).as("_m"))
-      .select(col(idCol), col("_m.cid").as("cid"),
-        col(s"_m.$vecCol").as(vecCol), col("_m._nrm").as("_nrm"))
+        col("_avec"), col("_anrm"))).as("_m"))
+      .select(col("_aid").as(idCol), col("_m.cid").as("cid"),
+        col("_m._avec").as(vecCol), col("_m._anrm").as("_nrm"))
   }
 
   /** IVF probe over a PREBUILT cell assignment (from [[assignCells]], fresh
