@@ -670,13 +670,36 @@ object QueriesExt {
       |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
       |              WHEN 'src2' THEN 1000 ELSE 2000 END""".stripMargin))
 
+  /** Per-source corpus report — the summary a curation run ends with: doc
+    * and word volumes, mean length, and how many docs sit in exact-dup
+    * groups, per source. One hash-keyed self-join + one grouped agg.
+    */
+  private val corpusReport: Q = "x_corpus_report" -> ((
+    (s: SparkSession, dir: String) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        size(Dedup.tokens(col("text"))).as("n_words"), md5(col("text")).as("h"))
+      val d = t.groupBy("h").agg(count(lit(1)).as("c"))
+      t.join(d, "h").groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").cast("long").as("total_words"),
+        (sum("n_words").cast("double") / count(lit(1))).as("mean_words"),
+        sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("docs_in_dup_groups"))
+    },
+    """WITH t AS (SELECT doc_id, source, len(string_split(trim(text),' ')) AS n_words,
+      |  md5(text) AS h FROM documents),
+      |d AS (SELECT h, count(*) AS c FROM t GROUP BY h)
+      |SELECT t.source, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS total_words,
+      |  sum(n_words)::DOUBLE / count(*) AS mean_words,
+      |  sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_in_dup_groups
+      |FROM t JOIN d USING (h) GROUP BY t.source""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition,
     annBruteforce, annLsh, annIvf, annIvfLayout, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
-    sampleSystematic, sampleStratified, packSequences, textChunks)
+    sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */
