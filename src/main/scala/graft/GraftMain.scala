@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.config._
@@ -25,56 +27,132 @@ import graft.streaming.StreamRunner
   *    `GRAFT_KAFKA_BROKERS` on a real cluster)
   *  - `GRAFT_JDBC_URL`        JDBC sink; otherwise target.table is a parquet path
   *  - `GRAFT_PAYLOAD_SCHEMA`  payload DDL, e.g. "k LONG, user STRUCT<id: LONG>"
+  *  - `GRAFT_K6_DIM_DIR`      file mode only: directory holding
+  *    `<filter-table>` as parquet (defaults to the source dir)
+  *
+  * All lookups go through an injected `env` function so the whole lifecycle is
+  * exercisable from a spec without mutating JVM process environment.
   */
 object GraftMain {
 
+  type Env = String => Option[String]
+
   def main(args: Array[String]): Unit = {
-    val yaml = sys.env.get("CONSUMER_CONFIG")
-      .orElse(sys.env.get("CONSUMER_CONFIG_FILE").map(f => Files.readString(Paths.get(f))))
+    val env: Env = sys.env.get
+    try {
+      val summary = execute(env)
+      val json = summary.xcomJson
+      env("GRAFT_XCOM_PATH") match {
+        case Some(p) => Files.writeString(Paths.get(p), json); println(json)
+        case None => println(json)
+      }
+      GraftSession.get().stop()
+      if (env("FAIL_ON_NON_CRITICAL_ERROR").exists(v => v.equalsIgnoreCase("true"))
+          && summary.errorCount > 0)
+        throw new IllegalStateException(s"Finished with ${summary.errorCount} non-critical errors")
+    } catch {
+      case ex: Throwable =>
+        // Airflow-triage parity (`/root/reference/src/main.py:68-85`): one
+        // structured line carrying the exception class, a stable fingerprint
+        // hash of (class + frame chain), and the message — so recurring
+        // failures group by fingerprint in the log index even when messages
+        // carry variable data.
+        System.err.println(failureRecord(ex))
+        sys.exit(1)
+    }
+  }
+
+  /** Full lifecycle minus process concerns (xcom emission, exit code):
+    * config → pipeline → k6 dim → strategy → summary. The spec's e2e seam.
+    */
+  private[graft] def execute(env: Env): ProcessSummary = {
+    val yaml = env("CONSUMER_CONFIG")
+      .orElse(env("CONSUMER_CONFIG_FILE").map(f => Files.readString(Paths.get(f))))
       .getOrElse(throw new IllegalArgumentException("CONSUMER_CONFIG (or CONSUMER_CONFIG_FILE) is required"))
     val cfg = ConfigYaml.fromYaml(yaml)
     val spark = GraftSession.get()
-    val payloadSchema = sys.env.get("GRAFT_PAYLOAD_SCHEMA")
+    val payloadSchema = env("GRAFT_PAYLOAD_SCHEMA")
       .map(StructType.fromDDL)
       .getOrElse(StructType(Seq(StructField("k", LongType))))
     val pipeline = new Pipeline(cfg, payloadSchema)
-    val sink = Sinks.forTarget(cfg.target, sys.env.get("GRAFT_JDBC_URL"), cfg.source.batchSize)
+    val sink = Sinks.forTarget(cfg.target, env("GRAFT_JDBC_URL"), cfg.source.batchSize)
+    val k6Dim = loadK6Dim(spark, cfg, env)
 
-    val summary = cfg.source.strategy match {
-      case ConsumerStrategy.Assign => runAssign(spark, cfg, pipeline, sink)
+    cfg.source.strategy match {
+      case ConsumerStrategy.Assign => runAssign(spark, cfg, pipeline, sink, k6Dim, env)
       case ConsumerStrategy.Subscribe =>
-        val ckpt = sys.env.getOrElse("GRAFT_CHECKPOINT_DIR",
-          Files.createTempDirectory("graft-ckpt").toString)
+        val ckpt = env("GRAFT_CHECKPOINT_DIR")
+          .getOrElse(Files.createTempDirectory("graft-ckpt").toString)
         val runner = new StreamRunner(pipeline, sink, ckpt)
-        val srcDir = sourceDir()
-        val stream = spark.readStream.schema(MessageSource.schema).parquet(s"$srcDir/topic")
-        runner.runAvailableNow(spark, stream)
+        val stream = spark.readStream.schema(MessageSource.schema).parquet(s"${sourceDir(env)}/topic")
+        runner.runAvailableNow(spark, stream, k6Dim)
         runner.summary
     }
-
-    val json = summary.xcomJson
-    sys.env.get("GRAFT_XCOM_PATH") match {
-      case Some(p) => Files.writeString(Paths.get(p), json); println(json)
-      case None => println(json)
-    }
-    spark.stop()
-    if (sys.env.get("FAIL_ON_NON_CRITICAL_ERROR").exists(v => v == "true" || v == "True")
-        && summary.errorCount > 0) sys.exit(1)
   }
 
-  private def sourceDir(): String =
-    sys.env.getOrElse("GRAFT_SOURCE_DIR", sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+  /** One JSON log line for a failed run: exception class, 12-hex fingerprint
+    * of class + stack frames (file/method/line — message EXCLUDED so runs
+    * failing at the same place fingerprint identically), and the message.
+    * The reference's frame-chain log (`/root/reference/src/main.py:71-84`)
+    * with the chain compressed to a groupable hash.
+    */
+  private[graft] def failureRecord(ex: Throwable): String = {
+    val frames = ex.getStackTrace.toSeq
+      .map(f => s"${f.getFileName} ${f.getMethodName} ${f.getLineNumber}")
+    val basis = (ex.getClass.getName +: frames).mkString("\n")
+    val fp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(basis.getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    def esc(s: String): String =
+      Option(s).getOrElse("").flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case '\r' => "\\r"; case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    s"""{"level":"ERROR","error_class":"${esc(ex.getClass.getName)}","fingerprint":"$fp","msg":"${esc(ex.getMessage)}"}"""
+  }
+
+  private def sourceDir(env: Env): String =
+    env("GRAFT_SOURCE_DIR").orElse(env("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.001")
+
+  /** J1 wiring: when a `k6-filter` is configured, load the screening
+    * dimension the same way the reference probes it
+    * (`/root/reference/src/oracle_target.py:71-77`): the `filter-table` read
+    * from the warehouse, pre-filtered to `skjermet_kode IN (6,7)`. With a
+    * JDBC sink URL the filter is PUSHED to the database (the dimension that
+    * crosses the wire is only the screened population — small by
+    * construction, which is what makes [[graft.operators.Joins.k6Mask]]'s
+    * broadcast safe); in file mode `filter-table` resolves to a parquet
+    * directory under `GRAFT_K6_DIM_DIR` (default: the source dir).
+    */
+  private[graft] def loadK6Dim(spark: SparkSession, cfg: PipelineConfig, env: Env): Option[DataFrame] =
+    cfg.target.k6Filter.map { k6 =>
+      val dim = env("GRAFT_JDBC_URL") match {
+        case Some(url) =>
+          spark.read.format("jdbc")
+            .option("url", url).option("dbtable", k6.filterTable).load()
+        case None =>
+          val base = env("GRAFT_K6_DIM_DIR").getOrElse(sourceDir(env))
+          val path = if (k6.filterTable.contains("/")) k6.filterTable
+                     else s"$base/${k6.filterTable}"
+          spark.read.parquet(path)
+      }
+      dim.where(col("skjermet_kode").isin(6, 7))
+    }
 
   /** S1 assign strategy: bounded interval read. Start bound resolution order
     * is the reference's (`/root/reference/src/oracle_target.py:19-20`):
     * explicit DATA_INTERVAL_START, else the sink's delta watermark.
     */
-  private def runAssign(
-      spark: org.apache.spark.sql.SparkSession,
+  private[graft] def runAssign(
+      spark: SparkSession,
       cfg: PipelineConfig,
       pipeline: Pipeline,
-      sink: GraftSink): ProcessSummary = {
-    val explicitStart = sys.env.get("DATA_INTERVAL_START").map(_.toLong)
+      sink: GraftSink,
+      k6Dim: Option[DataFrame],
+      env: Env): ProcessSummary = {
+    val explicitStart = env("DATA_INTERVAL_START").map(_.toLong)
     val deltaStart: Option[Long] = (explicitStart, cfg.target.delta) match {
       case (s @ Some(_), _) => s
       case (None, Some(d)) =>
@@ -88,15 +166,15 @@ object GraftMain {
         }
       case _ => None
     }
-    val endMs = sys.env.get("DATA_INTERVAL_END").map(_.toLong)
-    val raw = sys.env.get("GRAFT_KAFKA_BROKERS") match {
+    val endMs = env("DATA_INTERVAL_END").map(_.toLong)
+    val raw = env("GRAFT_KAFKA_BROKERS") match {
       case Some(brokers) =>
         MessageSource.kafka(spark, brokers, cfg.source.topic,
           deltaStart.getOrElse(0L), endMs.getOrElse(Long.MaxValue))
       case None =>
-        MessageSource.fromEvents(spark, sourceDir(), cfg.source.topic,
+        MessageSource.fromEvents(spark, sourceDir(env), cfg.source.topic,
           startMs = deltaStart, endMs = endMs)
     }
-    pipeline.run(spark, raw, sink)
+    pipeline.run(spark, raw, sink, k6Dim)
   }
 }

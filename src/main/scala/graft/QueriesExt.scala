@@ -458,7 +458,7 @@ object QueriesExt {
       graft.operators.Dedup.systematicSample(docs(s, dir), col("doc_id"), percent = 10.0)
         .select("doc_id", "lang", "source"),
     """SELECT doc_id, lang, source FROM documents
-      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::INT % 10000 < 1000""".stripMargin))
+      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < 1000""".stripMargin))
 
   /** Cluster resolution over the Jaccard candidate pairs: pair lists alone
     * under-dedup (A~B, B~C ⇒ one kept doc even when A!~C); the oracle
@@ -666,7 +666,7 @@ object QueriesExt {
         Map("src0" -> 100.0, "src1" -> 50.0, "src2" -> 10.0), defaultPercent = 20.0)
         .select("doc_id", "source"),
     """SELECT doc_id, source FROM documents
-      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,4))::INT % 10000 <
+      |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 <
       |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
       |              WHEN 'src2' THEN 1000 ELSE 2000 END""".stripMargin))
 

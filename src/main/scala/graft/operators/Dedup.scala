@@ -189,14 +189,21 @@ object Dedup {
     * cluster step at scale.
     */
   def simHash(text: Column, bits: Int = 16): Column = {
-    val toks = array_distinct(tokens(text))
     val tokenFp = (t: Column) => conv(substring(md5(t), 1, 4), 16, 10).cast("int")
-    val bitCols = (0 until bits).map { b =>
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when((shiftright(tokenFp(t), b) % 2) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // The md5 fingerprint is materialized ONCE per token, then every bit vote
+    // is integer math over that array. HOF lambdas are interpreted with no
+    // common-subexpression elimination (see [[shinglesOf]]), so inlining
+    // `tokenFp(t)` into per-bit lambdas would hash each token `bits` times —
+    // and referencing the transform() from `bits` separate aggregates would
+    // re-run the transform per aggregate. One aggregate carries all bit
+    // counters as an array accumulator instead.
+    val fps = transform(array_distinct(tokens(text)), tokenFp)
+    val votes = aggregate(fps, array_repeat(lit(0), bits),
+      (acc, f) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+        (v, b) => v + when((call_function("shiftright", f, b) % 2) === 1, 1).otherwise(-1)))
+    val bitVals = zip_with(votes, sequence(lit(0), lit(bits - 1)),
+      (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    aggregate(bitVals, lit(0L), (acc, x) => acc + x)
   }
 
   /** n-gram Jaccard similarity pairs above `threshold`, via the shingle
@@ -279,8 +286,7 @@ object Dedup {
     // point; below it the floor would silently select ZERO rows — fail loudly
     // instead (and require whole-bucket rates so the floor is exact).
     require(percent >= 0.01 && percent <= 100, "percent must be in [0.01, 100] (selection granularity is 0.01%)")
-    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int") % 10000
-    df.where(bucket < lit(math.round(percent * 100).toInt))
+    df.where(hashBucket(keyCol) < lit(math.round(percent * 100).toInt))
   }
 
   /** Stratified deterministic sample — the corpus-MIXING primitive: each
@@ -304,13 +310,21 @@ object Dedup {
       require(p == 0.0 || (p >= 0.01 && p <= 100),
         s"rate $p must be 0 (drop) or in [0.01, 100] (selection granularity is 0.01%)")
     }
-    val bucket = conv(substring(md5(keyCol.cast("string")), 1, 4), 16, 10).cast("int") % 10000
     val threshold = ratesPercent.foldLeft(lit(math.round(defaultPercent * 100).toInt)) {
       case (acc, (stratum, pct)) =>
         when(stratumCol === stratum, lit(math.round(pct * 100).toInt)).otherwise(acc)
     }
-    df.where(bucket < threshold)
+    df.where(hashBucket(keyCol) < threshold)
   }
+
+  /** Content-hash selection bucket in [0, 10000). Derived from 8 hex chars
+    * (32 bits) of md5, NOT 4: `uint16 % 10000` over-selects residues
+    * 0–5535 by 7/6 (up to ~8% relative rate error); over 32 bits the modulo
+    * bias is 2.3e-6 — negligible. Oracle twin:
+    * `('0x'||substr(md5(k),1,8))::BIGINT % 10000`.
+    */
+  private def hashBucket(keyCol: Column): Column =
+    (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long") % 10000).cast("int")
 
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,
     * shard, LSH bucket, …): the block join bounds the pair count, cosine is
@@ -388,20 +402,24 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // The previous label rides along through the union (`_prev` is non-null
       // exactly on the one row each id contributes from `labels`), so the
-      // convergence test needs NO second join: the only job per iteration is
-      // the propagate+min-agg that materializes `next`, and the change test
-      // (min-label is monotone decreasing, so strict `<` is the full test)
-      // scans the just-checkpointed blocks.
+      // convergence test needs NO second join — and no second JOB either:
+      // the changed-row count rides the checkpoint-materialization job as an
+      // `observe` metric (min-label is monotone decreasing, so strict `<` is
+      // the full test). ONE job per iteration total; on a few-dozen-edge
+      // graph the loop cost is pure job scheduling, so halving the job count
+      // halves the wall clock.
       val prev = labels.select(col("id"), col("component"),
         col("component").as("_prev"))
       val prop = edges.join(labels.withColumnRenamed("id", "u"), "u")
         .select(col("v").as("id"), col("component"),
           lit(null).cast(labels.schema("component").dataType).as("_prev"))
+      val obs = org.apache.spark.sql.Observation()
       val next = prev.union(prop)
         .repartition(width, col("id"))
         .groupBy("id").agg(min("component").as("component"), min("_prev").as("_prev"))
+        .observe(obs, count(when(col("component") < col("_prev"), 1)).as("changed"))
         .localCheckpoint(true)
-      converged = next.where(col("component") < col("_prev")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select("id", "component")
       iter += 1
     }

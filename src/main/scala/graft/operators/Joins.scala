@@ -41,15 +41,25 @@ object Joins {
       dim: DataFrame,
       cfg: K6FilterConfig,
       payloadField: String = "payload",
-      broadcastDim: Boolean = true): DataFrame = {
+      broadcastDim: Boolean = true,
+      maxIntervalsPerPid: Int = 1000): DataFrame = {
     val pid = {
       val segs = PayloadOps.splitPath(cfg.col, cfg.colKeypathSeparator)
       segs.foldLeft(col(payloadField))((c, s) => c.getField(s)).cast("string")
     }
     val day = date_trunc("DAY", timestamp_millis(col(cfg.timestamp)))
+    // collect_set, not collect_list: a malformed dimension feed (the same
+    // validity row duplicated many times) would otherwise concentrate one
+    // pid's rows into one unbounded agg buffer AND one broadcast row. The
+    // set dedups inside the aggregation, and the cap fails LOUDLY on a
+    // genuinely pathological dim (distinct intervals beyond any plausible
+    // person history) instead of silently building a multi-MB broadcast row.
+    val ivals = collect_set(struct(
+      dim("gyldig_fra_dato").as("fra"), dim("gyldig_til_dato").as("til")))
     val dimAgg0 = dim.groupBy(dim(cfg.filterCol).cast("string").as("_pid"))
-      .agg(collect_list(struct(
-        dim("gyldig_fra_dato").as("fra"), dim("gyldig_til_dato").as("til"))).as("_ivals"))
+      .agg(when(size(ivals) > maxIntervalsPerPid,
+          raise_error(concat(lit(s"k6 screening dimension has >$maxIntervalsPerPid distinct validity intervals for pid "), col("_pid"))))
+        .otherwise(ivals).as("_ivals"))
     val dimAgg = if (broadcastDim) broadcast(dimAgg0) else dimAgg0
     val screened = exists(col("_ivals"),
       i => day.between(i.getField("fra"), i.getField("til")))

@@ -112,12 +112,8 @@ final class JdbcSink(
     // flush below.
     if (existing(df.sparkSession, Seq(schema.fieldNames.head)).isEmpty) {
       write(df.limit(0))
-      val conn = java.sql.DriverManager.getConnection(url, props)
-      try conn.createStatement().execute(
-        s"CREATE UNIQUE INDEX ${table.replace('.', '_')}_gdx ON $table (${keys.map(q).mkString(", ")})")
-      catch { case _: java.sql.SQLException => () } // optimization only; NOT EXISTS stays the correctness path
-      finally conn.close()
     }
+    ensureUniqueIndex(keys, q)
     val overrides = columnTypes.map(o => o.column -> o.sqlType).toMap
     val castType = schema.fields.map(f => f.name ->
       overrides.getOrElse(f.name, JdbcSink.sqlCastType(f.dataType))).toMap
@@ -198,6 +194,28 @@ final class JdbcSink(
     }
     inserted.value
   }
+
+  /** The unique key index is attempted on EVERY dup-check write, not only
+    * when this writer creates the table: a target created earlier by a plain
+    * append would otherwise never get the constraint, leaving the
+    * two-writers-pass-the-same-NOT-EXISTS race open with no signal.
+    * "Already exists" is the steady state and stays silent; any OTHER
+    * failure is logged loudly — the NOT EXISTS probe remains the correctness
+    * path, but operators must know the concurrent-writer backstop is absent.
+    */
+  private def ensureUniqueIndex(keys: Seq[String], q: String => String): Unit = {
+    val name = s"${table.replace('.', '_')}_gdx"
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().execute(
+      s"CREATE UNIQUE INDEX $name ON $table (${keys.map(q).mkString(", ")})")
+    catch {
+      case e: java.sql.SQLException if JdbcSink.isIndexAlreadyExists(e) => ()
+      case e: java.sql.SQLException =>
+        System.err.println(
+          s"""{"level":"WARN","msg":"unique index $name on $table(${keys.mkString(",")}) could not be created; """ +
+            s"""concurrent-writer dedup backstop absent: ${Option(e.getMessage).getOrElse("").replace('"', '\'').replace('\n', ' ')}"}""")
+    } finally conn.close()
+  }
 }
 
 object JdbcSink {
@@ -259,6 +277,20 @@ object JdbcSink {
     * (ANSI/MySQL 42S02, Postgres 42P01, Derby 42X05), vendor code (Oracle
     * ORA-00942) or, for wrapped analysis errors, message text.
     */
+  /** Duplicate-index detection for the idempotent ensure-index call: Derby
+    * X0Y32 ("already exists"), standard 42S11/42S01 variants, Oracle
+    * ORA-00955 ("name is already used by an existing object").
+    */
+  private[sinks] def isIndexAlreadyExists(e: java.sql.SQLException): Boolean = {
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    chain.exists {
+      case s: java.sql.SQLException =>
+        val state = Option(s.getSQLState).getOrElse("")
+        state == "X0Y32" || state == "42S11" || s.getErrorCode == 955
+      case _ => false
+    }
+  }
+
   private[sinks] def isMissingTable(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).toSeq
     chain.exists {

@@ -108,7 +108,12 @@ object ConfluentAvro {
     */
   def decodeMulti(value: Column, schemasById: Map[Int, String], sparkSchema: StructType): Column = {
     val fn = (bytes: Array[Byte]) =>
-      if (bytes == null || bytes.length < 6) null
+      // Wire-format check (magic byte 0x00) BEFORE the id read: a non-wire
+      // payload's bytes 1-4 are arbitrary, and if they collide with a
+      // registered id the datum could decode "successfully" into garbage —
+      // route it to the error channel explicitly, like the reference's
+      // magic-byte guard (`/root/reference/src/kafka_source.py:133-137`).
+      if (bytes == null || bytes.length < 6 || bytes(0) != 0) null
       else {
         val id = ((bytes(1) & 0xFF) << 24) | ((bytes(2) & 0xFF) << 16) | ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
         schemasById.get(id) match {
