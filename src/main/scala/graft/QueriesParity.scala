@@ -343,6 +343,11 @@ object QueriesParity {
       val d = col("o_orderdate")
       val k = col("o_orderkey")
       val inp = when(k % 7 === 0, lit("absolutely not a date"))
+        // dateparser relative forms, anchored to the frozen batch time
+        .when(k % 13 === 1, lit("yesterday"))
+        .when(k % 13 === 2, concat(((k % 30) + 1).cast("string"), lit(" days ago")))
+        .when(k % 13 === 3, lit("in 3 hours"))
+        .when(k % 13 === 4, lit("2 weeks ago"))
         .when(k % 11 === 0, unix_timestamp(d).cast("string"))            // epoch seconds in string
         .when(k % 11 === 1, (unix_timestamp(d) * 1000).cast("string"))   // epoch millis in string
         .when(k % 8 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
@@ -353,11 +358,21 @@ object QueriesParity {
         .when(k % 8 === 5, date_format(d, "dd/MM/yyyy hh:mm a"))
         .when(k % 8 === 6, date_format(d, "MMM d, yyyy hh:mm a"))
         .otherwise(concat(date_format(d, "yyyy-MM-dd'T'HH:mm:ss"), lit("+02:00")))
-      o.select(k.as("o_orderkey"), fmtS(Conversions.lenientDateOslo(inp)).as("dt_no"))
+      val anchor = Timestamp.valueOf("2024-06-01 12:00:00") // UTC batch time
+      o.select(k.as("o_orderkey"),
+        fmtS(Conversions.lenientDateOslo(inp, Some(lit(anchor)))).as("dt_no"))
     },
     """SELECT o_orderkey,
       |  CASE
       |    WHEN o_orderkey % 7 = 0 THEN NULL
+      |    WHEN o_orderkey % 13 = 1 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' - INTERVAL 1 DAY)), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 2 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' - to_days(((o_orderkey % 30) + 1)::INT))), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 3 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' + INTERVAL 3 HOUR)), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 4 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' - INTERVAL 14 DAY)), '%Y-%m-%d %H:%M:%S')
       |    WHEN o_orderkey % 11 IN (0,1) OR o_orderkey % 8 IN (0,1,2,3,4,5,6)
       |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
       |                    '%Y-%m-%d %H:%M:%S')

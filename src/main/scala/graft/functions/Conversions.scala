@@ -75,9 +75,37 @@ object Conversions {
     * `try_to_timestamp` — deterministic, codegen'd, and covering the formats
     * the reference's data actually carries (ISO-8601 first).
     */
-  def lenientDateOslo(c: Column): Column = {
+  def lenientDateOslo(c: Column): Column = lenientDateOslo(c, None)
+
+  /** As [[lenientDateOslo]], plus RELATIVE-date rungs ("yesterday",
+    * "2 days ago", "in 3 hours" — `dateparser`'s English relative forms)
+    * anchored to `anchorUtc` — the plan-time `$$BATCH_TIME`, so the result
+    * is deterministic by construction (the reference anchors to the wall
+    * clock of whichever worker parses the row; a frozen batch anchor is the
+    * only well-defined semantics under distributed/retried execution).
+    */
+  def lenientDateOslo(c: Column, anchorUtc: Option[Column]): Column = {
     val s = trim(c)
-    val parsed = coalesce(
+    val relative = anchorUtc.map { a =>
+      val low = lower(s)
+      val agoPat = "^(\\d{1,6}) (second|minute|hour|day|week)s? ago$"
+      val inPat = "^in (\\d{1,6}) (second|minute|hour|day|week)s?$"
+      def spanSeconds(nStr: Column, unit: Column): Column =
+        nStr.cast("long") * when(unit === "second", 1L).when(unit === "minute", 60L)
+          .when(unit === "hour", 3600L).when(unit === "day", 86400L)
+          .when(unit === "week", 604800L)
+      def shift(a0: Column, secs: Column): Column =
+        a0 + make_dt_interval(lit(0), lit(0), lit(0), secs.cast("decimal(18,6)"))
+      coalesce(
+        when(low === "now" || low === "today", a),
+        when(low === "yesterday", shift(a, lit(-86400L))),
+        when(low === "tomorrow", shift(a, lit(86400L))),
+        when(low.rlike(agoPat),
+          shift(a, -spanSeconds(regexp_extract(low, agoPat, 1), regexp_extract(low, agoPat, 2)))),
+        when(low.rlike(inPat),
+          shift(a, spanSeconds(regexp_extract(low, inPat, 1), regexp_extract(low, inPat, 2)))))
+    }
+    val parsed = coalesce(Seq(
       // Offset-bearing ISO forms first (XXX accepts both `Z` and `+02:00`);
       // the parsed instant is already UTC-anchored, so the trailing
       // from_utc_timestamp lands on the same Oslo wall clock the reference's
@@ -116,7 +144,7 @@ object Conversions {
       // bands are disjoint from every format rung, so ladder order is
       // irrelevant for these.
       when(s.rlike("^\\d{9,10}$"), timestamp_seconds(s.cast("long"))),
-      when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long"))))
+      when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long")))) ++ relative.toSeq: _*)
     from_utc_timestamp(parsed, Oslo)
   }
 
@@ -172,15 +200,23 @@ object Conversions {
     */
   val registry: Map[String, Column => Column] = Map(
     "str -> str-code" -> strCode,
-    "str -> datetime-no" -> lenientDateOslo,
+    "str -> datetime-no" -> (c => lenientDateOslo(c)),
     "int-unix-s -> datetime-no" -> unixSecondsOslo,
     "int-unix-ms -> datetime-no" -> unixMillisOslo,
     "bool -> int" -> boolToInt,
     "datetime -> datetime-no" -> datetimeOslo)
 
-  def resolve(fun: Option[String]): Column => Column =
+  def resolve(fun: Option[String]): Column => Column = resolve(fun, None)
+
+  /** Registry lookup with the plan-time batch anchor threaded into the one
+    * conversion whose semantics need it (relative dates in
+    * `str -> datetime-no`).
+    */
+  def resolve(fun: Option[String], batchAnchorUtc: Option[java.sql.Timestamp]): Column => Column =
     fun match {
       case None => identity
+      case Some("str -> datetime-no") if batchAnchorUtc.isDefined =>
+        c => lenientDateOslo(c, batchAnchorUtc.map(lit(_)))
       case Some(f) =>
         registry.getOrElse(f, throw new IllegalArgumentException(s"unknown transform fun: $f"))
     }

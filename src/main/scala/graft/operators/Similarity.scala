@@ -120,7 +120,13 @@ object Similarity {
   /** IVF probe over a PREBUILT cell assignment (from [[assignCells]], fresh
     * or read back from a `partitionBy("cid")` layout): queries rank their
     * `nProbe` nearest cells and score only those cells' members — with the
-    * partitioned layout, a partition-pruned scan.
+    * partitioned layout, a partition-PRUNED scan: the distinct probed cell
+    * ids are collected to the driver (bounded by the coarse-codebook size —
+    * nCells ≈ √N, never the corpus; same O(small) justification as
+    * Packing's bucket rollup) and pushed as a static `cid IN (...)` filter.
+    * Spark's dynamic partition pruning does NOT fire for this join shape
+    * (measured: the probe scanned every cell file without the static
+    * filter), so relying on it would silently read the whole layout.
     */
   def topKIvfPrebuilt(
       queries: DataFrame,
@@ -139,9 +145,14 @@ object Similarity {
       val w = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cid"))
       scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
         .drop("c_vec", "c_norm", "c_cos", "crank")
+        // Materialized once: consumed by the driver-side cell collect AND the
+        // scoring join — without it the query-ranking subplan runs twice.
+        .localCheckpoint(true)
     }
-    val cells = assigned.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("c_vec2"), col("_nrm").as("n_norm"), col("cid"))
+    val probedCells = probes.select("cid").distinct().collect().map(_.get(0))
+    val cells = assigned.where(col("cid").isin(probedCells: _*))
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec2"), col("_nrm").as("n_norm"), col("cid"))
     val scored = cells.join(probes, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec2"), col("q_norm"), col("n_norm")))

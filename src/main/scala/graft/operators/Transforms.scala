@@ -68,7 +68,7 @@ object Transforms {
           case None => throw CompileError(s"transform src path not found: '$s' (dst ${rule.dst})")
         }
     }
-    Conversions.resolve(rule.fun)(srcCol).as(rule.dst)
+    Conversions.resolve(rule.fun, Some(batchTime))(srcCol).as(rule.dst)
   }
 
   /** Compile the full rule list against an envelope frame. */

@@ -14,6 +14,29 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Execute `df` and return the `numFiles` metric of every parquet scan in
+    * the EXECUTED plan — descending through AQE stages, exchange reuse and
+    * (dynamic-partition-pruning) subqueries, which is why this needs the
+    * `private[sql]` plan surfaces. The partition-pruning specs assert on
+    * this: "the probe touched ≤ nProbe/nCells of the files" is a metrics
+    * fact, not a plan-string grep.
+    */
+  def scannedFileCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: exchange.ReusedExchangeExec => scans(r.child)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    scans(qe.executedPlan).distinct.map(_.metrics("numFiles").value)
+  }
+
   /** Register a named SQL function backed by a `Column => Column` composition
     * of built-in (codegen'd) expressions — unlike `spark.udf.register` this
     * adds no black-box UDF call: the function inlines into the caller's plan

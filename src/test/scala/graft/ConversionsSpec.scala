@@ -86,6 +86,31 @@ class ConversionsSpec extends SparkSpec {
       null))
   }
 
+  test("lenientDateOslo: relative forms anchored to the batch time") {
+    // anchor 2024-06-01 12:00:00 UTC -> Oslo wall clock 14:00 (CEST)
+    val anchor = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val got = Seq(
+      "now", "today", "YESTERDAY", "tomorrow",
+      "2 days ago", "1 day ago", "3 hours ago", "90 minutes ago", "2 weeks ago",
+      "in 3 hours", "in 1 day",
+      "2024-01-15",        // fixed ladder still wins for absolute dates
+      "5 fortnights ago")  // unsupported unit -> null
+      .toDF("s")
+      .select(date_format(
+        Conversions.lenientDateOslo(col("s"), Some(lit(anchor))), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq(
+      "2024-06-01 14:00:00", "2024-06-01 14:00:00", "2024-05-31 14:00:00", "2024-06-02 14:00:00",
+      "2024-05-30 14:00:00", "2024-05-31 14:00:00", "2024-06-01 11:00:00", "2024-06-01 12:30:00", "2024-05-18 14:00:00",
+      "2024-06-01 17:00:00", "2024-06-02 14:00:00",
+      "2024-01-15 01:00:00",
+      null))
+    // without an anchor the relative forms are unparseable -> null
+    val noAnchor = Seq("yesterday").toDF("s")
+      .select(Conversions.lenientDateOslo(col("s"))).as[java.sql.Timestamp].collect()
+    assert(noAnchor.head == null)
+  }
+
   test("unix seconds/millis to Oslo wall clock across DST boundary") {
     // 2024-03-31 00:30Z is CET (+1); 01:30Z is after the 01:00Z spring jump (+2)
     val got = Seq(1711845000L, 1711848600L)

@@ -23,11 +23,15 @@ class ParquetLayoutSpec extends SparkSpec {
       assert(files <= 2, s"$d has $files files")
     }
 
-    // Partition pruning: a dt filter reads one directory only.
-    val plan = spark.read.parquet(out).where(col("dt") === "2024-01-02")
-      .queryExecution.executedPlan.toString
+    // Partition pruning: a dt filter reads one directory only — asserted on
+    // the executed scan's numFiles METRIC, not a plan-string grep.
+    val totalFiles = dirs.map(d =>
+      new java.io.File(s"$out/$d").listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val prunedFiles = org.apache.spark.sql.graft.Shim.scannedFileCounts(
+      spark.read.parquet(out).where(col("dt") === "2024-01-02")).sum
+    assert(prunedFiles > 0 && prunedFiles <= totalFiles / 3,
+      s"dt filter scanned $prunedFiles of $totalFiles files")
     assert(spark.read.parquet(out).where(col("dt") === "2024-01-02").count() > 0)
-    assert(!plan.contains("dt=2024-01-01"))
 
     // All rows survive the layout round trip.
     assert(spark.read.parquet(out).count() == 10000)
@@ -43,11 +47,16 @@ class ParquetLayoutSpec extends SparkSpec {
     Similarity.assignCells(vecs, cents, "vec_id", "embedding")
       .write.partitionBy("cid").parquet(out)
     val back = spark.read.parquet(out)
-    // Static cell filter → PartitionFilters prune the scan to that directory.
-    val pruned = back.where(col("cid") === 1)
-    val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cid"))
-    assert(pruned.count() > 0 && pruned.count() < 200)
+    // Static cell filter → the scan's numFiles metric covers ONE cell's
+    // files, not the whole layout (4 cells -> ≤ 1/4 of the files; each cell
+    // directory may hold several files, so count files, not dirs).
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    val oneCell = org.apache.spark.sql.graft.Shim.scannedFileCounts(
+      back.where(col("cid") === 1)).sum
+    assert(oneCell > 0 && oneCell <= allFiles / 4,
+      s"cid filter scanned $oneCell of $allFiles files")
+    assert(back.where(col("cid") === 1).count() > 0 && back.where(col("cid") === 1).count() < 200)
     // And the prebuilt probe path returns the same rows as the in-plan IVF.
     val q = vecs.where(col("vec_id") >= 190)
     val a = Similarity.topKIvfPrebuilt(q, back, cents, "vec_id", "embedding", k = 3)
@@ -55,5 +64,13 @@ class ParquetLayoutSpec extends SparkSpec {
     val b = Similarity.topKIvf(q, vecs, cents, "vec_id", "embedding", k = 3)
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
+    // The probe SCAN is pruned: one query probing nProbe=1 of 4 cells must
+    // touch ≤ 1/4 of the layout's files (DPP does not fire for this join
+    // shape — the operator pushes the probed-cell set as a static filter).
+    val oneQ = vecs.where(col("vec_id") === 190)
+    val probeFiles = org.apache.spark.sql.graft.Shim.scannedFileCounts(
+      Similarity.topKIvfPrebuilt(oneQ, back, cents, "vec_id", "embedding", k = 3, nProbe = 1)).sum
+    assert(probeFiles > 0 && probeFiles <= allFiles / 4,
+      s"probe scanned $probeFiles of $allFiles files")
   }
 }
