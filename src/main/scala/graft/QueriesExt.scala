@@ -411,6 +411,60 @@ object QueriesExt {
     },
     annIvfOracle))
 
+  /** Quantizer TRAINING gate: 3 fixed Lloyd iterations of spherical k-means
+    * (content-hash seeding, argmax assignment, normalized-mean update), gated
+    * on the final cluster memberships + a rounded centroid coordinate. The
+    * oracle replays the fixed unrolling as per-iteration CTEs — feasible
+    * exactly because the operator is deterministic by construction (no RNG,
+    * no convergence test).
+    */
+  private val annKmeans: Q = {
+    def cosSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a,$b), x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)"
+    def nrmSql(v: String) =
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x::DOUBLE * x::DOUBLE)), (a,b)->a+b))"
+    val k = 4
+    val iters = 3
+    // assignment CTEs for i in 0..iters (the last one is the final membership
+    // count); update CTEs (x/m/cents) for i in 0..iters-1
+    val assigns = (0 to iters).map { i =>
+      s"""a$i AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.vec")} / (e.nrm * c.cnrm) AS cs
+         |  FROM emb e, cents$i c),
+         |r$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) rn FROM a$i) WHERE rn = 1)""".stripMargin
+    }
+    val updates = (0 until iters).map { i =>
+      s"""x$i AS (SELECT r.cid, u.i, e.embedding[u.i]::DOUBLE AS x
+         |  FROM r$i r JOIN emb e USING (vec_id), UNNEST(range(1, len(e.embedding)+1)) u(i)),
+         |m$i AS (SELECT cid, list(m ORDER BY i) AS vec FROM
+         |  (SELECT cid, i, sum(x)/count(*) AS m FROM x$i GROUP BY cid, i) GROUP BY cid),
+         |cents${i + 1} AS (SELECT cid, vec, ${nrmSql("vec")} AS cnrm FROM
+         |  (SELECT cid, list_transform(vec, x -> x / n) AS vec FROM
+         |    (SELECT cid, vec, ${nrmSql("vec")} AS n FROM m$i)))""".stripMargin
+    }
+    // interleave so every CTE is defined before use: a0,r0,x0,m0,cents1,a1,...
+    val body = (0 until iters).map(i => s"${assigns(i)},\n${updates(i)}").mkString(",\n") +
+      s",\n${assigns(iters)}"
+    val sql =
+      s"""WITH emb AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, embedding AS vec, ${nrmSql("embedding")} AS cnrm
+         |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
+         |$body
+         |SELECT cid, cnt.n_members, round(c.vec[1], 4) AS c1
+         |FROM (SELECT cid, count(*)::BIGINT AS n_members FROM r$iters GROUP BY cid) cnt
+         |JOIN cents$iters c USING (cid)""".stripMargin
+    "x_ann_kmeans" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = k, iters = iters)
+        val assigned = Similarity.assignCells(e, cents, "vec_id", "embedding")
+        assigned.groupBy("cid").agg(count(lit(1)).as("n_members"))
+          .join(cents.select(col("vec_id").as("cid"),
+            round(element_at(col("embedding"), 1), 4).as("c1")), "cid")
+      },
+      sql))
+  }
+
   // ------------------------------------------------------ embedding utilities
   private val embNormalize: Q = "x_emb_normalize" -> ((
     (s: SparkSession, dir: String) => {
@@ -696,7 +750,7 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition,
-    annBruteforce, annLsh, annIvf, annIvfLayout, embNormalize,
+    annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport)

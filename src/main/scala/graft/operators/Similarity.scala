@@ -162,6 +162,64 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Distributed spherical k-means (Lloyd's) — TRAINS the IVF coarse
+    * quantizer instead of assuming centroids are given, completing the ANN
+    * story end-to-end (train → [[assignCells]] → `partitionBy(cid)` layout →
+    * [[topKIvfPrebuilt]] pruned probe).
+    *
+    * Determinism (this is a GATED operator, not a heuristic): seeding is
+    * content-hash systematic — the `k` corpus vectors with the smallest
+    * `md5(id)` — so no RNG, no seed drift across retries; the assignment
+    * step is [[assignCells]]'s argmax with its (cosine desc, cid asc)
+    * tie-break; the update step is the element-wise mean (computed in
+    * doubles, map-side partial sums) L2-normalized — spherical k-means,
+    * the right variant under cosine similarity. Iteration count is FIXED
+    * (`iters`), not convergence-tested: a fixed unrolling is reproducible
+    * by any engine (the DuckDB oracle replays it as unrolled CTEs), and in
+    * production the quantizer is trained once on a sample anyway.
+    *
+    * Scale shape per iteration: one broadcast argmax over the corpus (no
+    * shuffle of the big side), then `posexplode` + two keyed aggregations
+    * whose map-side partial sums shrink the shuffle to k×dim rows per
+    * partition. Centroids are `localCheckpoint`ed each round so the loop's
+    * plan depth stays constant. Empty cells (a centroid losing all members)
+    * simply drop out — both engines drop them identically via the inner
+    * grouping.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be non-negative")
+    var cents = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents, idCol, vecCol)
+      val sums = assigned
+        .select(col("cid"), posexplode(col(vecCol)))
+        .select(col("cid"), col("pos"), col("col").cast("double").as("x"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"), (col("sx") / col("n")).as("m"))
+      val rebuilt = sums.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid").as(idCol), transform(col("pm"), p => p.getField("m")).as(vecCol))
+      // The norm is materialized as its own column BEFORE the per-element
+      // division: referenced inside the transform() lambda it would be
+      // re-reduced once per element (HOF lambdas get no CSE).
+      cents = rebuilt.withColumn("_n", norm(col(vecCol)))
+        .select(col(idCol), transform(col(vecCol), x => x / col("_n")).as(vecCol))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** Deterministic sign-bit LSH bucket: bit i set iff element i+1 > 0.
     * For zero-centered embeddings this is a random-hyperplane LSH with the
     * coordinate axes as hyperplanes — engine-reproducible with no stored

@@ -23,6 +23,15 @@ object Sessionize {
   final case class Event(userId: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Long, sumValue: Double)
+  /** Keyed state: the open session plus at most ONE pending pre-start
+    * straggler run (an earlier session being reassembled from late events).
+    * The straggler run lives in STATE — not a batch-local accumulator — so
+    * stragglers split across different micro-batches still merge into the
+    * one session the batch sessionizer would emit; it closes on its own
+    * watermark deadline (`last + gap`), which is always strictly earlier
+    * than the open session's. State stays O(1) per key.
+    */
+  final case class KeyState(cur: SessionState, strag: Option[SessionState])
 
   /** The state-transition function: accumulate events while the gap holds,
     * emit a [[Session]] when the watermark times the key out.
@@ -30,24 +39,34 @@ object Sessionize {
   def updateState(gapMs: Long)(
       userId: Long,
       events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[KeyState]): Iterator[Session] = {
+    def emit(s: SessionState): Session = Session(userId, s.start, s.last, s.n, s.sum)
+    def deadline(ks: KeyState): Long =
+      math.min(ks.cur.last + gapMs, ks.strag.map(_.last + gapMs).getOrElse(Long.MaxValue))
     if (state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator(Session(userId, s.start, s.last, s.n, s.sum))
+      val ks = state.get
+      val wm = state.getCurrentWatermarkMs()
+      var out = List.empty[Session]
+      var strag = ks.strag
+      var cur: Option[SessionState] = Some(ks.cur)
+      // The straggler deadline precedes the session's (strag.last + gap <
+      // cur.start <= cur.last + gap), so a timeout can expire the straggler
+      // alone, or both — never the session alone while a straggler pends.
+      strag.filter(s => wm >= s.last + gapMs).foreach { s => out ::= emit(s); strag = None }
+      cur.filter(s => wm >= s.last + gapMs).foreach { s => out ::= emit(s); cur = None }
+      cur match {
+        case None => state.remove()
+        case Some(c) =>
+          val ks2 = KeyState(c, strag)
+          state.update(ks2)
+          state.setTimeoutTimestamp(math.max(deadline(ks2), wm + 1))
+      }
+      out.reverseIterator
     } else {
       val sorted = events.toSeq.sortBy(_.ts.getTime)
       var closed = List.empty[Session]
-      var cur = state.getOption
-      // Pending pre-start straggler run (see the straggler case below):
-      // successive stragglers within gap of EACH OTHER belong to one earlier
-      // session and must merge before closing — the batch-local sorted fold
-      // has them adjacent, so an O(1) accumulator suffices.
-      var strag = Option.empty[SessionState]
-      def closeStrag(): Unit = strag.foreach { s =>
-        closed ::= Session(userId, s.start, s.last, s.n, s.sum)
-        strag = None
-      }
+      var cur = state.getOption.map(_.cur)
+      var strag = state.getOption.flatMap(_.strag)
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
@@ -63,36 +82,45 @@ object Sessionize {
           case Some(s) if t - s.last <= gapMs && s.start - t <= gapMs =>
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.sum + e.value))
           case Some(s) if t - s.last > gapMs =>
-            closed ::= Session(userId, s.start, s.last, s.n, s.sum)
+            closed ::= emit(s)
             cur = Some(SessionState(t, t, 1, e.value))
           case Some(_) =>
             // Pre-start straggler: a cross-batch late event MORE than gap
             // before the open session's start. Absorbing it would stretch
             // `start` backwards across a gap the batch sessionizer breaks
-            // on; it belongs to an earlier session. Same-batch stragglers
-            // within gap of each other merge via the accumulator; the run
-            // closes when it breaks (or at batch end). (Known divergence:
-            // stragglers split across DIFFERENT micro-batches that would
-            // merge with each other emit separately — exact repair needs a
-            // per-key event buffer, not O(1) state.)
+            // on; it belongs to an earlier session. It merges into the
+            // PERSISTENT straggler run when within that run's merge window
+            // (cross-batch arrival order → min/max extent); a run it breaks
+            // with closes immediately (within one batch the sort makes runs
+            // adjacent, so this matches the batch fold).
             strag match {
-              case Some(s) if t - s.last <= gapMs =>
-                strag = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
-              case _ =>
-                closeStrag()
+              case Some(s) if t - s.last <= gapMs && s.start - t <= gapMs =>
+                strag = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.sum + e.value))
+              case other =>
+                other.foreach(s => closed ::= emit(s))
                 strag = Some(SessionState(t, t, 1, e.value))
             }
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
-      closeStrag()
-      cur.foreach { s =>
-        state.update(s)
+      // Bridge check: pre-start merges can shrink `cur.start` (or grow
+      // `strag.last`) until the two runs are within gap of each other — the
+      // batch sessionizer would fuse them into ONE session; do the same.
+      (cur, strag) match {
+        case (Some(c), Some(s)) if c.start - s.last <= gapMs =>
+          cur = Some(SessionState(math.min(s.start, c.start), math.max(s.last, c.last),
+            c.n + s.n, c.sum + s.sum))
+          strag = None
+        case _ => ()
+      }
+      cur.foreach { c =>
+        val ks = KeyState(c, strag)
+        state.update(ks)
         // Clamp above the current watermark: a timeout timestamp at or below
         // it is invalid (the session would never time out / Spark rejects it).
         val wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
+        state.setTimeoutTimestamp(math.max(deadline(ks), wm + 1))
       }
       closed.reverseIterator
     }

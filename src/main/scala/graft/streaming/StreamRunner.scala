@@ -30,28 +30,79 @@ import graft.sinks.GraftSink
   */
 final class StreamRunner(pipeline: Pipeline, sink: GraftSink, checkpointDir: String) {
 
-  @volatile private var totals = graft.ProcessSummary(0, 0, 0, 0, 0)
+  /** The run summary survives CRASH-RESTARTS without breaking per-run xcom
+    * semantics. Each micro-batch writes its counter record to
+    * `<checkpoint>/graft-summary/batch-<id>` (driver-side, after the batch's
+    * write returns), keyed by batch id so a replayed batch OVERWRITES its
+    * own record instead of double-counting. A `reported-through` marker
+    * holding the highest batch id of the last SUCCESSFUL run is advanced
+    * only at clean completion; [[summary]] sums the records ABOVE the marker
+    * read at run start. Net effect:
+    *  - a run resumed after a crash reports every batch of the logical run,
+    *    including batches the dead attempt committed (the in-memory
+    *    accumulator this replaces silently under-reported those);
+    *  - the next SCHEDULED run over the same checkpoint starts past the
+    *    marker and reports only its own consumption — the reference's
+    *    per-run xcom semantics.
+    * Caveats: a crash between the sink write and the record write replays
+    * the batch, whose dedup'd re-write reports 0 written for rows the dead
+    * attempt did land (same caveat as the JDBC sink count — audit-grade
+    * counts query the sink); a crash between xcom emission and the marker
+    * write re-reports those batches once in the NEXT run's xcom
+    * (at-least-once reporting).
+    */
+  private def summaryDir = java.nio.file.Paths.get(checkpointDir, "graft-summary")
+  private def markerFile = summaryDir.resolve("reported-through")
 
-  def summary: graft.ProcessSummary = totals
+  /** Highest batch id already reported by a completed run; -1 if none. */
+  private def readMarker(): Long =
+    if (java.nio.file.Files.exists(markerFile))
+      java.nio.file.Files.readString(markerFile).trim.toLong
+    else -1L
+
+  @volatile private var reportFloor: Long = -1L
+
+  def summary: graft.ProcessSummary = {
+    val recs = Option(summaryDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch-"))
+      .filter(_.getName.stripPrefix("batch-").toLong > reportFloor)
+      .map { f =>
+        val parts = java.nio.file.Files.readString(f.toPath).trim.split(",").map(_.toLong)
+        graft.ProcessSummary(parts(0), parts(1), parts(2), parts(3), parts(4))
+      }
+    recs.foldLeft(graft.ProcessSummary(0, 0, 0, 0, 0)) { (t, s) =>
+      graft.ProcessSummary(
+        t.eventCount + s.eventCount,
+        t.emptyCount + s.emptyCount,
+        t.nonEmptyCount + s.nonEmptyCount,
+        t.errorCount + s.errorCount,
+        t.writtenToDbCount + s.writtenToDbCount)
+    }
+  }
 
   /** Run the stream to the current end of the source and stop (AvailableNow).
     * `raw` must be a streaming DataFrame in the canonical message shape.
     */
   def runAvailableNow(spark: SparkSession, raw: DataFrame, k6Dim: Option[DataFrame] = None): Unit = {
+    java.nio.file.Files.createDirectories(summaryDir)
+    reportFloor = readMarker()
     val query = raw.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = pipeline.run(spark, batch, sink, k6Dim)
-        totals = graft.ProcessSummary(
-          totals.eventCount + s.eventCount,
-          totals.emptyCount + s.emptyCount,
-          totals.nonEmptyCount + s.nonEmptyCount,
-          totals.errorCount + s.errorCount,
-          totals.writtenToDbCount + s.writtenToDbCount)
+        java.nio.file.Files.writeString(summaryDir.resolve(s"batch-$batchId"),
+          s"${s.eventCount},${s.emptyCount},${s.nonEmptyCount},${s.errorCount},${s.writtenToDbCount}")
         ()
       }
       .start()
     query.awaitTermination()
+    // Clean completion: everything on disk is now (or has been) reported —
+    // advance the marker so the next scheduled run starts its own count.
+    val maxId = Option(summaryDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("batch-"))
+      .map(_.getName.stripPrefix("batch-").toLong)
+      .foldLeft(reportFloor)(math.max)
+    java.nio.file.Files.writeString(markerFile, maxId.toString)
   }
 }

@@ -245,4 +245,28 @@ class DedupSimilaritySpec extends SparkSpec {
     // docs 0/1/3 are one near-dup cluster (rep 0); doc 2 has no pair
     assert(kept == Set(0L, 2L))
   }
+
+  test("trainCentroids: separable clusters recovered; deterministic under repartition") {
+    import graft.operators.Similarity
+    // 3 well-separated directions in R^4, 20 noisy members each
+    val dirs = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val base = dirs(c)
+      val eps = 0.01f * ((i * 7 + c) % 5 - 2) // deterministic jitter
+      (c * 100L + i, base.zipWithIndex.map { case (v, j) => if (j == 3) eps else v })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, "vec_id", "embedding", k = 3, iters = 3)
+    assert(cents.count() == 3)
+    val assigned = Similarity.assignCells(df, cents, "vec_id", "embedding")
+      .select("vec_id", "cid").as[(Long, Long)].collect()
+    // every vector lands with its own cluster-mates
+    val byCid = assigned.groupBy(_._2).values.map(_.map(_._1 / 100).toSet).toSet
+    assert(byCid == Set(Set(0L), Set(1L), Set(2L)), s"mixed clusters: $byCid")
+    // determinism: a different input partitioning yields the same centroids
+    val cents2 = Similarity.trainCentroids(df.repartition(7), "vec_id", "embedding", k = 3, iters = 3)
+    val a = cents.orderBy("vec_id").collect().map(_.toString)
+    val b = cents2.orderBy("vec_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
 }

@@ -128,6 +128,67 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.Session(1L, ts(20).getTime, ts(22).getTime, 2, 3.0)))
   }
 
+  test("stragglers split across DIFFERENT batches merge into one earlier session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "40 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_xbatch")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(20), 1.0), (1L, ts(22), 2.0)) // state: [10:20, 10:22]
+    query.processAllAvailable()
+    input.addData((1L, ts(5), 1.0))  // straggler, batch A
+    query.processAllAvailable()
+    input.addData((1L, ts(8), 1.0))  // straggler, batch B — within gap of 10:05
+    query.processAllAvailable()
+    input.addData((2L, ts(59), 0.0)) // watermark forward -> straggler run then session close
+    query.processAllAvailable()
+    input.addData((2L, ts(75), 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_xbatch").as[Sessionize.Session].collect()
+      .filter(_.userId == 1L).sortBy(_.startMs)
+    query.stop()
+    // The batch sessionizer over {10:05, 10:08, 10:20, 10:22} emits exactly
+    // two sessions — the cross-batch split must not produce three.
+    assert(out.toSeq == Seq(
+      Sessionize.Session(1L, ts(5).getTime, ts(8).getTime, 2, 2.0),
+      Sessionize.Session(1L, ts(20).getTime, ts(22).getTime, 2, 3.0)))
+  }
+
+  test("a bridging event fuses the straggler run with the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Sessionize.sessions(spark, events, gapMs = 5 * 60 * 1000, watermarkDelay = "40 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_bridge")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    input.addData((1L, ts(20), 1.0), (1L, ts(22), 2.0)) // state: [10:20, 10:22]
+    query.processAllAvailable()
+    input.addData((1L, ts(13), 1.0)) // 7 min before start: straggler run
+    query.processAllAvailable()
+    input.addData((1L, ts(16), 1.0)) // within gap of BOTH 10:13 and 10:20 — bridges
+    query.processAllAvailable()
+    input.addData((2L, ts(59), 0.0)) // watermark forward
+    query.processAllAvailable()
+    input.addData((2L, ts(75), 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("sessions_bridge").as[Sessionize.Session].collect()
+      .filter(_.userId == 1L).sortBy(_.startMs)
+    query.stop()
+    // Batch sessionizer over {10:13, 10:16, 10:20, 10:22}: gaps 3/4/2 min —
+    // ONE session spanning the lot.
+    assert(out.toSeq == Seq(
+      Sessionize.Session(1L, ts(13).getTime, ts(22).getTime, 4, 5.0)))
+  }
+
   test("state is per key: interleaved users do not merge") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]

@@ -70,4 +70,59 @@ class StreamRunnerSpec extends SparkSpec {
     assert(r3.summary.writtenToDbCount == 0)
     assert(spark.read.parquet(sinkDir).count() == 15)
   }
+
+  test("crash-resumed run reports the WHOLE logical run; next scheduled run only its own") {
+    val base = Files.createTempDirectory("graft-stream-crash").toString
+    val srcDir = s"$base/topic"
+    val sinkDir = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    // two source files -> two micro-batches under maxFilesPerTrigger=1
+    MessageSource.fromRows(spark, (0 until 10).map { i =>
+      (s"k$i".getBytes("UTF-8"), s"""{"k": $i}""".getBytes("UTF-8"), "t", i % 2, i.toLong, 1700000000000L + i)
+    }).coalesce(1).write.mode("append").parquet(srcDir)
+    MessageSource.fromRows(spark, (10 until 15).map { i =>
+      (s"k$i".getBytes("UTF-8"), s"""{"k": $i}""".getBytes("UTF-8"), "t", i % 2, i.toLong, 1700000000000L + i)
+    }).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val pipe = new Pipeline(cfg, StructType(Seq(StructField("k", LongType))),
+      batchTime = Timestamp.valueOf("2024-06-01 12:00:00"))
+    // Sink that dies on its second write — simulates a driver crash after
+    // batch 0 committed (record written) but before the run finished.
+    class TrippingSink(inner: ParquetSink) extends graft.sinks.GraftSink {
+      @volatile var writes = 0
+      @volatile var armed = true
+      override def write(df: org.apache.spark.sql.DataFrame): Unit = {
+        if (armed && writes >= 1) throw new RuntimeException("simulated crash")
+        writes += 1; inner.write(df)
+      }
+      override def existing(s: org.apache.spark.sql.SparkSession, cols: Seq[String]) =
+        inner.existing(s, cols)
+    }
+    val inner = new ParquetSink(sinkDir)
+    val sink = new TrippingSink(inner)
+    def stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(msgSchema).parquet(srcDir)
+
+    val attempt1 = new StreamRunner(pipe, sink, ckpt)
+    intercept[Exception](attempt1.runAvailableNow(spark, stream))
+    assert(spark.read.parquet(sinkDir).count() == 10) // batch 0 landed
+
+    // Retry over the same checkpoint: processes only the failed batch, but
+    // its summary covers the WHOLE logical run including the dead attempt's
+    // committed batch 0.
+    sink.armed = false
+    val retry = new StreamRunner(pipe, sink, ckpt)
+    retry.runAvailableNow(spark, stream)
+    assert(retry.summary.eventCount == 15, "resumed run must report the whole logical run")
+    assert(retry.summary.writtenToDbCount == 15)
+    assert(spark.read.parquet(sinkDir).count() == 15)
+
+    // A NEW scheduled run over the same checkpoint reports only ITS batches.
+    MessageSource.fromRows(spark, (15 until 20).map { i =>
+      (s"k$i".getBytes("UTF-8"), s"""{"k": $i}""".getBytes("UTF-8"), "t", i % 2, i.toLong, 1700000000000L + i)
+    }).coalesce(1).write.mode("append").parquet(srcDir)
+    val next = new StreamRunner(pipe, sink, ckpt)
+    next.runAvailableNow(spark, stream)
+    assert(next.summary.eventCount == 5, "scheduled run must not re-report prior runs")
+    assert(spark.read.parquet(sinkDir).count() == 20)
+  }
 }
