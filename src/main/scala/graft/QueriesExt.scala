@@ -548,6 +548,50 @@ object QueriesExt {
     * redaction chain + counts, which must agree with DuckDB's RE2 running
     * the very same patterns.
     */
+  /** Corpus vocabulary / Zipf head: top-50 tokens by frequency. The window
+    * ranks the AGGREGATED vocabulary (|vocab| ≪ corpus), so the single
+    * unpartitioned window is a driver-sized top-k, not a corpus sort.
+    */
+  private val textVocab: Q = "x_text_vocab" -> ((
+    (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir).select(col("doc_id"), Dedup.tokens(col("text")).as("_ws"))
+        .repartition(col("doc_id"))
+        .select(explode_outer(col("_ws")).as("tok")).where(col("tok").isNotNull)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .where(col("rank") <= 50)
+    },
+    """SELECT tok, freq, rank FROM (
+      |  SELECT tok, count(*)::BIGINT AS freq,
+      |         row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+      |  FROM (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
+      |  GROUP BY tok)
+      |WHERE rank <= 50""".stripMargin))
+
+  /** Boilerplate span removal gate: tokens covered by 5-grams shared across
+    * >2 distinct docs are cut; the oracle rebuilds each doc with the same
+    * covered-position arithmetic.
+    */
+  private val textBoilerplate: Q = "x_text_boilerplate" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.removeBoilerplateSpans(docs(s, dir), "doc_id", "text", n = 5, maxDocFreq = 2),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') ws FROM documents),
+      |sh AS (SELECT doc_id, i-1 AS p, ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+      |       FROM toks, UNNEST(range(1, len(ws)-3)) t(i)),
+      |boiler AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) > 2),
+      |cov AS (SELECT DISTINCT sh.doc_id, u.j FROM sh JOIN boiler USING (s), UNNEST(range(sh.p, sh.p+5)) u(j)),
+      |cs AS (SELECT doc_id, list(j) AS cov FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CASE WHEN cs.doc_id IS NULL THEN array_to_string(t.ws, ' ')
+      |       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+      |       -- concat_ws over an empty array is '' (fully-boilerplate doc)
+      |       ELSE coalesce(array_to_string(list_transform(
+      |              list_filter(range(1, len(t.ws)+1), i -> NOT list_contains(cs.cov, i-1)),
+      |              i -> t.ws[i]), ' '), '')
+      |  END AS cleaned_text
+      |FROM toks t LEFT JOIN cs USING (doc_id)""".stripMargin))
+
   private val textPii: Q = "x_text_pii" -> ((
     (s: SparkSession, dir: String) => {
       val aug = docs(s, dir).select(col("doc_id"),
@@ -749,7 +793,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
-    decontaminate, corpusPipeline, textPii, textRepetition,
+    decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,

@@ -81,6 +81,56 @@ object Dedup {
       .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull)
 
+  /** C4-style boilerplate SPAN removal — dedup BELOW document granularity:
+    * any token covered by a word `n`-gram occurring in more than `maxDocFreq`
+    * DISTINCT documents is removed from every document (navigation chrome,
+    * license headers, templated footers), and the surviving tokens are
+    * re-joined in order. Doc-level dedup misses this entirely: two documents
+    * sharing one boilerplate paragraph are not near-dups.
+    *
+    * Scale shape: ONE positioned-shingle expansion (repartitioned before the
+    * explode, outer+filter against the `InferFiltersFromGenerate` pushdown
+    * trap — see [[shingleTable]]); the boilerplate set and the covered
+    * positions both shuffle keyed by shingle, and ReuseExchange serves the
+    * doc-frequency count and the cover join from the same exchange. The
+    * REBUILD is local: covered positions collapse to one small per-doc set
+    * (`collect_set`, bounded by doc length) joined back on the id, and the
+    * surviving text is reassembled with array ops inside the row — the corpus
+    * text itself is never exploded a second time.
+    */
+  def removeBoilerplateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      maxDocFreq: Int = 2): DataFrame = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+      .repartition(parallelism, col(idCol))
+    val gram = (i: Column) => concat_ws(" ", (0 until n).map(j => element_at(col("_ws"), i + lit(j + 1))): _*)
+    val posSh = toks.select(col(idCol),
+        when(size(col("_ws")) >= n,
+          transform(sequence(lit(0), size(col("_ws")) - n), i => struct(i.as("p"), gram(i).as("s"))))
+        .otherwise(array().cast("array<struct<p:int,s:string>>")).as("_shs"))
+      .select(col(idCol), explode_outer(col("_shs")).as("_x"))
+      .where(col("_x").isNotNull)
+      .select(col(idCol), col("_x.p").as("p"), col("_x.s").as("s"))
+    val boiler = posSh.groupBy("s")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") > maxDocFreq)
+      .select("s")
+    val covered = posSh.join(boiler, "s")
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1))).as("cp"))
+    val covSet = covered.groupBy(col(idCol)).agg(collect_set(col("cp")).as("_cov"))
+    toks.join(covSet, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_cov").isNull, concat_ws(" ", col("_ws")))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(sequence(lit(0), size(col("_ws")) - 1), i => !array_contains(col("_cov"), i)),
+              i => element_at(col("_ws"), i + 1)))).as("cleaned_text"))
+  }
+
   /** Exact dedup via hash-groupBy: one row per distinct key expression with
     * the minimum id as the survivor and the duplicate count. Map-side partial
     * aggregation makes this a single keyed shuffle at any scale.

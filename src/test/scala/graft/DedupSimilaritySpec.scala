@@ -246,6 +246,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("removeBoilerplateSpans cuts shared 5-gram spans, keeps unique text in order") {
+    val boiler = "terms of use apply here"
+    val d = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler"),
+      (3L, s"$boiler"),                      // fully boilerplate -> empty
+      (4L, "totally unique words only here")) // untouched
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeBoilerplateSpans(d, "doc_id", "text", n = 5, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "alpha beta gamma delta")
+    assert(got(2L) == "one two three")
+    assert(got(3L) == "")
+    assert(got(4L) == "totally unique words only here")
+    // below the doc-frequency threshold nothing is removed
+    val two = graft.operators.Dedup.removeBoilerplateSpans(
+      d.where(col("doc_id") <= 2), "doc_id", "text", n = 5, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(two(1L) == s"alpha beta $boiler gamma delta")
+  }
+
   test("trainCentroids: separable clusters recovered; deterministic under repartition") {
     import graft.operators.Similarity
     // 3 well-separated directions in R^4, 20 noisy members each
