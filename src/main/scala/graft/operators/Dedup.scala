@@ -115,11 +115,19 @@ object Dedup {
       .select(col(idCol), explode_outer(col("_shs")).as("_x"))
       .where(col("_x").isNotNull)
       .select(col(idCol), col("_x.p").as("p"), col("_x.s").as("s"))
-    val boiler = posSh.groupBy("s")
+    // ONE shuffle of the shingle volume, shared by both consumers: the
+    // df-count's distinct rewrite needs ClusteredDistribution(s, id) and the
+    // cover join needs (s) — hashpartitioning(s) satisfies both, and the two
+    // consumers referencing the identical repartition subplan lets
+    // ReuseExchange serve them from one exchange (without this, each side
+    // re-ran the whole tokenize→shingle expansion: countDistinct's two-phase
+    // plan shuffles on (s, id), which matches nothing).
+    val bySh = posSh.repartition(parallelism, col("s"))
+    val boiler = bySh.groupBy("s")
       .agg(countDistinct(col(idCol)).as("_df"))
       .where(col("_df") > maxDocFreq)
       .select("s")
-    val covered = posSh.join(boiler, "s")
+    val covered = bySh.join(boiler, "s")
       .select(col(idCol), explode(sequence(col("p"), col("p") + (n - 1))).as("cp"))
     val covSet = covered.groupBy(col(idCol)).agg(collect_set(col("cp")).as("_cov"))
     toks.join(covSet, Seq(idCol), "left_outer")
