@@ -548,6 +548,51 @@ object QueriesExt {
     * redaction chain + counts, which must agree with DuckDB's RE2 running
     * the very same patterns.
     */
+  /** AS-OF join gate: each purchase event picks up the user's most recent
+    * signup at-or-before it. The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`
+    * — an independent implementation of the same semantics, so the gate
+    * checks the operator against an engine that special-cases it.
+    */
+  private val joinAsof: Q = "x_join_asof" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t").as("ts_ms"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("t"), col("event_id"))
+      graft.operators.Joins.asOf(facts, dim,
+        keys = Seq("user_id"), factTime = "ts_ms", dimTime = "t",
+        dimCols = Seq("event_id", "t"))
+    },
+    """WITH f AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |           WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, epoch_ms(ts) AS t, max(event_id) AS event_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT f.event_id, f.user_id, f.ts_ms,
+      |  d.event_id AS asof_event_id, d.t AS asof_t
+      |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_ms >= d.t""".stripMargin))
+
+  /** Per-source length-distribution report (exact interpolated percentiles —
+    * the same definition as SQL `quantile_cont`, bit-identical across
+    * engines). Spark's exact `percentile` aggregates a value→count map, so
+    * memory is O(distinct lengths) per group — bounded for metric columns
+    * like character counts; for unbounded-cardinality columns at 100 TB the
+    * scale path is `approx_percentile` (sketch-based, rows-only gate).
+    */
+  private val corpusQuantiles: Q = "x_corpus_quantiles" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).groupBy("source").agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        count(lit(1)).as("n_docs")),
+    """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.9) AS p90, quantile_cont(n_chars, 0.99) AS p99,
+      |  count(*)::BIGINT AS n_docs
+      |FROM documents GROUP BY source""".stripMargin))
+
   /** Corpus vocabulary / Zipf head: top-50 tokens by frequency. The window
     * ranks the AGGREGATED vocabulary (|vocab| ≪ corpus), so the single
     * unpartitioned window is a driver-sized top-k, not a corpus sort.
@@ -797,7 +842,8 @@ object QueriesExt {
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
-    sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport)
+    sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
+    joinAsof)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

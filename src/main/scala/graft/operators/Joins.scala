@@ -148,6 +148,55 @@ object Joins {
     restored.select(order.map(col): _*)
   }
 
+  /** AS-OF join: each fact row gets the dimension row with the greatest
+    * `dimTime` at-or-before its `factTime`, per key — the temporal-lookup
+    * join (price as of trade time, profile as of event time) that plain
+    * equi-joins can't express.
+    *
+    * Scale shape: NOT a join at all but ONE shuffle+sort — dim and fact rows
+    * are tagged and unioned, partitioned by key, sorted by (time, dim-first),
+    * and a running `last(dim-payload, ignoreNulls)` window carries the most
+    * recent dim row forward onto every fact row. This is the canonical
+    * distributed as-of plan: no row multiplication, no range-join explosion,
+    * memory O(1) per row in the running frame. A dim row at exactly
+    * `factTime` IS visible (at-or-before): equal timestamps sort dim-first.
+    *
+    * Determinism: multiple dim rows sharing (key, time) collapse BEFORE the
+    * union via `max(struct(dimCols))` — lexicographic on `dimCols` order, so
+    * the caller's column order is the tie-break contract.
+    *
+    * Facts with no prior dim row get NULL as-of columns (left semantics).
+    * `_t`/`_isdim`/`_dval`/`_asof` are reserved internal names.
+    */
+  def asOf(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTime: String,
+      dimTime: String,
+      dimCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asOf requires at least one key column")
+    require(dimCols.nonEmpty, "asOf requires at least one dim payload column")
+    import org.apache.spark.sql.expressions.Window
+    val factCols = facts.columns.toSeq
+    val dval = struct(dimCols.map(dim(_)): _*)
+    val dimPrep = dim.groupBy((keys.map(dim(_)) :+ dim(dimTime).as("_t")): _*)
+      .agg(max(dval).as("_dval"))
+      .withColumn("_isdim", lit(1))
+    val factPrep = facts
+      .withColumn("_t", col(factTime))
+      .withColumn("_isdim", lit(0))
+      .withColumn("_dval", lit(null).cast(dimPrep.schema("_dval").dataType))
+    val unioned = factPrep.unionByName(dimPrep, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_isdim").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.withColumn("_asof", last(col("_dval"), ignoreNulls = true).over(w))
+      .where(col("_isdim") === 0)
+      .select(factCols.map(col) ++ dimCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
+  }
+
   /** Key equality helper for tests: the join condition `dedupAgainst` uses. */
   def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
     keys.map(k => l(k) <=> r(k)).reduce(_ && _)

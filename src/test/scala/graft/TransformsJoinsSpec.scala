@@ -123,4 +123,32 @@ class TransformsJoinsSpec extends SparkSpec {
       .orderBy("a").as[(Long, String)].collect().toSeq
     assert(out == Seq((2L, "z"), (3L, "x")))
   }
+
+  test("asOf: latest dim at-or-before fact time, per key; nulls before first dim") {
+    val dim = Seq(
+      (1L, 10L, "p10"), (1L, 20L, "p20"),
+      (1L, 20L, "p20b"), // same (key, t): max(struct) tie-break keeps p20b
+      (2L, 15L, "q15"))
+      .toDF("k", "t", "v")
+    val facts = Seq(
+      (100L, 1L, 5L),   // before any dim -> null
+      (101L, 1L, 10L),  // exactly at dim time -> p10 (at-or-before)
+      (102L, 1L, 19L),  // between -> p10
+      (103L, 1L, 25L),  // after both -> p20b
+      (104L, 2L, 99L),  // other key -> q15
+      (105L, 3L, 50L))  // key with no dim -> null
+      .toDF("fid", "k", "ft")
+    val out = Joins.asOf(facts, dim, keys = Seq("k"), factTime = "ft", dimTime = "t",
+      dimCols = Seq("v"))
+      .orderBy("fid").as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (100L, 1L, 5L, None),
+      (101L, 1L, 10L, Some("p10")),
+      (102L, 1L, 19L, Some("p10")),
+      (103L, 1L, 25L, Some("p20b")),
+      (104L, 2L, 99L, Some("q15")),
+      (105L, 3L, 50L, None)))
+    assert(Joins.asOf(facts, dim, Seq("k"), "ft", "t", Seq("v")).columns.toSeq ==
+      Seq("fid", "k", "ft", "asof_v"))
+  }
 }
