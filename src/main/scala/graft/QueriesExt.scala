@@ -574,6 +574,33 @@ object QueriesExt {
       |  d.event_id AS asof_event_id, d.t AS asof_t
       |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_ms >= d.t""".stripMargin))
 
+  /** Range-join gate: every view event falling inside a 5-minute window
+    * opened by any error event (no key — a pure interval-containment join).
+    * The Spark side runs the bucketized equi-join plan; the oracle is
+    * DuckDB's native inequality join (IEJoin) over the same predicate — an
+    * independent execution strategy for identical semantics.
+    */
+  private val joinRange: Q = "x_join_range" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      val facts = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("t"))
+      val dim = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("t").as("lo"),
+          (col("t") + 300000L).as("hi"))
+      graft.operators.Joins.rangeJoin(facts, dim,
+          factTime = "t", lo = "lo", hi = "hi", bucketMs = 300000L)
+        .select("view_id", "t", "err_id", "lo")
+    },
+    """WITH f AS (SELECT event_id AS view_id, epoch_ms(ts) AS t FROM events
+      |           WHERE event_type = 'view'),
+      |d AS (SELECT event_id AS err_id, epoch_ms(ts) AS lo, epoch_ms(ts) + 300000 AS hi
+      |      FROM events WHERE event_type = 'error')
+      |SELECT f.view_id, f.t, d.err_id, d.lo
+      |FROM f JOIN d ON f.t >= d.lo AND f.t < d.hi""".stripMargin))
+
   /** Per-source length-distribution report (exact interpolated percentiles —
     * the same definition as SQL `quantile_cont`, bit-identical across
     * engines). Spark's exact `percentile` aggregates a value→count map, so
@@ -843,7 +870,7 @@ object QueriesExt {
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
-    joinAsof)
+    joinAsof, joinRange)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

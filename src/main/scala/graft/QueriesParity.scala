@@ -611,10 +611,56 @@ object QueriesParity {
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events) GROUP BY user_id""".stripMargin))
 
+  /** ROLLUP (grouping sets): q1's aggregate with per-flag and grand totals in
+    * one pass. Spark expands grouping sets BEFORE the shuffle (each input row
+    * feeds every set it belongs to, partial-aggregated map-side), so the
+    * subtotal rows cost no extra scan. NULL group keys from the rollup are
+    * rendered as "(all)" on both sides — representation-independent compare.
+    */
+  private val qRollup: Q = "q_rollup" -> ((
+    (s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      l.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qty).cast("double").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))
+    },
+    """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+      |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** Set operations: INTERSECT / EXCEPT with SQL set (distinct) semantics.
+    * Spark plans both as distinct-aggregated joins (left-semi / left-anti),
+    * so the same bounded-shuffle story as any keyed join applies; the small
+    * filtered sides are AQE-broadcastable at runtime.
+    */
+  private val qSetOps: Q = "q_setops" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val buyers = o.where(col("o_totalprice") > 100000.0)
+        .select(col("o_custkey").as("custkey"))
+      val building = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val recent = o.where(col("o_orderdate") >= lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(col("o_custkey").as("custkey"))
+      buyers.intersect(building).except(recent)
+    },
+    """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin))
+
   val all: Seq[Q] = Seq(
     s2SubscribeSink, s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
-    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize)
+    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps)
 }

@@ -197,6 +197,55 @@ object Joins {
       .select(factCols.map(col) ++ dimCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
   }
 
+  /** Range (interval-containment) join: every (fact, dim) pair where the
+    * fact's time falls in the dim row's half-open interval `[lo, hi)`,
+    * optionally also matching on equality `keys`.
+    *
+    * Scale shape: Spark plans a bare `t >= lo AND t < hi` join as a
+    * broadcast-nested-loop (O(|facts|·|dim|) comparisons) — unusable beyond a
+    * tiny dim. Instead time is bucketized: each dim interval is exploded to
+    * the `bucketMs`-wide buckets it overlaps, each fact row computes the ONE
+    * bucket containing its time, and the join becomes a plain shuffled
+    * EQUI-join on (bucket, keys...) followed by the residual range filter.
+    * Each qualifying pair appears exactly once — the fact's bucket is unique,
+    * and a dim interval contributes one row per bucket. Comparisons drop from
+    * |facts|·|dim| to |facts|·(dim rows per bucket); both sides shuffle on
+    * the bucket key, so the plan is fully distributed, AQE-skew-splittable,
+    * and needs no broadcast of either side.
+    *
+    * `bucketMs` tuning: ≈ the typical interval width. Too small explodes dim
+    * rows (`maxBucketsPerInterval` fails LOUDLY rather than letting one
+    * open-ended interval fan out into millions of rows); too large piles
+    * unrelated dim rows into each bucket. Inner-join semantics: facts with no
+    * containing interval are dropped. `_b` is a reserved internal name.
+    */
+  def rangeJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      factTime: String,
+      lo: String,
+      hi: String,
+      bucketMs: Long,
+      keys: Seq[String] = Nil,
+      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketMs > 0, "rangeJoin requires a positive bucket width")
+    val bLo = floor(dim(lo) / bucketMs).cast("long")
+    // hi is exclusive: an interval ending exactly on a bucket boundary does
+    // not reach into the next bucket.
+    val bHi = floor((dim(hi) - 1) / bucketMs).cast("long")
+    val nB = bHi - bLo + lit(1L)
+    val dimB = dim.withColumn("_b", explode(
+      when(nB > maxBucketsPerInterval,
+        raise_error(concat(lit(s"rangeJoin: interval spans more than $maxBucketsPerInterval buckets of $bucketMs ms: ["),
+          dim(lo), lit(", "), dim(hi), lit(")"))))
+      .otherwise(sequence(bLo, bHi))))
+    val factB = facts.withColumn("_b", floor(facts.col(factTime) / bucketMs).cast("long"))
+    val cond = keys.map(k => factB(k) === dimB(k))
+      .foldLeft(factB("_b") === dimB("_b") &&
+        factB(factTime) >= dimB(lo) && factB(factTime) < dimB(hi))(_ && _)
+    factB.join(dimB, cond).drop("_b")
+  }
+
   /** Key equality helper for tests: the join condition `dedupAgainst` uses. */
   def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
     keys.map(k => l(k) <=> r(k)).reduce(_ && _)

@@ -151,4 +151,30 @@ class TransformsJoinsSpec extends SparkSpec {
     assert(Joins.asOf(facts, dim, Seq("k"), "ft", "t", Seq("v")).columns.toSeq ==
       Seq("fid", "k", "ft", "asof_v"))
   }
+
+  test("rangeJoin: half-open containment, exactly-once pairs across bucket spans") {
+    // bucketMs=10: interval [5,25) spans buckets 0-2, [20,30) is exactly
+    // bucket 2, [30,40) starts on a boundary.
+    val dim = Seq((1L, 5L, 25L), (2L, 20L, 30L), (3L, 30L, 40L)).toDF("did", "lo", "hi")
+    val facts = Seq((10L, 4L), (11L, 5L), (12L, 24L), (13L, 25L), (14L, 29L), (15L, 30L), (16L, 39L), (17L, 40L))
+      .toDF("fid", "t")
+    val out = Joins.rangeJoin(facts, dim, "t", "lo", "hi", bucketMs = 10L)
+      .select("fid", "did").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (11L, 1L), (12L, 1L),            // [5,25): t=5 in, t=24 in, t=4/25 out
+      (12L, 2L), (13L, 2L), (14L, 2L), // [20,30): 24,25,29 in, 30 out
+      (15L, 3L), (16L, 3L)))           // [30,40): 30,39 in, 40 out
+    // keyed variant: same times but keys must also match
+    val dimK = Seq(("a", 1L, 0L, 100L), ("b", 2L, 0L, 100L)).toDF("k", "did", "lo", "hi")
+    val factsK = Seq(("a", 10L, 50L), ("c", 11L, 50L)).toDF("k", "fid", "t")
+    val outK = Joins.rangeJoin(factsK, dimK, "t", "lo", "hi", bucketMs = 10L, keys = Seq("k"))
+      .select("fid", "did").as[(Long, Long)].collect().toSet
+    assert(outK == Set((10L, 1L)))
+    // pathological interval width fails loudly instead of exploding
+    val wide = Seq((9L, 0L, 1000000L)).toDF("did", "lo", "hi")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(facts, wide, "t", "lo", "hi", bucketMs = 10L, maxBucketsPerInterval = 16).count()
+    }
+    assert(ex.getMessage.contains("rangeJoin"))
+  }
 }
