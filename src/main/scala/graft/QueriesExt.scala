@@ -863,6 +863,123 @@ object QueriesExt {
       |  sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_in_dup_groups
       |FROM t JOIN d USING (h) GROUP BY t.source""".stripMargin))
 
+  /** Corpus-unigram-LM quality score gate: the fold runs in sorted-token
+    * order on both engines, so the double sum is bit-reproducible (an
+    * arbitrary-order `sum()` would not be).
+    */
+  private val textUnigramLm: Q = "x_text_unigram_lm" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.UnigramLm.scoreDocs(docs(s, dir), "doc_id", "text"),
+    """WITH tok AS (SELECT doc_id, t FROM documents,
+      |             UNNEST(string_split(trim(text), ' ')) u(t) WHERE t <> ''),
+      |dt AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |v AS (SELECT t, sum(tf)::BIGINT AS cnt FROM dt GROUP BY 1),
+      |n AS (SELECT sum(cnt)::BIGINT AS nn FROM v),
+      |l AS (SELECT doc_id, list(struct_pack(t := dt.t, tf := tf, c := cnt) ORDER BY dt.t) AS lst
+      |      FROM dt JOIN v USING (t) GROUP BY doc_id)
+      |SELECT doc_id, round(
+      |  list_reduce(list_prepend(0.0, list_transform(lst, x -> x.tf * ln(x.c::DOUBLE / nn))),
+      |              (a, b) -> a + b)
+      |  / list_reduce(list_prepend(0::BIGINT, list_transform(lst, x -> x.tf)),
+      |                (a, b) -> a + b)::DOUBLE, 6) AS lm_score
+      |FROM l, n""".stripMargin))
+
+  /** Train/val/test split-assignment gate: contiguous ranges of the shared
+    * content-hash bucket (80/10/10).
+    */
+  private val splitAssign: Q = "x_split_assign" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.splitAssign(docs(s, dir), col("doc_id"),
+        Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0))
+        .select("doc_id", "split"),
+    """SELECT doc_id,
+      |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 AS b FROM documents)""".stripMargin))
+
+  /** Per-source cap gate: at most 10 docs per source, kept in content-hash
+    * order — deterministic, so the oracle's row_number replay matches.
+    */
+  private val sourceCap: Q = "x_source_cap" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.perGroupCap(docs(s, dir), "doc_id", "source", maxPerGroup = 10)
+        .select("doc_id", "source"),
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents) WHERE rk <= 10""".stripMargin))
+
+  /** SCD-1 latest-per-key gate: one argmax aggregate vs the oracle's
+    * row_number-desc replay. (ts_ms, event_id) totally orders each user's
+    * events, so the payload fields after the order prefix are never
+    * compared.
+    */
+  private val upsertLatest: Q = "x_upsert_latest" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"), col("value"))
+      Dedup.latestByKey(ev, keys = Seq("user_id"),
+        orderCols = Seq("ts_ms", "event_id"), payloadCols = Seq("event_type", "value"))
+    },
+    """SELECT user_id, ts_ms, event_id, event_type, value FROM (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+      |  FROM events) WHERE rk = 1""".stripMargin))
+
+  /** STREAMING exact-dedup gate — the streaming twin of the batch distinct:
+    * `dropDuplicatesWithinWatermark` over a file stream, AvailableNow, key
+    * columns only (first-occurrence payloads are arrival-ordered, the key
+    * set is not). All events land in one micro-batch where the running
+    * watermark is still 0, so every duplicate collapses and the emitted key
+    * set equals batch DISTINCT regardless of file order; state for a key is
+    * evicted once the watermark passes its first-seen time + delay — the
+    * bounded-state production shape (cross-batch re-emission beyond the
+    * watermark window is the operator's documented contract).
+    */
+  private val stDedup: Q = "st_dedup" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stdedup").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
+      ev.write.parquet(s"$tmp/topic")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+      val dd = stream.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+      val q = dd.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+    },
+    "SELECT DISTINCT user_id, event_type FROM events"))
+
+  /** Salted-JOIN gate (the agg twin is x_skew_salted_agg): events join a
+    * 5-row type dimension through the (key, salt) spread — the oracle runs
+    * the plain equi-join, so any salt-induced row duplication or loss
+    * hash-mismatches immediately.
+    */
+  private val skewSaltedJoin: Q = "x_skew_salted_join" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"))
+      val dim = ev.select(col("event_type")).distinct()
+        .withColumn("type_code", length(col("event_type")))
+      graft.operators.Skew.saltedJoin(ev, dim,
+        keys = Seq("event_type"), spreadOn = Seq("event_id"), salts = 8)
+    },
+    """WITH dim AS (SELECT DISTINCT event_type, len(event_type) AS type_code FROM events)
+      |SELECT e.event_id, e.event_type, d.type_code
+      |FROM events e JOIN dim d USING (event_type)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
@@ -870,7 +987,8 @@ object QueriesExt {
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
-    joinAsof, joinRange)
+    joinAsof, joinRange,
+    textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -384,6 +384,80 @@ object Dedup {
   private def hashBucket(keyCol: Column): Column =
     (conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long") % 10000).cast("int")
 
+  /** Deterministic train/val/test split ASSIGNMENT: every row gets a split
+    * label from contiguous ranges of the same content-hash bucket as
+    * [[systematicSample]]. Pure function of the key — append-stable (new
+    * rows never move old rows between splits), reproducible across engines
+    * and retries, and a shuffle-free codegen'd projection the scan absorbs.
+    * `splits` is an ORDERED (name, percent) list; percents are whole basis
+    * points (granularity 0.01%) and must sum to exactly 100.
+    */
+  def splitAssign(
+      df: DataFrame,
+      keyCol: Column,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    val bps = splits.map { case (name, p) =>
+      require(p >= 0.01 && p <= 100, s"split $name: percent $p outside [0.01, 100]")
+      name -> math.round(p * 100).toInt
+    }
+    require(bps.map(_._2).sum == 10000,
+      s"split percents must sum to exactly 100 (got ${bps.map(_._2).sum / 100.0})")
+    val cum = bps.scanLeft(0) { case (acc, (_, b)) => acc + b }.tail
+    val assign = bps.map(_._1).zip(cum).init.foldRight(lit(bps.last._1)) {
+      case ((name, hi), acc) => when(hashBucket(keyCol) < hi, name).otherwise(acc)
+    }
+    df.withColumn(outCol, assign)
+  }
+
+  /** Per-group document cap — the CommonCrawl "per-host cap" primitive: at
+    * most `maxPerGroup` rows survive per group (host, source, license…),
+    * chosen deterministically by content-hash order (md5 of the id, id
+    * tie-break), NOT arrival order — so the kept subset is stable across
+    * runs, partitionings, and engines.
+    *
+    * Scale shape: the `row_number <= k` filter triggers Spark's
+    * InferWindowGroupLimit, which inserts a PARTIAL WindowGroupLimit before
+    * the shuffle — each map task forwards at most k rows per group, so a
+    * skewed group (one host with 10^9 pages) shuffles O(k × tasks) rows,
+    * not the group. Asserted in DedupSimilaritySpec.
+    */
+  def perGroupCap(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= maxPerGroup)
+      .drop("_rk")
+  }
+
+  /** Latest-row-per-key (SCD-1 "current view" of an insert-only feed, the
+    * natural companion of the reference's append-only target table): one
+    * map-side-combining `max(struct(order…, payload…))` argmax per key — a
+    * single keyed shuffle of one buffer per key, where the row_number
+    * formulation would shuffle and sort every version of every key.
+    * `orderCols` must totally order rows within a key (include a unique
+    * tie-breaker like the event id); payload columns ride the struct and are
+    * never compared once the order prefix is unique.
+    */
+  def latestByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty, "keys and orderCols required")
+    val carried = orderCols ++ payloadCols
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(carried.map(col): _*)).as("_m"))
+      .select(keys.map(col) ++ carried.map(c => col(s"_m.$c").as(c)): _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,
     * shard, LSH bucket, …): the block join bounds the pair count, cosine is
     * the strict-left-fold double math of [[Similarity.cosine]] so any engine

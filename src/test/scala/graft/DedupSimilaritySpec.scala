@@ -290,4 +290,74 @@ class DedupSimilaritySpec extends SparkSpec {
     val b = cents2.orderBy("vec_id").collect().map(_.toString)
     assert(a.sameElements(b))
   }
+
+  test("splitAssign: total cover, append-stable labels, strict fraction check") {
+    val d = spark.range(0, 1000).toDF("id")
+    val splits = Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0)
+    val got = Dedup.splitAssign(d, col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 1000) // every row labeled, none dropped
+    assert(got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // pure function of the key: labels computed on a subset are identical
+    val sub = Dedup.splitAssign(d.where(col("id") < 100), col("id"), splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(sub.forall { case (k, v) => got(k) == v })
+    // roughly proportional (hash uniformity, wide tolerance)
+    val train = got.values.count(_ == "train")
+    assert(train > 700 && train < 900, s"train=$train")
+    intercept[IllegalArgumentException] {
+      Dedup.splitAssign(d, col("id"), Seq("a" -> 50.0, "b" -> 40.0))
+    }
+  }
+
+  test("perGroupCap: caps each group deterministically; partial WindowGroupLimit in plan") {
+    val d = (0 until 15).map(i => (i.toLong, "big")) ++ (100 until 105).map(i => (i.toLong, "small"))
+    val df = d.toDF("doc_id", "source").repartition(8)
+    val out = Dedup.perGroupCap(df, "doc_id", "source", maxPerGroup = 10)
+    val kept = out.select("doc_id", "source").as[(Long, String)].collect()
+    assert(kept.count(_._2 == "big") == 10)
+    assert(kept.count(_._2 == "small") == 5)
+    // deterministic under a different partitioning
+    val kept2 = Dedup.perGroupCap(df.repartition(3), "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == kept.map(_._1).toSet)
+    // the rank<=k filter must become a map-side (Partial) WindowGroupLimit:
+    // a skewed group then ships O(k) rows per task, not the whole group
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
+  test("latestByKey: argmax matches the window formulation, ties broken by order suffix") {
+    val ev = Seq(
+      (1L, 10L, 100L, "a", 1.0),
+      (1L, 20L, 101L, "b", 2.0), // latest for user 1
+      (2L, 30L, 102L, "c", 3.0),
+      (2L, 30L, 103L, "d", 4.0), // same ts: event_id 103 wins
+      (3L, 5L, 104L, "e", 5.0))
+      .toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val got = Dedup.latestByKey(ev, Seq("user_id"), Seq("ts_ms", "event_id"), Seq("event_type", "value"))
+      .as[(Long, Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 20L, 101L, "b", 2.0),
+      (2L, 30L, 103L, "d", 4.0),
+      (3L, 5L, 104L, "e", 5.0)))
+    // the plan is an aggregate (one keyed shuffle), not a window sort
+    val plan = Dedup.latestByKey(ev, Seq("user_id"), Seq("ts_ms", "event_id"), Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("unigram LM score: hand-computed corpus log-likelihoods") {
+    // counts: a=2 b=2 c=1, N=5. doc 1: all tokens p=0.4 -> ln(0.4);
+    // doc 2: (ln(2/5) + ln(1/5)) / 2.
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.operators.UnigramLm.scoreDocs(d, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == math.rint(math.log(0.4) * 1e6) / 1e6)
+    assert(got(2L) == math.rint((math.log(0.4) + math.log(0.2)) / 2 * 1e6) / 1e6)
+    // empty doc drops out
+    val withEmpty = Seq((1L, "a"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.operators.UnigramLm.scoreDocs(withEmpty, "doc_id", "text").count() == 1)
+  }
 }
