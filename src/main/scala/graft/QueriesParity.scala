@@ -348,6 +348,10 @@ object QueriesParity {
         .when(k % 13 === 2, concat(((k % 30) + 1).cast("string"), lit(" days ago")))
         .when(k % 13 === 3, lit("in 3 hours"))
         .when(k % 13 === 4, lit("2 weeks ago"))
+        // Norwegian month-name date ("2. januar 2024")
+        .when(k % 13 === 5, concat(dayofmonth(d).cast("string"), lit(". "),
+          element_at(array(Conversions.norwegianMonths.map(lit): _*), month(d)),
+          lit(" "), year(d).cast("string")))
         .when(k % 11 === 0, unix_timestamp(d).cast("string"))            // epoch seconds in string
         .when(k % 11 === 1, (unix_timestamp(d) * 1000).cast("string"))   // epoch millis in string
         .when(k % 8 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
@@ -373,7 +377,7 @@ object QueriesParity {
       |      TIMESTAMP '2024-06-01 12:00:00' + INTERVAL 3 HOUR)), '%Y-%m-%d %H:%M:%S')
       |    WHEN o_orderkey % 13 = 4 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
       |      TIMESTAMP '2024-06-01 12:00:00' - INTERVAL 14 DAY)), '%Y-%m-%d %H:%M:%S')
-      |    WHEN o_orderkey % 11 IN (0,1) OR o_orderkey % 8 IN (0,1,2,3,4,5,6)
+      |    WHEN o_orderkey % 13 = 5 OR o_orderkey % 11 IN (0,1) OR o_orderkey % 8 IN (0,1,2,3,4,5,6)
       |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
       |                    '%Y-%m-%d %H:%M:%S')
       |    ELSE strftime(timezone('Europe/Oslo',

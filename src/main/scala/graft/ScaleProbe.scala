@@ -63,6 +63,24 @@ object ScaleProbe {
         big.where(col("doc_id") % 97 === 0), "doc_id", "text")
       println(s"[probe] contaminated = ${d.where(col("contaminated") === 1).count()}")
     }
+    timed("unigram LM score") {
+      // Token volume grows ×factor but the vocab barely grows (replica
+      // suffixes add `factor` new types): the claim under test is that the
+      // shared token-keyed exchange and the per-doc sorted fold keep wall
+      // clock tracking token volume, with no per-task state growth.
+      val lm = graft.operators.UnigramLm.scoreDocs(big, "doc_id", "text")
+      println(s"[probe] scored docs = ${lm.count()}")
+    }
+    timed("per-group cap") {
+      // Replication multiplies GROUP sizes, not group counts: every replica
+      // lands in the same synthetic group (doc_id % 20), so groups are
+      // factor× hotter while output stays capped — the map-side
+      // WindowGroupLimit must keep the shuffle O(k × tasks), not O(rows).
+      val capped = Dedup.perGroupCap(
+        big.withColumn("grp", (col("doc_id") % 20).cast("string")),
+        "doc_id", "grp", maxPerGroup = 10)
+      println(s"[probe] capped rows = ${capped.count()}")
+    }
     spark.stop()
   }
 }

@@ -69,6 +69,13 @@ object Conversions {
     coalesce(nullif(stripped, lit("")), lit("UKJENT"))
   }
 
+  /** Norwegian month names in calendar order — shared by the lenient-date
+    * ladder and its gate's input generator.
+    */
+  val norwegianMonths: Seq[String] = Seq(
+    "januar", "februar", "mars", "april", "mai", "juni",
+    "juli", "august", "september", "oktober", "november", "desember")
+
   /** `str -> datetime-no` (`/root/reference/src/transform.py:49-60`): lenient
     * date parse (reference uses `dateparser` with English locale), then Oslo
     * wall clock; unparseable -> NULL. graft tries a fixed format ladder with
@@ -105,6 +112,22 @@ object Conversions {
         when(low.rlike(inPat),
           shift(a, spanSeconds(regexp_extract(low, inPat, 1), regexp_extract(low, inPat, 2)))))
     }
+    // Norwegian month-name dates ("2. januar 2024", "15 mars 2023") —
+    // dateparser's nb locale accepts these and the reference's domain is
+    // Norwegian. Normalized to ISO via a month-name→number when-chain and
+    // re-parsed; case-insensitive; date-only scope (time-of-day forms stay
+    // with the numeric rungs).
+    val lowNo = lower(s)
+    val noPat = s"^(\\d{1,2})\\.? (${norwegianMonths.mkString("|")}) (\\d{4})$$"
+    val noMonthNum = norwegianMonths.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (m, i)) => when(regexp_extract(lowNo, noPat, 2) === m, lit(i + 1)).otherwise(acc)
+    }
+    val norwegian = when(lowNo.rlike(noPat), try_to_timestamp(
+      concat_ws("-",
+        regexp_extract(lowNo, noPat, 3),
+        lpad(noMonthNum.cast("string"), 2, "0"),
+        lpad(regexp_extract(lowNo, noPat, 1), 2, "0")),
+      lit("yyyy-MM-dd")))
     val parsed = coalesce(Seq(
       // Offset-bearing ISO forms first (XXX accepts both `Z` and `+02:00`);
       // the parsed instant is already UTC-anchored, so the trailing
@@ -144,7 +167,8 @@ object Conversions {
       // bands are disjoint from every format rung, so ladder order is
       // irrelevant for these.
       when(s.rlike("^\\d{9,10}$"), timestamp_seconds(s.cast("long"))),
-      when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long")))) ++ relative.toSeq: _*)
+      when(s.rlike("^\\d{12,13}$"), timestamp_millis(s.cast("long"))),
+      norwegian) ++ relative.toSeq: _*)
     from_utc_timestamp(parsed, Oslo)
   }
 

@@ -86,6 +86,26 @@ class ConversionsSpec extends SparkSpec {
       null))
   }
 
+  test("lenientDateOslo: Norwegian month-name dates") {
+    val got = Seq(
+      "2. januar 2024",     // dotted day
+      "15 mars 2023",       // no dot
+      "1. DESEMBER 2022",   // case-insensitive
+      "31. desember 2024",
+      "15 January 2024",    // English name: handled by the MMMM rung, not this one
+      "32. januar 2024")    // invalid day -> null
+      .toDF("s")
+      .select(date_format(Conversions.lenientDateOslo(col("s")), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq(
+      "2024-01-02 01:00:00",
+      "2023-03-15 01:00:00",
+      "2022-12-01 01:00:00",
+      "2024-12-31 01:00:00",
+      "2024-01-15 01:00:00",
+      null))
+  }
+
   test("lenientDateOslo: relative forms anchored to the batch time") {
     // anchor 2024-06-01 12:00:00 UTC -> Oslo wall clock 14:00 (CEST)
     val anchor = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
