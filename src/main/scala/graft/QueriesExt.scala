@@ -980,6 +980,47 @@ object QueriesExt {
       |SELECT e.event_id, e.event_type, d.type_code
       |FROM events e JOIN dim d USING (event_type)""".stripMargin))
 
+  /** STREAM-STREAM interval join gate: purchases attribute to same-user
+    * signups within a 3-day window, run as a watermarked streaming
+    * self-join (both sides buffered in the state store, eviction bounded by
+    * the interval), gated against the batch join oracle. Inner stream-stream
+    * joins emit eagerly, so the single AvailableNow batch yields exactly the
+    * batch result; the native-timestamp interval comparison is µs-exact on
+    * both engines.
+    */
+  private val stJoinInterval: Q = "st_join_interval" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stjoin").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
+      ev.write.parquet(s"$tmp/topic")
+      def stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+      val facts = stream.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val dims = stream.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+      val j = graft.streaming.StreamJoins.intervalJoin(facts, dims,
+          key = "user_id", factTs = "p_ts", dimTs = "s_ts",
+          maxSpanMs = 3L * 86400000L)
+        .select(col("user_id"), col("p_id"), col("s_id"),
+          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
+      val q = j.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+    },
+    """SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id,
+      |  epoch_ms(p.ts) AS p_ms, epoch_ms(s.ts) AS s_ms
+      |FROM events p JOIN events s ON p.user_id = s.user_id
+      | AND p.event_type = 'purchase' AND s.event_type = 'signup'
+      | AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 3 DAY""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
@@ -988,7 +1029,8 @@ object QueriesExt {
     mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
-    textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin)
+    textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
+    stJoinInterval)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -51,13 +51,19 @@ object UnigramLm {
     val byTok = docTok.repartition(parallelism, col("tok"))
     val vocab = byTok.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val totals = broadcast(vocab.agg(sum(col("cnt")).as("_N")))
+    // ln(cnt/N) is materialized as a codegen'd column BEFORE the per-doc
+    // array is collected: HOF lambdas are interpreted with no CSE (the
+    // repo's own trap, see Dedup.shinglesOf), so folding ln/cast/divide per
+    // element would run the expensive math interpreted on the hot path.
+    // The fold below is pure tf·lp accumulation over the same sorted order —
+    // bit-identical result.
     val perDoc = byTok.join(vocab, Seq("tok"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("tok").as("t"), col("tf"), col("cnt")))).as("_l"))
       .crossJoin(totals)
+      .withColumn("lp", log(col("cnt").cast("double") / col("_N").cast("double")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("tok").as("t"), col("tf"), col("lp")))).as("_l"))
     val num = aggregate(col("_l"), lit(0.0),
-      (acc, s) => acc + s.getField("tf").cast("double") *
-        log(s.getField("cnt").cast("double") / col("_N").cast("double")))
+      (acc, s) => acc + s.getField("tf").cast("double") * s.getField("lp"))
     val den = aggregate(col("_l"), lit(0L), (acc, s) => acc + s.getField("tf"))
     perDoc.select(col(idCol), round(num / den.cast("double"), 6).as("lm_score"))
   }
