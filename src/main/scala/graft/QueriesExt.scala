@@ -1021,6 +1021,38 @@ object QueriesExt {
       | AND p.event_type = 'purchase' AND s.event_type = 'signup'
       | AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 3 DAY""".stripMargin))
 
+  /** NFC canonicalization gate: the corpus is ASCII, so decomposed/composed
+    * sequences are planted deterministically from doc_id (combining acute /
+    * ring / diaeresis, plus one already-composed no-op row); lengths before
+    * and after prove the merge happened. Both engines implement Unicode NFC
+    * — implementation-independent by spec — so the oracle's `nfc_normalize`
+    * replays the expression exactly.
+    */
+  private val textNfc: Q = "x_text_nfc" -> ((
+    (s: SparkSession, dir: String) => {
+      // Decomposed base+combining-mark pairs (escapes keep the source
+      // ASCII): e+U+0301, a+U+030A, o+U+0308; the else branch is the
+      // already-composed U+00E9 (the fast-path no-op row).
+      val dec = when(col("doc_id") % 4 === 0, lit("e\u0301"))
+        .when(col("doc_id") % 4 === 1, lit("a\u030A"))
+        .when(col("doc_id") % 4 === 2, lit("o\u0308"))
+        .otherwise(lit("\u00E9"))
+      val t = concat(col("text"), lit(" x"), dec)
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.Conversions.nfcNormalize(t).as("nfc_text"),
+        length(t).as("len_raw"),
+        length(graft.functions.Conversions.nfcNormalize(t)).as("len_nfc"))
+    },
+    """WITH aug AS (SELECT doc_id, text || ' x' ||
+      |  CASE doc_id % 4 WHEN 0 THEN 'e' || chr(769)
+      |                  WHEN 1 THEN 'a' || chr(778)
+      |                  WHEN 2 THEN 'o' || chr(776)
+      |                  ELSE chr(233) END AS t
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(t) AS nfc_text,
+      |  length(t)::INT AS len_raw, length(nfc_normalize(t))::INT AS len_nfc
+      |FROM aug""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
@@ -1030,7 +1062,7 @@ object QueriesExt {
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
-    stJoinInterval)
+    stJoinInterval, textNfc)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

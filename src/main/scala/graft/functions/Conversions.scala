@@ -59,6 +59,16 @@ object Conversions {
     Shim.column(graft.expressions.StrCode(Shim.expression(c)))
   }
 
+  /** Unicode NFC canonicalization (native codegen'd
+    * [[graft.expressions.NfcNormalize]]): run BEFORE any hash-based text
+    * operator — composed vs decomposed forms of the same visible string
+    * otherwise defeat exact dedup, shingling and fingerprints.
+    */
+  def nfcNormalize(c: Column): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.NfcNormalize(Shim.expression(c)))
+  }
+
   /** The 6-step builtin chain with identical semantics (reference spec). */
   def strCodeBuiltins(c: Column): Column = {
     val collapsed = regexp_replace(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+", "_")

@@ -32,7 +32,8 @@ object GraftFunctions {
     "graft_bpeish_count" -> TextAnalysis.bpeishCount,
     "graft_fingerprint" -> TextAnalysis.rollingFingerprint,
     "graft_simhash" -> (c => graft.operators.Dedup.simHash(c)),
-    "graft_redact_pii" -> TextAnalysis.redactPii)
+    "graft_redact_pii" -> TextAnalysis.redactPii,
+    "graft_nfc" -> Conversions.nfcNormalize)
 
   def register(spark: SparkSession): Unit = {
     fns1.foreach { case (name, f) =>

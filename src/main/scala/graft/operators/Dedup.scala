@@ -4,7 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the 100 TB training-data pipeline surface:
-  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard — plus the
+  * content-hash selection family that rides the same determinism discipline
+  * (systematic/stratified sampling, train/val/test splits, per-group caps,
+  * latest-per-key).
   *
   * Design for scale (the whole point of these over naive pairwise):
   *  - every candidate-generation path is *relational* — explode → hash →

@@ -46,11 +46,19 @@ object UnigramLm {
       .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // One token-keyed shuffle shared by the vocab count and the score join:
-    // both consumers reference the identical repartition subplan, so
-    // ReuseExchange materializes it once.
+    // both consumers reference the identical repartition subplan. Catalyst's
+    // static ReuseExchange can't unify them here (the vocab side continues
+    // into a BroadcastExchange, a different subtree), but AQE's runtime
+    // exchange reuse (on in GraftSession) serves both from one materialized
+    // shuffle.
     val byTok = docTok.repartition(parallelism, col("tok"))
     val vocab = byTok.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
-    val totals = broadcast(vocab.agg(sum(col("cnt")).as("_N")))
+    // The corpus total N folds off the pre-explode frame (same id-keyed
+    // exchange as docTok, no token shuffle): sum of per-doc non-empty token
+    // counts == sum(vocab.cnt), one scalar row, broadcast.
+    val totals = broadcast(toks.select(
+      size(filter(col("_ws"), t => t.isNotNull && t =!= "")).as("_n"))
+      .agg(sum(col("_n")).cast("long").as("_N")))
     // ln(cnt/N) is materialized as a codegen'd column BEFORE the per-doc
     // array is collected: HOF lambdas are interpreted with no CSE (the
     // repo's own trap, see Dedup.shinglesOf), so folding ln/cast/divide per

@@ -86,6 +86,30 @@ class ConversionsSpec extends SparkSpec {
       null))
   }
 
+  test("nfcNormalize: composed/decomposed merge, ASCII no-op, null passthrough") {
+    val rows = Seq(
+      ("e\u0301", "\u00E9"),            // decomposed -> composed
+      ("a\u030Ab", "\u00E5b"),          // mid-string combining mark
+      ("\u00E9", "\u00E9"),             // already composed: unchanged
+      ("plain ascii", "plain ascii"),   // fast path
+      (null, null))
+      .toDF("s", "want")
+    val got = rows.select(Conversions.nfcNormalize(col("s")).as("g"), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, want) => assert(g == want) }
+    // length collapses where a merge happened
+    val lens = Seq("e\u0301").toDF("s")
+      .select(length(col("s")), length(Conversions.nfcNormalize(col("s"))))
+      .as[(Int, Int)].head()
+    assert(lens == ((2, 1)))
+    // matches java.text.Normalizer on arbitrary strings (interpreted eval
+    // and codegen path both route through the same impl)
+    val samples = Seq("A\u030A\u0301mixed", "x\u0308\u0301y", "", "\u212B")
+    val sparkOut = samples.toDF("s").select(Conversions.nfcNormalize(col("s"))).as[String].collect()
+    val javaOut = samples.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(sparkOut.toSeq == javaOut)
+  }
+
   test("lenientDateOslo: Norwegian month-name dates") {
     val got = Seq(
       "2. januar 2024",     // dotted day
