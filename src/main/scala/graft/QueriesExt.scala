@@ -1021,6 +1021,52 @@ object QueriesExt {
       | AND p.event_type = 'purchase' AND s.event_type = 'signup'
       | AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 3 DAY""".stripMargin))
 
+  /** LEFT-OUTER twin of [[stJoinInterval]] — the semantically hard case:
+    * a fact's null-padded row may only emit once both watermarks pass its
+    * match horizon, so a bounded run NEEDS the sentinel push (far-future
+    * purchase+signup rows, filtered key) or every tail fact's outer row
+    * stays buffered forever. Gated against the batch LEFT JOIN — any
+    * premature or missing null emission hash-mismatches.
+    */
+  private val stJoinIntervalLeft: Q = "st_join_interval_left" -> ((
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stjoinl").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
+      ev.write.parquet(s"$tmp/topic")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 3L * 86400000L + 2L * 3600 * 1000L)
+      Seq((-1L, -1L, "purchase", far), (-2L, -2L, "signup", far))
+        .toDF("event_id", "user_id", "event_type", "ts")
+        .write.mode("append").parquet(s"$tmp/topic")
+      def stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+      val facts = stream.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val dims = stream.where(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+      val j = graft.streaming.StreamJoins.intervalJoin(facts, dims,
+          key = "user_id", factTs = "p_ts", dimTs = "s_ts",
+          maxSpanMs = 3L * 86400000L, joinType = "left_outer")
+        .select(col("user_id"), col("p_id"), col("s_id"),
+          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
+      val q = j.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").where(col("user_id") >= 0)
+    },
+    """SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id,
+      |  epoch_ms(p.ts) AS p_ms, epoch_ms(s.ts) AS s_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |ON p.user_id = s.user_id AND s.ts <= p.ts AND p.ts <= s.ts + INTERVAL 3 DAY""".stripMargin))
+
   /** NFC canonicalization gate: the corpus is ASCII, so decomposed/composed
     * sequences are planted deterministically from doc_id (combining acute /
     * ring / diaeresis, plus one already-composed no-op row); lengths before
@@ -1062,7 +1108,7 @@ object QueriesExt {
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
-    stJoinInterval, textNfc)
+    stJoinInterval, stJoinIntervalLeft, textNfc)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

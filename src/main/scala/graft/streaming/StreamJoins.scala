@@ -16,15 +16,19 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object StreamJoins {
 
-  /** Watermarked interval INNER join: fact rows match dim rows with the
-    * same key whose time lies in `[factTime - maxSpanMs, factTime]` (the
-    * "fact happened within `maxSpanMs` after the dim" shape — signup →
-    * purchase attribution, error → effect windows, …).
+  /** Watermarked interval join: fact rows match dim rows with the same key
+    * whose time lies in `[factTime - maxSpanMs, factTime]` (the "fact
+    * happened within `maxSpanMs` after the dim" shape — signup → purchase
+    * attribution, error → effect windows, …).
     *
     * Both inputs must be STREAMING frames; `factTs`/`dimTs` are event-time
-    * timestamp columns. Inner joins emit eagerly (no watermark wait for
-    * output), so an AvailableNow run over a bounded source produces exactly
-    * the batch join result. Column names pass through — alias before the
+    * timestamp columns. MATCHED rows emit eagerly (no watermark wait), so
+    * an AvailableNow `"inner"` run over a bounded source produces exactly
+    * the batch join result. With `"left_outer"`, a fact's null-padded row
+    * emits only once BOTH sides' watermarks pass its match horizon — a
+    * bounded run must push the watermark beyond `max(ts) + maxSpanMs +
+    * delay` (sentinel rows) or tail facts stay buffered and their outer
+    * rows are never emitted. Column names pass through — alias before the
     * call if the sides collide on anything besides `key`.
     */
   def intervalJoin(
@@ -34,15 +38,18 @@ object StreamJoins {
       factTs: String,
       dimTs: String,
       maxSpanMs: Long,
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(maxSpanMs > 0, "maxSpanMs must be positive")
+    require(Set("inner", "left_outer").contains(joinType),
+      "joinType must be inner or left_outer (right/full outer mirror left)")
     val f = facts.withWatermark(factTs, watermarkDelay)
     val d = dims.withWatermark(dimTs, watermarkDelay)
     f.join(d,
       f(key) === d(key) &&
         col(dimTs) <= col(factTs) &&
         col(factTs) <= col(dimTs) + expr(s"INTERVAL ${maxSpanMs / 1000} SECONDS"),
-      "inner")
+      joinType)
       .drop(d(key))
   }
 }
