@@ -276,7 +276,7 @@ object QueriesExt {
     *    excluded by its marker event_type.
     */
   private val stWindowedCounts: Q = "st_windowed_counts" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-stwin").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -318,7 +318,7 @@ object QueriesExt {
     * state fold and a group agg; extent and counts are order-exact).
     */
   private val stSessionize: Q = "st_sessionize" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-stsess").toString
       val gapMs = 21600000L // 6h, as the batch q_sessionize gate
@@ -940,7 +940,7 @@ object QueriesExt {
     * watermark window is the operator's documented contract).
     */
   private val stDedup: Q = "st_dedup" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stdedup").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("event_type"),
@@ -988,8 +988,23 @@ object QueriesExt {
     * batch result; the native-timestamp interval comparison is µs-exact on
     * both engines.
     */
+  /** Stateful-shuffle sizing for the stream-join gates: a stream-stream
+    * join instantiates FOUR state stores per shuffle partition, so its
+    * fixed setup cost scales with the partition count, not the data. At
+    * sf0.1 (~2k facts) 8 partitions is the honest size; production sizes
+    * this to the cluster exactly like any shuffle. Set before the stream
+    * starts (the count is baked into the checkpoint at first run),
+    * restored after.
+    */
+  private[graft] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private val stJoinInterval: Q = "st_join_interval" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stjoin").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -1029,7 +1044,7 @@ object QueriesExt {
     * premature or missing null emission hash-mismatches.
     */
   private val stJoinIntervalLeft: Q = "st_join_interval_left" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
       val tmp = java.nio.file.Files.createTempDirectory("graft-stjoinl").toString
       val ev = s.read.parquet(s"$dir/events.parquet")

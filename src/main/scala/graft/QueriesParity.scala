@@ -127,7 +127,7 @@ object QueriesParity {
     * assign path answers, proving both strategies produce identical rows.
     */
   private val s2SubscribeSink: Q = "s2_subscribe_sink" -> ((
-    (s: SparkSession, dir: String) => {
+    (s: SparkSession, dir: String) => QueriesExt.withStatePartitions(s, 8) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
       MessageSource.fromEvents(s, dir).write.parquet(s"$tmp/topic")
       val cfg = PipelineConfig(

@@ -442,12 +442,15 @@ object Dedup {
 
   /** Latest-row-per-key (SCD-1 "current view" of an insert-only feed, the
     * natural companion of the reference's append-only target table): one
-    * map-side-combining `max(struct(order…, payload…))` argmax per key — a
-    * single keyed shuffle of one buffer per key, where the row_number
-    * formulation would shuffle and sort every version of every key.
-    * `orderCols` must totally order rows within a key (include a unique
-    * tie-breaker like the event id); payload columns ride the struct and are
-    * never compared once the order prefix is unique.
+    * map-side-combining `max(struct(order…, payload…))` argmax per key.
+    * The struct buffer makes this a partial SortAggregate (a per-partition
+    * sort, local CPU), but the SHUFFLE — the scale-limiting resource —
+    * carries one combined buffer per key per partition, where the
+    * row_number window formulation ships and sorts every version of every
+    * key through the exchange. `orderCols` must totally order rows within a
+    * key (include a unique tie-breaker like the event id); payload columns
+    * ride the struct and are never compared once the order prefix is
+    * unique.
     */
   def latestByKey(
       df: DataFrame,
