@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.config.CurateConfig
+import graft.functions.{Conversions, TextAnalysis}
+import graft.operators.Dedup
+
+/** Production entry point for the CORPUS-CURATION surface — what
+  * [[GraftMain]] is to the reference-parity pipeline, this is to the
+  * training-data extensions: one YAML config declares the run
+  * (filters → exact dedup → near-dup clusters → decontaminate → stratified
+  * sample → split), and the output is a curated parquet corpus plus a
+  * machine-readable stage report.
+  *
+  * `runMain graft.CurateMain <config.yaml>` (or `CURATE_CONFIG` /
+  * `CURATE_CONFIG_FILE` env). Report JSON goes to `<output>/report.json`
+  * and stdout.
+  *
+  * Scale shape: identical to the gated flagship (`x_corpus_pipeline`) —
+  * the post-dedup survivor frame is the persisted stage boundary feeding
+  * pair generation / keep-one / decontamination / projection; at 100 TB
+  * that boundary becomes a parquet write between jobs. Stage counts ride
+  * the stage frames that are already materialized, so the report costs no
+  * extra corpus scans beyond the per-stage `count()` actions on cached or
+  * trivially-derived frames.
+  */
+object CurateMain {
+
+  final case class StageReport(stages: Seq[(String, Long)], splits: Map[String, Long]) {
+    def json: String = {
+      val s = stages.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val sp = splits.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s"""{"stages":{$s},"splits":{$sp}}"""
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val yaml = args.headOption.map(p => Files.readString(Paths.get(p)))
+      .orElse(sys.env.get("CURATE_CONFIG"))
+      .orElse(sys.env.get("CURATE_CONFIG_FILE").map(p => Files.readString(Paths.get(p))))
+      .getOrElse(throw new IllegalArgumentException(
+        "usage: CurateMain <config.yaml> (or CURATE_CONFIG / CURATE_CONFIG_FILE)"))
+    val cfg = CurateConfig.fromYaml(yaml)
+    val spark = GraftSession.get()
+    try {
+      val report = run(spark, cfg)
+      val json = report.json
+      Files.writeString(Paths.get(cfg.output).resolve("report.json"), json)
+      println(json)
+    } catch {
+      case ex: Throwable =>
+        System.err.println(GraftMain.failureRecord(ex))
+        spark.stop()
+        throw ex
+    }
+    spark.stop()
+  }
+
+  /** Execute the configured curation; writes `<output>/corpus` (partitioned
+    * by `split` when splits are configured) and returns the stage report.
+    */
+  def run(spark: SparkSession, cfg: CurateConfig): StageReport = {
+    val id = col(cfg.idColumn)
+    val stages = Seq.newBuilder[(String, Long)]
+
+    val raw = spark.read.parquet(cfg.input)
+    stages += "input" -> raw.count()
+
+    val text0 = if (cfg.nfc) Conversions.nfcNormalize(col(cfg.textColumn)) else col(cfg.textColumn)
+    val base = raw.withColumn(cfg.textColumn, text0)
+
+    val nWords = size(Dedup.tokens(col(cfg.textColumn)))
+    val lenQual = base
+      .where(nWords >= cfg.minWords && nWords <= cfg.maxWords)
+      .where(TextAnalysis.qualityScore(col(cfg.textColumn)) >= cfg.minQuality)
+    // Repetition facets (Gopher-style) only when the config asks — their
+    // top-bigram plan is relational (explode + keyed agg), not a per-row
+    // projection like the bounds above, so the join is pay-for-what-you-use.
+    val filtered =
+      if (cfg.maxDupWordFrac < 1.0 || cfg.maxTopBigramFrac < 1.0)
+        lenQual.join(
+          graft.operators.Repetition.metrics(lenQual, cfg.idColumn, cfg.textColumn)
+            .where(col("dup_word_frac") <= cfg.maxDupWordFrac &&
+              col("top_bigram_frac") <= cfg.maxTopBigramFrac)
+            .select(id), cfg.idColumn)
+      else lenQual
+    // Stage boundary: every downstream consumer (exact-dup grouping, pair
+    // generation, keep-one, decontamination, write) re-reads this frame,
+    // and connectedComponents' eager checkpoints split the lineage into
+    // separate jobs — same persist discipline as the gated flagship.
+    val survivors0 = filtered.persist(StorageLevel.MEMORY_AND_DISK)
+    stages += "after_filters" -> survivors0.count()
+
+    val afterExact =
+      if (cfg.dedupExact)
+        survivors0.join(
+          Dedup.exact(survivors0, cfg.idColumn, md5(col(cfg.textColumn)))
+            .select(col("kept_id").as(cfg.idColumn)), cfg.idColumn)
+      else survivors0
+    val dd = afterExact.persist(StorageLevel.MEMORY_AND_DISK)
+    stages += "after_exact_dedup" -> dd.count()
+
+    val afterNear = cfg.nearDupThreshold match {
+      case Some(t) =>
+        val comp = Dedup.connectedComponents(
+          Dedup.jaccardPairs(dd, cfg.idColumn, cfg.textColumn, n = 3, threshold = t))
+        Dedup.resolveClusters(dd, cfg.idColumn, comp)
+      case None => dd
+    }
+    stages += "after_near_dedup" -> afterNear.count()
+
+    val afterDecon = cfg.decontaminateAgainst match {
+      case Some(path) =>
+        val bench = spark.read.parquet(path)
+        afterNear.join(
+          Dedup.decontaminate(afterNear, cfg.idColumn, cfg.textColumn,
+              bench, cfg.idColumn, cfg.textColumn, n = cfg.decontaminateN, minHits = 1)
+            .where(col("contaminated") === 0).select(id), cfg.idColumn)
+      case None => afterNear
+    }
+    stages += "after_decontaminate" -> afterDecon.count()
+
+    val afterSample = cfg.sampleStratum match {
+      case Some(stratum) =>
+        Dedup.stratifiedSample(afterDecon, id, col(stratum),
+          cfg.sampleRates, cfg.sampleDefault)
+      case None => afterDecon
+    }
+    stages += "after_sample" -> afterSample.count()
+
+    val (out, partitionCols) =
+      if (cfg.splits.nonEmpty)
+        (Dedup.splitAssign(afterSample, id, cfg.splits), Seq("split"))
+      else (afterSample, Nil)
+
+    val writer = out.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(s"${cfg.output}/corpus")
+
+    val written = spark.read.parquet(s"${cfg.output}/corpus")
+    stages += "written" -> written.count()
+    val splitCounts: Map[String, Long] =
+      if (cfg.splits.nonEmpty)
+        written.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else Map.empty
+
+    survivors0.unpersist()
+    dd.unpersist()
+    StageReport(stages.result(), splitCounts)
+  }
+}

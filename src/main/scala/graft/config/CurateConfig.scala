@@ -1,0 +1,104 @@
+package graft.config
+
+/** Typed config for the corpus-curation entry point ([[graft.CurateMain]]) —
+  * the training-data-extension counterpart of [[PipelineConfig]]: one YAML
+  * document declares the whole curation run (filters → dedup → decontaminate
+  * → sample → split), the same config-driven style as the reference's
+  * `CONSUMER_CONFIG` (`/root/reference/src/main.py:33-38`) applied to the
+  * corpus surface.
+  */
+final case class CurateConfig(
+    input: String,
+    output: String,
+    idColumn: String = "doc_id",
+    textColumn: String = "text",
+    minWords: Int = 1,
+    maxWords: Int = Int.MaxValue,
+    minQuality: Double = 0.0,
+    maxDupWordFrac: Double = 1.0,
+    maxTopBigramFrac: Double = 1.0,
+    nfc: Boolean = false,
+    dedupExact: Boolean = true,
+    nearDupThreshold: Option[Double] = None,
+    decontaminateAgainst: Option[String] = None,
+    decontaminateN: Int = 8,
+    sampleStratum: Option[String] = None,
+    sampleRates: Map[String, Double] = Map.empty,
+    sampleDefault: Double = 100.0,
+    splits: Seq[(String, Double)] = Nil) {
+
+  def validated: CurateConfig = {
+    require(input.nonEmpty && output.nonEmpty, "input and output are required")
+    require(minWords >= 0 && maxWords >= minWords, "invalid word bounds")
+    nearDupThreshold.foreach(t => require(t > 0 && t < 1, "near-threshold in (0,1)"))
+    require(decontaminateN >= 2, "decontaminate n-gram size must be >= 2")
+    this
+  }
+}
+
+object CurateConfig {
+
+  /** YAML → [[CurateConfig]], over the same zero-dependency subset parser as
+    * [[ConfigYaml]]. Unknown keys fail loudly — a typo'd filter silently
+    * curating nothing is the config bug this layer exists to catch.
+    */
+  def fromYaml(src: String): CurateConfig = {
+    val tree = ConfigYaml.parseTree(src)
+    val known = Set("input", "output", "id-column", "text-column",
+      "filters", "nfc", "dedup", "decontaminate", "sample", "split")
+    val unknown = tree.keySet -- known
+    require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
+
+    def str(m: Map[String, Any], k: String): Option[String] =
+      m.get(k).map(_.toString)
+    def sub(m: Map[String, Any], k: String): Map[String, Any] = m.get(k) match {
+      case Some(x: Map[_, _]) => x.asInstanceOf[Map[String, Any]]
+      case Some(other) => throw ConfigYaml.ParseError(s"$k: expected a map, got $other")
+      case None => Map.empty
+    }
+    val filters = sub(tree, "filters")
+    val dedup = sub(tree, "dedup")
+    val decon = sub(tree, "decontaminate")
+    val sample = sub(tree, "sample")
+    val unknownF = filters.keySet -- Set("min-words", "max-words", "min-quality",
+      "max-dup-word-frac", "max-top-bigram-frac")
+    require(unknownF.isEmpty, s"unknown filters keys: ${unknownF.mkString(", ")}")
+    val unknownD = dedup.keySet -- Set("exact", "near-threshold")
+    require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
+    val unknownC = decon.keySet -- Set("against", "n")
+    require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
+    val unknownS = sample.keySet -- Set("stratum-column", "default-percent", "rates")
+    require(unknownS.isEmpty, s"unknown sample keys: ${unknownS.mkString(", ")}")
+
+    val splits: Seq[(String, Double)] = tree.get("split") match {
+      case Some(xs: List[_]) => xs.map {
+        case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          require(mm.size == 1, s"each split entry is one `name: percent`, got $mm")
+          mm.head match { case (k, v) => k -> v.toString.toDouble }
+        case other => throw ConfigYaml.ParseError(s"split entry: expected `name: percent`, got $other")
+      }
+      case Some(other) => throw ConfigYaml.ParseError(s"split: expected a list, got $other")
+      case None => Nil
+    }
+    CurateConfig(
+      input = str(tree, "input").getOrElse(""),
+      output = str(tree, "output").getOrElse(""),
+      idColumn = str(tree, "id-column").getOrElse("doc_id"),
+      textColumn = str(tree, "text-column").getOrElse("text"),
+      minWords = str(filters, "min-words").map(_.toInt).getOrElse(1),
+      maxWords = str(filters, "max-words").map(_.toInt).getOrElse(Int.MaxValue),
+      minQuality = str(filters, "min-quality").map(_.toDouble).getOrElse(0.0),
+      maxDupWordFrac = str(filters, "max-dup-word-frac").map(_.toDouble).getOrElse(1.0),
+      maxTopBigramFrac = str(filters, "max-top-bigram-frac").map(_.toDouble).getOrElse(1.0),
+      nfc = str(tree, "nfc").exists(_.toBoolean),
+      dedupExact = str(dedup, "exact").forall(_.toBoolean),
+      nearDupThreshold = str(dedup, "near-threshold").map(_.toDouble),
+      decontaminateAgainst = str(decon, "against"),
+      decontaminateN = str(decon, "n").map(_.toInt).getOrElse(8),
+      sampleStratum = str(sample, "stratum-column"),
+      sampleRates = sub(sample, "rates").map { case (k, v) => k -> v.toString.toDouble },
+      sampleDefault = str(sample, "default-percent").map(_.toDouble).getOrElse(100.0),
+      splits = splits).validated
+  }
+}

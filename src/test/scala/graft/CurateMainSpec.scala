@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.CurateConfig
+
+class CurateMainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val yaml =
+    """# corpus curation run
+      |input: IN
+      |output: OUT
+      |filters:
+      |  min-words: 20
+      |nfc: true
+      |dedup:
+      |  exact: true
+      |  near-threshold: 0.3
+      |sample:
+      |  stratum-column: source
+      |  default-percent: 100
+      |split:
+      |  - train: 80
+      |  - val: 10
+      |  - test: 10
+      |""".stripMargin
+
+  test("CurateConfig.fromYaml: full document round-trips; unknown keys fail") {
+    val cfg = CurateConfig.fromYaml(
+      yaml.replace("IN", "/a/docs.parquet").replace("OUT", "/b/out"))
+    assert(cfg.minWords == 20 && cfg.nfc && cfg.dedupExact)
+    assert(cfg.nearDupThreshold.contains(0.3))
+    assert(cfg.sampleStratum.contains("source") && cfg.sampleDefault == 100.0)
+    assert(cfg.splits == Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0))
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nfliters:\n  min-words: 1")
+    }
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nfilters:\n  min-wrods: 1")
+    }
+  }
+
+  test("CurateMain.run end-to-end on sf0.001: stages monotone, dups removed, splits cover") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val cfg = CurateConfig.fromYaml(
+      yaml.replace("IN", "/root/testdata/sf0.001/documents.parquet").replace("OUT", out))
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    assert(m("input") > 0)
+    // each stage can only shrink the corpus
+    val order = Seq("input", "after_filters", "after_exact_dedup",
+      "after_near_dedup", "after_decontaminate", "after_sample", "written")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
+    }
+    assert(m("written") > 0)
+    assert(report.splits.values.sum == m("written"))
+    assert(report.splits.keySet.subsetOf(Set("train", "val", "test")))
+    // written corpus is exact-dup-free
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.groupBy(md5(col("text"))).count().where(col("count") > 1).isEmpty)
+    // report JSON is parseable shape
+    assert(report.json.startsWith("""{"stages":{"""))
+  }
+
+  test("CurateMain.run: repetition filters drop degenerate docs") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate3").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-curate3-in").toString
+    val uniq = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, uniq, "srcA"),
+      (2L, Seq.fill(30)("same").mkString(" "), "srcA"), // dup_word_frac ~ 1
+      (3L, uniq + " " + uniq, "srcA"))                  // dup'd text but varied words
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$in/docs.parquet")
+    val cfg = CurateConfig(
+      input = s"$in/docs.parquet", output = out,
+      minWords = 0, dedupExact = false, maxDupWordFrac = 0.7)
+    val report = CurateMain.run(spark, cfg)
+    val ids = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L)) // the all-same-word doc is gone
+    assert(report.stages.toMap.apply("after_filters") == 2)
+  }
+
+  test("CurateMain.run: no-op config passes everything through unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate2").toString
+    val cfg = CurateConfig(
+      input = "/root/testdata/sf0.001/documents.parquet",
+      output = out, minWords = 0, dedupExact = false)
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    assert(m("input") == m("written"))
+    assert(report.splits.isEmpty)
+  }
+}
