@@ -33,8 +33,9 @@ object CurateMain {
 
   final case class StageReport(stages: Seq[(String, Long)], splits: Map[String, Long]) {
     def json: String = {
-      val s = stages.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val sp = splits.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      def kv(k: String, v: Long) = s""""${GraftMain.jsonEscape(k)}":$v"""
+      val s = stages.map((kv _).tupled).mkString(",")
+      val sp = splits.toSeq.sortBy(_._1).map((kv _).tupled).mkString(",")
       s"""{"stages":{$s},"splits":{$sp}}"""
     }
   }
@@ -50,7 +51,13 @@ object CurateMain {
     try {
       val report = run(spark, cfg)
       val json = report.json
-      Files.writeString(Paths.get(cfg.output).resolve("report.json"), json)
+      // Through the Hadoop FS API, not java.nio — `output` is a Spark path
+      // (hdfs://, s3a://, file:...), only incidentally a local directory.
+      val reportPath = new org.apache.hadoop.fs.Path(cfg.output, "report.json")
+      val fs = reportPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(reportPath, true)
+      try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
       println(json)
     } catch {
       case ex: Throwable =>
@@ -74,7 +81,11 @@ object CurateMain {
     val text0 = if (cfg.nfc) Conversions.nfcNormalize(col(cfg.textColumn)) else col(cfg.textColumn)
     val base = raw.withColumn(cfg.textColumn, text0)
 
-    val nWords = size(Dedup.tokens(col(cfg.textColumn)))
+    // Empty/whitespace-only text splits to [""] (1 token) — count it as 0
+    // words so the default `min-words: 1` actually drops empty documents;
+    // null text yields a null count and is dropped by the bound predicate.
+    val nWords = when(length(trim(col(cfg.textColumn))) === 0, lit(0))
+      .otherwise(size(Dedup.tokens(col(cfg.textColumn))))
     val lenQual = base
       .where(nWords >= cfg.minWords && nWords <= cfg.maxWords)
       .where(TextAnalysis.qualityScore(col(cfg.textColumn)) >= cfg.minQuality)
@@ -105,11 +116,15 @@ object CurateMain {
     val dd = afterExact.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_exact_dedup" -> dd.count()
 
+    // Each optional stage that actually transforms the frame persists its
+    // result: the next stage's count(), the sample/split math, and the final
+    // write all re-read it, and the near-dup/decontaminate subtrees (n-gram
+    // explodes, CC iteration) are the most expensive plans in the run.
     val afterNear = cfg.nearDupThreshold match {
       case Some(t) =>
         val comp = Dedup.connectedComponents(
           Dedup.jaccardPairs(dd, cfg.idColumn, cfg.textColumn, n = 3, threshold = t))
-        Dedup.resolveClusters(dd, cfg.idColumn, comp)
+        Dedup.resolveClusters(dd, cfg.idColumn, comp).persist(StorageLevel.MEMORY_AND_DISK)
       case None => dd
     }
     stages += "after_near_dedup" -> afterNear.count()
@@ -121,6 +136,7 @@ object CurateMain {
           Dedup.decontaminate(afterNear, cfg.idColumn, cfg.textColumn,
               bench, cfg.idColumn, cfg.textColumn, n = cfg.decontaminateN, minHits = 1)
             .where(col("contaminated") === 0).select(id), cfg.idColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
       case None => afterNear
     }
     stages += "after_decontaminate" -> afterDecon.count()
@@ -150,6 +166,8 @@ object CurateMain {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
 
+    if (afterDecon ne afterNear) afterDecon.unpersist()
+    if (afterNear ne dd) afterNear.unpersist()
     survivors0.unpersist()
     dd.unpersist()
     StageReport(stages.result(), splitCounts)

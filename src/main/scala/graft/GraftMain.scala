@@ -103,15 +103,20 @@ object GraftMain {
     val fp = java.security.MessageDigest.getInstance("SHA-256")
       .digest(basis.getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
-    def esc(s: String): String =
-      Option(s).getOrElse("").flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case '\r' => "\\r"; case '\t' => "\\t"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-    s"""{"level":"ERROR","error_class":"${esc(ex.getClass.getName)}","fingerprint":"$fp","msg":"${esc(ex.getMessage)}"}"""
+    s"""{"level":"ERROR","error_class":"${jsonEscape(ex.getClass.getName)}","fingerprint":"$fp","msg":"${jsonEscape(ex.getMessage)}"}"""
   }
+
+  /** JSON string-body escaping for the hand-built records ([[failureRecord]],
+    * [[CurateMain.StageReport]]) — user-controlled names must not be able to
+    * break the documents' machine-readability.
+    */
+  private[graft] def jsonEscape(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def sourceDir(env: Env): String =
     env("GRAFT_SOURCE_DIR").orElse(env("SPARK_GRAFT_SF_DIR")).getOrElse("/root/testdata/sf0.001")

@@ -980,14 +980,6 @@ object QueriesExt {
       |SELECT e.event_id, e.event_type, d.type_code
       |FROM events e JOIN dim d USING (event_type)""".stripMargin))
 
-  /** STREAM-STREAM interval join gate: purchases attribute to same-user
-    * signups within a 3-day window, run as a watermarked streaming
-    * self-join (both sides buffered in the state store, eviction bounded by
-    * the interval), gated against the batch join oracle. Inner stream-stream
-    * joins emit eagerly, so the single AvailableNow batch yields exactly the
-    * batch result; the native-timestamp interval comparison is µs-exact on
-    * both engines.
-    */
   /** Stateful-shuffle sizing for the stream-join gates: a stream-stream
     * join instantiates FOUR state stores per shuffle partition, so its
     * fixed setup cost scales with the partition count, not the data. At
@@ -1003,6 +995,14 @@ object QueriesExt {
     try body finally s.conf.set(key, prev)
   }
 
+  /** STREAM-STREAM interval join gate: purchases attribute to same-user
+    * signups within a 3-day window, run as a watermarked streaming
+    * self-join (both sides buffered in the state store, eviction bounded by
+    * the interval), gated against the batch join oracle. Inner stream-stream
+    * joins emit eagerly, so the single AvailableNow batch yields exactly the
+    * batch result; the native-timestamp interval comparison is µs-exact on
+    * both engines.
+    */
   private val stJoinInterval: Q = "st_join_interval" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       val tmp = java.nio.file.Files.createTempDirectory("graft-stjoin").toString

@@ -69,6 +69,14 @@ object CurateConfig {
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
     val unknownS = sample.keySet -- Set("stratum-column", "default-percent", "rates")
     require(unknownS.isEmpty, s"unknown sample keys: ${unknownS.mkString(", ")}")
+    // A half-specified stage must fail loudly, not silently skip: CurateMain
+    // keys the sample stage off `stratum-column` and the decontaminate stage
+    // off `against`, so a block carrying only the secondary knobs would
+    // otherwise curate nothing the user asked for.
+    require(sample.isEmpty || sample.contains("stratum-column"),
+      "sample: requires stratum-column (rates/default-percent alone do nothing)")
+    require(decon.isEmpty || decon.contains("against"),
+      "decontaminate: requires against (n alone does nothing)")
 
     val splits: Seq[(String, Double)] = tree.get("split") match {
       case Some(xs: List[_]) => xs.map {

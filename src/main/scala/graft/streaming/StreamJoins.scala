@@ -48,7 +48,7 @@ object StreamJoins {
     f.join(d,
       f(key) === d(key) &&
         col(dimTs) <= col(factTs) &&
-        col(factTs) <= col(dimTs) + expr(s"INTERVAL ${maxSpanMs / 1000} SECONDS"),
+        col(factTs) <= col(dimTs) + expr(s"INTERVAL $maxSpanMs MILLISECOND"),
       joinType)
       .drop(d(key))
   }

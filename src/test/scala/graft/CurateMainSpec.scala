@@ -41,6 +41,22 @@ class CurateMainSpec extends SparkSpec {
     }
   }
 
+  test("CurateConfig.fromYaml: half-specified stages fail loudly") {
+    // sample without stratum-column would silently sample nothing
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nsample:\n  default-percent: 10")
+    }
+    // decontaminate without against would silently skip the stage
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\ndecontaminate:\n  n: 13")
+    }
+  }
+
+  test("StageReport.json escapes quotes/backslashes in split names") {
+    val r = CurateMain.StageReport(Seq("input" -> 1L), Map("""he"ld\x""" -> 1L))
+    assert(r.json == """{"stages":{"input":1},"splits":{"he\"ld\\x":1}}""")
+  }
+
   test("CurateMain.run end-to-end on sf0.001: stages monotone, dups removed, splits cover") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
     val cfg = CurateConfig.fromYaml(
@@ -81,6 +97,18 @@ class CurateMainSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 3L)) // the all-same-word doc is gone
     assert(report.stages.toMap.apply("after_filters") == 2)
+  }
+
+  test("CurateMain.run: default min-words drops empty and whitespace-only docs") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate4").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-curate4-in").toString
+    Seq((1L, "one real doc", "s"), (2L, "", "s"), (3L, "   ", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$in/docs.parquet")
+    val cfg = CurateConfig(input = s"$in/docs.parquet", output = out, dedupExact = false)
+    CurateMain.run(spark, cfg)
+    val ids = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
   }
 
   test("CurateMain.run: no-op config passes everything through unchanged") {
