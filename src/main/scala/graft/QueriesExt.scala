@@ -840,6 +840,67 @@ object QueriesExt {
       |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
       |              WHEN 'src2' THEN 1000 ELSE 2000 END""".stripMargin))
 
+  /** C4-style global span dedup gate: 10-word segments, corpus-wide
+    * first-occurrence keep, documents rebuilt from survivors. The oracle
+    * replays the exact segmentation (1-based list slice), picks winners with
+    * a (doc_id, seg)-ordered row_number, and reassembles with an ordered
+    * string_agg.
+    */
+  private val dedupSpans: Q = "x_dedup_spans" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.dedupSpans(docs(s, dir), "doc_id", "text", spanWords = 10),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+      |segs AS (SELECT doc_id, unnest(generate_series(0, (len(words)-1)//10)) AS seg, words
+      |         FROM toks),
+      |spans AS (SELECT doc_id, seg,
+      |            array_to_string(words[seg*10+1 : seg*10+10], ' ') AS span
+      |          FROM segs),
+      |kept AS (SELECT doc_id, seg, span FROM spans
+      |         QUALIFY row_number() OVER (PARTITION BY span ORDER BY doc_id, seg) = 1)
+      |SELECT doc_id, string_agg(span, ' ' ORDER BY seg) AS text
+      |FROM kept GROUP BY doc_id""".stripMargin))
+
+  /** Deterministic corpus-mixing gate: src0/src1 upsampled 2.5×, src2 at
+    * 1.25×, everything else downsampled to 0.5× — full epochs plus a
+    * fractional epoch by the shared md5 bucket, so the oracle replays the
+    * identical hash arithmetic and any rate or determinism drift
+    * hash-mismatches.
+    */
+  private val mixEpochs: Q = "x_mix_epochs" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.mixEpochs(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 2.5, "src2" -> 1.25), defaultWeight = 0.5),
+    """WITH w AS (SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 25000 WHEN 'src1' THEN 25000
+      |                WHEN 'src2' THEN 12500 ELSE 5000 END AS bp
+      |  FROM documents),
+      |e AS (SELECT doc_id, source, bp,
+      |    unnest(generate_series(0, (bp + 9999)//10000 - 1))::INT AS epoch
+      |  FROM w)
+      |SELECT doc_id, source, epoch FROM e
+      |WHERE epoch < bp//10000
+      |   OR ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < bp % 10000""".stripMargin))
+
+  /** Per-source TF-IDF top-terms gate: ln-idf over distinct-document
+    * frequency, tf × idf ranked per source with a term tie-break. Exercises
+    * cross-engine double parity of ln and the product (same family as the
+    * unigram-LM gate) plus the windowed top-k cut.
+    */
+  private val tfidfTerms: Q = "x_tfidf_terms" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.TfIdf.topTerms(docs(s, dir), "source", "doc_id", "text", k = 5),
+    """WITH toks AS (SELECT source, doc_id, unnest(string_split(trim(text), ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+      |docfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |scored AS (SELECT tf.source, tf.term, tf.tf,
+      |    tf.tf * ln(n.n_docs::DOUBLE / docfreq.df) AS tfidf
+      |  FROM tf JOIN docfreq USING (term) CROSS JOIN n)
+      |SELECT source, term, tf, tfidf,
+      |  row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term)::INT AS rank
+      |FROM scored QUALIFY rank <= 5""".stripMargin))
+
   /** Per-source corpus report — the summary a curation run ends with: doc
     * and word volumes, mean length, and how many docs sit in exact-dup
     * groups, per source. One hash-keyed self-join + one grouped agg.
@@ -1123,7 +1184,8 @@ object QueriesExt {
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
-    stJoinInterval, stJoinIntervalLeft, textNfc)
+    stJoinInterval, stJoinIntervalLeft, textNfc,
+    dedupSpans, mixEpochs, tfidfTerms)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -611,4 +611,91 @@ object Dedup {
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", when(col("n_hits") >= minHits, 1).otherwise(0))
   }
+
+  /** C4-style GLOBAL span dedup: each document is cut into consecutive
+    * `spanWords`-word segments, only the corpus-wide FIRST occurrence of
+    * each distinct segment survives (first = lowest (id, position) — content
+    * order, so the kept set is stable across runs and partitionings), and
+    * surviving segments re-join in document order. This is dedup BELOW
+    * document granularity — the C4 paper's "discard every repeated
+    * three-sentence span but keep one occurrence" rule with fixed word
+    * windows standing in for sentences (the corpus has no sentence
+    * punctuation); [[removeBoilerplateSpans]] is the df-threshold cousin that
+    * removes ALL occurrences instead of keeping one.
+    *
+    * Scale shape: one segment expansion (repartitioned before the explode,
+    * outer+filter per the [[shingleTable]] pushdown note), then ONE shuffle
+    * keyed by the md5 of the segment text — the winner per segment is a
+    * `min(struct(id, seg, span))` argmin whose aggregation buffer is one
+    * candidate row, never a list, and the span text rides the buffer so no
+    * join back to the corpus is needed. The rebuild groups winners by doc
+    * (`collect_list` bounded by segments-per-document = doc length /
+    * `spanWords`). Documents whose every segment lost disappear — that is
+    * the operator's contract.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = 10): DataFrame = {
+    require(spanWords > 0, "spanWords must be positive")
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val id = col(idCol)
+    val spans = df
+      .select(id, tokens(col(textCol)).as("_ws"))
+      .repartition(parallelism, id)
+      .select(id, col("_ws"),
+        explode_outer(sequence(lit(0), floor((size(col("_ws")) - 1) / lit(spanWords)).cast("int"))).as("seg"))
+      .where(col("seg").isNotNull)
+      .select(id, col("seg"),
+        array_join(slice(col("_ws"), col("seg") * spanWords + 1, lit(spanWords)), " ").as("span"))
+    val winners = spans
+      .groupBy(md5(col("span")).as("_h"))
+      .agg(min(struct(id, col("seg"), col("span"))).as("_w"))
+      .select(col(s"_w.$idCol").as(idCol), col("_w.seg").as("seg"), col("_w.span").as("span"))
+    winners
+      .groupBy(id)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("span")))),
+          x => x.getField("span")), " ").as(textCol))
+  }
+
+  /** Deterministic corpus MIXING — per-source epoch weights, the "sample
+    * web 0.5×, upsample wiki 2.4×" knob of a training-data recipe: each row
+    * is replicated `floor(weight)` times (epochs 0…floor-1) and gains one
+    * extra epoch when its content-hash bucket falls under the fractional
+    * remainder, so the realized rate converges to the requested weight and
+    * is a pure function of the id — append-stable, reproducible across
+    * engines/retries, and identical for a row in every run regardless of
+    * which snapshot it arrives in.
+    *
+    * Weights resolve in basis points (1e-4 resolution, same floor as
+    * [[stratifiedSample]]); every weight must be positive — a 0× source is
+    * a filter, not a mix entry. Scale shape: the weight lookup is a literal
+    * `when`-chain (config-sized), the replication is a shuffle-free
+    * `explode(sequence(...))` the scan absorbs, and the fractional keep is
+    * the same codegen'd md5 bucket as the sampling family — no shuffle
+    * anywhere, output size = Σ weight_s × |source_s| by construction.
+    */
+  def mixEpochs(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0): DataFrame = {
+    def bpOf(w: Double): Int = {
+      val bp = math.round(w * 10000).toInt
+      require(bp >= 1, s"mix weight must be >= 0.0001, got $w")
+      bp
+    }
+    val bp = weights.foldLeft(lit(bpOf(defaultWeight))) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(bpOf(w))).otherwise(acc)
+    }
+    df.select(col(idCol), col(sourceCol), bp.as("_bp"))
+      .select(col(idCol), col(sourceCol), col("_bp"),
+        explode(sequence(lit(0), floor((col("_bp") + 9999) / 10000).cast("int") - 1)).as("epoch"))
+      .where(col("epoch") < floor(col("_bp") / 10000).cast("int") ||
+        hashBucket(col(idCol)) < col("_bp") % 10000)
+      .select(col(idCol), col(sourceCol), col("epoch"))
+  }
 }

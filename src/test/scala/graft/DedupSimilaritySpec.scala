@@ -360,4 +360,64 @@ class DedupSimilaritySpec extends SparkSpec {
     val withEmpty = Seq((1L, "a"), (2L, "")).toDF("doc_id", "text")
     assert(graft.operators.UnigramLm.scoreDocs(withEmpty, "doc_id", "text").count() == 1)
   }
+
+  test("dedupSpans: global first-occurrence keep, rebuild in order, empty-doc drop") {
+    val d = Seq(
+      (1L, "a b c d e f"),        // spans "a b c" "d e f" — both first
+      (2L, "d e f x y z"),        // "d e f" loses to doc 1; "x y z" survives
+      (3L, "a b c d e f"))        // loses everything → drops out
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(d, "doc_id", "text", spanWords = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a b c d e f", 2L -> "x y z"))
+    // first occurrence is (id, position) order, not partition arrival order
+    val got2 = Dedup.dedupSpans(d.repartition(7), "doc_id", "text", spanWords = 3)
+      .as[(Long, String)].collect().toMap
+    assert(got2 == got)
+    // a trailing short segment is its own span
+    val tail = Dedup.dedupSpans(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .as[(Long, String)].collect().toMap
+    assert(tail == Map(1L -> "a b c d"))
+  }
+
+  test("mixEpochs: full epochs always present, fractional epoch deterministic by id hash") {
+    val d = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "up" else "down"))
+      .toDF("doc_id", "source")
+    val out = Dedup.mixEpochs(d, "doc_id", "source", Map("up" -> 2.5), defaultWeight = 0.5)
+      .as[(Long, String, Int)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every "up" row carries epochs 0 and 1; epoch 2 only for the hash-selected half
+    byDoc.filter(_._1 % 2 == 0).values.foreach(e => assert(e.startsWith(Seq(0, 1)) && e.size <= 3))
+    val upCnt = out.count(_._2 == "up")
+    assert(upCnt >= 400 && upCnt <= 600, s"up rows=$upCnt for 200 docs @2.5x") // ~500 expected
+    val downCnt = out.count(_._2 == "down")
+    assert(downCnt >= 60 && downCnt <= 140, s"down rows=$downCnt for 200 docs @0.5x")
+    out.filter(_._2 == "down").foreach { case (_, _, e) => assert(e == 0) }
+    // pure function of the id: identical output under another partitioning
+    val out2 = Dedup.mixEpochs(d.repartition(5), "doc_id", "source", Map("up" -> 2.5), 0.5)
+      .as[(Long, String, Int)].collect()
+    assert(out2.toSet == out.toSet)
+    intercept[IllegalArgumentException] {
+      Dedup.mixEpochs(d, "doc_id", "source", Map("up" -> 0.0))
+    }
+  }
+
+  test("TfIdf.topTerms: ln-idf ranking with term tie-break; k cut; WindowGroupLimit in plan") {
+    val d = Seq(
+      (1L, "apple apple banana", "s1"),
+      (2L, "apple cherry", "s1"),
+      (3L, "banana banana banana", "s2"),
+      (4L, "apple", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TfIdf.topTerms(d, "source", "doc_id", "text", k = 2)
+    val got = out.select("source", "term", "rank").as[(String, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // apple: df=3 idf=ln(4/3); banana: df=2 idf=ln2; cherry: df=1 idf=ln4
+    // s1: banana 1*ln2=.69 < cherry 1*ln4=1.39 > apple 3*ln(4/3)=.86
+    assert(got("s1") == Seq("cherry", "apple"))
+    // s2: banana 3*ln2=2.08 > apple 1*ln(4/3)=.29
+    assert(got("s2") == Seq("banana", "apple"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
