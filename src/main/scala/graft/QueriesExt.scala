@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Dimension, Multimodal, Quality, Similarity}
 
 /** The training-data-pipeline extension slice of the correctness gate:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
@@ -1175,6 +1175,152 @@ object QueriesExt {
       |  length(t)::INT AS len_raw, length(nfc_normalize(t))::INT AS len_nfc
       |FROM aug""".stripMargin))
 
+  /** Product-quantization ANN gate: train m=4 sub-codebooks (k=4, 2 Lloyd
+    * rounds, content-hash seeds), PQ-encode the corpus, then ADC top-5 for
+    * the first ten vectors. The oracle replays the whole thing with the
+    * subspace as a DATA column (one relational Lloyd, unrolled per
+    * iteration like x_ann_kmeans) — adist rounded to 4 decimals on both
+    * sides to absorb the mean-aggregation's addition-order ULP wiggle.
+    */
+  private val annPq: Q = {
+    val m = 4; val subDim = 16; val kc = 4; val iters = 2; val topk = 5
+    def l2(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a,$b), " +
+        s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), (acc,v)->acc+v)"
+    val rounds = (0 until iters).map { i =>
+      s"""a$i AS (SELECT s.vec_id, s.sub, s.svec, c.cid, ${l2("s.svec", "c.svec")} AS d
+         |  FROM sub s JOIN cb$i c USING (sub)),
+         |r$i AS (SELECT vec_id, sub, svec, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) rn FROM a$i)
+         |  WHERE rn = 1),
+         |x$i AS (SELECT sub, cid, u.i, svec[u.i]::DOUBLE AS x
+         |  FROM r$i, UNNEST(range(1, ${subDim + 1})) u(i)),
+         |cb${i + 1} AS (SELECT sub, cid, list(mn ORDER BY i) AS svec FROM
+         |  (SELECT sub, cid, i, sum(x)/count(*) AS mn FROM x$i GROUP BY sub, cid, i)
+         |  GROUP BY sub, cid)""".stripMargin
+    }.mkString(",\n")
+    val sql =
+      s"""WITH sub AS (SELECT vec_id, t.s AS sub,
+         |    embedding[t.s*$subDim+1 : t.s*$subDim+$subDim] AS svec
+         |  FROM embeddings, UNNEST(range(0, $m)) t(s)),
+         |cb0 AS (SELECT sub, rn - 1 AS cid, svec FROM
+         |  (SELECT sub, svec, row_number() OVER (PARTITION BY sub
+         |     ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM sub)
+         |  WHERE rn <= $kc),
+         |$rounds,
+         |af AS (SELECT s.vec_id, s.sub, c.cid, ${l2("s.svec", "c.svec")} AS d
+         |  FROM sub s JOIN cb$iters c USING (sub)),
+         |codes AS (SELECT vec_id, sub, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) rn FROM af)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, sub, svec FROM sub WHERE vec_id < 10),
+         |dt AS (SELECT q.query_id, c.sub, c.cid, ${l2("q.svec", "c.svec")} AS d
+         |  FROM q JOIN cb$iters c USING (sub)),
+         |p AS (SELECT d.query_id, r.vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(d.d ORDER BY d.sub)), (a,b)->a+b), 4) AS adist
+         |  FROM codes r JOIN dt d ON d.sub = r.sub AND d.cid = r.cid AND d.query_id <> r.vec_id
+         |  GROUP BY d.query_id, r.vec_id)
+         |SELECT query_id, neighbor_id, rank, adist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+         |   FROM p)
+         |WHERE rank <= $topk""".stripMargin
+    "x_ann_pq" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val cb = Similarity.pqTrain(e, "vec_id", "embedding", m, subDim, kc, iters)
+        val enc = Similarity.pqEncode(e, cb, "vec_id", "embedding", m, subDim)
+        Similarity.pqTopK(e.where(col("vec_id") < 10), enc, cb,
+          "vec_id", "embedding", topk, m, subDim)
+      },
+      sql))
+  }
+
+  /** SCD-2 validity-interval build over the events feed: per user, collapse
+    * consecutive rows with the same event_type, emit [valid_from, valid_to)
+    * stamps with a NULL open upper bound for the current row — the engine-side
+    * construction of the reference's k6-style interval dimension
+    * (`gyldig_fra_dato`/`gyldig_til_dato`). Oracle replays it with
+    * lag-change-detect + lead-close windows.
+    */
+  private val scd2Build: Q = "x_scd2_build" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+      Dimension.scd2Build(ev, keys = Seq("user_id"),
+        orderCols = Seq("ts_ms", "event_id"), trackedCols = Seq("event_type"))
+    },
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, ts_ms, event_id, event_type FROM ordered
+      |  WHERE prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts_ms AS valid_from,
+      |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
+      |FROM changes""".stripMargin))
+
+  /** CDC current-view gate: op derived deterministically from the data
+    * (error rows are tombstones), latest version per user wins, users whose
+    * latest row is a delete vanish. Oracle is the row_number replay with the
+    * delete filter applied to the winner only.
+    */
+  private val cdcApply: Q = "x_cdc_apply" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"), col("value"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      Dimension.cdcApply(ev, keys = Seq("user_id"),
+        orderCols = Seq("ts_ms", "event_id"),
+        payloadCols = Seq("event_type", "value"), opCol = "op")
+    },
+    """SELECT user_id, ts_ms, event_id, event_type, value FROM (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rk
+      |  FROM events) WHERE rk = 1 AND op <> 'D'""".stripMargin))
+
+  /** Data-quality expectation gate: five checks (not-null, unique key,
+    * range, accepted values, referential integrity vs customer) in ONE scan
+    * of orders — the range and accepted-values bounds are deliberately
+    * tighter than the data so the violation counters are non-zero and the
+    * counting math is actually exercised. Oracle is the per-check UNION ALL
+    * of equivalent SQL aggregates.
+    */
+  private val dqChecks: Q = "x_dq_checks" -> ((
+    (s: SparkSession, dir: String) => {
+      import graft.operators.Quality.DqCheck._
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+      Quality.evaluate(orders, Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 1000.0, 200000.0),
+        AcceptedValues("o_orderstatus", Seq("O", "F")),
+        Referential("o_custkey", customer, "c_custkey")))
+    },
+    """SELECT 'not_null:o_custkey' AS check_name,
+      |       count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+      |UNION ALL SELECT 'unique:o_orderkey',
+      |       count(*) - count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL SELECT 'range:o_totalprice',
+      |       count(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |                        AND o_totalprice NOT BETWEEN 1000 AND 200000) FROM orders
+      |UNION ALL SELECT 'accepted:o_orderstatus',
+      |       count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |                        AND o_orderstatus NOT IN ('O','F')) FROM orders
+      |UNION ALL SELECT 'fk:o_custkey',
+      |       count(*) FROM orders o
+      |       WHERE o_custkey IS NOT NULL
+      |         AND NOT EXISTS (SELECT 1 FROM customer c
+      |                         WHERE c.c_custkey = o.o_custkey)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
@@ -1185,7 +1331,8 @@ object QueriesExt {
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
     stJoinInterval, stJoinIntervalLeft, textNfc,
-    dedupSpans, mixEpochs, tfidfTerms)
+    dedupSpans, mixEpochs, tfidfTerms,
+    scd2Build, cdcApply, dqChecks, annPq)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse dimension maintenance over append-only change feeds.
+  *
+  * The reference consumes Kafka change feeds into an append-only Oracle
+  * target and leaves "current view" / validity-interval derivation to the
+  * warehouse layer; its k6 screening dimension
+  * (`/root/reference/src/oracle_target.py:71-93`) is exactly an SCD-2
+  * interval table (`gyldig_fra_dato` / `gyldig_til_dato` per person id).
+  * These operators close that loop engine-side: build the SCD-2 intervals
+  * and the tombstone-aware current view from the raw feed itself.
+  *
+  * Scale shape: both operators shuffle ONCE on the business key. [[scd2Build]]
+  * is two window functions over the SAME (partitionBy key, orderBy version)
+  * spec — Catalyst plans one Exchange + one Sort and pipelines both Window
+  * operators over it. State per key is O(1) (lag/lead carry one row), so a
+  * 100 TB feed with billions of keys is bound by the single exchange, not by
+  * any per-key buffer. [[cdcApply]] is the [[Dedup.latestByKey]] argmax
+  * (map-side partial agg, one combined buffer per key per partition) plus a
+  * post-aggregation filter on the winning row's op — the delete filter runs
+  * AFTER the argmax so a delete only wins (and removes the key) when it is
+  * the genuinely latest version, and costs nothing extra in the exchange.
+  */
+object Dimension {
+
+  /** SCD-2 validity intervals from a change feed: collapse consecutive
+    * versions with identical tracked values, then close each surviving
+    * interval at the next change's version stamp.
+    *
+    * Output: key columns, tracked columns, `valid_from` (the version stamp
+    * of the first row carrying these values) and `valid_to` (the stamp of
+    * the NEXT change, i.e. an exclusive upper bound; null for the current
+    * row — the open interval, matching the reference dimension's NULL
+    * `gyldig_til_dato` convention for still-valid rows).
+    *
+    * `orderCols` must totally order rows within a key (include a unique
+    * tie-breaker); the first order column is the version stamp exposed as
+    * `valid_from`/`valid_to`.
+    */
+  def scd2Build(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      trackedCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty && trackedCols.nonEmpty,
+      "keys, orderCols and trackedCols required")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    val tracked = struct(trackedCols.map(col): _*)
+    // Change detection: null-safe inequality so a tracked NULL -> value
+    // transition is a change (plain <> would null out and drop it). The
+    // first row per key has lag = NULL which <=> compares as a change too.
+    val changed = not((lag(tracked, 1) over w) <=> tracked)
+    val stamp = col(orderCols.head)
+    df.withColumn("_chg", changed)
+      .where(col("_chg"))
+      // Second window over the surviving change rows: same partitioning, so
+      // AQE-reused exchange; the sort re-runs over the (much smaller)
+      // change set only.
+      .withColumn("valid_to", lead(stamp, 1) over w)
+      .select(keys.map(col) ++ trackedCols.map(col) ++
+        Seq(stamp.as("valid_from"), col("valid_to")): _*)
+  }
+
+  /** Tombstone-aware current view of a CDC feed (SCD-1 + deletes): the
+    * latest version per key wins; keys whose latest version is a delete
+    * vanish from the view. Upsert/delete `op` semantics follow the common
+    * CDC envelope (Debezium-style `op` column).
+    *
+    * Implementation: one [[Dedup.latestByKey]] argmax with `opCol` riding
+    * the payload struct, then `filter(op != deleteOp)` on the winner. A
+    * delete that is NOT latest is naturally superseded by the later upsert,
+    * and a key with only deletes is removed — same semantics as a MERGE
+    * WHEN MATCHED DELETE replay, with no join and no window sort.
+    */
+  def cdcApply(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      payloadCols: Seq[String],
+      opCol: String,
+      deleteOp: String = "D"): DataFrame =
+    Dedup.latestByKey(df, keys, orderCols, payloadCols :+ opCol)
+      .where(col(opCol) =!= deleteOp)
+      .drop(opCol)
+}

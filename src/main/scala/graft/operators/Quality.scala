@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations, evaluated in ONE scan.
+  *
+  * The reference validates per-message (schema decode failures land in an
+  * error channel, `/root/reference/src/kafka_source.py:120-140`) but has no
+  * table-level contract check before the warehouse write. This operator adds
+  * the standard ingest-gate expectations (not-null, unique key, value range,
+  * accepted values, referential integrity) as a single declarative pass.
+  *
+  * Scale shape: every check compiles to a conditional-count aggregate over
+  * one scan of the fact table — no per-check jobs, no driver loop.
+  * Referential checks pre-join their (deduplicated, broadcast) dimension key
+  * set so the membership probe rides the same scan; a [[DqCheck.Unique]]
+  * check adds one distinct aggregate (planned via Expand — the mapper emits
+  * one extra row stream, still a single shuffle round with partial
+  * aggregation). Output is one row per check, so the result is O(checks)
+  * regardless of table size.
+  */
+object Quality {
+
+  sealed trait DqCheck { def name: String }
+  object DqCheck {
+    /** Violation: the column is NULL. */
+    case class NotNull(column: String) extends DqCheck {
+      def name = s"not_null:$column"
+    }
+    /** Violation: rows beyond the first per distinct key tuple (count minus
+      * distinct count — 0 iff the key set is unique). */
+    case class Unique(columns: Seq[String]) extends DqCheck {
+      def name = s"unique:${columns.mkString(",")}"
+    }
+    /** Violation: non-null value outside [lo, hi] (NULLs are NotNull's job —
+      * a range check double-counting them would make the two non-orthogonal). */
+    case class InRange(column: String, lo: Double, hi: Double) extends DqCheck {
+      def name = s"range:$column"
+    }
+    /** Violation: non-null value outside the accepted set. */
+    case class AcceptedValues(column: String, values: Seq[String]) extends DqCheck {
+      def name = s"accepted:$column"
+    }
+    /** Violation: non-null foreign key with no match in the dimension's
+      * primary-key set. The dim key set is deduplicated then broadcast. */
+    case class Referential(fkColumn: String, dim: DataFrame, pkColumn: String)
+        extends DqCheck {
+      def name = s"fk:$fkColumn"
+    }
+  }
+  import DqCheck._
+
+  /** Evaluate all checks over one scan of `df`.
+    * Returns `(check_name: string, violations: long)` — one row per check,
+    * in no guaranteed order (it's a relational result).
+    */
+  def evaluate(df: DataFrame, checks: Seq[DqCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    // Referential dims join in BEFORE aggregation so their probes share the
+    // scan. Each dim is reduced to its distinct key column (a left join
+    // against a duplicated pk would multiply fact rows and corrupt every
+    // other counter) and renamed to a collision-proof marker column.
+    val joined = checks.zipWithIndex.foldLeft(df) {
+      case (acc, (Referential(fk, dim, pk), i)) =>
+        val marker = s"_dq_pk_$i"
+        acc.join(
+          broadcast(dim.select(col(pk).as(marker)).distinct()),
+          acc(fk) === col(marker), "left_outer")
+      case (acc, _) => acc
+    }
+    def violations(c: DqCheck, i: Int): Column = (c match {
+      case NotNull(column) => count_if(col(column).isNull)
+      case Unique(columns) =>
+        count(lit(1)) - count_distinct(struct(columns.map(col): _*))
+      case InRange(column, lo, hi) =>
+        count_if(col(column).isNotNull && !col(column).between(lo, hi))
+      case AcceptedValues(column, values) =>
+        count_if(col(column).isNotNull && !col(column).isInCollection(values))
+      case Referential(fk, _, _) =>
+        count_if(col(fk).isNotNull && col(s"_dq_pk_$i").isNull)
+    }).as(s"_v_$i")
+    val wide = joined.agg(
+      violations(checks.head, 0),
+      checks.tail.zipWithIndex.map { case (c, i) => violations(c, i + 1) }: _*)
+    // Melt the single wide row to (check_name, violations) — O(checks) rows.
+    wide.select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"), col(s"_v_$i").as("violations"))
+    }: _*)).as("r")).select(col("r.check_name"), col("r.violations"))
+  }
+}

@@ -256,4 +256,144 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  // ------------------------------------------------------------------ PQ
+
+  /** Strict-fold squared-L2 distance (PQ's metric), elements promoted to
+    * double before the subtract; the square is an explicit multiply (pow()
+    * is not guaranteed bit-identical across engines, x*x is).
+    */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Explode vectors into `(id, sub, svec)` subvector rows — the framing
+    * that lets ONE relational Lloyd train all `m` product-quantizer
+    * codebooks at once: the subspace index is a grouping column, not a
+    * per-subspace program. `m * subDim` must equal the embedding length.
+    */
+  private def subRows(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("_pid"),
+      explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), slice(col(vecCol), s * subDim + 1, subDim).as("svec"))): _*)).as("_e"))
+      .select(col("_pid"), col("_e.sub").as("sub"), col("_e.svec").as("svec"))
+
+  /** Train product-quantization codebooks: split each vector into `m`
+    * subvectors of `subDim` dims and run `iters` rounds of plain (L2,
+    * mean-update) Lloyd per subspace — all subspaces in the same jobs, keyed
+    * by the `sub` column. Seeding is the deterministic content-hash order
+    * used by [[trainCentroids]]: the same k seed VECTORS feed every
+    * subspace, so retraining on the same corpus is reproducible with no
+    * stored RNG state. Returns `(sub, cid, svec)`.
+    *
+    * Scale shape: each iteration is one broadcast join (corpus subrows ×
+    * current codebooks, m*k rows — always tiny) + one argmin aggregate
+    * keyed by (id, sub) + one mean-update aggregate keyed by (sub, cid,
+    * pos); no shuffle ever carries more than the subrow projection of the
+    * corpus, and codebooks are `localCheckpoint`ed per round to truncate
+    * the lineage exactly like [[trainCentroids]].
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int,
+      k: Int,
+      iters: Int = 2): DataFrame = {
+    require(m > 0 && subDim > 0 && k > 0 && iters >= 0, "m, subDim, k positive; iters >= 0")
+    val subs = subRows(corpus, idCol, vecCol, m, subDim)
+    val seedW = Window.partitionBy("sub")
+      .orderBy(md5(col("_pid").cast("string")), col("_pid"))
+    var cb = subs
+      .withColumn("_rn", row_number().over(seedW))
+      .where(col("_rn") <= k)
+      .select(col("sub"), (col("_rn") - 1).as("cid"), col("svec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val means = pqAssign(subs, cb)
+        .select(col("sub"), col("cid"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((sum(col("col").cast("double")) / count(lit(1))).as("m"))
+      cb = means.groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("cid"), transform(col("pm"), p => p.getField("m")).as("svec"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Argmin code per (id, sub): min(struct(dist, cid, svec)) — the
+    * lexicographic min gives (closest, lowest-cid-on-tie) with one
+    * map-side-combining agg; the row's own subvector rides the struct (it
+    * is constant within the group and (dist, cid) is unique, so it is never
+    * compared) to spare the mean-update a corpus self-join.
+    */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb.select(col("sub"), col("cid"), col("svec").as("_cvec"))), Seq("sub"))
+      .withColumn("_d", l2sq(col("svec"), col("_cvec")))
+      .groupBy(col("_pid"), col("sub"))
+      .agg(min(struct(col("_d"), col("cid"), col("svec"))).as("_m"))
+      .select(col("_pid"), col("sub"), col("_m.cid").as("cid"), col("_m.svec").as("svec"))
+
+  /** Encode the corpus against a trained codebook: `(id, sub, code)` long
+    * form — `m` small integers per vector, the PQ-compressed corpus (the
+    * 100 TB artifact: ~m bytes per vector instead of 4*dim). Long form
+    * rather than a packed array so the ADC probe below is a plain keyed
+    * join with no per-row array lookup.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      subDim: Int): DataFrame =
+    pqAssign(subRows(corpus, idCol, vecCol, m, subDim), codebook)
+      .select(col("_pid").as(idCol), col("sub"), col("cid").as("code"))
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: each query
+    * precomputes its distance table (query subvector vs every codebook
+    * centroid — `m*k` doubles, broadcast), the encoded corpus joins it on
+    * `(query, sub, code)`, and per-(query, neighbor) distances fold in
+    * ascending `sub` order (sorted-array strict fold, engine-reproducible).
+    * Approximate distances are rounded to 4 decimals before ranking so the
+    * order is stable under the codebook's sub-ULP mean-aggregation wiggle;
+    * ties break on neighbor id.
+    *
+    * Scale shape: the only full-corpus input is the encoded (m codes/row)
+    * table — the raw vectors are never touched at probe time; the distance
+    * table is query-batch × m × k, broadcast; the fold output is one row
+    * per (query, neighbor) pre-aggregated map-side.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      encoded: DataFrame,
+      codebook: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      subDim: Int): DataFrame = {
+    val qsubs = subRows(queries, idCol, vecCol, m, subDim)
+      .select(col("_pid").as("query_id"), col("sub"), col("svec"))
+    val dtab = qsubs
+      .join(codebook.select(col("sub"), col("cid").as("code"), col("svec").as("_cvec")), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"), l2sq(col("svec"), col("_cvec")).as("_d"))
+    val scored = encoded
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .where(col("query_id") =!= col(idCol))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("_d")))).as("_ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(col("_ds"), lit(0.0), (acc, v) => acc + v.getField("_d")), 4).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
 }

