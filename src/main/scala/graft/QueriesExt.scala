@@ -1175,6 +1175,49 @@ object QueriesExt {
       |  length(t)::INT AS len_raw, length(nfc_normalize(t))::INT AS len_nfc
       |FROM aug""".stripMargin))
 
+  /** JL sign-projection gate: 64-dim float embeddings down to 8 dims with
+    * the content-addressed ±1 matrix (md5 nibble parity, regenerated
+    * identically by the oracle) — strict in-order folds make the projected
+    * doubles bit-exact across engines, no rounding needed.
+    */
+  private val embProject: Q = "x_emb_project" -> ((
+    (s: SparkSession, dir: String) =>
+      emb(s, dir).select(col("vec_id"),
+        Similarity.randomProject(col("embedding"), dIn = 64, dOut = 8).as("proj")),
+    """WITH sgn AS (SELECT j, i,
+      |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END AS s
+      |  FROM UNNEST(range(0,8)) a(j), UNNEST(range(0,64)) b(i)),
+      |terms AS (SELECT e.vec_id, g.j, g.i, e.embedding[g.i+1]::DOUBLE * g.s AS t
+      |  FROM embeddings e, sgn g),
+      |proj AS (SELECT vec_id, j,
+      |    list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a,b)->a+b) / sqrt(8) AS p
+      |  FROM terms GROUP BY vec_id, j)
+      |SELECT vec_id, list(p ORDER BY j) AS proj FROM proj GROUP BY vec_id""".stripMargin))
+
+  /** PMI collocation gate: top-30 adjacent word pairs by pointwise mutual
+    * information (min pair count 5). The oracle rebuilds bigrams from
+    * 1-based positions; pmi is rounded to 4 decimals on both sides (libm
+    * ln differs in the last ULP across engines).
+    */
+  private val textCollocations: Q = "x_text_collocations" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Collocations.pmiBigrams(docs(s, dir), "text", minCount = 5L, topK = 30),
+    """WITH ws AS (SELECT string_split(trim(text),' ') AS ws FROM documents),
+      |uni AS (SELECT w, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w),
+      |tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+      |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*)::BIGINT AS c12
+      |  FROM ws, UNNEST(range(1, len(ws))) t(i) GROUP BY ws[i], ws[i+1]),
+      |btot AS (SELECT sum(c12)::DOUBLE AS b FROM bi),
+      |p AS (SELECT w1, w2, c12,
+      |    round(ln(c12 * n * n / (b * u1.c * u2.c)), 4) AS pmi
+      |  FROM bi JOIN uni u1 ON u1.w = bi.w1 JOIN uni u2 ON u2.w = bi.w2, tot, btot
+      |  WHERE c12 >= 5)
+      |SELECT w1, w2, c12, pmi, rank FROM
+      |  (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM p)
+      |WHERE rank <= 30""".stripMargin))
+
   /** Product-quantization ANN gate: train m=4 sub-codebooks (k=4, 2 Lloyd
     * rounds, content-hash seeds), PQ-encode the corpus, then ADC top-5 for
     * the first ten vectors. The oracle replays the whole thing with the
@@ -1332,7 +1375,7 @@ object QueriesExt {
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
-    scd2Build, cdcApply, dqChecks, annPq)
+    scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations)
 
   /** Operators whose results are sketch-based and engine-specific — gated as
     * rows-only (no oracle SQL). */

@@ -638,6 +638,31 @@ object QueriesParity {
       |  count(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
 
+  /** Distribution window functions — ntile bucketing (the curriculum-
+    * ordering primitive: rank docs by a quality proxy, bucket into deciles)
+    * plus percent_rank/cume_dist, all over ONE window spec so the plan is a
+    * single exchange+sort. Doubles from the rank functions are exact
+    * rationals (k/n) — engine-identical without rounding.
+    */
+  private val qNtile: Q = "q_ntile" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .where(col("o_orderkey") % 100 === 0)
+    },
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, decile, pr, cd FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    ntile(10)        OVER w AS decile,
+      |    round(percent_rank() OVER w, 6) AS pr,
+      |    round(cume_dist()    OVER w, 6) AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+      |WHERE o_orderkey % 100 = 0""".stripMargin))
+
   /** Set operations: INTERSECT / EXCEPT with SQL set (distinct) semantics.
     * Spark plans both as distinct-aggregated joins (left-semi / left-anti),
     * so the same bounded-shuffle story as any keyed join applies; the small
@@ -666,5 +691,5 @@ object QueriesParity {
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
-    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps)
+    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile)
 }

@@ -396,4 +396,28 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adist")
   }
+
+  /** Johnson–Lindenstrauss sign projection: `y_j = (1/√dOut) Σ_i x_i·s_ij`
+    * with `s_ij ∈ {±1}` derived from `md5("j_i")` first-nibble parity — the
+    * projection matrix is CONTENT-ADDRESSED, so there is no matrix artifact
+    * to store or broadcast and any engine (or a later re-run) regenerates
+    * it bit-identically. The md5 calls happen ONCE at plan build (driver
+    * side, dIn·dOut hashes); the per-row work is a pure codegen'd
+    * multiply-fold against literal arrays. Inner sums are strict left folds
+    * in element order, so results are engine-reproducible bit-for-bit.
+    */
+  def randomProject(vec: Column, dIn: Int, dOut: Int): Column = {
+    require(dIn > 0 && dOut > 0, "dims must be positive")
+    def sign(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = math.sqrt(dOut.toDouble)
+    array((0 until dOut).map { j =>
+      val signs = array((0 until dIn).map(i => lit(sign(j, i))): _*)
+      aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, v) => acc + v) / scale
+    }: _*)
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Collocations, Similarity}
+
+class CollocationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigramsOf: adjacent pairs, no null pad pair, degenerate arrays empty") {
+    val out = Seq(Seq("a", "b", "c"), Seq("x"), Seq.empty[String])
+      .toDF("ws")
+      .select(Collocations.bigramsOf(col("ws")).as("b"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(out === Seq(Seq(("a", "b"), ("b", "c")), Seq.empty, Seq.empty))
+  }
+
+  test("pmiBigrams: hand-checked PMI for a dominated pair, minCount filters hapax") {
+    // "x y" occurs 6 times; fillers make other words frequent so x,y are
+    // rare outside the pair. N = 24 tokens, B = 18 bigrams.
+    val docs = Seq.fill(6)("x y f1 f2").toDF("text")
+    val out = Collocations.pmiBigrams(docs, "text", minCount = 5L, topK = 10)
+      .as[(String, String, Long, Double, Int)].collect()
+    val m = out.map(r => (r._1, r._2) -> r).toMap
+    // c12("x","y")=6, c1=c2=6, N=24, B=18: pmi = ln(6*24*24/(18*6*6)) = ln(16/3)
+    assert(m(("x", "y"))._3 == 6L)
+    assert(math.abs(m(("x", "y"))._4 - math.log(16.0 / 3.0)) < 1e-3)
+    // "y f1" / "f1 f2" appear 6 times too and survive; nothing below minCount does
+    assert(out.forall(_._3 >= 5L))
+    assert(out.map(_._5).sorted.toSeq == (1 to out.length).toSeq)
+  }
+
+  test("randomProject: deterministic, right arity, JL-ball norm preservation") {
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat))).toDF("id", "v")
+    val p = vecs.select(col("id"), Similarity.randomProject(col("v"), 64, 16).as("p"),
+      Similarity.norm(col("v")).as("n0"))
+    val rows = p.select(col("id"), size(col("p")).as("k"),
+        (Similarity.norm(col("p")) / col("n0")).as("ratio"))
+      .as[(Long, Int, Double)].collect()
+    assert(rows.forall(_._2 == 16))
+    // Sign JL at dOut=16: norms preserved within a loose constant-factor ball
+    assert(rows.forall { case (_, _, r) => r > 0.4 && r < 2.0 })
+    val again = vecs.select(Similarity.randomProject(col("v"), 64, 16).as("p"))
+      .as[Seq[Double]].collect().toSeq
+    val first = p.select(col("p")).as[Seq[Double]].collect().toSeq
+    assert(again === first)
+  }
+}
