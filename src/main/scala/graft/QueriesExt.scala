@@ -29,7 +29,9 @@ object QueriesExt {
     """SELECT md5(text) AS dup_key, min(doc_id) AS kept_id, count(*) AS dup_cnt
       |FROM documents GROUP BY md5(text)""".stripMargin))
 
-  private def minhashOracle: String = {
+  private def minhashOracle: String = minhashOracleWhere("")
+
+  private def minhashOracleWhere(extraWhere: String): String = {
     // Same hash family as Dedup.minHashAggs: one md5 per (doc, shingle),
     // 32-bit base hash, (a_j*h+b_j) mod 2^32 per family member — constants
     // shared with the Spark side via Dedup.minHashParams.
@@ -51,7 +53,7 @@ object QueriesExt {
        |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) <= 1000)
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id
-       |JOIN ok ON ok.band=a.band AND ok.bv=a.bv""".stripMargin
+       |JOIN ok ON ok.band=a.band AND ok.bv=a.bv$extraWhere""".stripMargin
   }
   private val dedupMinhash: Q = "x_dedup_minhash_lsh" -> ((
     (s: SparkSession, dir: String) =>
@@ -1375,13 +1377,59 @@ object QueriesExt {
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
-    scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations)
+    scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
+    dedupHllStats, dedupIncremental, freqCms)
 
-  /** Operators whose results are sketch-based and engine-specific — gated as
-    * rows-only (no oracle SQL). */
-  val noOracle: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "x_dedup_hll_stats" -> ((s: SparkSession, dir: String) =>
+  /** Operators whose results would be sketch-based and engine-specific.
+    * Empty since round 5: the HLL and CMS surfaces are gated through their
+    * ACCURACY CONTRACTS instead (exact values + in-band booleans the oracle
+    * can verify) — see [[dedupHllStats]] / [[freqCms]]. */
+  val noOracle: Seq[(String, (SparkSession, String) => DataFrame)] = Seq.empty
+
+  /** HLL approx-distinct, upgraded from rows-only to ORACLE-GATED: the
+    * sketch bytes aren't portable, but the accuracy claim is — emit the
+    * exact distinct count (one distinct agg, same scan) and a boolean
+    * asserting the HLL estimate sits within 5% of it (rsd 0.02 → far
+    * inside). The oracle checks `true` literally: an estimator regression
+    * hash-mismatches.
+    */
+  private lazy val dedupHllStats: Q = "x_dedup_hll_stats" -> ((
+    (s: SparkSession, dir: String) =>
       docs(s, dir).agg(
-        approx_count_distinct(col("text"), 0.02).as("approx_distinct_docs"),
-        count(lit(1)).as("total_docs"))))
+        count(lit(1)).as("total_docs"),
+        count_distinct(col("text")).as("exact_distinct"),
+        approx_count_distinct(col("text"), 0.02).as("_apx"))
+      .select(col("total_docs"), col("exact_distinct"),
+        (abs(col("_apx") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("hll_within_5pct")),
+    """SELECT count(*) AS total_docs, count(DISTINCT text) AS exact_distinct,
+      |  true AS hll_within_5pct FROM documents""".stripMargin))
+
+  /** Incremental near-dup gate: docs < 400 are the persisted LSH index,
+    * docs >= 400 the new batch; candidates must involve a new doc and the
+    * old×old cross product is never generated. The oracle is the full
+    * minhash replay with the at-least-one-new predicate — proving the
+    * incremental probe converges to exactly the batch answer's new slice.
+    */
+  private lazy val dedupIncremental: Q = "x_dedup_incremental" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val idx = Dedup.minHashBands(d.where(col("doc_id") < 400), "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+      Dedup.lshPairsIncremental(d.where(col("doc_id") >= 400), idx, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+    },
+    minhashOracleWhere("\nWHERE a.doc_id >= 400 OR b.doc_id >= 400")))
+
+  /** Count–min-sketch heavy-hitter gate via the accuracy contract: exact
+    * top-20 token counts (oracle-verifiable) + `cms_ok` booleans the oracle
+    * pins to `true`. */
+  private lazy val freqCms: Q = "x_freq_cms" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Sketches.cmsHeavyHitterCheck(docs(s, dir), "text", topK = 20),
+    """SELECT tok, exact_cnt, true AS cms_ok FROM (
+      |  SELECT tok, count(*)::BIGINT AS exact_cnt,
+      |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+      |  FROM (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
+      |  GROUP BY tok) WHERE rk <= 20""".stripMargin))
 }

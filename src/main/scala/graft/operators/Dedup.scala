@@ -200,6 +200,39 @@ object Dedup {
     * bucket, never a list), only qualifying buckets' members are gathered,
     * so no aggregation buffer exceeds `maxBucket` ids.
     */
+  /** The LSH band table `(id, band, band_val)` — the PERSISTABLE dedup
+    * index: write it out partitioned/bucketed by `(band, band_val)` and
+    * later increments probe it without re-shingling the historical corpus
+    * ([[lshPairsIncremental]]).
+    *
+    * One projection explodes the signature into its bands — the expensive
+    * signature aggregation is computed exactly ONCE (a union-of-bands or a
+    * self-join would re-evaluate it per branch/side). The band value is
+    * md5-hashed: a fixed 32-char key through the shuffle instead of the
+    * concatenated signature numbers (md5 keeps it engine-reproducible).
+    */
+  def minHashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    val sh = shingleTable(df, idCol, textCol, n)
+      .withColumn("_h32", hash32(col("shingle")))
+    val aggs = minHashAggs(col("_h32"), numHashes)
+    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = array((0 until bands).map { b =>
+      val bv = md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r").cast("string")): _*))
+      struct(lit(b).as("band"), bv.as("band_val"))
+    }: _*)
+    sig
+      .select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+  }
+
   def minHashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -208,24 +241,7 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
-    val rows = numHashes / bands
-    val sh = shingleTable(df, idCol, textCol, n)
-      .withColumn("_h32", hash32(col("shingle")))
-    val aggs = minHashAggs(col("_h32"), numHashes)
-    val sig = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    // One projection explodes the signature into its bands — the expensive
-    // signature aggregation is computed exactly ONCE (a union-of-bands or a
-    // self-join would re-evaluate it per branch/side). The band value is
-    // md5-hashed: a fixed 32-char key through the shuffle instead of the
-    // concatenated signature numbers (md5 keeps it engine-reproducible).
-    val bandStructs = array((0 until bands).map { b =>
-      val bv = md5(concat_ws("|", (b * rows until (b + 1) * rows).map(r => col(s"mh$r").cast("string")): _*))
-      struct(lit(b).as("band"), bv.as("band_val"))
-    }: _*)
-    val banded = sig
-      .select(col(idCol), explode(bandStructs).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.band_val").as("band_val"))
+    val banded = minHashBands(df, idCol, textCol, n, numHashes, bands)
     // Membership COUNT first (bounded partial-agg state), then gather members
     // for qualifying buckets only. The qualifying set is small (multi-doc
     // buckets = near-dup clusters), so AQE broadcasts it back onto `banded`;
@@ -241,6 +257,44 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental near-dup candidates: a NEW batch probes a persisted LSH
+    * band index ([[minHashBands]] output read back from storage) — the
+    * daily-increment production shape. Emits every candidate pair with at
+    * least one new-batch member (new×old and new×new); the historical
+    * old×old cross product is NEVER generated — the probe joins new band
+    * rows against the union, so per-bucket work is `|new| × |bucket|`, not
+    * `|bucket|²`. Bucket membership caps (`maxBucket`, counted over the
+    * UNION — same df-cap semantics as the full rebuild, so incremental runs
+    * converge to the batch answer) bound the fan-out; with the index laid
+    * out bucketed by `(band, band_val)` the join co-locates and only the
+    * (small) new batch shuffles.
+    */
+  def lshPairsIncremental(
+      newDocs: DataFrame,
+      indexBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val nb = minHashBands(newDocs, idCol, textCol, n, numHashes, bands)
+      .localCheckpoint(true) // consumed by union, count and probe — computed once
+    val all = nb.unionByName(indexBands.select(col(idCol), col("band"), col("band_val")))
+    val qualifying = all.groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1 && col("_n") <= maxBucket)
+      .select("band", "band_val")
+    nb.select(col(idCol).as("_nid"), col("band"), col("band_val"))
+      .join(qualifying, Seq("band", "band_val"))
+      .join(all.select(col(idCol).as("_mid"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .where(col("_nid") =!= col("_mid"))
+      .select(least(col("_nid"), col("_mid")).as("id_a"),
+        greatest(col("_nid"), col("_mid")).as("id_b"))
+      .distinct()
   }
 
   /** SimHash over distinct tokens: bit b of the signature is the majority

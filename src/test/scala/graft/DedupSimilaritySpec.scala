@@ -421,6 +421,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("lshPairsIncremental: equals the batch answer's at-least-one-new slice") {
+    val corpus = (0L until 30L).map { i =>
+      // groups of 3 near-identical docs so pairs cross the old/new boundary
+      val base = s"shared prefix tokens for group ${i / 3} body body body"
+      (i, if (i % 3 == 0) base else base + s" tail$i")
+    }.toDF("doc_id", "text")
+    val full = Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    val idx = Dedup.minHashBands(corpus.where(col("doc_id") < 20), "doc_id", "text",
+      n = 3, numHashes = 12, bands = 4)
+    val inc = Dedup.lshPairsIncremental(corpus.where(col("doc_id") >= 20), idx,
+      "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(inc === full.filter { case (a, b) => a >= 20 || b >= 20 })
+    assert(inc.nonEmpty) // the fixture must actually exercise the boundary
+  }
+
   // ------------------------------------------------------------------ PQ
   // Two well-separated clusters per subspace: vectors are [a,a, b,b] with
   // a ∈ {0,1}, b ∈ {10,11} so the m=2/subDim=2 quantizer must discover the
