@@ -31,14 +31,24 @@ import graft.operators.Dedup
   */
 object CurateMain {
 
-  final case class StageReport(stages: Seq[(String, Long)], splits: Map[String, Long]) {
+  final case class StageReport(
+      stages: Seq[(String, Long)],
+      splits: Map[String, Long],
+      dq: Seq[(String, Long)] = Nil) {
     def json: String = {
       def kv(k: String, v: Long) = s""""${GraftMain.jsonEscape(k)}":$v"""
       val s = stages.map((kv _).tupled).mkString(",")
       val sp = splits.toSeq.sortBy(_._1).map((kv _).tupled).mkString(",")
-      s"""{"stages":{$s},"splits":{$sp}}"""
+      val q = dq.map((kv _).tupled).mkString(",")
+      s"""{"stages":{$s},"splits":{$sp},"dq":{$q}}"""
     }
   }
+
+  /** Thrown when `dq.fail-on-violation` is set and a check fails — the
+    * Airflow-facing abort (non-zero exit through `main`'s failure path)
+    * mirroring the reference's fail-fast on contract breakage.
+    */
+  final class DqViolation(msg: String) extends IllegalStateException(msg)
 
   def main(args: Array[String]): Unit = {
     val yaml = args.headOption.map(p => Files.readString(Paths.get(p)))
@@ -77,6 +87,24 @@ object CurateMain {
 
     val raw = spark.read.parquet(cfg.input)
     stages += "input" -> raw.count()
+
+    // Input-contract gate BEFORE any curation: one extra scan (all checks
+    // ride a single aggregation — Quality.evaluate), O(checks) result rows.
+    val dqResults: Seq[(String, Long)] =
+      if (cfg.dqConfigured) {
+        import graft.operators.Quality, Quality.DqCheck._
+        val checks =
+          cfg.dqNotNull.map(NotNull(_)) ++
+            (if (cfg.dqUnique.nonEmpty) Seq(Unique(cfg.dqUnique)) else Nil) ++
+            cfg.dqAccepted.toSeq.sortBy(_._1).map { case (c, vs) => AcceptedValues(c, vs) }
+        val rs = Quality.evaluate(raw, checks).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        val bad = rs.filter(_._2 > 0)
+        if (bad.nonEmpty && cfg.dqFailOnViolation)
+          throw new DqViolation(bad.map { case (n, v) => s"$n=$v" }
+            .mkString("dq checks failed: ", ", ", ""))
+        rs
+      } else Nil
 
     val text0 = if (cfg.nfc) Conversions.nfcNormalize(col(cfg.textColumn)) else col(cfg.textColumn)
     val base = raw.withColumn(cfg.textColumn, text0)
@@ -170,6 +198,6 @@ object CurateMain {
     if (afterNear ne dd) afterNear.unpersist()
     survivors0.unpersist()
     dd.unpersist()
-    StageReport(stages.result(), splitCounts)
+    StageReport(stages.result(), splitCounts, dqResults)
   }
 }

@@ -25,7 +25,14 @@ final case class CurateConfig(
     sampleStratum: Option[String] = None,
     sampleRates: Map[String, Double] = Map.empty,
     sampleDefault: Double = 100.0,
-    splits: Seq[(String, Double)] = Nil) {
+    splits: Seq[(String, Double)] = Nil,
+    dqNotNull: Seq[String] = Nil,
+    dqUnique: Seq[String] = Nil,
+    dqAccepted: Map[String, Seq[String]] = Map.empty,
+    dqFailOnViolation: Boolean = false) {
+
+  def dqConfigured: Boolean =
+    dqNotNull.nonEmpty || dqUnique.nonEmpty || dqAccepted.nonEmpty
 
   def validated: CurateConfig = {
     require(input.nonEmpty && output.nonEmpty, "input and output are required")
@@ -45,7 +52,7 @@ object CurateConfig {
   def fromYaml(src: String): CurateConfig = {
     val tree = ConfigYaml.parseTree(src)
     val known = Set("input", "output", "id-column", "text-column",
-      "filters", "nfc", "dedup", "decontaminate", "sample", "split")
+      "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq")
     val unknown = tree.keySet -- known
     require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
 
@@ -69,6 +76,13 @@ object CurateConfig {
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
     val unknownS = sample.keySet -- Set("stratum-column", "default-percent", "rates")
     require(unknownS.isEmpty, s"unknown sample keys: ${unknownS.mkString(", ")}")
+    // dq block: input-contract checks before any curation stage. Column
+    // lists are comma-separated scalars (the zero-dependency YAML subset has
+    // no inline flow lists); `accepted` is a nested column -> csv map.
+    val dq = sub(tree, "dq")
+    val unknownQ = dq.keySet -- Set("not-null", "unique", "accepted", "fail-on-violation")
+    require(unknownQ.isEmpty, s"unknown dq keys: ${unknownQ.mkString(", ")}")
+    def csv(s: String): Seq[String] = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     // A half-specified stage must fail loudly, not silently skip: CurateMain
     // keys the sample stage off `stratum-column` and the decontaminate stage
     // off `against`, so a block carrying only the secondary knobs would
@@ -107,6 +121,10 @@ object CurateConfig {
       sampleStratum = str(sample, "stratum-column"),
       sampleRates = sub(sample, "rates").map { case (k, v) => k -> v.toString.toDouble },
       sampleDefault = str(sample, "default-percent").map(_.toDouble).getOrElse(100.0),
-      splits = splits).validated
+      splits = splits,
+      dqNotNull = str(dq, "not-null").map(csv).getOrElse(Nil),
+      dqUnique = str(dq, "unique").map(csv).getOrElse(Nil),
+      dqAccepted = sub(dq, "accepted").map { case (k, v) => k -> csv(v.toString) },
+      dqFailOnViolation = str(dq, "fail-on-violation").exists(_.toBoolean)).validated
   }
 }

@@ -54,7 +54,7 @@ class CurateMainSpec extends SparkSpec {
 
   test("StageReport.json escapes quotes/backslashes in split names") {
     val r = CurateMain.StageReport(Seq("input" -> 1L), Map("""he"ld\x""" -> 1L))
-    assert(r.json == """{"stages":{"input":1},"splits":{"he\"ld\\x":1}}""")
+    assert(r.json == """{"stages":{"input":1},"splits":{"he\"ld\\x":1},"dq":{}}""")
   }
 
   test("CurateMain.run end-to-end on sf0.001: stages monotone, dups removed, splits cover") {
@@ -109,6 +109,43 @@ class CurateMainSpec extends SparkSpec {
     CurateMain.run(spark, cfg)
     val ids = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L))
+  }
+
+  test("CurateMain.run: dq block reports violations, fail-on-violation aborts, clean input passes") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-dq").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-curate-dq-in").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "src0"),
+      (1L, "epsilon zeta eta theta", "src0"),     // duplicate doc_id
+      (2L, "iota kappa lambda mu", "weird-src")   // unaccepted source
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(in)
+    val dqYaml =
+      s"""input: $in
+         |output: $out
+         |dq:
+         |  not-null: doc_id,text
+         |  unique: doc_id
+         |  accepted:
+         |    source: src0,src1,src2
+         |""".stripMargin
+    val report = CurateMain.run(spark, CurateConfig.fromYaml(dqYaml))
+    val dq = report.dq.toMap
+    assert(dq("not_null:doc_id") == 0L && dq("not_null:text") == 0L)
+    assert(dq("unique:doc_id") == 1L)
+    assert(dq("accepted:source") == 1L)
+    assert(report.json.contains(""""dq":{"""))
+    // fail-on-violation aborts before any curation write
+    val failing = CurateConfig.fromYaml(dqYaml + "  fail-on-violation: true\n")
+    val ex = intercept[CurateMain.DqViolation] { CurateMain.run(spark, failing) }
+    assert(ex.getMessage.contains("unique:doc_id=1"))
+    // clean input with the same contract passes and reports zeros
+    val cleanIn = java.nio.file.Files.createTempDirectory("graft-curate-dq-clean").toString
+    Seq((1L, "alpha beta", "src0"), (2L, "gamma delta", "src1"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(cleanIn)
+    val cleanCfg = CurateConfig.fromYaml(
+      dqYaml.replace(s"input: $in", s"input: $cleanIn") + "  fail-on-violation: true\n")
+    val cleanReport = CurateMain.run(spark, cleanCfg)
+    assert(cleanReport.dq.forall(_._2 == 0L))
   }
 
   test("CurateMain.run: no-op config passes everything through unchanged") {
