@@ -1378,7 +1378,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms)
+    dedupHllStats, dedupIncremental, freqCms, textBm25)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1420,6 +1420,33 @@ object QueriesExt {
         n = 3, numHashes = 12, bands = 4)
     },
     minhashOracleWhere("\nWHERE a.doc_id >= 400 OR b.doc_id >= 400")))
+
+  /** BM25 retrieval gate: top-20 docs for a four-term query. Constant
+    * arithmetic is written identically on both sides (same IEEE double
+    * folds); per-doc term scores fold in sorted term order and round to 4
+    * decimals before ranking.
+    */
+  private lazy val textBm25: Q = "x_text_bm25" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.TfIdf.bm25(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "spark", "vector"), k1 = 1.2, b = 0.75, topK = 20),
+    """WITH ws AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ws))::DOUBLE / count(*) AS avgdl FROM ws),
+      |post AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS term FROM ws),
+      |fp AS (SELECT * FROM post WHERE term IN ('hash','join','spark','vector')),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+      |  FROM fp GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM fp GROUP BY term),
+      |per AS (SELECT tf.doc_id, tf.term,
+      |    ln((n - df + 0.5)/(df + 0.5) + 1) * (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+      |  FROM tf JOIN dfq USING (term), stats),
+      |sc AS (SELECT doc_id,
+      |    round(list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a,b)->a+b), 4) AS score
+      |  FROM per GROUP BY doc_id)
+      |SELECT doc_id, score, rank FROM
+      |  (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank FROM sc)
+      |WHERE rank <= 20""".stripMargin))
 
   /** Count–min-sketch heavy-hitter gate via the accuracy contract: exact
     * top-20 token counts (oracle-verifiable) + `cms_ok` booleans the oracle

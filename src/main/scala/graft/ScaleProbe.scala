@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Manual scale probe (not part of the driver contract or the test suite):
   * replicates the sf0.1 documents table `xN` with disjoint id spaces and runs
@@ -70,6 +70,37 @@ object ScaleProbe {
       // clock tracking token volume, with no per-task state growth.
       val lm = graft.operators.UnigramLm.scoreDocs(big, "doc_id", "text")
       println(s"[probe] scored docs = ${lm.count()}")
+    }
+    timed("pq train+encode+adc") {
+      // Identical vectors replicated: the quantizer's work (subrow explode,
+      // argmin, mean update) must track ROW volume linearly — cells just get
+      // `factor`× denser. The ADC probe's cost is bounded by the encoded
+      // table scan + the broadcast distance table, never the raw vectors.
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ne = e.count()
+      val bigE = (0 until factor).map { i =>
+        e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"), col("embedding"))
+      }.reduce(_ union _)
+      val cb = Similarity.pqTrain(bigE, "vec_id", "embedding", m = 4, subDim = 16, k = 4, iters = 2)
+      val enc = Similarity.pqEncode(bigE, cb, "vec_id", "embedding", m = 4, subDim = 16)
+        .localCheckpoint(true)
+      println(s"[probe] encoded code rows = ${enc.count()}")
+      val top = Similarity.pqTopK(e.where(col("vec_id") < 10), enc, cb,
+        "vec_id", "embedding", k = 5, m = 4, subDim = 16)
+      println(s"[probe] adc result rows = ${top.count()}")
+    }
+    timed("incremental lsh probe") {
+      // Index = the WHOLE replicated corpus; new batch = one un-replicated
+      // slice. The claim: probe cost tracks the new batch and its matched
+      // buckets — the index contributes one count-agg scan, never a
+      // pair-generation side (old×old pairs are structurally absent).
+      val idx = Dedup.minHashBands(big, "doc_id", "text").localCheckpoint(true)
+      println(s"[probe] index band rows = ${idx.count()}")
+      val nw = base.select((col("doc_id") + lit(factor.toLong * 10 * n)).as("doc_id"),
+        concat(col("text"), lit(" replicanew")).as("text"))
+      val p = Dedup.lshPairsIncremental(nw, idx, "doc_id", "text")
+      println(s"[probe] incremental pairs = ${p.count()}")
     }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica

@@ -61,4 +61,56 @@ object TfIdf {
       .where(col("rank") <= k)
       .select(col(sourceCol), col("term"), col("tf"), col("tfidf"), col("rank"))
   }
+
+  /** BM25 ranked retrieval for one query (Lucene-flavored:
+    * `idf = ln((N - df + 0.5)/(df + 0.5) + 1)`, saturation `k1`, length
+    * normalization `b`): returns the `topK` documents by summed per-term
+    * score. The corpus-side index primitives (tf, df, doclen) are the same
+    * aggregates a persisted inverted index would hold.
+    *
+    * Scale shape: the query-term filter lands BEFORE every shuffle — the
+    * exploded corpus is cut to query-term postings at the scan, so the tf
+    * aggregation moves |postings(q)| rows, not the corpus token volume; df
+    * and the (N, avgdl) stats are one-row/|q|-row broadcast sides. Per-doc
+    * term scores fold in sorted term order (same engine-reproducible
+    * discipline as [[Similarity.pqTopK]]), rounded to 4 decimals before the
+    * ranking window.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms required")
+    val ws = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ws"))
+    val stats = ws.agg(
+      count(lit(1)).cast("double").as("_n"),
+      (sum(size(col("_ws"))).cast("double") / count(lit(1))).as("_avgdl"))
+    val postings = ws
+      .select(col(idCol), size(col("_ws")).cast("double").as("_dl"),
+        explode(col("_ws")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+    val tf = postings.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("_tf"), first(col("_dl")).as("_dl"))
+    val dfreq = postings.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).cast("double").as("_df"))
+    val termScore =
+      log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0) *
+        (col("_tf") * (k1 + 1.0)) /
+        (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    val perTerm = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), termScore.as("_s"))
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    perTerm.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("term"), col("_s")))).as("_ts"))
+      .select(col(idCol),
+        round(aggregate(col("_ts"), lit(0.0), (acc, v) => acc + v.getField("_s")), 4).as("score"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topK)
+  }
 }
