@@ -1378,7 +1378,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, textBm25)
+    dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1447,6 +1447,46 @@ object QueriesExt {
       |SELECT doc_id, score, rank FROM
       |  (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank FROM sc)
       |WHERE rank <= 20""".stripMargin))
+
+  /** Robust outlier profile gate: per-priority median / MAD / beyond-3-MAD
+    * counts over order totals. Medians round to 6 decimals BEFORE the
+    * deviation and threshold math on both sides, so last-ULP percentile
+    * interpolation differences cannot flip a boundary point's class.
+    */
+  private lazy val outlierMad: Q = "x_outlier_mad" -> ((
+    (s: SparkSession, dir: String) =>
+      Quality.madOutliers(s.read.parquet(s"$dir/orders.parquet"),
+        "o_totalprice", "o_orderpriority", z = 3.0),
+    """WITH med AS (SELECT o_orderpriority AS grp,
+      |    round(quantile_cont(o_totalprice, 0.5), 6) AS med
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT o.o_orderpriority AS grp, m.med,
+      |    abs(o.o_totalprice - m.med) AS ad
+      |  FROM orders o JOIN med m ON m.grp = o.o_orderpriority),
+      |madf AS (SELECT grp, med, round(quantile_cont(ad, 0.5), 6) AS mad,
+      |    count(*)::BIGINT AS n
+      |  FROM d GROUP BY grp, med)
+      |SELECT d.grp AS o_orderpriority, m.med, m.mad, m.n,
+      |  (count(*) FILTER (WHERE d.ad > 3.0 * m.mad))::BIGINT AS n_outliers
+      |FROM d JOIN madf m USING (grp) GROUP BY 1, 2, 3, 4""".stripMargin))
+
+  /** Approx-percentile accuracy contract (same pattern as the HLL/CMS
+    * gates): the sketch value stays engine-side; the gated claim is that it
+    * lands inside the exact p45–p55 bracket (rank error ≤ n/1000 — far
+    * inside). Legitimizes the percentile→approx_percentile swap the
+    * profiling ops document for 100 TB groups.
+    */
+  private lazy val quantileSketch: Q = "x_quantile_sketch" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).groupBy("source").agg(
+        expr("percentile(n_chars, 0.5)").as("exact_p50"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("_apx"),
+        expr("percentile(n_chars, 0.45)").as("_lo"),
+        expr("percentile(n_chars, 0.55)").as("_hi"))
+      .select(col("source"), col("exact_p50"),
+        (col("_apx") >= col("_lo") && col("_apx") <= col("_hi")).as("apx_in_bracket")),
+    """SELECT source, quantile_cont(n_chars, 0.5) AS exact_p50,
+      |  true AS apx_in_bracket FROM documents GROUP BY source""".stripMargin))
 
   /** Count–min-sketch heavy-hitter gate via the accuracy contract: exact
     * top-20 token counts (oracle-verifiable) + `cms_ok` booleans the oracle

@@ -88,4 +88,41 @@ object Quality {
       struct(lit(c.name).as("check_name"), col(s"_v_$i").as("violations"))
     }: _*)).as("r")).select(col("r.check_name"), col("r.violations"))
   }
+
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation) and the count of points beyond `z` MADs — the
+    * skew-insensitive cousin of z-score flagging, used to spot corrupted
+    * value distributions before they poison a training mix.
+    *
+    * Both medians and the comparison run against values ROUNDED to 6
+    * decimals, so two engines whose percentile interpolation differs in the
+    * last ULP still classify every point identically — a boundary point is
+    * a data-quality judgement, not a floating-point accident.
+    *
+    * Scale shape: two grouped exact-percentile aggregates (each buffers one
+    * GROUP's values per task — group cardinality is the profile dimension,
+    * e.g. priorities/sources, so the buffer is the group's row share) with
+    * the group medians broadcast back between them. At corpus scale with
+    * huge groups, swap `percentile` for `approx_percentile` — same plan
+    * shape, sketch-sized buffers (see the `x_quantile_sketch` accuracy
+    * contract for why that swap is safe).
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      z: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valueCol, 0.5)"), 6).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+      .withColumn("_absdev", abs(v - col("med")))
+    val madF = withMed.groupBy(col(groupCol), col("med"))
+      .agg(round(expr("percentile(_absdev, 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    withMed.select(col(groupCol), col("_absdev"))
+      .join(broadcast(madF), groupCol)
+      .groupBy(col(groupCol), col("med"), col("mad"), col("n"))
+      .agg(count_if(col("_absdev") > lit(z) * col("mad")).as("n_outliers"))
+  }
 }
