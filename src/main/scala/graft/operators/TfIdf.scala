@@ -105,12 +105,17 @@ object TfIdf {
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), termScore.as("_s"))
-    val w = Window.orderBy(col("score").desc, col(idCol))
-    perTerm.groupBy(col(idCol))
+    val scored = perTerm.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("term"), col("_s")))).as("_ts"))
       .select(col(idCol),
         round(aggregate(col("_ts"), lit(0.0), (acc, v) => acc + v.getField("_s")), 4).as("score"))
-      .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= topK)
+    // Distributed top-k (TakeOrderedAndProject — each task keeps k rows,
+    // the driver merges k×tasks), NOT a global row_number window: an
+    // unpartitioned window would single-partition every scored document,
+    // and common query terms score a corpus-sized doc set. The rank window
+    // then runs over the k survivors only.
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
   }
 }
