@@ -663,6 +663,27 @@ object QueriesParity {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
       |WHERE o_orderkey % 100 = 0""".stripMargin))
 
+  /** Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into one
+    * semi-join + one anti-join on the customer key (no per-row subquery
+    * execution); the orders-side predicates are pushed below the joins into
+    * the scan. The oracle runs the very same SQL text.
+    */
+  private val qExists: Q = {
+    def sql(c: String, o: String) =
+      s"""SELECT c_custkey, c_name FROM $c c
+         |WHERE EXISTS (SELECT 1 FROM $o o
+         |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+         |  AND NOT EXISTS (SELECT 1 FROM $o o
+         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin
+    "q_exists" -> ((
+      (s: SparkSession, dir: String) => {
+        s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("customer_v")
+        s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_v")
+        s.sql(sql("customer_v", "orders_v"))
+      },
+      sql("customer", "orders")))
+  }
+
   /** Set operations: INTERSECT / EXCEPT with SQL set (distinct) semantics.
     * Spark plans both as distinct-aggregated joins (left-semi / left-anti),
     * so the same bounded-shuffle story as any keyed join applies; the small
@@ -691,5 +712,5 @@ object QueriesParity {
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
-    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile)
+    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists)
 }

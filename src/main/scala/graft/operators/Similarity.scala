@@ -397,6 +397,69 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adist")
   }
 
+  /** IVF-PQ: the composed 100 TB ANN architecture — coarse cells prune the
+    * candidate set (only `nProbe` cells' members are touched per query),
+    * PQ codes stand in for the vectors (the raw embeddings are never read
+    * at probe time), ADC scores the survivors. Components are the
+    * independently-gated [[trainCentroids]]/[[assignCells]] (cosine coarse
+    * quantizer) and [[pqTrain]]/[[pqEncode]] (L2 sub-codebooks); this
+    * operator is their join: `(id, cid)` cell assignment × `(id, sub,
+    * code)` codes × per-query broadcast distance tables.
+    *
+    * Scale shape: at rest the corpus artifact is `nCells`-partitioned code
+    * rows (m bytes/vector + a cell id); a probe batch broadcasts its cell
+    * ranks and distance tables, the scan prunes to probed cells (the
+    * partition-pruned layout path is [[topKIvfPrebuilt]]'s, applied to the
+    * code table), and nothing larger than (candidates × m) rows ever
+    * shuffles.
+    */
+  def topKIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kCells: Int = 4,
+      lloydIters: Int = 1,
+      nProbe: Int = 2,
+      m: Int = 4,
+      subDim: Int = 16,
+      pqK: Int = 4,
+      pqIters: Int = 1): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, kCells, lloydIters)
+    val assigned = assignCells(corpus, cents, idCol, vecCol)
+      .select(col(idCol), col("cid"))
+    val cb = pqTrain(corpus, idCol, vecCol, m, subDim, pqK, pqIters)
+    val enc = pqEncode(corpus, cb, idCol, vecCol, m, subDim)
+      .join(assigned, idCol) // the persisted artifact: (id, sub, code, cid)
+    val cent = centFrame(cents, idCol, vecCol)
+    val probes = {
+      val scored = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+        .join(cent)
+        .withColumn("c_cos", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+      val w = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
+        .select("query_id", "cid")
+    }
+    val dtab = subRows(queries, idCol, vecCol, m, subDim)
+      .select(col("_pid").as("query_id"), col("sub"), col("svec"))
+      .join(cb.select(col("sub"), col("cid").as("code"), col("svec").as("_cvec")), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"), l2sq(col("svec"), col("_cvec")).as("_d"))
+    val scored = enc
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("query_id") =!= col(idCol))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("_d")))).as("_ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(aggregate(col("_ds"), lit(0.0), (acc, v) => acc + v.getField("_d")), 4).as("adist"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
   /** Johnson–Lindenstrauss sign projection: `y_j = (1/√dOut) Σ_i x_i·s_ij`
     * with `s_ij ∈ {±1}` derived from `md5("j_i")` first-nibble parity — the
     * projection matrix is CONTENT-ADDRESSED, so there is no matrix artifact
