@@ -280,17 +280,31 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
+    val keys = Seq("band", "band_val")
     val nb = minHashBands(newDocs, idCol, textCol, n, numHashes, bands)
-      .localCheckpoint(true) // consumed by union, count and probe — computed once
-    val all = nb.unionByName(indexBands.select(col(idCol), col("band"), col("band_val")))
-    val qualifying = all.groupBy(col("band"), col("band_val"))
-      .agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true) // consumed by count, index probe and self probe — computed once
+    val idx = indexBands.select(col(idCol), col("band"), col("band_val"))
+    // Bucket caps count over index ∪ new — SEPARATE aggregates merged with a
+    // full-outer join, NOT a union: a grouped count over the bucketed index
+    // table needs no exchange (its band_val partitioning satisfies the
+    // grouping's distribution), and the merge join co-locates the same way.
+    // A union would erase the index's output partitioning and shuffle the
+    // ENTIRE index through the aggregation on every increment.
+    val nCounts = nb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nn"))
+    val iCounts = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_ni"))
+    val qualifying = iCounts.join(nCounts, keys, "full_outer")
+      .select(col("band"), col("band_val"),
+        (coalesce(col("_nn"), lit(0L)) + coalesce(col("_ni"), lit(0L))).as("_n"))
       .where(col("_n") > 1 && col("_n") <= maxBucket)
       .select("band", "band_val")
-    nb.select(col(idCol).as("_nid"), col("band"), col("band_val"))
-      .join(qualifying, Seq("band", "band_val"))
-      .join(all.select(col(idCol).as("_mid"), col("band"), col("band_val")),
-        Seq("band", "band_val"))
+    // New bands in qualifying buckets probe the index and themselves; the
+    // nb×idx ∪ nb×nb split reproduces exactly nb×(idx ∪ nb) while keeping
+    // the index side of the big join exchange-free on a bucketed layout.
+    val probe = nb.select(col(idCol).as("_nid"), col("band"), col("band_val"))
+      .join(qualifying, keys)
+    val vsIndex = probe.join(idx.select(col(idCol).as("_mid"), col("band"), col("band_val")), keys)
+    val vsNew = probe.join(nb.select(col(idCol).as("_mid"), col("band"), col("band_val")), keys)
+    vsIndex.unionByName(vsNew)
       .where(col("_nid") =!= col("_mid"))
       .select(least(col("_nid"), col("_mid")).as("id_a"),
         greatest(col("_nid"), col("_mid")).as("id_b"))

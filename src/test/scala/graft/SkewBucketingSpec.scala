@@ -56,4 +56,60 @@ class SkewBucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_lines")
     }
   }
+
+  test("persisted LSH band index, bucketed by band_val: incremental probe does not shuffle the index") {
+    import graft.operators.Dedup
+    val corpus = (0L until 60L).map { i =>
+      val base = s"shared prefix tokens for group ${i / 3} body body body"
+      (i, if (i % 3 == 0) base else base + s" tail$i")
+    }.toDF("doc_id", "text")
+    // The persistable index artifact, laid out on the probe key.
+    Dedup.minHashBands(corpus.where(col("doc_id") < 40), "doc_id", "text")
+      .write.mode("overwrite").bucketBy(8, "band_val").saveAsTable("bkt_lsh_index")
+    try {
+      val idx = spark.table("bkt_lsh_index")
+      val pairs = Dedup.lshPairsIncremental(
+        corpus.where(col("doc_id") >= 40), idx, "doc_id", "text")
+      // Correctness: same at-least-one-new slice as the batch rebuild.
+      val full = Dedup.minHashLshPairs(corpus, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.as[(Long, Long)].collect().toSet ===
+        full.filter { case (a, b) => a >= 40 || b >= 40 })
+      // Layout: the bucketed index feeds its bucket-count aggregate in
+      // place (partial+final fuse over the bucketed scan), so the probe
+      // shuffles strictly fewer RECORDS than the same probe against an
+      // unbucketed copy — the unbucketed plan must move every index band
+      // row through an exchange to aggregate it; the bucketed plan moves
+      // only aggregated bucket counts. Exchange COUNT ties (the counts
+      // join still aligns partitionings), so the assertion is on volume.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def shuffledRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def walk(p: SparkPlan): Long = {
+          val self = p match {
+            case s: ShuffleExchangeExec =>
+              s.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+            case _ => 0L
+          }
+          val into = p match {
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case q: QueryStageExec => walk(q.plan)
+            case _ => 0L
+          }
+          self + into + p.children.map(walk).sum
+        }
+        walk(df.queryExecution.executedPlan)
+      }
+      val flatIdx = idx.select("doc_id", "band", "band_val")
+        .localCheckpoint(true) // strips the bucket metadata, same rows
+      val flatPairs = Dedup.lshPairsIncremental(
+        corpus.where(col("doc_id") >= 40), flatIdx, "doc_id", "text")
+      val (bucketedVol, flatVol) = (shuffledRecords(pairs), shuffledRecords(flatPairs))
+      assert(bucketedVol < flatVol,
+        s"bucketed index should shuffle fewer records: $bucketedVol vs $flatVol")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_lsh_index")
+    }
+  }
 }
