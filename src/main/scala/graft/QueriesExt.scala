@@ -1432,7 +1432,7 @@ object QueriesExt {
     """SELECT 'not_null:o_custkey' AS check_name,
       |       count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
       |UNION ALL SELECT 'unique:o_orderkey',
-      |       count(*) - count(DISTINCT o_orderkey) FROM orders
+      |       count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
       |UNION ALL SELECT 'range:o_totalprice',
       |       count(*) FILTER (WHERE o_totalprice IS NOT NULL
       |                        AND o_totalprice NOT BETWEEN 1000 AND 200000) FROM orders

@@ -303,9 +303,13 @@ object Dedup {
     val probe = nb.select(col(idCol).as("_nid"), col("band"), col("band_val"))
       .join(qualifying, keys)
     val vsIndex = probe.join(idx.select(col(idCol).as("_mid"), col("band"), col("band_val")), keys)
-    val vsNew = probe.join(nb.select(col(idCol).as("_mid"), col("band"), col("band_val")), keys)
-    vsIndex.unionByName(vsNew)
       .where(col("_nid") =!= col("_mid"))
+    // Self-probe emits each unordered new-new pair ONCE (<, not ≠): both
+    // members sit in nb, so the double orientation would only double the
+    // rows shuffled into the closing distinct.
+    val vsNew = probe.join(nb.select(col(idCol).as("_mid"), col("band"), col("band_val")), keys)
+      .where(col("_nid") < col("_mid"))
+    vsIndex.unionByName(vsNew)
       .select(least(col("_nid"), col("_mid")).as("id_a"),
         greatest(col("_nid"), col("_mid")).as("id_b"))
       .distinct()

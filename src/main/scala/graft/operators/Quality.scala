@@ -28,8 +28,11 @@ object Quality {
     case class NotNull(column: String) extends DqCheck {
       def name = s"not_null:$column"
     }
-    /** Violation: rows beyond the first per distinct key tuple (count minus
-      * distinct count — 0 iff the key set is unique). */
+    /** Violation: rows beyond the first per distinct NON-NULL key tuple.
+      * Rows with a NULL key column are excluded from both sides of the
+      * count — NULL keys are [[NotNull]]'s job (same orthogonality rule as
+      * [[InRange]]/[[AcceptedValues]]; mixing them would also diverge from
+      * SQL's `count(DISTINCT col)` null handling). */
     case class Unique(columns: Seq[String]) extends DqCheck {
       def name = s"unique:${columns.mkString(",")}"
     }
@@ -72,7 +75,10 @@ object Quality {
     def violations(c: DqCheck, i: Int): Column = (c match {
       case NotNull(column) => count_if(col(column).isNull)
       case Unique(columns) =>
-        count(lit(1)) - count_distinct(struct(columns.map(col): _*))
+        val allSet = columns.map(col(_).isNotNull).reduce(_ && _)
+        // count_distinct skips the NULL struct from the when(), so both
+        // sides of the subtraction range over non-null key tuples only.
+        count_if(allSet) - count_distinct(when(allSet, struct(columns.map(col): _*)))
       case InRange(column, lo, hi) =>
         count_if(col(column).isNotNull && !col(column).between(lo, hi))
       case AcceptedValues(column, values) =>

@@ -379,14 +379,30 @@ object Similarity {
       k: Int,
       m: Int,
       subDim: Int): DataFrame = {
-    val qsubs = subRows(queries, idCol, vecCol, m, subDim)
+    val scored = encoded
+      .join(broadcast(adcDistanceTable(queries, codebook, idCol, vecCol, m, subDim)),
+        Seq("sub", "code"))
+      .where(col("query_id") =!= col(idCol))
+    adcRank(scored, idCol, k)
+  }
+
+  /** Per-query ADC distance table `(query_id, sub, code, _d)` — query-batch
+    * × m × k rows, always broadcast-sized. */
+  private def adcDistanceTable(queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int): DataFrame =
+    subRows(queries, idCol, vecCol, m, subDim)
       .select(col("_pid").as("query_id"), col("sub"), col("svec"))
-    val dtab = qsubs
       .join(codebook.select(col("sub"), col("cid").as("code"), col("svec").as("_cvec")), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"), l2sq(col("svec"), col("_cvec")).as("_d"))
-    val scored = encoded
-      .join(broadcast(dtab), Seq("sub", "code"))
-      .where(col("query_id") =!= col(idCol))
+
+  /** Shared ADC ranking tail: fold per-(query, neighbor) distances in
+    * ascending `sub` order (engine-reproducible), round to 4 decimals so
+    * the codebook's mean-aggregation ULP wiggle cannot reorder equal
+    * ranks, tie-break on neighbor id. Input rows: `(query_id, <idCol>,
+    * sub, _d)` — one per candidate code match.
+    */
+  private def adcRank(scoredCodes: DataFrame, idCol: String, k: Int): DataFrame = {
+    val scored = scoredCodes
       .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("_d")))).as("_ds"))
       .select(col("query_id"), col("neighbor_id"),
@@ -442,22 +458,12 @@ object Similarity {
       scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
         .select("query_id", "cid")
     }
-    val dtab = subRows(queries, idCol, vecCol, m, subDim)
-      .select(col("_pid").as("query_id"), col("sub"), col("svec"))
-      .join(cb.select(col("sub"), col("cid").as("code"), col("svec").as("_cvec")), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"), l2sq(col("svec"), col("_cvec")).as("_d"))
     val scored = enc
       .join(broadcast(probes), Seq("cid"))
       .where(col("query_id") =!= col(idCol))
-      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col(idCol).as("neighbor_id"))
-      .agg(array_sort(collect_list(struct(col("sub"), col("_d")))).as("_ds"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(aggregate(col("_ds"), lit(0.0), (acc, v) => acc + v.getField("_d")), 4).as("adist"))
-    val w = Window.partitionBy("query_id").orderBy(col("adist"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "adist")
+      .join(broadcast(adcDistanceTable(queries, cb, idCol, vecCol, m, subDim)),
+        Seq("query_id", "sub", "code"))
+    adcRank(scored, idCol, k)
   }
 
   /** Johnson–Lindenstrauss sign projection: `y_j = (1/√dOut) Σ_i x_i·s_ij`

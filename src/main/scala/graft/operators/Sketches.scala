@@ -33,11 +33,12 @@ object Sketches {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs.select(explode(Dedup.tokens(col(textCol))).as("tok"))
-    val withTotal = toks.agg(count(lit(1)).as("n")).head().getLong(0)
     val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
     val cms = toks.stat.countMinSketch("tok", eps, confidence, seed)
-    val slack = math.max(1L, math.ceil(2 * eps * withTotal).toLong)
+    // The sketch already carries the stream length — no dedicated
+    // count job for N.
+    val slack = math.max(1L, math.ceil(2 * eps * cms.totalCount()).toLong)
     top.collect().toSeq.map { r =>
       val t = r.getString(0); val c = r.getLong(1)
       val est = cms.estimateCount(t)

@@ -472,10 +472,19 @@ class DedupSimilaritySpec extends SparkSpec {
     val rows = out.as[(Long, Long, Int, Double)].collect()
     assert(rows.forall { case (q, n, _, _) => q != n })
     assert(rows.count(_._1 == 0L) == 3)
-    // Every returned neighbor of query 0 ([0,0,10,10]-cell) shares its
-    // quantization cell, so the ADC distance is exactly 0 on both codes.
-    val q0 = rows.filter(_._1 == 0L)
-    assert(q0.forall { case (_, n, _, d) => n % 4 == 0 || d >= 0.0 })
-    assert(q0.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // Query 0's nearest quantized neighbors are exactly the lowest-id
+    // vectors sharing its full code tuple: same codes → identical ADC
+    // distance (the query-to-own-centroid residual), and the tie breaks on
+    // neighbor id ascending. Compute the expectation from the encoding
+    // itself so a wrong-cell regression cannot slip through.
+    val codesById = enc.orderBy("vec_id", "sub").as[(Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSeq).toMap
+    val sameAs0 = codesById.collect {
+      case (id, cs) if id != 0L && cs == codesById(0L) => id
+    }.toSeq.sorted.take(3)
+    val q0 = rows.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.map(_._2).toSeq === sameAs0)
+    assert(q0.map(_._4).distinct.length == 1) // identical adist across the tie
+    assert(q0.map(_._3).toSeq == Seq(1, 2, 3))
   }
 }

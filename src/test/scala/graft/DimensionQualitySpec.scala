@@ -73,6 +73,15 @@ class DimensionQualitySpec extends SparkSpec {
       "accepted:cat" -> 1L, "fk:fk" -> 1L))
   }
 
+  test("Quality.evaluate: Unique ignores NULL key tuples (NotNull's job), matching SQL count(DISTINCT)") {
+    import Quality.DqCheck._
+    val fact = Seq(Some(1L), Some(1L), None, None, Some(2L)).toDF("id")
+    val out = Quality.evaluate(fact, Seq(Unique(Seq("id")), NotNull("id")))
+      .as[(String, Long)].collect().toMap
+    // one real dup (1L twice); the two NULL rows are NotNull violations only
+    assert(out === Map("unique:id" -> 1L, "not_null:id" -> 2L))
+  }
+
   test("Quality.evaluate: clean table yields all-zero violations") {
     import Quality.DqCheck._
     val fact = Seq((1L, "A"), (2L, "B")).toDF("id", "cat")
