@@ -663,6 +663,94 @@ object QueriesParity {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
       |WHERE o_orderkey % 100 = 0""".stripMargin))
 
+  /** Window FRAMES: running sum (rows unbounded-preceding..current), a
+    * centered moving average (rows 2-preceding..2-following) and a
+    * last-in-frame, all over ONE (user, time) window ordering — one
+    * exchange+sort, three frame evaluators. The moving average divides by
+    * the actual frame size so edges are exact rationals.
+    */
+  private val qFrames: Q = "q_frames" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          Conversions.nanosToEpochMs(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("run_sum",
+          round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .withColumn("mov_avg",
+          round(avg(col("value")).over(w.rowsBetween(-2, 2)), 4))
+        .where(col("event_id") % 50 === 0)
+    },
+    """SELECT user_id, event_id, ts_ms, value, run_sum, mov_avg FROM (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      |    round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum,
+      |    round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS mov_avg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      |WHERE event_id % 50 = 0""".stripMargin))
+
+  /** GROUPING SETS with grouping_id — the third grouping shape next to
+    * q_rollup's ROLLUP: explicit set list including the grand total, with
+    * the grouping-id bitmask distinguishing which NULL means "aggregated
+    * over". Spark plans one Expand, not one job per set.
+    */
+  private val qGroupingSets: Q = "q_grouping_sets" -> ((
+    (s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      l.createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  grouping_id(l_returnflag, l_linestatus) AS gid,
+              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  count(*) AS n_rows
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  (grouping(l_returnflag) * 2 + grouping(l_linestatus)) AS gid,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin))
+
+  /** PIVOT: per-customer-segment order counts and max totals spread over
+    * the status domain. Spark's .pivot with an EXPLICIT value list compiles
+    * to one aggregate with conditional expressions (no second distinct-scan
+    * job, and plan-stable at 100 TB); the oracle is the equivalent FILTERed
+    * aggregation.
+    */
+  private val qPivot: Q = "q_pivot" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("mx"))
+    },
+    """SELECT c_mktsegment,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,
+      |  round(max(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS O_mx,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F_n,
+      |  round(max(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS F_mx,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P_n,
+      |  round(max(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS P_mx
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin))
+
+  /** JSON path extraction over the events.props payload column —
+    * `get_json_object` stays a codegen'd per-row expression (no UDF, no
+    * schema inference scan). Oracle via DuckDB's JSON extension.
+    */
+  private val qJsonProps: Q = "q_json_props" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      ev.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+    },
+    """SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin))
+
   /** Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into one
     * semi-join + one anti-join on the customer key (no per-row subquery
     * execution); the orders-side predicates are pushed below the joins into
@@ -712,5 +800,6 @@ object QueriesParity {
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
-    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists)
+    q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
+    qFrames, qGroupingSets, qPivot, qJsonProps)
 }

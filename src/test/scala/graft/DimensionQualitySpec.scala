@@ -40,6 +40,24 @@ class DimensionQualitySpec extends SparkSpec {
     assert(chained.where(col("valid_to").isNull && col("next_from").isNotNull).isEmpty)
   }
 
+  test("scd2Build consistency: each key's open interval carries the latestByKey value (events sf0.001)") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"),
+        graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"))
+    val current = Dimension.scd2Build(ev, Seq("user_id"), Seq("ts_ms", "event_id"), Seq("event_type"))
+      .where(col("valid_to").isNull)
+      .select(col("user_id"), col("event_type").as("scd2_type"))
+    val latest = operators.Dedup.latestByKey(ev, Seq("user_id"),
+      Seq("ts_ms", "event_id"), Seq("event_type"))
+      .select(col("user_id"), col("event_type").as("latest_type"))
+    // exactly one open interval per key, and it agrees with the SCD-1 view
+    assert(current.groupBy("user_id").count().where(col("count") =!= 1).isEmpty)
+    assert(current.join(latest, "user_id")
+      .where(col("scd2_type") =!= col("latest_type")).isEmpty)
+    assert(current.count() == latest.count())
+  }
+
   test("cdcApply: latest delete removes the key, superseded delete does not, delete-only key absent") {
     val cdc = Seq(
       (1L, 10L, "U", "a"), (1L, 20L, "D", "x"),              // delete latest -> gone
