@@ -1458,7 +1458,7 @@ object QueriesExt {
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
-    annIvfPq)
+    annIvfPq, dedupEditDist, profileHist)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1500,6 +1500,51 @@ object QueriesExt {
         n = 3, numHashes = 12, bands = 4)
     },
     minhashOracleWhere("\nWHERE a.doc_id >= 400 OR b.doc_id >= 400")))
+
+  /** Candidate-verify dedup gate: LSH candidates (the gated minhash
+    * pipeline) pass through an EDIT-DISTANCE verification on the document
+    * head — the production near-dup shape (cheap hash recall stage, exact
+    * verify stage on the candidate set only; levenshtein on full 100 TB
+    * text would be quadratic suicide, on candidates' heads it is a bounded
+    * per-pair cost). Both engines implement classic Levenshtein — integer
+    * DP, engine-exact.
+    */
+  private lazy val dedupEditDist: Q = "x_dedup_editdist" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+        .join(d.select(col("doc_id").as("id_a"), col("head").as("h_a")), "id_a")
+        .join(d.select(col("doc_id").as("id_b"), col("head").as("h_b")), "id_b")
+        .select(col("id_a"), col("id_b"), levenshtein(col("h_a"), col("h_b")).as("edit_dist"))
+        .where(col("edit_dist") <= 20)
+    },
+    s"""WITH cand AS (${minhashOracleWhere("")}),
+       |h AS (SELECT doc_id, substr(text, 1, 100) AS head FROM documents)
+       |SELECT c.id_a, c.id_b, levenshtein(a.head, b.head) AS edit_dist
+       |FROM cand c JOIN h a ON a.doc_id = c.id_a JOIN h b ON b.doc_id = c.id_b
+       |WHERE levenshtein(a.head, b.head) <= 20""".stripMargin))
+
+  /** Equi-width histogram profiling gate: 10 buckets over n_chars per
+    * source, bounds from one broadcast min/max aggregate; the max value
+    * clamps into the last bucket. Completes the profiling trio
+    * (quantiles, MAD outliers, histogram).
+    */
+  private lazy val profileHist: Q = "x_profile_hist" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val mm = d.agg(min("n_chars").cast("double").as("_lo"),
+        max("n_chars").cast("double").as("_hi"))
+      d.crossJoin(broadcast(mm))
+        .select(col("source"),
+          least(floor((col("n_chars") - col("_lo")) * 10.0 / (col("_hi") - col("_lo"))), lit(9L))
+            .cast("int").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+    },
+    """WITH mm AS (SELECT min(n_chars)::DOUBLE AS lo, max(n_chars)::DOUBLE AS hi FROM documents)
+      |SELECT source,
+      |  least(floor((n_chars - lo) * 10.0 / (hi - lo)), 9)::INT AS bucket,
+      |  count(*) AS n
+      |FROM documents, mm GROUP BY 1, 2""".stripMargin))
 
   /** BM25 retrieval gate: top-20 docs for a four-term query. Constant
     * arithmetic is written identically on both sides (same IEEE double
