@@ -1359,6 +1359,93 @@ object QueriesExt {
       sql))
   }
 
+  /** Residual IVF-PQ gate — the FAISS-style refinement of x_ann_ivfpq: PQ
+    * codebooks train on residuals `x − c(cell(x))`, and each probed cell
+    * gets its own query-residual distance table. Oracle extends the
+    * combined CTE chain with residual construction (res/rsub/q-prefixed
+    * codebooks) and a (query, cell)-keyed dt.
+    */
+  private lazy val annIvfPqResidual: Q = {
+    def cosSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a,$b), x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)"
+    def nrmSql(v: String) =
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x::DOUBLE * x::DOUBLE)), (a,b)->a+b))"
+    def l2Sql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a,$b), " +
+        s"x -> (x[1]::DOUBLE - x[2]::DOUBLE) * (x[1]::DOUBLE - x[2]::DOUBLE))), (acc,v)->acc+v)"
+    def subSql(a: String, b: String) =
+      s"list_transform(list_zip($a,$b), x -> x[1]::DOUBLE - x[2]::DOUBLE)"
+    val sql =
+      s"""WITH emb AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm FROM embeddings),
+         |kc0 AS (SELECT vec_id AS cid, embedding AS vec, ${nrmSql("embedding")} AS cnrm
+         |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 4),
+         |ka0 AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.vec")} / (e.nrm * c.cnrm) AS cs
+         |  FROM emb e, kc0 c),
+         |kr0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) rn FROM ka0) WHERE rn = 1),
+         |kx0 AS (SELECT r.cid, u.i, e.embedding[u.i]::DOUBLE AS x
+         |  FROM kr0 r JOIN emb e USING (vec_id), UNNEST(range(1, 65)) u(i)),
+         |km0 AS (SELECT cid, list(mn ORDER BY i) AS vec FROM
+         |  (SELECT cid, i, sum(x)/count(*) AS mn FROM kx0 GROUP BY cid, i) GROUP BY cid),
+         |kc1 AS (SELECT cid, vec, ${nrmSql("vec")} AS cnrm FROM
+         |  (SELECT cid, list_transform(vec, x -> x / n) AS vec FROM
+         |    (SELECT cid, vec, ${nrmSql("vec")} AS n FROM km0))),
+         |kaf AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.vec")} / (e.nrm * c.cnrm) AS cs
+         |  FROM emb e, kc1 c),
+         |krf AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) rn FROM kaf) WHERE rn = 1),
+         |res AS (SELECT r.vec_id, r.cid, ${subSql("e.embedding", "c.vec")} AS rvec
+         |  FROM krf r JOIN emb e USING (vec_id) JOIN kc1 c USING (cid)),
+         |rsub AS (SELECT vec_id, cid, t.s AS sub, rvec[t.s*16+1 : t.s*16+16] AS svec
+         |  FROM res, UNNEST(range(0, 4)) t(s)),
+         |qcb0 AS (SELECT sub, rn - 1 AS cid, svec FROM
+         |  (SELECT sub, svec, row_number() OVER (PARTITION BY sub
+         |     ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn FROM rsub) WHERE rn <= 4),
+         |qa0 AS (SELECT s.vec_id, s.sub, s.svec, c.cid, ${l2Sql("s.svec", "c.svec")} AS d
+         |  FROM rsub s JOIN qcb0 c USING (sub)),
+         |qr0 AS (SELECT vec_id, sub, svec, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) rn FROM qa0)
+         |  WHERE rn = 1),
+         |qx0 AS (SELECT sub, cid, u.i, svec[u.i]::DOUBLE AS x FROM qr0, UNNEST(range(1, 17)) u(i)),
+         |qcb1 AS (SELECT sub, cid, list(mn ORDER BY i) AS svec FROM
+         |  (SELECT sub, cid, i, sum(x)/count(*) AS mn FROM qx0 GROUP BY sub, cid, i)
+         |  GROUP BY sub, cid),
+         |qaf AS (SELECT s.vec_id, s.sub, c.cid, ${l2Sql("s.svec", "c.svec")} AS d
+         |  FROM rsub s JOIN qcb1 c USING (sub)),
+         |qcodes AS (SELECT vec_id, sub, cid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) rn FROM qaf)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding, nrm FROM emb WHERE vec_id < 10),
+         |probes AS (SELECT query_id, cid FROM (SELECT q.query_id, c.cid,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${cosSql("q.embedding", "c.vec")} / (q.nrm * c.cnrm) DESC, c.cid) rn
+         |  FROM q, kc1 c) WHERE rn <= 2),
+         |qres AS (SELECT p.query_id, p.cid, ${subSql("e.embedding", "c.vec")} AS rq
+         |  FROM probes p JOIN emb e ON e.vec_id = p.query_id JOIN kc1 c USING (cid)),
+         |qrsub AS (SELECT query_id, cid, t.s AS sub, rq[t.s*16+1 : t.s*16+16] AS svec
+         |  FROM qres, UNNEST(range(0, 4)) t(s)),
+         |dt AS (SELECT qs.query_id, qs.cid, c.sub, c.cid AS code, ${l2Sql("qs.svec", "c.svec")} AS d
+         |  FROM qrsub qs JOIN qcb1 c USING (sub)),
+         |cand AS (SELECT p.query_id, p.cid, r.vec_id AS neighbor_id, pc.sub, pc.cid AS code
+         |  FROM krf r JOIN probes p ON p.cid = r.cid JOIN qcodes pc ON pc.vec_id = r.vec_id
+         |  WHERE p.query_id <> r.vec_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(dt.d ORDER BY dt.sub)), (a,b)->a+b), 4) AS adist
+         |  FROM cand c JOIN dt ON dt.query_id = c.query_id AND dt.cid = c.cid
+         |    AND dt.sub = c.sub AND dt.code = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank, adist FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+         |   FROM sc)
+         |WHERE rank <= 5""".stripMargin
+    "x_ann_ivfpq_residual" -> ((
+      (s: SparkSession, dir: String) =>
+        Similarity.topKIvfPqResidual(emb(s, dir).where(col("vec_id") < 10), emb(s, dir),
+          "vec_id", "embedding", k = 5, kCells = 4, lloydIters = 1, nProbe = 2,
+          m = 4, subDim = 16, pqK = 4, pqIters = 1),
+      sql))
+  }
+
   /** SCD-2 validity-interval build over the events feed: per user, collapse
     * consecutive rows with the same event_type, emit [valid_from, valid_to)
     * stamps with a NULL open upper bound for the current row — the engine-side
@@ -1458,7 +1545,7 @@ object QueriesExt {
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
-    annIvfPq, dedupEditDist, profileHist)
+    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -386,6 +386,71 @@ object Similarity {
     adcRank(scored, idCol, k)
   }
 
+  /** Residual IVF-PQ (the FAISS-style composition): PQ codebooks are
+    * trained on RESIDUALS `x − c(cell(x))` instead of raw vectors, so the
+    * quantizer spends its codes on the within-cell structure the coarse
+    * quantizer already removed — better recall at the same code budget.
+    * The ADC table becomes per-(query, probed cell): each probed cell
+    * contributes its own query residual `q − c(cell)`, still only
+    * |queries|·nProbe·m·k broadcast rows.
+    */
+  def topKIvfPqResidual(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kCells: Int = 4,
+      lloydIters: Int = 1,
+      nProbe: Int = 2,
+      m: Int = 4,
+      subDim: Int = 16,
+      pqK: Int = 4,
+      pqIters: Int = 1): DataFrame = {
+    val cents = trainCentroids(corpus, idCol, vecCol, kCells, lloydIters)
+    val centVecs = cents.select(col(idCol).as("cid"), col(vecCol).as("_cv"))
+    val sub = (a: Column, b: Column) =>
+      zip_with(a, b, (x, c) => x.cast("double") - c.cast("double"))
+    val resid = assignCells(corpus, cents, idCol, vecCol)
+      .join(broadcast(centVecs), "cid")
+      .select(col(idCol), col("cid"), sub(col(vecCol), col("_cv")).as("_rvec"))
+      // consumed by PQ training (iterated), encoding and the cell join —
+      // materialized once; at real scale this is the persisted stage
+      // boundary (the residual table IS the thing you'd write out)
+      .localCheckpoint(true)
+    val cb = pqTrain(resid, idCol, "_rvec", m, subDim, pqK, pqIters)
+    val enc = pqEncode(resid, cb, idCol, "_rvec", m, subDim)
+      .join(resid.select(col(idCol), col("cid")), idCol)
+    val cent = centFrame(cents, idCol, vecCol)
+    val probes = {
+      val scored = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), norm(col(vecCol)).as("q_norm"))
+        .join(cent)
+        .withColumn("c_cos", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+      val w = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
+        .select("query_id", "cid", "q_vec")
+    }
+    // Per-(query, cell) residual distance table: the query's residual
+    // against the PROBED cell's centroid, sub-sliced and scored against
+    // every sub-codebook entry.
+    val dtab = probes
+      .join(broadcast(centVecs), "cid")
+      .select(col("query_id"), col("cid"), sub(col("q_vec"), col("_cv")).as("_rq"))
+      .select(col("query_id"), col("cid"),
+        explode(array((0 until m).map(s1 =>
+          struct(lit(s1).as("sub"), slice(col("_rq"), s1 * subDim + 1, subDim).as("svec"))): _*)).as("_e"))
+      .select(col("query_id"), col("cid"), col("_e.sub").as("sub"), col("_e.svec").as("svec"))
+      .join(cb.select(col("sub"), col("cid").as("code"), col("svec").as("_cvec")), Seq("sub"))
+      .select(col("query_id"), col("cid"), col("sub"), col("code"),
+        l2sq(col("svec"), col("_cvec")).as("_d"))
+    val scored = enc
+      .join(broadcast(probes.select("query_id", "cid")), Seq("cid"))
+      .where(col("query_id") =!= col(idCol))
+      .join(broadcast(dtab), Seq("query_id", "cid", "sub", "code"))
+    adcRank(scored, idCol, k)
+  }
+
   /** Per-query ADC distance table `(query_id, sub, code, _d)` — query-batch
     * × m × k rows, always broadcast-sized. */
   private def adcDistanceTable(queries: DataFrame, codebook: DataFrame,
