@@ -1545,7 +1545,7 @@ object QueriesExt {
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
-    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual)
+    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1632,6 +1632,30 @@ object QueriesExt {
       |  least(floor((n_chars - lo) * 10.0 / (hi - lo)), 9)::INT AS bucket,
       |  count(*) AS n
       |FROM documents, mm GROUP BY 1, 2""".stripMargin))
+
+  /** BPE-application gate: token counts under an 8-rule merge list whose
+    * later rules consume earlier rules' output (t+h → th, then th+e →
+    * the). The oracle replays the same ordered literal replaces per word.
+    */
+  private lazy val textBpe: Q = {
+    val merges = Seq("t h" -> "th", "i n" -> "in", "a n" -> "an", "e r" -> "er",
+      "o n" -> "on", "th e" -> "the", "a t" -> "at", "o r" -> "or")
+    // Space-delimited pair patterns, each applied twice — see
+    // TextAnalysis.bpeTokenCount for the boundary/odd-pair rationale.
+    val perWord = merges.foldLeft("""' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") {
+      case (acc, (a, b)) => s"replace(replace($acc, ' $a ', ' $b '), ' $a ', ' $b ')"
+    }
+    "x_text_bpe" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(col("doc_id"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).as("n_ws"),
+          graft.functions.TextAnalysis.bpeTokenCount(col("text"), merges).as("n_bpe")),
+      s"""SELECT doc_id,
+         |  len(string_split(trim(text),' '))::INT AS n_ws,
+         |  list_reduce(list_prepend(0, list_transform(string_split(trim(text),' '),
+         |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b) AS n_bpe
+         |FROM documents""".stripMargin))
+  }
 
   /** BM25 retrieval gate: top-20 docs for a four-term query. Constant
     * arithmetic is written identically on both sides (same IEEE double

@@ -129,4 +129,38 @@ object TextAnalysis {
       "n_fnr" -> regexp_count(afterEmail, lit(piiFnrPattern)),
       "n_phone" -> regexp_count(afterFnr, lit(piiPhonePattern)))
   }
+
+  /** Token count under a byte-pair-encoding merge list: each word is split
+    * to characters, then the merges apply IN ORDER as space-DELIMITED pair
+    * joins — the pattern is `" a b "` against the `" c h a r s "` form, so
+    * a rule can only fuse two whole adjacent tokens, never a token prefix
+    * across a boundary (`th`+`e` must not fire inside `th er`). Later
+    * rules see earlier rules' output, so `t h → th` then `th e → the`
+    * composes. Each rule runs twice: left-to-right non-overlapping
+    * replacement consumes the shared delimiter between back-to-back pair
+    * occurrences, and the second pass picks up the stranded odd pair.
+    * (Documented variant: a ≥3-repeat chain of the SAME pair keeps one
+    * unmerged middle token vs reference BPE's per-pass global merge —
+    * deterministic, boundary-correct, engine-reproducible.)
+    *
+    * The tokenizer-budget question — "how many BPE tokens is this corpus"
+    * — answered as a pure per-row Column expression: no UDF, no vocabulary
+    * shuffle, merges baked into the plan as literal replaces.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.nonEmpty, "merges required")
+    require(merges.forall { case (a, b) => (a + b).matches("[A-Za-z0-9 ]+") },
+      "merge pairs must be alphanumeric")
+    // " t h e " — leading space added, trailing space comes from the
+    // char-spacer, so every token (incl. first/last) is space-delimited.
+    val delimited = (w: Column) => concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    val applied = (w: Column) =>
+      merges.foldLeft(delimited(w)) { case (acc, (a, b)) =>
+        val (p, r) = (s" $a ", s" $b ")
+        regexp_replace(regexp_replace(acc, p, r), p, r)
+      }
+    aggregate(
+      transform(tokens(text), w => size(split(trim(applied(w)), " "))),
+      lit(0), (acc, v) => acc + v)
+  }
 }

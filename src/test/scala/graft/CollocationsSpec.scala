@@ -29,6 +29,19 @@ class CollocationsSpec extends SparkSpec {
     assert(out.map(_._5).sorted.toSeq == (1 to out.length).toSeq)
   }
 
+  test("bpeTokenCount: ordered merges compose, left-to-right non-overlap, ws count unchanged") {
+    import graft.functions.TextAnalysis
+    val merges = Seq("t h" -> "th", "e r" -> "er", "th e" -> "the")
+    val out = Seq("the other", "a", "thin her").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"), merges).as("n"))
+      .as[Int].collect().toSeq
+    // "the"  : t h e -> th e -> the            = 1 token
+    // "other": o t h e r -> o th e r -> o th er = 3 tokens  -> doc0 = 4
+    // "a"    : 1 token
+    // "thin" : t h i n -> th i n               = 3; "her": h e r -> h er = 2 -> doc2 = 5
+    assert(out === Seq(4, 1, 5))
+  }
+
   test("randomProject: deterministic, right arity, JL-ball norm preservation") {
     val vecs = (0L until 50L).map(i =>
       (i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat))).toDF("id", "v")
