@@ -188,6 +188,11 @@ object CurateMain {
 
     val written = spark.read.parquet(s"${cfg.output}/corpus")
     stages += "written" -> written.count()
+    // Token budget of the curated corpus — the number a training-mix plan
+    // actually consumes; same whitespace tokenizer as the filter stage.
+    stages += "written_tokens" -> written
+      .agg(coalesce(sum(size(Dedup.tokens(col(cfg.textColumn)))), lit(0L)))
+      .head().getLong(0)
     val splitCounts: Map[String, Long] =
       if (cfg.splits.nonEmpty)
         written.groupBy("split").count().collect()

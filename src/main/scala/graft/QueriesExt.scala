@@ -1545,7 +1545,7 @@ object QueriesExt {
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
-    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe)
+    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1656,6 +1656,32 @@ object QueriesExt {
          |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b) AS n_bpe
          |FROM documents""".stripMargin))
   }
+
+  /** N-gram novelty gate: per document, the share of its DISTINCT word
+    * trigrams that occur in no other document — the "how much of this doc
+    * is new text" curation signal (low novelty = templated/duplicated
+    * content even when no single dedup rule fires). One distinct shingle
+    * expansion feeding a shingle-keyed df count; same construction as the
+    * minhash oracle's `sh` CTE.
+    */
+  private lazy val textNovelty: Q = "x_text_novelty" -> ((
+    (s: SparkSession, dir: String) => {
+      val ds = Dedup.shingleTable(docs(s, dir), "doc_id", "text", n = 3).distinct()
+      val dfq = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      ds.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count_if(col("df") === 1).as("n_novel"),
+          round(count_if(col("df") === 1).cast("double") / count(lit(1)), 6).as("novelty"))
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(ws)-1)) t(i)),
+      |dfq AS (SELECT s, count(*)::BIGINT AS df FROM sh GROUP BY s)
+      |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+      |  (count(*) FILTER (WHERE df = 1))::BIGINT AS n_novel,
+      |  round((count(*) FILTER (WHERE df = 1))::DOUBLE / count(*), 6) AS novelty
+      |FROM sh JOIN dfq USING (s) GROUP BY doc_id""".stripMargin))
 
   /** BM25 retrieval gate: top-20 docs for a four-term query. Constant
     * arithmetic is written identically on both sides (same IEEE double

@@ -71,6 +71,7 @@ class CurateMainSpec extends SparkSpec {
       assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
     }
     assert(m("written") > 0)
+    assert(m("written_tokens") >= m("written")) // every kept doc has >= 1 token
     assert(report.splits.values.sum == m("written"))
     assert(report.splits.keySet.subsetOf(Set("train", "val", "test")))
     // written corpus is exact-dup-free
