@@ -189,9 +189,13 @@ object CurateMain {
     val written = spark.read.parquet(s"${cfg.output}/corpus")
     stages += "written" -> written.count()
     // Token budget of the curated corpus — the number a training-mix plan
-    // actually consumes; same whitespace tokenizer as the filter stage.
+    // actually consumes; the SAME guarded word count as the filter stage
+    // (split(trim("")) yields [""] — an unguarded size() would bill one
+    // token per empty doc when min-words: 0 lets them through).
     stages += "written_tokens" -> written
-      .agg(coalesce(sum(size(Dedup.tokens(col(cfg.textColumn)))), lit(0L)))
+      .agg(coalesce(sum(
+        when(length(trim(col(cfg.textColumn))) === 0, lit(0))
+          .otherwise(size(Dedup.tokens(col(cfg.textColumn)))).cast("long")), lit(0L)))
       .head().getLong(0)
     val splitCounts: Map[String, Long] =
       if (cfg.splits.nonEmpty)

@@ -1598,7 +1598,13 @@ object QueriesExt {
     */
   private lazy val dedupEditDist: Q = "x_dedup_editdist" -> ((
     (s: SparkSession, dir: String) => {
-      val d = docs(s, dir).select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
+      // ASCII projection before the distance: Spark's levenshtein counts
+      // CODE POINTS, DuckDB's counts BYTES — identical only on ASCII, so
+      // the gate pins non-ASCII (æ/ø/å in this domain) to '?' on both
+      // sides. The library operator itself stays code-point-based (the
+      // correct semantics); only the cross-engine comparison is projected.
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(substring(col("text"), 1, 100), "[^\\x20-\\x7E]", "?").as("head"))
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", n = 3, numHashes = 12, bands = 4)
         .join(d.select(col("doc_id").as("id_a"), col("head").as("h_a")), "id_a")
         .join(d.select(col("doc_id").as("id_b"), col("head").as("h_b")), "id_b")
@@ -1606,7 +1612,9 @@ object QueriesExt {
         .where(col("edit_dist") <= 20)
     },
     s"""WITH cand AS (${minhashOracleWhere("")}),
-       |h AS (SELECT doc_id, substr(text, 1, 100) AS head FROM documents)
+       |h AS (SELECT doc_id,
+       |        regexp_replace(substr(text, 1, 100), '[^\\x20-\\x7E]', '?', 'g') AS head
+       |      FROM documents)
        |SELECT c.id_a, c.id_b, levenshtein(a.head, b.head) AS edit_dist
        |FROM cand c JOIN h a ON a.doc_id = c.id_a JOIN h b ON b.doc_id = c.id_b
        |WHERE levenshtein(a.head, b.head) <= 20""".stripMargin))
@@ -1666,7 +1674,10 @@ object QueriesExt {
     */
   private lazy val textNovelty: Q = "x_text_novelty" -> ((
     (s: SparkSession, dir: String) => {
-      val ds = Dedup.shingleTable(docs(s, dir), "doc_id", "text", n = 3).distinct()
+      // shingleTable output is already per-doc distinct (array_distinct
+      // before the explode) — no distinct() here: it would re-shuffle the
+      // whole expanded shingle volume for identical rows.
+      val ds = Dedup.shingleTable(docs(s, dir), "doc_id", "text", n = 3)
       val dfq = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
       ds.join(dfq, "shingle")
         .groupBy("doc_id")

@@ -663,11 +663,11 @@ object QueriesParity {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
       |WHERE o_orderkey % 100 = 0""".stripMargin))
 
-  /** Window FRAMES: running sum (rows unbounded-preceding..current), a
-    * centered moving average (rows 2-preceding..2-following) and a
-    * last-in-frame, all over ONE (user, time) window ordering — one
-    * exchange+sort, three frame evaluators. The moving average divides by
-    * the actual frame size so edges are exact rationals.
+  /** Window FRAMES: running sum (rows unbounded-preceding..current) and a
+    * centered moving average (rows 2-preceding..2-following), both over ONE
+    * (user, time) window ordering — one exchange+sort, two frame
+    * evaluators. The moving average divides by the actual frame size so
+    * edges are exact rationals.
     */
   private val qFrames: Q = "q_frames" -> ((
     (s: SparkSession, dir: String) => {
@@ -722,10 +722,15 @@ object QueriesParity {
     (s: SparkSession, dir: String) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
-      o.join(c, o("o_custkey") === c("c_custkey"))
+      val pivoted = o.join(c, o("o_custkey") === c("c_custkey"))
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(count(lit(1)).as("n"), round(max("o_totalprice"), 2).as("mx"))
+      // Pivot emits NULL for a (segment, status) combo with no rows; the
+      // FILTERed-count oracle emits 0. Align the count columns (max stays
+      // NULL on both sides).
+      pivoted.select(col("c_mktsegment") +: Seq("O", "F", "P").flatMap(st =>
+        Seq(coalesce(col(s"${st}_n"), lit(0L)).as(s"${st}_n"), col(s"${st}_mx"))): _*)
     },
     """SELECT c_mktsegment,
       |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O_n,

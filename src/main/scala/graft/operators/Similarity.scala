@@ -430,6 +430,10 @@ object Similarity {
       val w = Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cid"))
       scored.withColumn("crank", row_number().over(w)).where(col("crank") <= nProbe)
         .select("query_id", "cid", "q_vec")
+        // consumed by the residual distance table AND the candidate join —
+        // without this the query-ranking subplan runs twice (same
+        // discipline as topKIvfPrebuilt)
+        .localCheckpoint(true)
     }
     // Per-(query, cell) residual distance table: the query's residual
     // against the PROBED cell's centroid, sub-sliced and scored against
