@@ -1545,7 +1545,8 @@ object QueriesExt {
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
-    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty)
+    annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
+    stDqChecks, eventsAnomaly)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1664,6 +1665,89 @@ object QueriesExt {
          |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b) AS n_bpe
          |FROM documents""".stripMargin))
   }
+
+  /** STREAMING data-quality contract gate: the dq expectation engine runs
+    * inside `foreachBatch` over an AvailableNow file stream — per-batch
+    * violation counts accumulate, so the ingest contract is enforced ON THE
+    * STREAM (the production shape: a micro-batch with contract breakage can
+    * abort before its write). With every event in one bounded run the
+    * accumulated counts equal the batch answer, which is the oracle.
+    */
+  private lazy val stDqChecks: Q = "st_dq_checks" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      import graft.operators.Quality, Quality.DqCheck._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-stdq").toString
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      ev.write.parquet(s"$tmp/topic")
+      val totals = scala.collection.mutable.Map.empty[String, Long]
+      val q = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Quality.evaluate(batch, Seq(
+            NotNull("user_id"),
+            Unique(Seq("event_id")),
+            InRange("value", 0.0, 15.0),
+            AcceptedValues("event_type", Seq("click", "view", "purchase", "signup"))))
+            .collect().foreach { r =>
+              totals.updateWith(r.getString(0))(v => Some(v.getOrElse(0L) + r.getLong(1)))
+            }
+        }
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      totals.toSeq.toDF("check_name", "violations")
+    },
+    """SELECT 'not_null:user_id' AS check_name,
+      |       count(*) FILTER (WHERE user_id IS NULL) AS violations FROM events
+      |UNION ALL SELECT 'unique:event_id',
+      |       count(event_id) - count(DISTINCT event_id) FROM events
+      |UNION ALL SELECT 'range:value',
+      |       count(*) FILTER (WHERE value IS NOT NULL
+      |                        AND value NOT BETWEEN 0 AND 15) FROM events
+      |UNION ALL SELECT 'accepted:event_type',
+      |       count(*) FILTER (WHERE event_type IS NOT NULL
+      |                        AND event_type NOT IN ('click','view','purchase','signup'))
+      |FROM events""".stripMargin))
+
+  /** Event-rate anomaly gate: per (user, hour) event counts flagged beyond
+    * 3σ of that user's own hourly mean — composition of event-time
+    * bucketing, grouped stats and a broadcast join back. Counts are
+    * integers, so the mean/variance sums are exact in doubles and both
+    * engines agree without rounding tricks (round(…,6) belt anyway).
+    */
+  private lazy val eventsAnomaly: Q = "x_events_anomaly" -> ((
+    (s: SparkSession, dir: String) => {
+      val hourly = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ms"))
+        // integer floor-div, NOT `/` (Column `/` is double division and the
+        // truncating cast could land a boundary millisecond in the wrong hour)
+        .select(col("user_id"), expr("ms div 3600000").as("hr"))
+        .groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("user_id").agg(
+        (sum("n").cast("double") / count(lit(1))).as("mu"),
+        sqrt(sum(col("n") * col("n")).cast("double") / count(lit(1)) -
+          (sum("n").cast("double") / count(lit(1))) * (sum("n").cast("double") / count(lit(1))))
+          .as("sigma"),
+        count(lit(1)).as("n_hours"))
+      hourly.join(broadcast(stats), "user_id")
+        .where(col("n") > col("mu") + lit(3.0) * col("sigma"))
+        .select(col("user_id"), col("hr"), col("n"),
+          round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"))
+    },
+    """WITH hourly AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hr, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (SELECT user_id,
+      |    sum(n)::DOUBLE / count(*) AS mu,
+      |    sqrt(sum(n*n)::DOUBLE / count(*) -
+      |         (sum(n)::DOUBLE / count(*)) * (sum(n)::DOUBLE / count(*))) AS sigma
+      |  FROM hourly GROUP BY user_id)
+      |SELECT h.user_id, h.hr, h.n, round(s.mu, 6) AS mu, round(s.sigma, 6) AS sigma
+      |FROM hourly h JOIN stats s USING (user_id)
+      |WHERE h.n > s.mu + 3.0 * s.sigma""".stripMargin))
 
   /** N-gram novelty gate: per document, the share of its DISTINCT word
     * trigrams that occur in no other document — the "how much of this doc
