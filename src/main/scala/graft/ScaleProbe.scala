@@ -102,6 +102,23 @@ object ScaleProbe {
       val p = Dedup.lshPairsIncremental(nw, idx, "doc_id", "text")
       println(s"[probe] incremental pairs = ${p.count()}")
     }
+    timed("pmi collocations") {
+      // Bigram volume grows ×factor while the pair vocabulary barely grows
+      // (replica suffixes): the claim is that the count aggregates absorb
+      // the growth map-side and the vocab joins stay vocab-sized.
+      val top = graft.operators.Collocations.pmiBigrams(big, "text", minCount = 5L, topK = 30)
+      println(s"[probe] collocation rows = ${top.count()}")
+    }
+    timed("ngram novelty") {
+      // Every replica kills its copies' novelty (df grows with factor):
+      // the df count and the doc-grouped ratio both ride the one shingle
+      // expansion — no second shuffle of the expanded table.
+      val ds = Dedup.shingleTable(big, "doc_id", "text", n = 3)
+      val dfq = ds.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val nov = ds.join(dfq, "shingle").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), count_if(col("df") === 1).as("novel"))
+      println(s"[probe] novelty docs = ${nov.count()}")
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are
