@@ -756,6 +756,57 @@ object QueriesParity {
     """SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin))
 
+  /** FULL OUTER join with both null sides populated (customer slice vs
+    * order-aggregate slice on disjoint key predicates) — the join shape the
+    * warehouse reconciliation reports use. Money sums ride DECIMAL and only
+    * cast to double at the edge (the q1/rollup discipline: an unordered
+    * double sum would be addition-order-dependent).
+    */
+  private val qOuterJoin: Q = "q_outer_join" -> ((
+    (s: SparkSession, dir: String) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_custkey") % 2 === 0)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_mktsegment"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("total_spend"))
+    },
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS k, c.c_mktsegment,
+      |  coalesce(o.n_orders, 0) AS n_orders, o.total_spend
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*)::BIGINT AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey""".stripMargin))
+
+  /** Calendar decomposition: extract-style parts + ISO-Monday week
+    * truncation, aggregated to (year, month, dow) volumes. Day-of-week
+    * conventions differ across engines (Spark 1=Sunday, DuckDB 0=Sunday) —
+    * the gate pins the 1..7 Sunday-first convention explicitly on both
+    * sides rather than trusting engine defaults.
+    */
+  private val qDateParts: Q = "q_date_parts" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      val ts = Conversions.nanosToTimestamp(col("ts"))
+      ev.select(year(ts).as("yr"), month(ts).as("mon"), dayofweek(ts).as("dow"),
+          unix_millis(date_trunc("WEEK", ts)).as("wk_ms"))
+        .groupBy("yr", "mon", "dow")
+        .agg(count(lit(1)).as("n"), countDistinct(col("wk_ms")).as("n_weeks"))
+    },
+    """SELECT year(ts)::INT AS yr, month(ts)::INT AS mon,
+      |  (dayofweek(ts) + 1)::INT AS dow,
+      |  count(*)::BIGINT AS n,
+      |  count(DISTINCT epoch_ms(date_trunc('week', ts)))::BIGINT AS n_weeks
+      |FROM events GROUP BY 1, 2, 3""".stripMargin))
+
   /** Correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into one
     * semi-join + one anti-join on the customer key (no per-row subquery
     * execution); the orders-side predicates are pushed below the joins into
@@ -806,5 +857,5 @@ object QueriesParity {
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
-    qFrames, qGroupingSets, qPivot, qJsonProps)
+    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts)
 }
