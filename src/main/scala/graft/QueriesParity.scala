@@ -756,6 +756,55 @@ object QueriesParity {
     """SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin))
 
+  /** CUBE — completes the grouping-shape trio next to q_rollup (ROLLUP) and
+    * q_grouping_sets (explicit sets): all four (flag, status) marginal
+    * combinations from one Expand. */
+  private val qCube: Q = "q_cube" -> ((
+    (s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val qty = col("l_quantity").cast("decimal(18,2)")
+      l.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(qty).cast("double").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+          col("sum_qty"), col("n_rows"))
+    },
+    """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+      |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** UNPIVOT/melt: the four lineitem measures to long form, then a grouped
+    * profile per (returnflag, measure) — the wide→long reshaping every
+    * metrics pipeline needs; Spark's native unpivot against the UNION ALL
+    * replay. Measures ride DECIMAL through the sum.
+    */
+  private val qUnpivot: Q = "q_unpivot" -> ((
+    (s: SparkSession, dir: String) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+      val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      l.select(col("l_returnflag") +:
+          measures.map(m => col(m).cast("decimal(18,2)").as(m)): _*)
+        .unpivot(Array(col("l_returnflag")),
+          measures.map(col).toArray, "measure", "v")
+        .groupBy("l_returnflag", "measure")
+        .agg(sum("v").cast("double").as("total"), count(lit(1)).as("n"))
+    },
+    """WITH long AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure,
+      |         CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_extendedprice',
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_discount',
+      |         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT l_returnflag, 'l_tax',
+      |         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |SELECT l_returnflag, measure,
+      |  CAST(sum(v) AS DOUBLE) AS total, count(*)::BIGINT AS n
+      |FROM long GROUP BY 1, 2""".stripMargin))
+
   /** FULL OUTER join with both null sides populated (customer slice vs
     * order-aggregate slice on disjoint key predicates) — the join shape the
     * warehouse reconciliation reports use. Money sums ride DECIMAL and only
@@ -857,5 +906,5 @@ object QueriesParity {
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
-    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts)
+    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts, qCube, qUnpivot)
 }
