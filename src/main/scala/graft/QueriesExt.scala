@@ -280,31 +280,20 @@ object QueriesExt {
   private val stWindowedCounts: Q = "st_windowed_counts" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stwin").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
           col("event_type"), col("value"))
-      ev.write.parquet(s"$tmp/topic")
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      Seq((new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L), "___wm", 0.0))
+      val sentinel = Seq((new java.sql.Timestamp(maxTs.getTime + 2 * 3600 * 1000L), "___wm", 0.0))
         .toDF("ts", "event_type", "value")
-        .write.mode("append").parquet(s"$tmp/topic")
-      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-      val agg = stream.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n"), col("sum_value"))
-      val q = agg.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out").where(col("event_type") =!= "___wm")
+      streamedGate(s, "stwin", ev, Some(sentinel))(
+        plan = mk => mk().withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n"), col("sum_value")),
+        post = _.where(col("event_type") =!= "___wm"))
     },
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n,
@@ -322,32 +311,20 @@ object QueriesExt {
   private val stSessionize: Q = "st_sessionize" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stsess").toString
       val gapMs = 21600000L // 6h, as the batch q_sessionize gate
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
           col("value"))
-      ev.write.parquet(s"$tmp/topic")
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + gapMs + 2 * 3600 * 1000L), 0.0))
+      val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + gapMs + 2 * 3600 * 1000L), 0.0))
         .toDF("user_id", "ts", "value")
-        .write.mode("append").parquet(s"$tmp/topic")
-      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-      val sessions = graft.streaming.Sessionize
-        .sessions(s, stream, gapMs = gapMs, watermarkDelay = "10 minutes")
-      val q = sessions.toDF()
-        .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
-          col("endMs").as("end_ms"), col("nEvents").as("n_events"))
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out").where(col("user_id") >= 0)
+      streamedGate(s, "stsess", ev, Some(sentinel))(
+        plan = mk => graft.streaming.Sessionize
+          .sessions(s, mk(), gapMs = gapMs, watermarkDelay = "10 minutes").toDF()
+          .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+            col("endMs").as("end_ms"), col("nEvents").as("n_events")),
+        post = _.where(col("user_id") >= 0))
     },
     """WITH e AS (SELECT user_id, epoch_ms(ts) t FROM events),
       |m AS (SELECT user_id, t,
@@ -1004,24 +981,13 @@ object QueriesExt {
     */
   private val stDedup: Q = "st_dedup" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stdedup").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
-      ev.write.parquet(s"$tmp/topic")
-      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-      val dd = stream.withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .select("user_id", "event_type")
-      val q = dd.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
+      streamedGate(s, "stdedup", ev)(
+        plan = mk => mk().withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type"))
     },
     "SELECT DISTINCT user_id, event_type FROM events"))
 
@@ -1058,6 +1024,47 @@ object QueriesExt {
     try body finally s.conf.set(key, prev)
   }
 
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  /** ONE streaming-gate scaffold for every file-stream gate (the review
+    * found six hand-copied variants, each leaking its temp topic +
+    * checkpoint per run): stage `topic` (plus optional sentinel `append`
+    * rows) as a bounded file topic, run `plan(stream)` through an
+    * AvailableNow parquet sink, post-process, then MATERIALIZE the result
+    * (eager localCheckpoint) so the whole temp tree can be deleted before
+    * returning — /tmp stays flat across Verify/Bench iterations.
+    */
+  private def streamedGate(
+      s: SparkSession,
+      prefix: String,
+      topic: DataFrame,
+      append: Option[DataFrame] = None)(
+      // a FACTORY, not a DataFrame: the stream-stream join gates need two
+      // INDEPENDENT source instances — deriving both join sides from one
+      // shared streaming relation suppresses the left-outer null flush
+      // (measured: the outer gate emits only the inner rows)
+      plan: (() => DataFrame) => DataFrame,
+      post: DataFrame => DataFrame = identity): DataFrame = {
+    val tmpPath = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
+    val tmp = tmpPath.toString
+    try {
+      topic.write.parquet(s"$tmp/topic")
+      append.foreach(_.write.mode("append").parquet(s"$tmp/topic"))
+      val mkStream = () => s.readStream.schema(topic.schema).parquet(s"$tmp/topic")
+      val q = plan(mkStream).writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      post(s.read.parquet(s"$tmp/out")).localCheckpoint(true)
+    } finally rmTree(tmpPath.toFile)
+  }
+
   /** STREAM-STREAM interval join gate: purchases attribute to same-user
     * signups within a 3-day window, run as a watermarked streaming
     * self-join (both sides buffered in the state store, eviction bounded by
@@ -1068,30 +1075,20 @@ object QueriesExt {
     */
   private val stJoinInterval: Q = "st_join_interval" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stjoin").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
-      ev.write.parquet(s"$tmp/topic")
-      def stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-      val facts = stream.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-      val dims = stream.where(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
-      val j = graft.streaming.StreamJoins.intervalJoin(facts, dims,
-          key = "user_id", factTs = "p_ts", dimTs = "s_ts",
-          maxSpanMs = 3L * 86400000L)
-        .select(col("user_id"), col("p_id"), col("s_id"),
-          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
-      val q = j.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out")
+      streamedGate(s, "stjoin", ev)(plan = mk => {
+        val facts = mk().where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val dims = mk().where(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+        graft.streaming.StreamJoins.intervalJoin(facts, dims,
+            key = "user_id", factTs = "p_ts", dimTs = "s_ts",
+            maxSpanMs = 3L * 86400000L)
+          .select(col("user_id"), col("p_id"), col("s_id"),
+            unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
+      })
     },
     """SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id,
       |  epoch_ms(p.ts) AS p_ms, epoch_ms(s.ts) AS s_ms
@@ -1109,35 +1106,26 @@ object QueriesExt {
   private val stJoinIntervalLeft: Q = "st_join_interval_left" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stjoinl").toString
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
-      ev.write.parquet(s"$tmp/topic")
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
       val far = new java.sql.Timestamp(maxTs.getTime + 3L * 86400000L + 2L * 3600 * 1000L)
-      Seq((-1L, -1L, "purchase", far), (-2L, -2L, "signup", far))
+      val sentinel = Seq((-1L, -1L, "purchase", far), (-2L, -2L, "signup", far))
         .toDF("event_id", "user_id", "event_type", "ts")
-        .write.mode("append").parquet(s"$tmp/topic")
-      def stream = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-      val facts = stream.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-      val dims = stream.where(col("event_type") === "signup")
-        .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
-      val j = graft.streaming.StreamJoins.intervalJoin(facts, dims,
-          key = "user_id", factTs = "p_ts", dimTs = "s_ts",
-          maxSpanMs = 3L * 86400000L, joinType = "left_outer")
-        .select(col("user_id"), col("p_id"), col("s_id"),
-          unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
-      val q = j.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$tmp/out").where(col("user_id") >= 0)
+      streamedGate(s, "stjoinl", ev, Some(sentinel))(
+        plan = mk => {
+          val facts = mk().where(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+          val dims = mk().where(col("event_type") === "signup")
+            .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"))
+          graft.streaming.StreamJoins.intervalJoin(facts, dims,
+              key = "user_id", factTs = "p_ts", dimTs = "s_ts",
+              maxSpanMs = 3L * 86400000L, joinType = "left_outer")
+            .select(col("user_id"), col("p_id"), col("s_id"),
+              unix_millis(col("p_ts")).as("p_ms"), unix_millis(col("s_ts")).as("s_ms"))
+        },
+        post = _.where(col("user_id") >= 0))
     },
     """SELECT p.user_id, p.event_id AS p_id, s.event_id AS s_id,
       |  epoch_ms(p.ts) AS p_ms, epoch_ms(s.ts) AS s_ms
@@ -1670,40 +1658,45 @@ object QueriesExt {
     * inside `foreachBatch` over an AvailableNow file stream — per-batch
     * violation counts accumulate, so the ingest contract is enforced ON THE
     * STREAM (the production shape: a micro-batch with contract breakage can
-    * abort before its write). With every event in one bounded run the
-    * accumulated counts equal the batch answer, which is the oracle.
+    * abort before its write). Only BATCH-ADDITIVE checks (not-null, range,
+    * accepted) run here — their per-batch counts sum to the global answer
+    * under ANY micro-batch split; a Unique check is deliberately absent
+    * because per-batch distinct counts cannot see cross-batch duplicates
+    * (streaming uniqueness is [[stDedup]]'s stateful
+    * `dropDuplicatesWithinWatermark` job).
     */
   private lazy val stDqChecks: Q = "st_dq_checks" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import graft.operators.Quality, Quality.DqCheck._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-stdq").toString
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      ev.write.parquet(s"$tmp/topic")
-      val totals = scala.collection.mutable.Map.empty[String, Long]
-      val q = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          Quality.evaluate(batch, Seq(
-            NotNull("user_id"),
-            Unique(Seq("event_id")),
-            InRange("value", 0.0, 15.0),
-            AcceptedValues("event_type", Seq("click", "view", "purchase", "signup"))))
-            .collect().foreach { r =>
-              totals.updateWith(r.getString(0))(v => Some(v.getOrElse(0L) + r.getLong(1)))
-            }
-        }
-        .start()
-      q.awaitTermination()
-      import s.implicits._
-      totals.toSeq.toDF("check_name", "violations")
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stdq")
+      val tmp = tmpPath.toString
+      try {
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        ev.write.parquet(s"$tmp/topic")
+        val totals = scala.collection.mutable.Map.empty[String, Long]
+        val q = s.readStream.schema(ev.schema).parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Quality.evaluate(batch, Seq(
+              NotNull("user_id"),
+              InRange("value", 0.0, 15.0),
+              AcceptedValues("event_type", Seq("click", "view", "purchase", "signup"))))
+              .collect().foreach { r =>
+                totals.updateWith(r.getString(0))(v => Some(v.getOrElse(0L) + r.getLong(1)))
+              }
+          }
+          .start()
+        q.awaitTermination()
+        import s.implicits._
+        // driver-local result — the temp topic/checkpoint can go right away
+        totals.toSeq.toDF("check_name", "violations")
+      } finally rmTree(tmpPath.toFile)
     },
     """SELECT 'not_null:user_id' AS check_name,
       |       count(*) FILTER (WHERE user_id IS NULL) AS violations FROM events
-      |UNION ALL SELECT 'unique:event_id',
-      |       count(event_id) - count(DISTINCT event_id) FROM events
       |UNION ALL SELECT 'range:value',
       |       count(*) FILTER (WHERE value IS NOT NULL
       |                        AND value NOT BETWEEN 0 AND 15) FROM events
