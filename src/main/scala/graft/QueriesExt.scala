@@ -1534,7 +1534,7 @@ object QueriesExt {
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
-    stDqChecks, eventsAnomaly)
+    stDqChecks, eventsAnomaly, qualityBlend)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1741,6 +1741,56 @@ object QueriesExt {
       |SELECT h.user_id, h.hr, h.n, round(s.mu, 6) AS mu, round(s.sigma, 6) AS sigma
       |FROM hourly h JOIN stats s USING (user_id)
       |WHERE h.n > s.mu + 3.0 * s.sigma""".stripMargin))
+
+  /** Curation-score blending gate: quality score, trigram novelty and raw
+    * length rank-normalized per source, averaged, decile-bucketed — the
+    * signal combiner a corpus-mixing recipe ranks by. The oracle composes
+    * the quality-formula and novelty CTEs with the same deterministic
+    * (signal, doc_id) window orders.
+    */
+  private lazy val qualityBlend: Q = {
+    val en = graft.functions.TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(",")
+    "x_quality_blend" -> ((
+      (s: SparkSession, dir: String) => {
+        val base = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+          round(graft.functions.TextAnalysis.qualityScore(col("text")), 6).as("sq"))
+        val ds = Dedup.shingleTable(docs(s, dir), "doc_id", "text", n = 3)
+        val nov = ds.join(ds.groupBy("shingle").agg(count(lit(1)).as("df")), "shingle")
+          .groupBy("doc_id")
+          .agg(round(count_if(col("df") === 1).cast("double") / count(lit(1)), 6).as("nov"))
+        val j = base.join(nov, Seq("doc_id"), "left_outer")
+          .withColumn("nov", coalesce(col("nov"), lit(0.0)))
+        Quality.rankBlend(j, "source", "doc_id",
+            signals = Seq(col("sq"), col("nov"), col("n_chars")))
+          .select("doc_id", "source", "blend", "decile")
+      },
+      s"""WITH qf AS (SELECT doc_id, source, n_chars,
+         |    round(
+         |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.5
+         |      + (len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE
+         |         / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE) * 0.4
+         |      + (1.0 - least(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE
+         |                     / greatest(length(text),1)::DOUBLE * 10.0, 1.0)) * 0.1, 6) AS sq
+         |  FROM documents),
+         |toks AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s2
+         |       FROM toks, UNNEST(range(1, len(ws)-1)) t(i)),
+         |dfq AS (SELECT s2, count(*)::BIGINT AS df FROM sh GROUP BY s2),
+         |nv AS (SELECT doc_id,
+         |    round((count(*) FILTER (WHERE df = 1))::DOUBLE / count(*), 6) AS nov
+         |  FROM sh JOIN dfq USING (s2) GROUP BY doc_id),
+         |j AS (SELECT q.doc_id, q.source, q.sq, coalesce(nv.nov, 0.0) AS nov, q.n_chars
+         |  FROM qf q LEFT JOIN nv ON nv.doc_id = q.doc_id),
+         |r AS (SELECT doc_id, source,
+         |    percent_rank() OVER (PARTITION BY source ORDER BY sq, doc_id) AS r0,
+         |    percent_rank() OVER (PARTITION BY source ORDER BY nov, doc_id) AS r1,
+         |    percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r2
+         |  FROM j),
+         |b AS (SELECT doc_id, source, round((r0 + r1 + r2) / 3, 6) AS blend FROM r)
+         |SELECT doc_id, source, blend,
+         |  ntile(10) OVER (PARTITION BY source ORDER BY blend, doc_id) AS decile
+         |FROM b""".stripMargin))
+  }
 
   /** N-gram novelty gate: per document, the share of its DISTINCT word
     * trigrams that occur in no other document — the "how much of this doc

@@ -95,6 +95,42 @@ object Quality {
     }: _*)).as("r")).select(col("r.check_name"), col("r.violations"))
   }
 
+  /** Rank-normalized signal blending — the curation-score combiner: each
+    * signal is percent_rank-normalized WITHIN its group (so sources with
+    * different signal scales mix fairly), the normalized ranks average into
+    * one blend score, and an `ntile` decile gives the curriculum bucket.
+    * Rank normalization is the standard way to combine heterogeneous
+    * quality signals (absolute scales of an LM logprob, a ratio and a
+    * length are incomparable; their ranks are).
+    *
+    * Determinism: every window orders by `(signal, id)` so ties cannot
+    * reorder across engines; percent_rank yields exact rationals
+    * `(rank−1)/(n−1)`; the blend averages in argument order.
+    *
+    * Scale shape: all |signals|+1 windows share ONE partitioning on
+    * `groupCol` — a single exchange, then per-partition sorts; no global
+    * ordering anywhere.
+    */
+  def rankBlend(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      signals: Seq[Column],
+      deciles: Int = 10): DataFrame = {
+    require(signals.nonEmpty, "signals required")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = signals.zipWithIndex.foldLeft(df) { case (acc, (sig, i)) =>
+      acc.withColumn(s"_r$i",
+        percent_rank().over(Window.partitionBy(groupCol).orderBy(sig, col(idCol))))
+    }
+    val blend = round(
+      signals.indices.map(i => col(s"_r$i")).reduce(_ + _) / signals.length, 6)
+    ranked.withColumn("blend", blend)
+      .withColumn("decile",
+        ntile(deciles).over(Window.partitionBy(groupCol).orderBy(col("blend"), col(idCol))))
+      .drop(signals.indices.map(i => s"_r$i"): _*)
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation) and the count of points beyond `z` MADs — the
     * skew-insensitive cousin of z-score flagging, used to spot corrupted
