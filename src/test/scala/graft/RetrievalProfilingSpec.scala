@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Quality, Sketches, TfIdf}
+
+/** Unit coverage for the retrieval/profiling operators that are otherwise
+  * proven only through their DuckDB gates — hand-checkable fixtures pin the
+  * semantics the gates can't isolate (rank order, slack band, robustness).
+  */
+class RetrievalProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25: term saturation and length normalization order documents correctly") {
+    val docs = Seq(
+      (1L, "spark spark spark spark spark"),            // high tf, short
+      (2L, "spark filler filler filler filler filler"), // low tf, longer
+      (3L, "filler filler filler filler filler filler"),// no query term
+      (4L, "spark spark filler")                        // mid tf, shortest
+    ).toDF("doc_id", "text")
+    val out = TfIdf.bm25(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .orderBy("rank").as[(Long, Double, Int)].collect()
+    // doc 3 has no query term -> absent entirely
+    assert(!out.map(_._1).contains(3L))
+    // more occurrences in fewer tokens wins; doc 2 (1 hit, longest) ranks last
+    assert(out.head._1 == 1L && out.last._1 == 2L)
+    assert(out.map(_._3).toSeq == (1 to out.length).toSeq)
+    assert(out.forall(_._2 > 0.0))
+  }
+
+  test("madOutliers: planted outlier flagged, symmetric bulk is not; zero-MAD group survives") {
+    val rows = (1 to 101).map(i => ("g", 100.0 + (i % 11) - 5)) :+ (("g", 10000.0)) :+
+      (("flat", 7.0)) :+ (("flat", 7.0)) :+ (("flat", 7.0))
+    val out = Quality.madOutliers(rows.toDF("grp", "x"), "x", "grp", z = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val g = out("g")
+    assert(g._2 == 100.0 && g._3 > 0.0)  // median at the bulk, positive MAD
+    assert(g._5 == 1L)                    // exactly the planted outlier
+    // all-identical group: MAD 0 -> any deviation would flag, none exists
+    assert(out("flat")._3 == 0.0 && out("flat")._5 == 0L)
+  }
+
+  test("cmsHeavyHitterCheck: exact top-k ordering with every estimate in band") {
+    val docs = Seq.tabulate(200)(i =>
+      (s"w${i % 5} common", if (i % 2 == 0) "alpha beta" else "alpha")).map(t => t._1 + " " + t._2)
+      .toDF("text")
+    val out = Sketches.cmsHeavyHitterCheck(docs, "text", topK = 4)
+      .as[(String, Long, Boolean)].collect()
+    assert(out.length == 4)
+    assert(out.map(_._2).sorted.reverse.toSeq == out.map(_._2).toSeq) // desc exact counts
+    assert(out.forall(_._3), s"estimates out of band: ${out.mkString(",")}")
+    // 'common' and 'alpha' appear in every row -> they must lead the head
+    assert(out.take(2).map(_._1).toSet == Set("common", "alpha"))
+  }
+}
