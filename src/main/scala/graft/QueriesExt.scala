@@ -90,6 +90,8 @@ object QueriesExt {
       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
       |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3""".stripMargin))
 
+  // Exact all-pairs within the label block (maxBlock guard is a no-op at
+  // test SF; declared operator semantics — oversized blocks raise).
   private val dedupEmbedding: Q = "x_dedup_embedding" -> ((
     (s: SparkSession, dir: String) =>
       Dedup.embeddingNearDupPairs(emb(s, dir), "vec_id", "embedding", "label", threshold = 0.4),
@@ -102,6 +104,43 @@ object QueriesExt {
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding,b.embedding),
       |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(a.nrm*b.nrm) > 0.4""".stripMargin))
+
+  /** Banded (subquadratic) embedding near-dup: sign-band LSH candidates +
+    * exact cosine verify. The oracle replays the ENTIRE algorithm — band
+    * buckets from raw sign bits, the (1, maxBucket] membership window, the
+    * distinct candidate pairs, the exact verify — so the gate hashes the
+    * declared candidate semantics, not a recall approximation of the exact
+    * gate above (which stays green on its own all-pairs oracle).
+    */
+  private val dedupEmbeddingLsh: Q = {
+    val bands = 16; val rows = 4
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rows)
+        .map(r => s"CASE WHEN embedding[${b * rows + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, label, $b AS band, ($bucket)::BIGINT AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+    val cosExpr = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a.embedding,$b.embedding)," +
+        s" x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/($a.nrm*$b.nrm)"
+    "x_dedup_embedding_lsh" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.embeddingNearDupPairsBanded(emb(s, dir), "vec_id", "embedding", "label",
+          threshold = 0.4, dims = 64, bands = bands),
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+         |       (a,b)->a+b)) nrm FROM embeddings),
+         |banded AS ($bandSelects),
+         |q AS (SELECT label, band, bucket FROM banded
+         |      GROUP BY 1,2,3 HAVING count(*) > 1 AND count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.label=b.label AND a.band=b.band AND a.bucket=b.bucket AND a.vec_id < b.vec_id
+         |  JOIN q ON q.label=a.label AND q.band=a.band AND q.bucket=a.bucket)
+         |SELECT id_a, id_b, ${cosExpr("na", "nb")} AS cosine
+         |FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |WHERE ${cosExpr("na", "nb")} > 0.4""".stripMargin))
+  }
 
   // --------------------------------------------------------------- ANN
   private val annOracleCte =
@@ -718,15 +757,18 @@ object QueriesExt {
     (s: SparkSession, dir: String) => {
       val d = docs(s, dir)
       val rep = graft.operators.Repetition.metrics(d, "doc_id", "text")
+      // Materialize BOTH stage boundaries: q1 feeds two consumers (the
+      // exact-dedup aggregate and the join back), and without a persist the
+      // repetition-metrics plan — a bigram aggregation — executes twice.
+      // dd then feeds FOUR consumers (pair generation, keep-one resolution,
+      // decontamination probe, final projection) and connectedComponents'
+      // eager checkpoint splits the lineage into separate jobs, so without
+      // a persist the quality+dedup upstream re-executes once per consumer.
+      // At 100 TB the same boundaries are parquet writes between stages.
       val q1 = d.join(
         rep.where(col("n_words") >= 20 && col("dup_word_frac") < 0.7 &&
           col("top_bigram_frac") < 0.15).select("doc_id", "n_words"), "doc_id")
-      // Materialize the stage boundary: the survivor frame feeds FOUR
-      // consumers (pair generation, keep-one resolution, decontamination
-      // probe, final projection) and connectedComponents' eager checkpoint
-      // splits the lineage into separate jobs, so without a persist the
-      // quality+dedup upstream re-executes once per consumer. At 100 TB the
-      // same boundary is a parquet write between pipeline stages.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dd = q1.join(
         Dedup.exact(q1, "doc_id", md5(col("text"))).select(col("kept_id").as("doc_id")), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -742,6 +784,7 @@ object QueriesExt {
       val out = kept.join(clean, "doc_id").select("doc_id", "n_words", "source")
         .localCheckpoint(true)
       dd.unpersist()
+      q1.unpersist()
       out
     }, {
       val g5 = (0 until 5).map(j => s"ws[i+$j]").mkString("||' '||")
@@ -1168,12 +1211,18 @@ object QueriesExt {
   /** JL sign-projection gate: 64-dim float embeddings down to 8 dims with
     * the content-addressed ±1 matrix (md5 nibble parity, regenerated
     * identically by the oracle) — strict in-order folds make the projected
-    * doubles bit-exact across engines, no rounding needed.
+    * doubles bit-exact across engines, no rounding needed. The gate emits
+    * one SCALAR row per (vec_id, dim_idx) via posexplode rather than the
+    * raw array column: the driver's pandas-based checker sorts/hashes
+    * column values and cannot factorize an ndarray cell, so the array
+    * shape errs in the harness even when values are identical. Scalar rows
+    * carry the exact same doubles — the bit-exactness claim is unchanged.
     */
   private val embProject: Q = "x_emb_project" -> ((
     (s: SparkSession, dir: String) =>
       emb(s, dir).select(col("vec_id"),
-        Similarity.randomProject(col("embedding"), dIn = 64, dOut = 8).as("proj")),
+          posexplode(Similarity.randomProject(col("embedding"), dIn = 64, dOut = 8)))
+        .select(col("vec_id"), col("pos").as("dim_idx"), col("col").as("value")),
     """WITH sgn AS (SELECT j, i,
       |    CASE WHEN ('0x'||substr(md5(j||'_'||i),1,1))::INT % 2 = 0
       |         THEN 1.0 ELSE -1.0 END AS s
@@ -1183,7 +1232,7 @@ object QueriesExt {
       |proj AS (SELECT vec_id, j,
       |    list_reduce(list_prepend(0.0, list(t ORDER BY i)), (a,b)->a+b) / sqrt(8) AS p
       |  FROM terms GROUP BY vec_id, j)
-      |SELECT vec_id, list(p ORDER BY j) AS proj FROM proj GROUP BY vec_id""".stripMargin))
+      |SELECT vec_id, j::INT AS dim_idx, p AS value FROM proj""".stripMargin))
 
   /** PMI collocation gate: top-30 adjacent word pairs by pointwise mutual
     * information (min pair count 5). The oracle rebuilds bigrams from
@@ -1521,7 +1570,8 @@ object QueriesExt {
       |                         WHERE c.c_custkey = o.o_custkey)""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupClusters,
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
+    dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,

@@ -51,9 +51,16 @@ object StrCodeImpl {
 
   private val Ukjent = UTF8String.fromString("UKJENT")
 
-  /** Java-regex `\s` (ASCII-only), matching the builtin chain's semantics. */
+  /** Python `str.split()` whitespace (`/root/reference/src/transform.py:44`
+    * uses argless `split()`, which splits on UNICODE whitespace, not just
+    * ASCII `\s`). Java's `Character.isWhitespace` covers the same set except
+    * four characters it deliberately excludes as "non-breaking": NEL U+0085,
+    * NBSP U+00A0, figure space U+2007, narrow NBSP U+202F -- Python treats
+    * all four as whitespace, so they are added back explicitly.
+    */
   @inline private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    Character.isWhitespace(c) ||
+      c == 0x85.toChar || c == 0xA0.toChar || c == 0x2007.toChar || c == 0x202F.toChar
 
   /** Single-allocation rewrite. Order of operations mirrors the chain:
     * edge-trim + collapse-to-`_` first (on the raw string), THEN uppercase

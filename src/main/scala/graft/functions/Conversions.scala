@@ -69,9 +69,19 @@ object Conversions {
     Shim.column(graft.expressions.NfcNormalize(Shim.expression(c)))
   }
 
+  /** Python `str.split()`'s whitespace class as a Java-regex character
+    * class: ASCII `\s` + the separators `Character.isWhitespace` adds
+    * (U+001C–U+001F, U+1680, U+2000–U+200A, U+2028/29, U+205F, U+3000)
+    * + the four "non-breaking" ones Python includes but Java excludes
+    * (NEL U+0085, NBSP U+00A0, figure space U+2007, narrow NBSP U+202F).
+    */
+  private val pyWs =
+    "[\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+
   /** The 6-step builtin chain with identical semantics (reference spec). */
   def strCodeBuiltins(c: Column): Column = {
-    val collapsed = regexp_replace(regexp_replace(c, "^\\s+|\\s+$", ""), "\\s+", "_")
+    val collapsed =
+      regexp_replace(regexp_replace(c, s"^$pyWs+|$pyWs+$$", ""), s"$pyWs+", "_")
     val folded = regexp_replace(
       regexp_replace(regexp_replace(upper(collapsed), "Æ", "A"), "Ø", "O"),
       "Å", "AA")

@@ -381,6 +381,10 @@ object Dedup {
     // Per-doc shingle counts start from `size(shingles)` on the SAME
     // shingleArrays subplan and subtract the doc's stop-shingle hits (small
     // join), keeping |A| and |B| consistent with the filtered space.
+    // (Measured alternative — counting the doc's rows in shKept with a
+    // groupBy(id) — re-executes the posting join for the second aggregate
+    // and benches ~0.7 s slower at sf0.1; the base re-read below rides the
+    // ReuseExchange'd tokenize, so it is the cheaper second consumer.)
     val base = shingleArrays(df, idCol, textCol, n)
     val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull) // see shingleTable: InferFiltersFromGenerate trap
@@ -537,21 +541,106 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column (label,
-    * shard, LSH bucket, …): the block join bounds the pair count, cosine is
-    * the strict-left-fold double math of [[Similarity.cosine]] so any engine
-    * reproduces it bit-for-bit.
+    * shard, LSH bucket, …) — EXACT within the block: every pair above the
+    * threshold is returned; cosine is the strict-left-fold double math of
+    * [[Similarity.cosine]] (native codegen'd [[graft.expressions.VecDot]])
+    * so any engine reproduces it bit-for-bit.
+    *
+    * Scale contract: pair generation inside a block is inherently O(block²)
+    * — at a LOW threshold (weakly similar pairs, e.g. 0.4) no LSH family
+    * can prune without losing recall, so exactness costs the quadratic.
+    * What makes this safe at 100 TB is the `maxBlock` guard: any block
+    * whose membership exceeds it fails LOUDLY (raise_error in the executed
+    * plan, not a driver check that a re-plan could skip) instead of
+    * silently launching a quadratic join on a hot key. Pre-shard oversized
+    * blocks upstream, or — for HIGH thresholds where sign-band recall is
+    * real — use [[embeddingNearDupPairsBanded]], the subquadratic path.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxBlock: Int = 100000): DataFrame = {
     val n = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
-    val a = n.select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    // Membership count first (one tiny partial-agg pass, Long state per
+    // block); the guard column rides the broadcast join and the filter
+    // keeps it in the executed plan so column pruning can't drop the error.
+    val guard = n.groupBy(col("block")).agg(count(lit(1)).as("_bn"))
+      .select(col("block"),
+        when(col("_bn") > maxBlock, raise_error(concat(
+          lit(s"embeddingNearDupPairs: block "), col("block").cast("string"),
+          lit(" has "), col("_bn").cast("string"),
+          lit(s" rows > maxBlock=$maxBlock — refusing O(block²) pair generation;" +
+            " pre-shard the block or use embeddingNearDupPairsBanded"))))
+          .otherwise(lit(1)).as("_ok"))
+    val a = n.join(broadcast(guard), Seq("block")).where(col("_ok") === 1)
+      .select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = n.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Subquadratic embedding near-dup pairs: sign-band LSH candidate
+    * generation + EXACT cosine verification — the high-threshold scale
+    * path. The vector's `dims` sign bits are split into `bands` contiguous
+    * bands ([[Similarity.signBucket]] per slice); two vectors are
+    * candidates iff they agree on EVERY sign in at least one band (within
+    * the same block), and only candidates pay the exact cosine.
+    *
+    * Same banding economics as [[minHashLshPairs]]: membership is COUNTED
+    * first (Long buffer per bucket, never a list), buckets larger than
+    * `maxBucket` are dropped (that many same-sign-band vectors is a data
+    * quality signal, not a pair list worth O(maxBucket²)), and every
+    * collect_list that follows is provably ≤ maxBucket elements.
+    *
+    * Recall is the sign-LSH collision curve: a pair at angle θ agrees on
+    * one r-bit band with prob (1−θ/π)^r per band — near 1 for true
+    * near-dups (θ→0), vanishing for weakly-similar pairs. Use the exact
+    * variant when the threshold sits below ~0.8 and recall must be total.
+    */
+  def embeddingNearDupPairsBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+      dims: Int,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && dims % bands == 0, "dims must divide into bands evenly")
+    val rows = dims / bands
+    val n = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    val bandStructs = array((0 until bands).map { b =>
+      val bucket = (0 until rows).map { r =>
+        when(element_at(col("v"), b * rows + r + 1) > lit(0.0), lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+    val banded = n.select(col("block"), col("id"), explode(bandStructs).as("bb"))
+      .select(col("block"), col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val keys = Seq("block", "band", "bucket")
+    val qualifying = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1 && col("_n") <= maxBucket)
+      .select(keys.map(col): _*)
+    val cand = banded.join(qualifying, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // Exact verify: only candidates pay the cosine; ids are unique across
+    // blocks so the vector lookup joins on id alone.
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .where(col("cosine") > threshold)
       .select("id_a", "id_b", "cosine")
@@ -591,19 +680,24 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 25): DataFrame = {
-    val edgesRaw = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    // Size the ITERATION width from the measured edge count (free — edges are
+    // Materialize the PAIR list before mirroring it: the union of the two
+    // edge orientations would otherwise evaluate the caller's pair plan
+    // TWICE (for jaccard/minhash candidates that plan carries the shingle
+    // exchanges and the posting join — the most expensive subplan in the
+    // whole dedup pipeline). The checkpointed frame is the thresholded pair
+    // list — tiny relative to the corpus by construction.
+    val p = pairs.select(col(idA).as("u"), col(idB).as("v")).localCheckpoint(true)
+    // Size the ITERATION width from the measured pair count (free — `p` is
     // already materialized), not the session shuffle width: the pair graph of
     // a deduped corpus is a sliver of the corpus, and running each tiny
     // iteration at full width makes the loop task-scheduling-bound (32 tasks
-    // per job to move a few thousand rows). One partition per ~100k edges,
-    // capped at the session width for genuinely large graphs.
+    // per job to move a few thousand rows). One partition per ~100k edges
+    // (≈ 2 × pairs), capped at the session width for genuinely large graphs.
     val sessionWidth = pairs.sparkSession.sessionState.conf.numShufflePartitions
-    val width = math.max(1, math.min(sessionWidth, (edgesRaw.count() / 100000L).toInt))
-    val edges = edgesRaw.repartition(width, col("u")).localCheckpoint(true)
+    val width = math.max(1, math.min(sessionWidth, (2L * p.count() / 100000L).toInt))
+    val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(width, col("u")).localCheckpoint(true)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint(true)

@@ -19,17 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict-fold dot product, elements promoted to double before multiply. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Strict-fold dot product, elements promoted to double before multiply.
+    * Native codegen'd [[graft.expressions.VecDot]] — bit-identical to the
+    * `aggregate(zip_with(...))` composition it replaces (same left fold,
+    * same null contract) but a primitive loop instead of the interpreted
+    * boxed HOF path.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.VecDot(Shim.expression(a), Shim.expression(b)))
+  }
 
-  /** L2 norm, same fold discipline. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** L2 norm = sqrt(dot(a, a)): the self-dot is the same fold sequence
+    * (acc + aᵢ·aᵢ in element order) as the `transform(x*x)` + aggregate it
+    * replaces, so results stay bit-exact.
+    */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
@@ -261,14 +266,13 @@ object Similarity {
 
   /** Strict-fold squared-L2 distance (PQ's metric), elements promoted to
     * double before the subtract; the square is an explicit multiply (pow()
-    * is not guaranteed bit-identical across engines, x*x is).
+    * is not guaranteed bit-identical across engines, x*x is). Native
+    * codegen'd [[graft.expressions.VecL2Sq]] — same fold, no boxed HOF.
     */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.VecL2Sq(Shim.expression(a), Shim.expression(b)))
+  }
 
   /** Explode vectors into `(id, sub, svec)` subvector rows — the framing
     * that lets ONE relational Lloyd train all `m` product-quantizer
@@ -554,8 +558,7 @@ object Similarity {
     val scale = math.sqrt(dOut.toDouble)
     array((0 until dOut).map { j =>
       val signs = array((0 until dIn).map(i => lit(sign(j, i))): _*)
-      aggregate(zip_with(vec, signs, (x, s) => x.cast("double") * s),
-        lit(0.0), (acc, v) => acc + v) / scale
+      dot(vec, signs) / scale
     }: _*)
   }
 }

@@ -36,14 +36,22 @@ class ConversionsSpec extends SparkSpec {
       ("   ", "UKJENT"),
       ("!!!", "UKJENT"),
       (null, "UKJENT"),
-      ("already_OK_123", "ALREADY_OK_123"))
+      ("already_OK_123", "ALREADY_OK_123"),
+      // Python str.split() splits on UNICODE whitespace: NBSP, NEL, figure
+      // space, narrow NBSP and LINE SEPARATOR are all word breaks upstream.
+      ("a b", "A_B"),
+      ("ab", "A_B"),
+      ("a b", "A_B"),
+      ("a b", "A_B"),
+      ("a b", "A_B"),
+      ("  ", "UKJENT"))
     val got = cases.map(_._1).toDF("s").select(Conversions.strCode(col("s"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
   }
 
   test("StrCode expression == builtin chain on adversarial random strings") {
     val rnd = new scala.util.Random(7)
-    val alphabet = "ab C_9.!-æøåÆØÅß \t\n  èÉ§" // ws runs, unicode, 1:N uppercase
+    val alphabet = "ab C_9.!-æøåÆØÅß \t\n  èÉ§\u00A0\u0085\u2007\u202F\u2028\u3000" // ws runs (incl. unicode ws), 1:N uppercase
     val inputs = Seq("", " ", "  \t ", null, "æ ø å", "__", "ß sharp") ++
       Seq.fill(300)(Seq.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString)
     val df = inputs.toDF("s")

@@ -116,6 +116,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("embedding near-dup pairs: oversized block raises loudly, not quadratically") {
+    val vecs = (0 until 10).map(i => (i.toLong, Array(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", "label", 0.9, maxBlock = 5).collect()
+    }
+    assert(e.getMessage.contains("maxBlock"))
+  }
+
+  test("banded embedding near-dup: candidates need a shared sign band; verify is exact") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -1.0f, -0.5f), 0),  // bands (2 dims each): ++ then --
+      (1L, Array(0.9f, 0.4f, 1.0f, 0.5f), 0),    // shares band 0 signs with 0 -> candidate
+      (2L, Array(-1.0f, 0.5f, 1.0f, -0.5f), 0),  // +-/-+ patterns: no shared band with 0 or 1
+      (3L, Array(0.89f, 0.41f, 0.99f, 0.51f), 0)) // near-dup of 1: candidate AND above threshold
+      .toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDupPairsBanded(
+      vecs, "vec_id", "embedding", "label", threshold = 0.99, dims = 4, bands = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (1,3) is the only candidate pair with cosine above 0.99; (0,1) is a
+    // candidate (band 0 shared) but fails the exact verify; (0,2)/(1,2)
+    // never become candidates.
+    assert(out == Set((1L, 3L)))
+  }
+
   test("multimodal stub decode agrees with the declarative twin") {
     val d = docs.withColumn("blob", col("text").cast("binary"))
     val viaMap = Multimodal.decodeStub(d, "doc_id", "blob").orderBy("doc_id").collect().toSeq

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** [[graft.expressions.VecDot]] / [[graft.expressions.VecL2Sq]] must be
+  * bit-identical to the interpreted `aggregate(zip_with(...))` composition
+  * they replaced — including the null contract (null array, null element,
+  * length mismatch) — because every similarity/dedup oracle was proven
+  * against that composition's fold order.
+  */
+class VecMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def hofL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("VecDot/VecL2Sq == HOF composition bit-for-bit on random float vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+      Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")), hofDot(col("a"), col("b")),
+      Similarity.l2sq(col("a"), col("b")), hofL2Sq(col("a"), col("b")))
+      .as[(Double, Double, Double, Double)].collect()
+    got.foreach { case (d1, d2, l1, l2) =>
+      assert(java.lang.Double.doubleToLongBits(d1) == java.lang.Double.doubleToLongBits(d2))
+      assert(java.lang.Double.doubleToLongBits(l1) == java.lang.Double.doubleToLongBits(l2))
+    }
+  }
+
+  test("VecDot: double arrays and mixed float/double promote identically") {
+    val df = Seq((Array(1.5f, -2.5f), Array(2.0, 3.0))).toDF("f", "d")
+    val got = df.select(
+      Similarity.dot(col("f"), col("d")),
+      Similarity.dot(col("d"), col("d")),
+      hofDot(col("f"), col("d"))).as[(Double, Double, Double)].head()
+    assert(got._1 == 1.5 * 2.0 + (-2.5) * 3.0)
+    assert(got._2 == 2.0 * 2.0 + 3.0 * 3.0)
+    assert(got._1 == got._3)
+  }
+
+  test("VecDot null contract: null array, null element, length mismatch -> null") {
+    val rows = Seq(
+      (Some(Seq(Some(1.0f), Some(2.0f))), None),                          // null array
+      (Some(Seq(Some(1.0f), None)), Some(Seq(Some(1.0f), Some(2.0f)))),   // null element
+      (Some(Seq(Some(1.0f))), Some(Seq(Some(1.0f), Some(2.0f)))))         // length mismatch
+      .toDF("a", "b")
+    val got = rows.select(Similarity.dot(col("a"), col("b")).as("d"),
+      hofDot(col("a"), col("b")).as("h"))
+      .as[(Option[Double], Option[Double])].collect()
+    got.foreach { case (d, h) => assert(d.isEmpty && h.isEmpty) }
+  }
+
+  test("VecDot survives both codegen and interpreted eval paths") {
+    // Interpreted path: filter on the expression forces eval() in places
+    // codegen can't reach (e.g. literal folding in the optimizer).
+    val df = Seq((Array(3.0f, 4.0f))).toDF("v")
+    val viaCodegen = df.select(Similarity.norm(col("v"))).as[Double].head()
+    assert(viaCodegen == 5.0)
+    val viaFilter = df.where(Similarity.norm(col("v")) > 4.9).count()
+    assert(viaFilter == 1L)
+  }
+}
