@@ -270,11 +270,24 @@ object QueriesExt {
     },
     mmMetaOracle))
 
+  /** REAL image decode round-trip: every doc gets a deterministic grayscale
+    * PNG (dims a pure function of doc_id) encoded through the real ImageIO
+    * PNG writer, then [[Multimodal.decodeImages]] must recover width/height/
+    * format by actually parsing the PNG header. The oracle knows only the
+    * dimension FORMULA, never the bytes — a decode that guesses, echoes
+    * input metadata, or misparses IHDR hash-mismatches.
+    */
   private val mmDecode: Q = "x_multimodal_decode" -> ((
     (s: SparkSession, dir: String) =>
-      Multimodal.decodeStub(docs(s, dir).withColumn("blob", col("text").cast("binary")),
-        "doc_id", "blob"),
-    mmMetaOracle))
+      Multimodal.decodeImages(
+          Multimodal.syntheticPngs(docs(s, dir), "doc_id"), "doc_id", "blob")
+        .select("doc_id", "width", "height", "format", "decoded"),
+    """SELECT doc_id,
+      |  (1 + doc_id % 37)::INT AS width,
+      |  (1 + doc_id % 23)::INT AS height,
+      |  'png' AS format,
+      |  true AS decoded
+      |FROM documents""".stripMargin))
 
   private val mmFrames: Q = "x_multimodal_frames" -> ((
     (s: SparkSession, dir: String) =>

@@ -10,17 +10,19 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata.
   *
-  * The actual media decode is STUBBED (this environment ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * md5 of the bytes, so the schema, partition-preserving `mapPartitions`
-  * execution path, and batch shape are real and testable, and a SQL oracle
-  * can replay the fake exactly. Swapping the stub body for a real JNI/lib
-  * decode changes nothing about the plan.
+  * IMAGE decode is REAL ([[decodeImages]] — `javax.imageio` header parse,
+  * in the JDK). Audio/video decode remains STUBBED (no codec libraries in
+  * this environment): `decodeStub` derives deterministic fake dimensions
+  * from the md5 of the bytes, so the schema, partition-preserving
+  * `mapPartitions` execution path, and batch shape are real and testable,
+  * and a SQL oracle can replay the fake exactly. Swapping the stub body for
+  * a real JNI/lib decode changes nothing about the plan — [[decodeImages]]
+  * is that swap, performed for images.
   *
-  * Scale notes: `decodeStub` is a narrow per-partition map (no shuffle, no
-  * driver collect); the blob column rides along only as far as the decode and
-  * is dropped immediately after, so downstream stages shuffle metadata, not
-  * media bytes.
+  * Scale notes: both decode paths are narrow per-partition maps (no
+  * shuffle, no driver collect); the blob column rides along only as far as
+  * the decode and is dropped immediately after, so downstream stages
+  * shuffle metadata, not media bytes.
   */
 object Multimodal {
 
@@ -75,6 +77,94 @@ object Multimodal {
       (lit(64) + hx(1, 2) % 192 * 4).as("width"),
       (lit(64) + hx(3, 2) % 192 * 4).as("height"),
       element_at(lit(formats), (hx(5, 2) % 3) + 1).as("format"))
+  }
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL image metadata decode via `javax.imageio` (ships in the JDK — no
+    * new dependency): width/height/format come from the image HEADER reader
+    * (`ImageReader.getWidth(0)` parses the PNG IHDR / JPEG SOF marker, it
+    * does NOT decompress pixels), so the per-row cost is a few hundred
+    * bytes of parsing regardless of image size — the right scale shape for
+    * a metadata pass over 100 TB of media. Bytes no installed reader
+    * recognizes degrade to `decoded = false` with null dimensions rather
+    * than failing the partition.
+    */
+  def decodeImageMeta(id: Long, blob: Array[Byte]): Row = {
+    val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Row(id, blob.length, sha, r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT), true)
+        } finally r.dispose()
+      } else Row(id, blob.length, sha, null, null, null, false)
+    } finally if (in != null) in.close()
+  }
+
+  /** [[decodeImageMeta]] over a frame: same partition-preserving
+    * `mapPartitions` shape as [[decodeStub]] (blob dropped right after the
+    * decode, so downstream shuffles carry metadata only).
+    */
+  def decodeImages(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // in-memory streams; no temp-file cache
+      rows.map(r => decodeImageMeta(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(RowEncoder.encoderFor(decodedSchema))
+  }
+
+  /** Deterministic grayscale PNG — FIXTURE encoder for gates/specs: real
+    * bytes through the real `ImageIO` PNG writer, dimensions and pixels a
+    * pure function of the arguments, so a decode gate can assert the
+    * round-trip (`decodeImages` must recover exactly these dimensions) with
+    * an oracle that knows only the dimension formula, never the bytes.
+    */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "png dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, (((seed + 31L * x + 17L * y) % 256L) + 256L) % 256L)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture frame: one synthetic PNG per input id with dimensions derived
+    * from the id (`width = 1 + id % 37`, `height = 1 + id % 23`) — executed
+    * distributed (mapPartitions; the encoder init amortizes per partition),
+    * never on the driver.
+    */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticPng(1 + (id % 37).toInt, 1 + (id % 23).toInt, id))
+      }
+    }(RowEncoder.encoderFor(schema))
   }
 
   /** Frame sampling over a "video" blob: every `step`-th frame index of

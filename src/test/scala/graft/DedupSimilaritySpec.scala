@@ -140,6 +140,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 3L)))
   }
 
+  test("real image decode: PNG round-trip recovers exact dims; garbage degrades cleanly") {
+    val pngs = Multimodal.syntheticPngs(Seq(5L, 40L, 100L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeImages(pngs, "doc_id", "blob")
+      .select("doc_id", "width", "height", "format", "decoded")
+      .as[(Long, Int, Int, String, Boolean)].collect().toSet
+    assert(got == Set(
+      (5L, 6, 6, "png", true),
+      (40L, 4, 18, "png", true),
+      (100L, 27, 9, "png", true)))
+    val junk = Seq((1L, "definitely not an image".getBytes("UTF-8"))).toDF("doc_id", "blob")
+    val j = Multimodal.decodeImages(junk, "doc_id", "blob")
+      .select("decoded", "width").as[(Boolean, Option[Int])].head()
+    assert(j == ((false, None)))
+  }
+
   test("multimodal stub decode agrees with the declarative twin") {
     val d = docs.withColumn("blob", col("text").cast("binary"))
     val viaMap = Multimodal.decodeStub(d, "doc_id", "blob").orderBy("doc_id").collect().toSeq
