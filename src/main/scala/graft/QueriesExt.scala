@@ -1106,7 +1106,10 @@ object QueriesExt {
     val tmpPath = java.nio.file.Files.createTempDirectory(s"graft-$prefix")
     val tmp = tmpPath.toString
     try {
-      topic.write.parquet(s"$tmp/topic")
+      // Stage the topic as 8 files: a compact single-file staging write
+      // would hand micro-batch ONE a single input split, serializing the
+      // pre-shuffle map work of every stateful plan behind one core.
+      topic.repartition(8).write.parquet(s"$tmp/topic")
       append.foreach(_.write.mode("append").parquet(s"$tmp/topic"))
       val mkStream = () => s.readStream.schema(topic.schema).parquet(s"$tmp/topic")
       val q = plan(mkStream).writeStream

@@ -82,12 +82,18 @@ object MessageSource {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     val tsMs = graft.functions.Conversions.nanosToEpochMs(col("ts"))
     var df = ev.select(
-      col("user_id").cast(StringType).cast(BinaryType).as("key"),
-      col("props").cast(BinaryType).as("value"),
-      lit(topic).as("topic"),
-      pmod(col("user_id"), lit(partitions)).cast(IntegerType).as("partition"),
-      col("event_id").cast(LongType).as("offset"),
-      tsMs.as("timestamp"))
+        col("user_id").cast(StringType).cast(BinaryType).as("key"),
+        col("props").cast(BinaryType).as("value"),
+        lit(topic).as("topic"),
+        pmod(col("user_id"), lit(partitions)).cast(IntegerType).as("partition"),
+        col("event_id").cast(LongType).as("offset"),
+        tsMs.as("timestamp"))
+      // One INPUT partition per topic partition — the shape the real Kafka
+      // source delivers (and the contract everything downstream assumes).
+      // Without this a compact parquet file arrives as ONE split and the
+      // whole envelope pipeline (sha256 + JSON re-serialization per row)
+      // runs single-task.
+      .repartition(partitions, col("partition"))
     startMs.foreach(s => df = df.filter(col("timestamp") >= s))
     endMs.foreach(e => df = df.filter(col("timestamp") < e))
     df
