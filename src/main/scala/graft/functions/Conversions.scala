@@ -114,23 +114,59 @@ object Conversions {
   def lenientDateOslo(c: Column, anchorUtc: Option[Column]): Column = {
     val s = trim(c)
     val relative = anchorUtc.map { a =>
-      val low = lower(s)
-      val agoPat = "^(\\d{1,6}) (second|minute|hour|day|week)s? ago$"
-      val inPat = "^in (\\d{1,6}) (second|minute|hour|day|week)s?$"
+      // "a week ago" / "in an hour": dateparser's freshness grammar maps
+      // the English articles to 1 — normalize before the numeric patterns.
+      val low = regexp_replace(
+        regexp_replace(lower(s), "^(a|an) ", "1 "), "^in (a|an) ", "in 1 ")
+      val agoPat = "^(\\d{1,6}) (second|minute|hour|day|week|month|year)s? ago$"
+      val inPat = "^in (\\d{1,6}) (second|minute|hour|day|week|month|year)s?$"
       def spanSeconds(nStr: Column, unit: Column): Column =
         nStr.cast("long") * when(unit === "second", 1L).when(unit === "minute", 60L)
           .when(unit === "hour", 3600L).when(unit === "day", 86400L)
           .when(unit === "week", 604800L)
       def shift(a0: Column, secs: Column): Column =
         a0 + make_dt_interval(lit(0), lit(0), lit(0), secs.cast("decimal(18,6)"))
+      // month/year units are CALENDAR arithmetic (dateparser uses
+      // relativedelta), not a fixed second span: "3 months ago" from
+      // May 31 is Feb 28/29, which no seconds multiplier reproduces.
+      def calShift(pat: String, sign: Int): Column = {
+        val n = regexp_extract(low, pat, 1).cast("int") * sign
+        val unit = regexp_extract(low, pat, 2)
+        val months = when(unit === "month", n).otherwise(n * 12)
+        // add_months drops the time-of-day; re-attach the anchor's clock
+        // (dateparser preserves it — relativedelta only moves the date).
+        to_timestamp(concat(
+          add_months(a.cast("date"), months).cast("string"), lit(" "),
+          date_format(a, "HH:mm:ss")))
+      }
+      val isCal = (pat: String) =>
+        regexp_extract(low, pat, 2) === "month" || regexp_extract(low, pat, 2) === "year"
+      // Month-day forms without a year ("June 15", "15 june"): dateparser
+      // fills the year from the relative base and the time with 00:00.
+      // (Bare weekday / "last tuesday" forms are deliberately NOT covered:
+      // dateparser's week-anchor choice there is settings-dependent and
+      // under-documented — a silently wrong date is worse than a NULL.)
+      val yr = date_format(a, "yyyy")
+      val mdPat = "^[a-z]{3,9} \\d{1,2}$"
+      val dmPat = "^\\d{1,2} [a-z]{3,9}$"
+      val monthDay = coalesce(
+        when(low.rlike(mdPat), coalesce(
+          try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy MMMM d")),
+          try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy MMM d")))),
+        when(low.rlike(dmPat), coalesce(
+          try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy d MMMM")),
+          try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy d MMM")))))
       coalesce(
         when(low === "now" || low === "today", a),
         when(low === "yesterday", shift(a, lit(-86400L))),
         when(low === "tomorrow", shift(a, lit(86400L))),
+        when(low.rlike(agoPat) && isCal(agoPat), calShift(agoPat, -1)),
+        when(low.rlike(inPat) && isCal(inPat), calShift(inPat, 1)),
         when(low.rlike(agoPat),
           shift(a, -spanSeconds(regexp_extract(low, agoPat, 1), regexp_extract(low, agoPat, 2)))),
         when(low.rlike(inPat),
-          shift(a, spanSeconds(regexp_extract(low, inPat, 1), regexp_extract(low, inPat, 2)))))
+          shift(a, spanSeconds(regexp_extract(low, inPat, 1), regexp_extract(low, inPat, 2)))),
+        monthDay)
     }
     // Norwegian month-name dates ("2. januar 2024", "15 mars 2023") —
     // dateparser's nb locale accepts these and the reference's domain is

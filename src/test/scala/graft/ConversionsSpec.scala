@@ -163,6 +163,40 @@ class ConversionsSpec extends SparkSpec {
     assert(noAnchor.head == null)
   }
 
+  test("lenientDateOslo: calendar-unit relatives, article forms, month-day without year") {
+    val anchor = java.sql.Timestamp.valueOf("2024-06-01 12:00:00") // UTC anchor
+    val got = Seq(
+      "3 months ago",   // calendar arithmetic: 2024-03-01 12:00 UTC
+      "in 2 months",    // 2024-08-01 12:00 UTC
+      "1 year ago",     // 2023-06-01 12:00 UTC
+      "a week ago",     // article -> 1: 2024-05-25 12:00 UTC
+      "in an hour",     // 2024-06-01 13:00 UTC
+      "June 15",        // year from anchor, time 00:00 UTC
+      "15 june",        // day-first, case-insensitive
+      "Dec 31",         // abbreviated month
+      "last tuesday")   // weekday anchoring is settings-dependent -> NULL by design
+      .toDF("s")
+      .select(date_format(
+        Conversions.lenientDateOslo(col("s"), Some(lit(anchor))), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq(
+      "2024-03-01 13:00:00", // CET +1
+      "2024-08-01 14:00:00", // CEST +2
+      "2023-06-01 14:00:00",
+      "2024-05-25 14:00:00",
+      "2024-06-01 15:00:00",
+      "2024-06-15 02:00:00",
+      "2024-06-15 02:00:00",
+      "2024-12-31 01:00:00",
+      null))
+    // month-end clamp: relativedelta semantics (May 31 - 3 months = Feb 29)
+    val clamp = Seq("3 months ago").toDF("s")
+      .select(date_format(Conversions.lenientDateOslo(col("s"),
+        Some(lit(java.sql.Timestamp.valueOf("2024-05-31 12:00:00")))), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].head()
+    assert(clamp == "2024-02-29 13:00:00")
+  }
+
   test("unix seconds/millis to Oslo wall clock across DST boundary") {
     // 2024-03-31 00:30Z is CET (+1); 01:30Z is after the 01:00Z spring jump (+2)
     val got = Seq(1711845000L, 1711848600L)
