@@ -1250,6 +1250,92 @@ object QueriesExt {
       |  FROM terms GROUP BY vec_id, j)
       |SELECT vec_id, j::INT AS dim_idx, p AS value FROM proj""".stripMargin))
 
+  /** int8 scalar-quantization gate: codes are integers (bit-exact across
+    * engines by the explicit floor(+0.5) formula), and the dequantization
+    * error contract rides as a boolean the oracle checks literally —
+    * scalar rows per (vec_id, dim_idx), the checker-safe shape.
+    */
+  private val embQuantize: Q = "x_emb_quantize" -> ((
+    (s: SparkSession, dir: String) => {
+      val q = Similarity.quantizeInt8(col("embedding"))
+      emb(s, dir)
+        .select(col("vec_id"), q.as("q"),
+          transform(col("embedding"), x => x.cast("double")).as("vd"))
+        .select(col("vec_id"), col("q"), col("vd"), posexplode(col("q.codes")))
+        .select(col("vec_id"), col("pos").as("dim_idx"), col("col").as("code"),
+          (abs(col("q.mn") + col("col").cast("double") * col("q.scale")
+            - element_at(col("vd"), col("pos") + 1)) <= col("q.scale") * 0.5000001)
+            .as("within_bound"))
+    },
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) vd FROM embeddings),
+      |p AS (SELECT vec_id, vd, list_min(vd) mn,
+      |        (list_max(vd) - list_min(vd)) / 255.0 AS scale FROM v),
+      |e AS (SELECT vec_id, mn, scale, vd, (i-1)::INT AS dim_idx,
+      |        (CASE WHEN scale = 0 THEN 0
+      |              ELSE floor((vd[i] - mn) / scale + 0.5) END)::INT AS code
+      |      FROM p, UNNEST(range(1, len(vd)+1)) t(i))
+      |SELECT vec_id, dim_idx, code,
+      |  abs(mn + code::DOUBLE * scale - vd[dim_idx+1]) <= scale * 0.5000001 AS within_bound
+      |FROM e""".stripMargin))
+
+  /** URL canonicalization gate: deterministic synthetic URLs from doc_id
+    * (mixed case, userinfo, default and explicit ports, fragments,
+    * two-level public suffixes, a non-URL row), host/registrable-domain/
+    * normalized-URL replayed step-for-step by the oracle's RE2 regexes.
+    */
+  private val urlOps: Q = {
+    val urlSql =
+      """CASE doc_id % 7
+        |  WHEN 0 THEN 'https://Example.COM/path/' || doc_id
+        |  WHEN 1 THEN 'http://sub.shop.co.uk:80/item?id=' || doc_id || '#frag'
+        |  WHEN 2 THEN 'https://cdn.example.com:443/assets/' || doc_id
+        |  WHEN 3 THEN 'http://user:pw@www.data.org:8080/x/' || doc_id
+        |  WHEN 4 THEN 'https://no-path.io'
+        |  WHEN 5 THEN 'ftp://files.example.net/pub/' || doc_id
+        |  ELSE 'not a url ' || doc_id END""".stripMargin
+    "x_url_ops" -> ((
+      (s: SparkSession, dir: String) => {
+        val url = when(col("doc_id") % 7 === 0, concat(lit("https://Example.COM/path/"), col("doc_id")))
+          .when(col("doc_id") % 7 === 1, concat(lit("http://sub.shop.co.uk:80/item?id="), col("doc_id"), lit("#frag")))
+          .when(col("doc_id") % 7 === 2, concat(lit("https://cdn.example.com:443/assets/"), col("doc_id")))
+          .when(col("doc_id") % 7 === 3, concat(lit("http://user:pw@www.data.org:8080/x/"), col("doc_id")))
+          .when(col("doc_id") % 7 === 4, lit("https://no-path.io"))
+          .when(col("doc_id") % 7 === 5, concat(lit("ftp://files.example.net/pub/"), col("doc_id")))
+          .otherwise(concat(lit("not a url "), col("doc_id")))
+        docs(s, dir).select(col("doc_id"),
+          graft.functions.UrlOps.urlHost(url).as("host"),
+          graft.functions.UrlOps.registrableDomain(graft.functions.UrlOps.urlHost(url)).as("domain"),
+          graft.functions.UrlOps.urlNormalize(url).as("norm_url"))
+      },
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         |h AS (SELECT doc_id, url,
+         |  nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)), '') AS host,
+         |  nullif(lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)), '') AS scheme,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)) AS hostport,
+         |  regexp_replace(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '#.*$$', '') AS rest
+         |  FROM u),
+         |d AS (SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS two,
+         |               regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three FROM h)
+         |SELECT doc_id, host,
+         |  CASE WHEN host IS NULL THEN NULL
+         |       WHEN two IN ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+         |                    'com.au','net.au','org.au','edu.au','gov.au',
+         |                    'co.nz','org.nz','net.nz','co.jp','or.jp','ne.jp','ac.jp','go.jp',
+         |                    'com.br','org.br','net.br','gov.br','com.cn','org.cn','net.cn','gov.cn',
+         |                    'co.in','org.in','net.in','gov.in','com.mx','org.mx','com.tr','org.tr',
+         |                    'com.sg','com.hk','co.za','org.za','co.kr','or.kr')
+         |            AND three <> '' THEN three
+         |       WHEN two <> '' THEN two ELSE host END AS domain,
+         |  CASE WHEN scheme IS NULL THEN NULL
+         |       ELSE scheme || '://' ||
+         |         (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |               ELSE hostport END) ||
+         |         (CASE WHEN rest = '' THEN '/' ELSE rest END)
+         |  END AS norm_url
+         |FROM d""".stripMargin))
+  }
+
   /** PMI collocation gate: top-30 adjacent word pairs by pointwise mutual
     * information (min pair count 5). The oracle rebuilds bigrams from
     * 1-based positions; pmi is rounded to 4 decimals on both sides (libm
@@ -1600,7 +1686,7 @@ object QueriesExt {
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
-    stDqChecks, eventsAnomaly, qualityBlend)
+    stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -68,6 +68,32 @@ object Similarity {
     transform(vec, x => x.cast("double") / nrm)
   }
 
+  /** Per-vector int8 SCALAR quantization — the storage-side companion of
+    * PQ (4× smaller than float32 with one affine map per vector; the
+    * standard first compression step before a trained codebook exists).
+    * Returns `struct(mn, scale, codes)` with `code = floor((x−mn)/scale
+    * + 0.5)` ∈ [0, 255] — floor(+0.5) instead of round() because
+    * half-even vs half-up rounding differs across engines and this exact
+    * formula is replayable anywhere. A constant vector (scale 0) encodes
+    * as all-zero codes.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val vd = transform(vec, x => x.cast("double"))
+    val mn = array_min(vd)
+    val scale = (array_max(vd) - mn) / lit(255.0)
+    struct(
+      mn.as("mn"),
+      scale.as("scale"),
+      transform(vd, x =>
+        when(scale === 0.0, lit(0L))
+          .otherwise(floor((x - mn) / scale + lit(0.5))).cast("int")).as("codes"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `mn + code·scale`, max error scale/2. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q.getField("codes"),
+      c => q.getField("mn") + c.cast("double") * q.getField("scale"))
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
     * to its nearest centroid (one broadcast pass — the "inverted lists");
     * each query probes only its `nProbe` closest cells and ranks candidates

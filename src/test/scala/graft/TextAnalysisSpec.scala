@@ -62,4 +62,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(2L)._4 == 1.0 - 2.0 / 3.0)
     assert(m(3L)._5 == 0.0)
   }
+
+  test("url ops: host, registrable domain, canonical url") {
+    import graft.functions.UrlOps
+    val cases = Seq(
+      // (url, host, domain, normalized)
+      ("https://Example.COM/path/x", "example.com", "example.com", "https://example.com/path/x"),
+      ("http://sub.shop.co.uk:80/item?id=1#frag", "sub.shop.co.uk", "shop.co.uk",
+        "http://sub.shop.co.uk/item?id=1"),
+      ("https://cdn.example.com:443/a", "cdn.example.com", "example.com", "https://cdn.example.com/a"),
+      ("http://user:pw@www.data.org:8080/x", "www.data.org", "data.org",
+        "http://www.data.org:8080/x"),   // non-default port kept, userinfo stripped
+      ("https://no-path.io", "no-path.io", "no-path.io", "https://no-path.io/"),
+      ("ftp://files.example.net/pub", "files.example.net", "example.net", "ftp://files.example.net/pub"),
+      ("localhost/nope", null, null, null),  // no scheme -> null
+      ("https://single", "single", "single", "https://single/"))
+      .toDF("url", "h", "d", "n")
+    val got = cases.select(
+      UrlOps.urlHost(col("url")).as("gh"),
+      UrlOps.registrableDomain(UrlOps.urlHost(col("url"))).as("gd"),
+      UrlOps.urlNormalize(col("url")).as("gn"),
+      col("h"), col("d"), col("n"))
+      .as[(String, String, String, String, String, String)].collect()
+    got.foreach { case (gh, gd, gn, h, d, n) =>
+      assert(gh == h, s"host: $gh != $h")
+      assert(gd == d, s"domain: $gd != $d")
+      assert(gn == n, s"norm: $gn != $n")
+    }
+  }
 }

@@ -62,6 +62,29 @@ class VecMathSpec extends SparkSpec {
     got.foreach { case (d, h) => assert(d.isEmpty && h.isEmpty) }
   }
 
+  test("int8 quantization: codes in range, roundtrip error within scale/2, constant-vector edge") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(100)(Array.fill(64)(rnd.nextFloat() * 4f - 2f)) :+ Array.fill(64)(1.25f)
+    val df = rows.toDF("v")
+    val checked = df
+      .select(Similarity.quantizeInt8(col("v")).as("q"),
+        transform(col("v"), x => x.cast("double")).as("vd"))
+      .select(
+        aggregate(col("q.codes"), lit(true), (acc, c) => acc && c >= 0 && c <= 255).as("in_range"),
+        aggregate(
+          zip_with(Similarity.dequantizeInt8(col("q")), col("vd"), (d, x) => abs(d - x)),
+          lit(0.0), (m, e) => greatest(m, e)).as("max_err"),
+        col("q.scale").as("scale"))
+      .as[(Boolean, Double, Double)].collect()
+    checked.foreach { case (inRange, maxErr, scale) =>
+      assert(inRange)
+      assert(maxErr <= scale * 0.5000001)
+    }
+    // constant vector: scale 0, all codes 0, exact roundtrip
+    val const = checked.last
+    assert(const._3 == 0.0 && const._2 == 0.0)
+  }
+
   test("VecDot survives both codegen and interpreted eval paths") {
     // Interpreted path: filter on the expression forces eval() in places
     // codegen can't reach (e.g. literal folding in the optimizer).
