@@ -119,6 +119,31 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"), count_if(col("df") === 1).as("novel"))
       println(s"[probe] novelty docs = ${nov.count()}")
     }
+    timed("embedding near-dup (banded)") {
+      // Replicated vectors: every replica of a vector collides in EVERY
+      // sign band, so candidate volume grows quadratically per bucket —
+      // the claim is that the (1, maxBucket] membership window and the
+      // count-first aggregation keep state flat while the exact verify
+      // touches only emitted candidates (never block²).
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val ne = e.count()
+      val bigE = (0 until factor).map { i =>
+        e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ union _)
+      val p = Dedup.embeddingNearDupPairsBanded(
+        bigE, "vec_id", "embedding", "label", threshold = 0.95, dims = 64)
+      println(s"[probe] banded near-dup pairs = ${p.count()}")
+      // Exact variant under the SAME replication: the maxBlock guard must
+      // fire loudly (blocks are factor× the base label size) rather than
+      // silently running the quadratic join.
+      val guard = scala.util.Try {
+        Dedup.embeddingNearDupPairs(bigE, "vec_id", "embedding", "label",
+          threshold = 0.95, maxBlock = (ne / 5).toInt).count()
+      }
+      println(s"[probe] exact-variant guard fired = ${guard.isFailure}")
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are

@@ -94,4 +94,15 @@ class VecMathSpec extends SparkSpec {
     val viaFilter = df.where(Similarity.norm(col("v")) > 4.9).count()
     assert(viaFilter == 1L)
   }
+
+  test("VecDot actually compiles into whole-stage codegen (no interpreted fallback)") {
+    // The entire point of the expression is escaping the interpreted HOF
+    // path — assert the generated Java calls the impl directly instead of
+    // trusting that doGenCode was reached.
+    val df = spark.range(4).selectExpr("array(cast(id as float), 1.0f) AS v")
+      .select(Similarity.dot(col("v"), col("v")).as("d"))
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.executedPlan)
+    assert(gen.contains("VecMathImpl.dot"), s"generated code missing direct impl call:\n$gen")
+  }
 }
