@@ -90,4 +90,21 @@ class SourcesSinksSpec extends SparkSpec {
       sink.existing(spark, Seq("k"))
     }
   }
+
+  test("S10 ConsoleSink renders rows to stdout; existing is None (no dedup source)") {
+    import graft.sinks.ConsoleSink
+    import spark.implicits._
+    val sink = new ConsoleSink(numRows = 5)
+    val df = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "name")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      sink.write(df)
+    }
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("alpha") && printed.contains("bravo") && printed.contains("id"))
+    assert(sink.existing(spark, Seq("id")).isEmpty)
+    // forTarget routing: the literal table name `console` selects this sink
+    val routed = graft.sinks.Sinks.forTarget(graft.config.TargetConfig(table = "console"))
+    assert(routed.isInstanceOf[ConsoleSink])
+  }
 }
