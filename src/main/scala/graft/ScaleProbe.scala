@@ -132,8 +132,14 @@ object ScaleProbe {
         e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"),
           col("embedding"), col("label"))
       }.reduce(_ union _)
+      // Band bits sized to the replicated density (see the operator's
+      // sizing rule): 8 bands × 8 bits keeps bucket occupancy in the tens
+      // where the gate's 16×4 default — tuned for the sf corpus — would
+      // pack ~400 vectors per bucket here and pay C(occupancy,2) in
+      // candidates. Replica copies are IDENTICAL vectors, so recall on
+      // true pairs is exact under any banding.
       val p = Dedup.embeddingNearDupPairsBanded(
-        bigE, "vec_id", "embedding", "label", threshold = 0.95, dims = 64)
+        bigE, "vec_id", "embedding", "label", threshold = 0.95, dims = 64, bands = 8)
       println(s"[probe] banded near-dup pairs = ${p.count()}")
       // Exact variant under the SAME replication: the maxBlock guard must
       // fire loudly (blocks are factor× the base label size) rather than

@@ -602,6 +602,14 @@ object Dedup {
     * one r-bit band with prob (1−θ/π)^r per band — near 1 for true
     * near-dups (θ→0), vanishing for weakly-similar pairs. Use the exact
     * variant when the threshold sits below ~0.8 and recall must be total.
+    *
+    * SIZING RULE (measured in ScaleProbe): r = dims/bands must grow with
+    * per-block density — candidate volume inside one bucket is
+    * C(occupancy, 2), and occupancy ≈ blockSize / 2^r. At 30× replication
+    * the probe's 4-bit bands (occupancy ~375) cost 8× the 10× wall clock;
+    * 8-bit bands (occupancy ~23) hold the same true-pair recall for
+    * near-identical vectors at a fraction of the candidate volume. Pick r
+    * ≈ log2(blockSize) − 4..5 so occupancy stays in the tens.
     */
   def embeddingNearDupPairsBanded(
       df: DataFrame,
