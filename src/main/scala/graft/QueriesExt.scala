@@ -1336,6 +1336,48 @@ object QueriesExt {
          |FROM d""".stripMargin))
   }
 
+  /** Incremental embedding near-dup gate: vectors with `vec_id % 5 == 0`
+    * play the new daily batch probing the persisted sign-band index of the
+    * rest; output = pairs with ≥1 new member, exact-cosine verified. The
+    * oracle replays bands + union-counted caps + the new-member filter +
+    * verify — old×old pairs are absent from BOTH engines by construction.
+    */
+  private val dedupEmbeddingIncr: Q = {
+    val bands = 16; val rows = 4
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rows)
+        .map(r => s"CASE WHEN embedding[${b * rows + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, label, $b AS band, ($bucket)::BIGINT AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+    val cosExpr = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a.embedding,$b.embedding)," +
+        s" x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/($a.nrm*$b.nrm)"
+    "x_dedup_embedding_incr" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val newBatch = e.where(col("vec_id") % 5 === 0)
+        val idx = Dedup.embeddingBands(e.where(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", "label", dims = 64, bands = bands)
+        Dedup.embeddingPairsIncremental(newBatch, idx, e, "vec_id", "embedding", "label",
+          threshold = 0.4, dims = 64, bands = bands)
+      },
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+         |       (a,b)->a+b)) nrm FROM embeddings),
+         |banded AS ($bandSelects),
+         |q AS (SELECT label, band, bucket FROM banded
+         |      GROUP BY 1,2,3 HAVING count(*) > 1 AND count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.label=b.label AND a.band=b.band AND a.bucket=b.bucket AND a.vec_id < b.vec_id
+         |  JOIN q ON q.label=a.label AND q.band=a.band AND q.bucket=a.bucket
+         |  WHERE a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+         |SELECT id_a, id_b, ${cosExpr("na", "nb")} AS cosine
+         |FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |WHERE ${cosExpr("na", "nb")} > 0.4""".stripMargin))
+  }
+
   /** PMI collocation gate: top-30 adjacent word pairs by pointwise mutual
     * information (min pair count 5). The oracle rebuilds bigrams from
     * 1-based positions; pmi is rounded to 4 decimals on both sides (libm
@@ -1686,7 +1728,7 @@ object QueriesExt {
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
-    stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps)
+    stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

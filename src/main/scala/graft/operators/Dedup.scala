@@ -611,6 +611,30 @@ object Dedup {
     * near-identical vectors at a fraction of the candidate volume. Pick r
     * ≈ log2(blockSize) − 4..5 so occupancy stays in the tens.
     */
+  /** The sign-band table `(block, id, band, bucket)` — the PERSISTABLE
+    * embedding-dedup index (the [[minHashBands]] analogue): write it out
+    * bucketed by `(band, bucket)` and later increments probe it without
+    * re-banding the historical corpus ([[embeddingPairsIncremental]]).
+    */
+  def embeddingBands(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      dims: Int,
+      bands: Int = 16): DataFrame = {
+    require(bands > 0 && dims % bands == 0, "dims must divide into bands evenly")
+    val rows = dims / bands
+    val bandStructs = array((0 until bands).map { b =>
+      val bucket = (0 until rows).map { r =>
+        when(element_at(col(vecCol), b * rows + r + 1) > lit(0.0), lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }: _*)
+    df.select(col(blockCol).as("block"), col(idCol).as("id"), explode(bandStructs).as("bb"))
+      .select(col("block"), col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def embeddingNearDupPairsBanded(
       df: DataFrame,
       idCol: String,
@@ -620,18 +644,9 @@ object Dedup {
       dims: Int,
       bands: Int = 16,
       maxBucket: Int = 1000): DataFrame = {
-    require(bands > 0 && dims % bands == 0, "dims must divide into bands evenly")
-    val rows = dims / bands
     val n = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
-    val bandStructs = array((0 until bands).map { b =>
-      val bucket = (0 until rows).map { r =>
-        when(element_at(col("v"), b * rows + r + 1) > lit(0.0), lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }: _*)
-    val banded = n.select(col("block"), col("id"), explode(bandStructs).as("bb"))
-      .select(col("block"), col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = embeddingBands(df, idCol, vecCol, blockCol, dims, bands)
     val keys = Seq("block", "band", "bucket")
     val qualifying = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_n"))
@@ -646,6 +661,59 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // Exact verify: only candidates pay the cosine; ids are unique across
     // blocks so the vector lookup joins on id alone.
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(n.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .where(col("cosine") > threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Incremental embedding near-dup: a NEW vector batch probes a persisted
+    * sign-band index ([[embeddingBands]] output read back from storage) —
+    * the daily-increment shape, mirroring [[lshPairsIncremental]] exactly:
+    * candidates need ≥1 new-batch member (new×old and new×new; the
+    * historical old×old cross product is never generated), bucket caps
+    * count over the UNION (separate aggregates merged full-outer so a
+    * `(band, bucket)`-bucketed index contributes no new exchange), and
+    * only candidates pay the exact cosine verify. `corpus` supplies the
+    * raw vectors for verification (id → vector lookup; at scale a keyed
+    * join against the vector table — the index itself stays vector-free).
+    */
+  def embeddingPairsIncremental(
+      newVecs: DataFrame,
+      indexBands: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+      dims: Int,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val keys = Seq("block", "band", "bucket")
+    val nb = embeddingBands(newVecs, idCol, vecCol, blockCol, dims, bands)
+      .localCheckpoint(true) // consumed by count, index probe and self probe
+    val idx = indexBands.select(col("id"), col("block"), col("band"), col("bucket"))
+    val nCounts = nb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_nn"))
+    val iCounts = idx.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_ni"))
+    val qualifying = iCounts.join(nCounts, keys, "full_outer")
+      .select(col("block"), col("band"), col("bucket"),
+        (coalesce(col("_nn"), lit(0L)) + coalesce(col("_ni"), lit(0L))).as("_n"))
+      .where(col("_n") > 1 && col("_n") <= maxBucket)
+      .select(keys.map(col): _*)
+    val probe = nb.select(col("id").as("_nid"), col("block"), col("band"), col("bucket"))
+      .join(qualifying, keys)
+    val vsIndex = probe.join(idx.select(col("id").as("_mid"), col("block"), col("band"), col("bucket")), keys)
+      .where(col("_nid") =!= col("_mid"))
+    val vsNew = probe.join(nb.select(col("id").as("_mid"), col("block"), col("band"), col("bucket")), keys)
+      .where(col("_nid") < col("_mid"))
+    val cand = vsIndex.unionByName(vsNew)
+      .select(least(col("_nid"), col("_mid")).as("id_a"),
+        greatest(col("_nid"), col("_mid")).as("id_b"))
+      .distinct()
+    val n = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
     cand
       .join(n.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(n.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))

@@ -140,6 +140,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Set((1L, 3L)))
   }
 
+  test("incremental embedding near-dup converges to the batch answer") {
+    // banded(all) must equal banded(old) ∪ incremental(new vs index(old)):
+    // the incremental run contributes exactly the ≥1-new-member pairs and
+    // never regenerates old×old (caps non-binding at this size, so the
+    // union-counted qualifying set matches the batch run's).
+    val rnd = new scala.util.Random(31)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2f - 1f)
+    }
+    // planted near-dup pairs across the old/new boundary and inside each
+    val rows = (0L until 40L).map { i =>
+      val base = vec((i % 7).toInt) // 7 base directions -> plenty of near-dups
+      val jit = base.map(x => x + rnd.nextFloat() * 0.01f)
+      (i, jit, (i % 2).toInt)
+    }
+    val all = rows.toDF("vec_id", "embedding", "label")
+    val old = all.where(col("vec_id") % 5 =!= 0)
+    val nw = all.where(col("vec_id") % 5 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = key(Dedup.embeddingNearDupPairsBanded(all, "vec_id", "embedding", "label",
+      threshold = 0.9, dims = 8, bands = 2))
+    val oldOnly = key(Dedup.embeddingNearDupPairsBanded(old, "vec_id", "embedding", "label",
+      threshold = 0.9, dims = 8, bands = 2))
+    val idx = Dedup.embeddingBands(old, "vec_id", "embedding", "label", dims = 8, bands = 2)
+    val incr = key(Dedup.embeddingPairsIncremental(nw, idx, all, "vec_id", "embedding", "label",
+      threshold = 0.9, dims = 8, bands = 2))
+    assert(incr.nonEmpty && oldOnly.nonEmpty, "fixture must exercise both sides")
+    assert(incr.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 }, "old×old leaked into incremental")
+    assert((oldOnly ++ incr) == full)
+  }
+
   test("real image decode: PNG round-trip recovers exact dims; garbage degrades cleanly") {
     val pngs = Multimodal.syntheticPngs(Seq(5L, 40L, 100L).toDF("doc_id"), "doc_id")
     val got = Multimodal.decodeImages(pngs, "doc_id", "blob")
