@@ -1728,7 +1728,8 @@ object QueriesExt {
     scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
-    stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr)
+    stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
+    textBpeLearn)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1846,6 +1847,42 @@ object QueriesExt {
          |  list_reduce(list_prepend(0, list_transform(string_split(trim(text),' '),
          |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b) AS n_bpe
          |FROM documents""".stripMargin))
+  }
+
+  /** BPE merge-LEARNING gate: 4 greedy rounds over the corpus word-
+    * frequency table. The oracle unrolls the identical algorithm — pair
+    * counts weighted by word frequency, (cnt DESC, pair ASC) argmax,
+    * boundary-safe double-replace application — one CTE pair per round,
+    * the same unrolling discipline as the Lloyd trainers. Integer counts
+    * and ASCII-bytewise tie-breaks leave nothing engine-specific.
+    */
+  private lazy val textBpeLearn: Q = {
+    val k = 4
+    val ctes = new StringBuilder
+    ctes.append(
+      """w AS (SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(string_split(trim(text),' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |s0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym, c FROM w)""".stripMargin)
+    (0 until k).foreach { i =>
+      ctes.append(s""",
+        |p$i AS (SELECT ws[j]||' '||ws[j+1] AS pair, sum(c)::BIGINT AS cnt
+        |  FROM (SELECT string_split(trim(sym),' ') AS ws, c FROM s$i),
+        |       UNNEST(range(1, len(ws))) t(j)
+        |  GROUP BY 1),
+        |m$i AS (SELECT $i::INT AS rank, pair, replace(pair,' ','') AS merged, cnt
+        |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin)
+      if (i < k - 1) ctes.append(s""",
+        |s${i + 1} AS (SELECT replace(replace(sym,
+        |    ' '||(SELECT pair FROM m$i)||' ', ' '||(SELECT merged FROM m$i)||' '),
+        |    ' '||(SELECT pair FROM m$i)||' ', ' '||(SELECT merged FROM m$i)||' ') AS sym, c
+        |  FROM s$i)""".stripMargin)
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    "x_text_bpe_learn" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.BpeTrain.learnMerges(docs(s, dir), "text", numMerges = k),
+      s"WITH ${ctes.toString}\nSELECT rank, pair, merged, cnt FROM ($union)"))
   }
 
   /** STREAMING data-quality contract gate: the dq expectation engine runs

@@ -63,6 +63,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(3L)._5 == 0.0)
   }
 
+  test("BPE learning: greedy merges with deterministic tie-breaks, hand-checked") {
+    import graft.operators.BpeTrain
+    // the×3, cat×1. Round 0: (t h)=3 ties (h e)=3 -> 'h e' wins (pair asc).
+    // Round 1: (t he)=3. Round 2: (c a)=1 ties (a t)=1 -> 'a t'. Round 3: (c at)=1.
+    val d = Seq("the the the cat").toDF("text")
+    val got = BpeTrain.learnMerges(d, "text", numMerges = 4)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, "h e", "he", 3L),
+      (1, "t he", "the", 3L),
+      (2, "a t", "at", 1L),
+      (3, "c at", "cat", 1L)))
+    // vocab runs dry: every word fully merged -> fewer rows than requested
+    val dry = BpeTrain.learnMerges(Seq("aa aa").toDF("text"), "text", numMerges = 5)
+    assert(dry.count() == 1) // only (a a) -> aa is learnable
+    // learned rules feed the application path unchanged
+    val merges = got.map(r => r._2 -> r._3)
+    val nTok = d.select(graft.functions.TextAnalysis.bpeTokenCount(col("text"), merges))
+      .as[Int].head()
+    assert(nTok == 4) // 'the' x3 + 'cat' all single tokens after the 4 rules
+  }
+
   test("url ops: host, registrable domain, canonical url") {
     import graft.functions.UrlOps
     val cases = Seq(
