@@ -62,11 +62,20 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Bind `v` once as a lambda variable for `body` — the let-binding trick
+    * over a 1-element array transform. HOF lambdas are interpreted with NO
+    * common-subexpression elimination, so any outer Column referenced
+    * inside a per-element lambda re-evaluates PER ELEMENT; an O(dims)
+    * reduction used inside an O(dims) transform silently becomes O(dims²)
+    * per row. Lambda-variable reads are cheap, so routing the value
+    * through `transform(array(v), bound => …)[1]` restores O(dims).
+    */
+  private def letBound(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), bound => body(bound)), 1)
+
   /** L2-normalize an embedding column (elements promoted to double). */
-  def normalize(vec: Column): Column = {
-    val nrm = norm(vec)
-    transform(vec, x => x.cast("double") / nrm)
-  }
+  def normalize(vec: Column): Column =
+    letBound(norm(vec)) { nrm => transform(vec, x => x.cast("double") / nrm) }
 
   /** Per-vector int8 SCALAR quantization — the storage-side companion of
     * PQ (4× smaller than float32 with one affine map per vector; the
@@ -81,12 +90,18 @@ object Similarity {
     val vd = transform(vec, x => x.cast("double"))
     val mn = array_min(vd)
     val scale = (array_max(vd) - mn) / lit(255.0)
-    struct(
-      mn.as("mn"),
-      scale.as("scale"),
-      transform(vd, x =>
-        when(scale === 0.0, lit(0L))
-          .otherwise(floor((x - mn) / scale + lit(0.5))).cast("int")).as("codes"))
+    // mn/scale are let-bound: inlined into the per-element lambda they
+    // would re-run the array_min/array_max reductions per ELEMENT (O(dims²)
+    // per vector — measured 3.7 s on the sf0.1 gate vs ~1 s bound).
+    letBound(struct(mn.as("mn"), scale.as("scale"))) { ms =>
+      val (m, s) = (ms.getField("mn"), ms.getField("scale"))
+      struct(
+        m.as("mn"),
+        s.as("scale"),
+        transform(vd, x =>
+          when(s === 0.0, lit(0L))
+            .otherwise(floor((x - m) / s + lit(0.5))).cast("int")).as("codes"))
+    }
   }
 
   /** Inverse of [[quantizeInt8]]: `mn + code·scale`, max error scale/2. */
