@@ -1290,7 +1290,7 @@ object QueriesExt {
         |  WHEN 1 THEN 'http://sub.shop.co.uk:80/item?id=' || doc_id || '#frag'
         |  WHEN 2 THEN 'https://cdn.example.com:443/assets/' || doc_id
         |  WHEN 3 THEN 'http://user:pw@www.data.org:8080/x/' || doc_id
-        |  WHEN 4 THEN 'https://no-path.io'
+        |  WHEN 4 THEN 'https://no-path.io?q=' || doc_id
         |  WHEN 5 THEN 'ftp://files.example.net/pub/' || doc_id
         |  ELSE 'not a url ' || doc_id END""".stripMargin
     "x_url_ops" -> ((
@@ -1299,7 +1299,7 @@ object QueriesExt {
           .when(col("doc_id") % 7 === 1, concat(lit("http://sub.shop.co.uk:80/item?id="), col("doc_id"), lit("#frag")))
           .when(col("doc_id") % 7 === 2, concat(lit("https://cdn.example.com:443/assets/"), col("doc_id")))
           .when(col("doc_id") % 7 === 3, concat(lit("http://user:pw@www.data.org:8080/x/"), col("doc_id")))
-          .when(col("doc_id") % 7 === 4, lit("https://no-path.io"))
+          .when(col("doc_id") % 7 === 4, concat(lit("https://no-path.io?q="), col("doc_id")))
           .when(col("doc_id") % 7 === 5, concat(lit("ftp://files.example.net/pub/"), col("doc_id")))
           .otherwise(concat(lit("not a url "), col("doc_id")))
         docs(s, dir).select(col("doc_id"),
@@ -1331,7 +1331,8 @@ object QueriesExt {
          |         (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
          |               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
          |               ELSE hostport END) ||
-         |         (CASE WHEN rest = '' THEN '/' ELSE rest END)
+         |         (CASE WHEN rest = '' THEN '/'
+         |               WHEN rest LIKE '?%' THEN '/' || rest ELSE rest END)
          |  END AS norm_url
          |FROM d""".stripMargin))
   }
@@ -1832,10 +1833,12 @@ object QueriesExt {
   private lazy val textBpe: Q = {
     val merges = Seq("t h" -> "th", "i n" -> "in", "a n" -> "an", "e r" -> "er",
       "o n" -> "on", "th e" -> "the", "a t" -> "at", "o r" -> "or")
-    // Space-delimited pair patterns, each applied twice — see
-    // TextAnalysis.bpeTokenCount for the boundary/odd-pair rationale.
+    // Space-DOUBLING replace per rule (exact greedy left-to-right merge) —
+    // see TextAnalysis.bpeTokenCount for the boundary/odd-run rationale.
     val perWord = merges.foldLeft("""' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") {
-      case (acc, (a, b)) => s"replace(replace($acc, ' $a ', ' $b '), ' $a ', ' $b ')"
+      case (acc, (a, b)) =>
+        val a2 = a.replace(" ", "  ")
+        s"replace(replace(replace($acc, ' ', '  '), ' $a2 ', ' $b '), '  ', ' ')"
     }
     "x_text_bpe" -> ((
       (s: SparkSession, dir: String) =>
@@ -1852,7 +1855,7 @@ object QueriesExt {
   /** BPE merge-LEARNING gate: 4 greedy rounds over the corpus word-
     * frequency table. The oracle unrolls the identical algorithm — pair
     * counts weighted by word frequency, (cnt DESC, pair ASC) argmax,
-    * boundary-safe double-replace application — one CTE pair per round,
+    * space-doubling greedy merge application — one CTE pair per round,
     * the same unrolling discipline as the Lloyd trainers. Integer counts
     * and ASCII-bytewise tie-breaks leave nothing engine-specific.
     */
@@ -1873,9 +1876,10 @@ object QueriesExt {
         |m$i AS (SELECT $i::INT AS rank, pair, replace(pair,' ','') AS merged, cnt
         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin)
       if (i < k - 1) ctes.append(s""",
-        |s${i + 1} AS (SELECT replace(replace(sym,
-        |    ' '||(SELECT pair FROM m$i)||' ', ' '||(SELECT merged FROM m$i)||' '),
-        |    ' '||(SELECT pair FROM m$i)||' ', ' '||(SELECT merged FROM m$i)||' ') AS sym, c
+        |s${i + 1} AS (SELECT replace(replace(replace(sym, ' ', '  '),
+        |    ' '||replace((SELECT pair FROM m$i), ' ', '  ')||' ',
+        |    ' '||(SELECT merged FROM m$i)||' '),
+        |    '  ', ' ') AS sym, c
         |  FROM s$i)""".stripMargin)
     }
     val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")

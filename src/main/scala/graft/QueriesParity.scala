@@ -314,10 +314,16 @@ object QueriesParity {
       val p = s.read.parquet(s"$dir/part.parquet")
       val inp = when(col("p_partkey") % 97 === 0, lit(null).cast(StringType))
         .when(col("p_partkey") % 101 === 0, lit("  "))
+        // NBSP + narrow-NBSP: Python str.split() treats these as
+        // whitespace (collapse to '_'), Java \s does not — the Unicode
+        // class must agree on BOTH engines or A B reads AB vs A_B.
+        .when(col("p_partkey") % 103 === 0,
+          concat(col("p_name"), lit("\u00A0nb\u202Fsp æøå")))
         .otherwise(concat(col("p_name"), lit(" æøå-x")))
       p.select(col("p_partkey"), Conversions.strCode(inp).as("code"))
-    },
-    """SELECT p_partkey,
+    }, {
+    val ws = Conversions.pyWsSql
+    s"""SELECT p_partkey,
       |  CASE WHEN p_partkey % 97 = 0 THEN 'UKJENT' ELSE
       |    coalesce(nullif(
       |      regexp_replace(
@@ -326,15 +332,17 @@ object QueriesParity {
       |            regexp_replace(
       |              upper(regexp_replace(regexp_replace(
       |                CASE WHEN p_partkey % 101 = 0 THEN '  '
+      |                     WHEN p_partkey % 103 = 0
+      |                       THEN p_name || ' nb sp æøå'
       |                     ELSE p_name || ' æøå-x' END,
-      |                '^\s+|\s+$', '', 'g'), '\s+', '_', 'g')),
+      |                '^$ws+|$ws+$$', '', 'g'), '$ws+', '_', 'g')),
       |              'Æ', 'A', 'g'),
       |            'Ø', 'O', 'g'),
       |          'Å', 'AA', 'g'),
       |        '[^0-9A-Z_]', '', 'g'),
       |      ''), 'UKJENT')
       |  END AS code
-      |FROM part""".stripMargin))
+      |FROM part""".stripMargin }))
 
   // ---------------------------------------------------------------- T7
   private val t7DatetimeNo: Q = "t7_datetime_no" -> ((

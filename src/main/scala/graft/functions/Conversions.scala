@@ -78,6 +78,15 @@ object Conversions {
   private val pyWs =
     "[\\s\\u001C-\\u001F\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
 
+  /** The SAME character class in RE2 syntax (`\x{…}` escapes — RE2 has no
+    * `￿` form) for DuckDB oracle regexes: an oracle that collapses on
+    * ASCII `\s` while Spark collapses on the Python class would turn
+    * `A<NBSP>B` into `AB` vs Spark's `A_B` and hash-mismatch.
+    */
+  val pyWsSql: String =
+    "[\\s\\x{001C}-\\x{001F}\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+
   /** The 6-step builtin chain with identical semantics (reference spec). */
   def strCodeBuiltins(c: Column): Column = {
     val collapsed =
@@ -134,10 +143,12 @@ object Conversions {
         val unit = regexp_extract(low, pat, 2)
         val months = when(unit === "month", n).otherwise(n * 12)
         // add_months drops the time-of-day; re-attach the anchor's clock
-        // (dateparser preserves it — relativedelta only moves the date).
+        // INCLUDING fractional seconds (dateparser's relativedelta keeps
+        // microseconds — the seconds-based shift branches do too, so the
+        // two relative-unit families must agree on sub-second precision).
         to_timestamp(concat(
           add_months(a.cast("date"), months).cast("string"), lit(" "),
-          date_format(a, "HH:mm:ss")))
+          date_format(a, "HH:mm:ss.SSSSSS")))
       }
       val isCal = (pat: String) =>
         regexp_extract(low, pat, 2) === "month" || regexp_extract(low, pat, 2) === "year"

@@ -136,12 +136,14 @@ object TextAnalysis {
     * a rule can only fuse two whole adjacent tokens, never a token prefix
     * across a boundary (`th`+`e` must not fire inside `th er`). Later
     * rules see earlier rules' output, so `t h → th` then `th e → the`
-    * composes. Each rule runs twice: left-to-right non-overlapping
-    * replacement consumes the shared delimiter between back-to-back pair
-    * occurrences, and the second pass picks up the stranded odd pair.
-    * (Documented variant: a ≥3-repeat chain of the SAME pair keeps one
-    * unmerged middle token vs reference BPE's per-pass global merge —
-    * deterministic, boundary-correct, engine-reproducible.)
+    * composes. Each rule applies with EXACT greedy left-to-right BPE
+    * semantics via the space-DOUBLING trick: doubling every delimiter
+    * gives each potential match its own boundary spaces, so one
+    * non-overlapping replace pass merges `a a a a a → aa aa a` exactly
+    * like reference BPE (a naive replace would strand the middle token:
+    * the shared delimiter gets consumed by the previous match). The
+    * doubled form is an invariant — each replacement re-contributes one
+    * space per side — so a final `"  " → " "` restores single spacing.
     *
     * The tokenizer-budget question — "how many BPE tokens is this corpus"
     * — answered as a pure per-row Column expression: no UDF, no vocabulary
@@ -156,8 +158,9 @@ object TextAnalysis {
     val delimited = (w: Column) => concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
     val applied = (w: Column) =>
       merges.foldLeft(delimited(w)) { case (acc, (a, b)) =>
-        val (p, r) = (s" $a ", s" $b ")
-        regexp_replace(regexp_replace(acc, p, r), p, r)
+        val p2 = " " + a.replace(" ", "  ") + " " // pair in doubled-space form
+        replace(replace(replace(acc, lit(" "), lit("  ")), lit(p2), lit(s" $b ")),
+          lit("  "), lit(" "))
       }
     aggregate(
       transform(tokens(text), w => size(split(trim(applied(w)), " "))),

@@ -80,7 +80,11 @@ object UrlOps {
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
     val rest = regexp_replace(regexp_replace(c, s"$schemePrefix[^/?#]*", ""), "#.*$", "")
-    val path = when(rest === "", lit("/")).otherwise(rest)
+    // Path-less means no '/' BEFORE the query too: `http://h?q=1` and
+    // `http://h/?q=1` are the same resource and must canonicalize alike.
+    val path = when(rest === "", lit("/"))
+      .when(rest.startsWith("?"), concat(lit("/"), rest))
+      .otherwise(rest)
     when(scheme.isNull, lit(null))
       .otherwise(concat(scheme, lit("://"), noDefault, path))
   }

@@ -18,14 +18,15 @@ import graft.functions.TextAnalysis
   * (counts over the frequency dict, not the raw text). Per round: one
   * pair-count aggregation over the vocab (weighted by word frequency), a
   * deterministic argmax (count desc, pair asc — ties cannot flip between
-  * engines), and a literal two-pass replace that applies the merge to the
-  * vocab streams. The `limit(1).collect()` per round is O(1) driver rows
+  * engines), and a literal replace that applies the merge to the vocab
+  * streams. The `limit(1).collect()` per round is O(1) driver rows
   * by construction; `localCheckpoint` truncates the per-round lineage
   * exactly like the Lloyd trainers.
   *
-  * Merge application uses the same boundary-safe space-delimited
-  * double-replace discipline as [[TextAnalysis.bpeTokenCount]], so learned
-  * rules feed the application path unchanged.
+  * Merge application uses the same boundary-safe space-DOUBLING replace
+  * as [[TextAnalysis.bpeTokenCount]] — exact greedy left-to-right BPE
+  * semantics (`a a a a a → aa aa a`, matching reference trainers on odd
+  * runs) — so learned rules feed the application path unchanged.
   */
 object BpeTrain {
 
@@ -49,9 +50,13 @@ object BpeTrain {
     var dry = false
     while (k < numMerges && !dry) {
       val ws = split(trim(col("sym")), " ")
-      val bigrams = transform(
-        slice(ws, lit(1), size(ws) - 1),
-        (w, i) => concat(w, lit(" "), element_at(ws, i + 2)))
+      // zip_with of the two shifted slices: the lambda touches ONLY its
+      // arguments, so the split evaluates once per row — an element_at(ws,…)
+      // inside the lambda would re-run the split per element (the
+      // interpreted-HOF O(n²) trap; HOF lambdas get no CSE).
+      val bigrams = zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(" "), b))
       val top = cur
         .where(size(ws) > 1)
         .select(explode(bigrams).as("pair"), col("c"))
@@ -63,9 +68,10 @@ object BpeTrain {
         val pair = top(0).getString(0)
         val merged = pair.replace(" ", "")
         learned += ((k, pair, merged, top(0).getLong(1)))
-        val (p, r) = (s" $pair ", s" $merged ")
+        val p2 = " " + pair.replace(" ", "  ") + " " // pair in doubled-space form
         cur = cur
-          .select(replace(replace(col("sym"), lit(p), lit(r)), lit(p), lit(r)).as("sym"), col("c"))
+          .select(replace(replace(replace(col("sym"), lit(" "), lit("  ")),
+            lit(p2), lit(s" $merged ")), lit("  "), lit(" ")).as("sym"), col("c"))
           .localCheckpoint(true)
         k += 1
       }

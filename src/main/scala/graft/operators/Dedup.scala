@@ -566,18 +566,24 @@ object Dedup {
     val n = df.select(col(blockCol).as("block"), col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     // Membership count first (one tiny partial-agg pass, Long state per
-    // block); the guard column rides the broadcast join and the filter
-    // keeps it in the executed plan so column pruning can't drop the error.
-    val guard = n.groupBy(col("block")).agg(count(lit(1)).as("_bn"))
+    // block), then broadcast ONLY the oversized blocks: at most
+    // totalRows/maxBlock rows, and empty on every healthy run — never a
+    // row-per-distinct-block build that would OOM the driver when blockCol
+    // is high-cardinality (LSH buckets, shards). A left join against it
+    // raises in the executed plan on any match, and the trailing filter
+    // keeps the error column alive so pruning can't drop it.
+    val over = n.groupBy(col("block")).agg(count(lit(1)).as("_bn"))
+      .where(col("_bn") > maxBlock)
+    val a = n.join(broadcast(over), Seq("block"), "left")
       .select(col("block"),
-        when(col("_bn") > maxBlock, raise_error(concat(
+        when(col("_bn").isNotNull, raise_error(concat(
           lit(s"embeddingNearDupPairs: block "), col("block").cast("string"),
           lit(" has "), col("_bn").cast("string"),
           lit(s" rows > maxBlock=$maxBlock — refusing O(block²) pair generation;" +
             " pre-shard the block or use embeddingNearDupPairsBanded"))))
-          .otherwise(lit(1)).as("_ok"))
-    val a = n.join(broadcast(guard), Seq("block")).where(col("_ok") === 1)
-      .select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+          .otherwise(lit(1)).as("_ok"),
+        col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      .where(col("_ok") === 1).drop("_ok")
     val b = n.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))

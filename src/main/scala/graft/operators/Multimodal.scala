@@ -94,8 +94,10 @@ object Multimodal {
     * does NOT decompress pixels), so the per-row cost is a few hundred
     * bytes of parsing regardless of image size — the right scale shape for
     * a metadata pass over 100 TB of media. Bytes no installed reader
-    * recognizes degrade to `decoded = false` with null dimensions rather
-    * than failing the partition.
+    * recognizes — AND bytes a reader claims but chokes on (valid magic,
+    * truncated/garbled header: inevitable in a crawl corpus) — degrade to
+    * `decoded = false` with null dimensions rather than failing the
+    * partition: one corrupt blob must never kill a 100 TB metadata pass.
     */
   def decodeImageMeta(id: Long, blob: Array[Byte]): Row = {
     val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
@@ -108,6 +110,9 @@ object Multimodal {
           r.setInput(in)
           Row(id, blob.length, sha, r.getWidth(0), r.getHeight(0),
             r.getFormatName.toLowerCase(java.util.Locale.ROOT), true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(id, blob.length, sha, null, null, null, false)
         } finally r.dispose()
       } else Row(id, blob.length, sha, null, null, null, false)
     } finally if (in != null) in.close()

@@ -88,12 +88,19 @@ object MessageSource {
         pmod(col("user_id"), lit(partitions)).cast(IntegerType).as("partition"),
         col("event_id").cast(LongType).as("offset"),
         tsMs.as("timestamp"))
-      // One INPUT partition per topic partition — the shape the real Kafka
-      // source delivers (and the contract everything downstream assumes).
-      // Without this a compact parquet file arrives as ONE split and the
-      // whole envelope pipeline (sha256 + JSON re-serialization per row)
-      // runs single-task.
-      .repartition(partitions, col("partition"))
+      // Spread rows over `partitions` splits for the envelope pipeline —
+      // without this a compact parquet file arrives as ONE split and the
+      // whole pipeline (sha256 + JSON re-serialization per row) runs
+      // single-task. Hashing by (partition, offset) fills ALL splits
+      // uniformly; hashing by `partition` alone would collide the
+      // 0..partitions-1 values into a subset of buckets (murmur3 of small
+      // ints is not a bijection mod n) and idle the rest. NOTE this file
+      // adapter does NOT reproduce Kafka's one-split-per-topic-partition
+      // layout or per-partition offset order — no operator in this engine
+      // depends on either (watermarks are MAX-based, the dup-check write
+      // is idempotent); the real-Kafka branch inherits the connector's
+      // native per-partition layout untouched.
+      .repartition(partitions, col("partition"), col("offset"))
     startMs.foreach(s => df = df.filter(col("timestamp") >= s))
     endMs.foreach(e => df = df.filter(col("timestamp") < e))
     df

@@ -40,6 +40,15 @@ class CollocationsSpec extends SparkSpec {
     // "a"    : 1 token
     // "thin" : t h i n -> th i n               = 3; "her": h e r -> h er = 2 -> doc2 = 5
     assert(out === Seq(4, 1, 5))
+    // Odd run of the same pair: exact greedy BPE merges left-to-right,
+    // a a a a a -> [aa aa a], so the follow-up 'aa aa' rule fires -> 2
+    // tokens. (The naive non-overlapping replace would strand the middle
+    // 'a' — [aa a aa] — and 'aa aa' could never fire: 3 tokens.)
+    val oddRun = Seq("aaaaa").toDF("text")
+      .select(TextAnalysis.bpeTokenCount(col("text"),
+        Seq("a a" -> "aa", "aa aa" -> "aaaa")).as("n"))
+      .as[Int].head()
+    assert(oddRun === 2)
   }
 
   test("randomProject: deterministic, right arity, JL-ball norm preservation") {

@@ -186,6 +186,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val j = Multimodal.decodeImages(junk, "doc_id", "blob")
       .select("decoded", "width").as[(Boolean, Option[Int])].head()
     assert(j == ((false, None)))
+    // Corrupt-but-RECOGNIZED bytes: a valid PNG magic with a truncated
+    // header makes ImageIO hand back a reader whose getWidth() throws —
+    // that must degrade to decoded=false in the same batch as a good
+    // image, never fail the partition (crawl corpora are full of these).
+    val goodPng = pngs.select("blob").as[Array[Byte]].head()
+    val mixed = Seq((1L, goodPng), (2L, goodPng.take(12))).toDF("doc_id", "blob")
+    val mix = Multimodal.decodeImages(mixed, "doc_id", "blob")
+      .select("doc_id", "decoded").as[(Long, Boolean)].collect().toSet
+    assert(mix == Set((1L, true), (2L, false)))
   }
 
   test("multimodal stub decode agrees with the declarative twin") {

@@ -78,6 +78,13 @@ class TextAnalysisSpec extends SparkSpec {
     // vocab runs dry: every word fully merged -> fewer rows than requested
     val dry = BpeTrain.learnMerges(Seq("aa aa").toDF("text"), "text", numMerges = 5)
     assert(dry.count() == 1) // only (a a) -> aa is learnable
+    // odd run of identical symbols: greedy left-to-right semantics make
+    // round 0 produce [aa aa a] (NOT [aa a aa] — the naive double-replace
+    // strands the middle token), so round 1's pair table holds (aa aa) and
+    // (aa a), and the (cnt tie, pair asc) winner is 'aa a'.
+    val odd = BpeTrain.learnMerges(Seq("aaaaa").toDF("text"), "text", numMerges = 2)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    assert(odd == Seq((0, "a a", "aa", 4L), (1, "aa a", "aaa", 1L)))
     // learned rules feed the application path unchanged
     val merges = got.map(r => r._2 -> r._3)
     val nTok = d.select(graft.functions.TextAnalysis.bpeTokenCount(col("text"), merges))
@@ -96,6 +103,9 @@ class TextAnalysisSpec extends SparkSpec {
       ("http://user:pw@www.data.org:8080/x", "www.data.org", "data.org",
         "http://www.data.org:8080/x"),   // non-default port kept, userinfo stripped
       ("https://no-path.io", "no-path.io", "no-path.io", "https://no-path.io/"),
+      // path-less WITH query: '/' inserted before '?' so it dedups
+      // against the explicit-slash spelling of the same resource
+      ("https://no-path.io?q=1", "no-path.io", "no-path.io", "https://no-path.io/?q=1"),
       ("ftp://files.example.net/pub", "files.example.net", "example.net", "ftp://files.example.net/pub"),
       ("localhost/nope", null, null, null),  // no scheme -> null
       ("https://single", "single", "single", "https://single/"))
