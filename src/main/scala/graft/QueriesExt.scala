@@ -1714,6 +1714,150 @@ object QueriesExt {
       |         AND NOT EXISTS (SELECT 1 FROM customer c
       |                         WHERE c.c_custkey = o.o_custkey)""".stripMargin))
 
+  /** HTML→text extraction gate: deterministic markup wrapped around each
+    * document (comments, script/style elements with hostile content — a
+    * `<p>` INSIDE a script string, a `<` comparison — entities incl. the
+    * `&amp;lt;` double-decode trap), extracted by [[graft.functions.TextAnalysis.htmlToText]]
+    * and replayed step-for-step by the oracle's RE2 regexes + replace
+    * chain.
+    */
+  private lazy val textHtmlStrip: Q = "x_text_html_strip" -> ((
+    (s: SparkSession, dir: String) => {
+      val html = concat(
+        lit("<html><head><title>D</title><style type=\"text/css\">p { color: red }</style>"),
+        lit("<script>if (1 < 2) { x = \"<p>\"; }</script></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><!-- hidden "), col("doc_id"), lit(" --><p>"), col("text"),
+        lit("</p><div class=\"foot\">&amp;lt;co &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>"))
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextAnalysis.htmlToText(html).as("extracted"))
+    },
+    """WITH h AS (SELECT doc_id,
+      |  '<html><head><title>D</title><style type="text/css">p { color: red }</style>'
+      |  || '<script>if (1 < 2) { x = "<p>"; }</script></head><body><h1>Doc ' || doc_id
+      |  || '</h1><!-- hidden ' || doc_id || ' --><p>' || text
+      |  || '</p><div class="foot">&amp;lt;co &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</div></body></html>'
+      |  AS html FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(html, '(?is)<!--.*?-->', ' ', 'g'),
+      |            '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      |          '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS extracted
+      |FROM h""".stripMargin))
+
+  /** Mixture-sampling gate: a 4:2:1:1 source mix under a 3000-token global
+    * budget (unlisted sources dropped). The Spark side takes the two-phase
+    * bucket-prefix-sum path ([[graft.operators.Mixture.mixtureSample]]);
+    * the oracle computes the SAME selection with one flat window — the
+    * bucket decomposition must be algebraically invisible in the output.
+    */
+  private lazy val sampleMixture: Q = {
+    val weights = Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+    val total = 3000L
+    val wSum = weights.map(_._2).sum
+    val budgetSql = weights.map { case (s, w) =>
+      s"WHEN '$s' THEN ${math.floor(w / wSum * total).toLong}"
+    }.mkString(" ")
+    "x_sample_mixture" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Mixture.mixtureSample(
+          docs(s, dir), "doc_id", "source",
+          size(graft.operators.Dedup.tokens(col("text"))),
+          weights.toMap, totalTokens = total, buckets = 16),
+      s"""WITH t AS (SELECT doc_id, source,
+         |  len(string_split(trim(text), ' '))::BIGINT AS tok,
+         |  md5(doc_id::VARCHAR) AS h,
+         |  (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 16)::INT AS b
+         |  FROM documents),
+         |w AS (SELECT *,
+         |  CASE source $budgetSql ELSE 0 END AS budget,
+         |  sum(tok) OVER (PARTITION BY source ORDER BY b, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, tok AS n_tokens FROM w WHERE cum <= budget""".stripMargin))
+  }
+
+  /** SemDeDup gate: spherical k-means cells (k=4, 1 Lloyd round) as the
+    * blocking column for banded near-dup + transitive keep-one. The oracle
+    * unrolls the ENTIRE composition — Lloyd CTEs (same discipline as
+    * x_ann_kmeans), sign-band buckets within cells, the membership window,
+    * exact cosine verify, recursive-CTE components, min-id keep — so the
+    * gate hashes every stage's declared semantics at once.
+    */
+  private lazy val dedupSemantic: Q = {
+    def cosSql(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a,$b), x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)"
+    def nrmSql(v: String) =
+      s"sqrt(list_reduce(list_prepend(0.0, list_transform($v, x -> x::DOUBLE * x::DOUBLE)), (a,b)->a+b))"
+    // Band sizing by the density rule (operator scaladoc): 8 bands × 8 bits
+    // → 256 buckets/band, so a 1250-vector cell at sf0.1 packs ~5 per
+    // bucket — candidate volume stays linear-ish; 16×4 would pack ~78 and
+    // pay C(78,2) per bucket (measured 6.9 s vs 1.9 s, identical gate).
+    val k = 4; val iters = 1; val bands = 8; val rows = 8; val thr = 0.4
+    val assigns = (0 to iters).map { i =>
+      s"""a$i AS (SELECT e.vec_id, c.cid, ${cosSql("e.embedding", "c.vec")} / (e.nrm * c.cnrm) AS cs
+         |  FROM emb e, cents$i c),
+         |r$i AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) rn FROM a$i) WHERE rn = 1)""".stripMargin
+    }
+    val updates = (0 until iters).map { i =>
+      s"""x$i AS (SELECT r.cid, u.i, e.embedding[u.i]::DOUBLE AS x
+         |  FROM r$i r JOIN emb e USING (vec_id), UNNEST(range(1, len(e.embedding)+1)) u(i)),
+         |m$i AS (SELECT cid, list(m ORDER BY i) AS vec FROM
+         |  (SELECT cid, i, sum(x)/count(*) AS m FROM x$i GROUP BY cid, i) GROUP BY cid),
+         |cents${i + 1} AS (SELECT cid, vec, ${nrmSql("vec")} AS cnrm FROM
+         |  (SELECT cid, list_transform(vec, x -> x / n) AS vec FROM
+         |    (SELECT cid, vec, ${nrmSql("vec")} AS n FROM m$i)))""".stripMargin
+    }
+    val lloyd = (0 until iters).map(i => s"${assigns(i)},\n${updates(i)}").mkString(",\n") +
+      s",\n${assigns(iters)}"
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rows)
+        .map(r => s"CASE WHEN embedding[${b * rows + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, cid, $b AS band, ($bucket)::BIGINT AS bucket FROM cells"
+    }.mkString(" UNION ALL ")
+    val cos = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a.embedding,$b.embedding)," +
+        s" x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/($a.nrm*$b.nrm)"
+    "x_dedup_semantic" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.semanticDedup(emb(s, dir), "vec_id", "embedding",
+          k = k, iters = iters, threshold = thr, dims = 64, bands = bands),
+      s"""WITH RECURSIVE emb AS (SELECT vec_id, embedding, ${nrmSql("embedding")} AS nrm FROM embeddings),
+         |cents0 AS (SELECT vec_id AS cid, embedding AS vec, ${nrmSql("embedding")} AS cnrm
+         |  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT $k),
+         |$lloyd,
+         |cells AS (SELECT r.vec_id, r.cid, e.embedding, e.nrm
+         |  FROM r$iters r JOIN emb e USING (vec_id)),
+         |banded AS ($bandSelects),
+         |q AS (SELECT cid, band, bucket FROM banded
+         |      GROUP BY 1,2,3 HAVING count(*) > 1 AND count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.cid=b.cid AND a.band=b.band AND a.bucket=b.bucket AND a.vec_id < b.vec_id
+         |  JOIN q ON q.cid=a.cid AND q.band=a.band AND q.bucket=a.bucket),
+         |pairs AS (SELECT id_a, id_b
+         |  FROM cand JOIN cells na ON na.vec_id = id_a JOIN cells nb ON nb.vec_id = id_b
+         |  WHERE ${cos("na", "nb")} > $thr),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT c.vec_id, c.cid,
+         |  coalesce(m.component, c.vec_id) AS component,
+         |  coalesce(m.component, c.vec_id) = c.vec_id AS kept
+         |FROM cells c LEFT JOIN comp m ON m.id = c.vec_id""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupClusters,
@@ -1730,7 +1874,7 @@ object QueriesExt {
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
-    textBpeLearn)
+    textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -130,6 +130,42 @@ object TextAnalysis {
       "n_phone" -> regexp_count(afterFnr, lit(piiPhonePattern)))
   }
 
+  /** HTML → text extraction (crawl-curation front door: WET-style text out
+    * of raw markup) as a pure codegen'd Column chain, RE2-portable so any
+    * engine replays it byte-for-byte:
+    *
+    *   1. drop comments, then `<script>`/`<style>` ELEMENTS (their text is
+    *      code, not content) — non-greedy, case-insensitive, dot-matches-
+    *      newline via inline `(?is)` flags (Java regex and RE2 agree);
+    *   2. every remaining tag becomes a space (block/inline distinction
+    *      deliberately flattened — downstream quality metrics operate on
+    *      whitespace-collapsed text anyway);
+    *   3. one-pass named-entity decode for the HTML 2.0 core set, `&amp;`
+    *      LAST so `&amp;lt;` yields the literal text `&lt;` instead of
+    *      double-decoding to `<` (decoded entities are content, never
+    *      re-parsed as markup — single-pass, standards-correct);
+    *   4. whitespace runs collapse to one space, ends trimmed.
+    *
+    * NULL markup → NULL. Numeric character references (`&#x2026;`) are out
+    * of scope (documented; a general decoder needs charcode→UTF-8, not
+    * expressible as a literal replace on both engines).
+    */
+  def htmlToText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?is)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComments, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Token count under a byte-pair-encoding merge list: each word is split
     * to characters, then the merges apply IN ORDER as space-DELIMITED pair
     * joins — the pattern is `" a b "` against the `" c h a r s "` form, so

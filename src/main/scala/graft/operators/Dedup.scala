@@ -728,6 +728,55 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — k-means the embedding space, then near-dup ONLY
+    * within each cluster): the composition that makes embedding dedup
+    * tractable when no natural blocking column exists. k-means cells
+    * ([[Similarity.trainCentroids]] / [[Similarity.assignCells]] — content-
+    * hash seeded, deterministic) become the blocking column for
+    * [[embeddingNearDupPairsBanded]] (sign-band LSH candidates + exact
+    * cosine verify, `maxBucket`-capped), pairs resolve transitively through
+    * [[connectedComponents]], and each component keeps its min-id
+    * representative.
+    *
+    * Scale shape: training is `iters` broadcast-assign passes (the Lloyd
+    * loop checkpoints per round); the assigned frame is `localCheckpoint`ed
+    * ONCE because four consumers read it (banding, the two verify-side
+    * vector lookups, the final membership join) — re-running the broadcast
+    * argmax per consumer would quadruple the corpus passes. Pair generation
+    * inherits the banded path's economics (bucket membership counted before
+    * any list materializes; candidates ≤ C(maxBucket, 2) per bucket); CC
+    * runs on the pair sliver only.
+    *
+    * Returns one row per input vector: (idCol, cid, component, kept) —
+    * `component` = min id of the near-dup component (own id when no pair),
+    * `kept` = whether this row is the component representative. Callers
+    * drop `kept = false` rows; keeping the full frame makes the drop
+    * AUDITABLE (per-cell drop rates are one groupBy away — the first thing
+    * a data-quality review asks for).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      dims: Int,
+      bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame = {
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, k = k, iters = iters)
+    val cells = Similarity.assignCells(df, cents, idCol, vecCol).localCheckpoint(true)
+    val pairs = embeddingNearDupPairsBanded(
+      cells, idCol, vecCol, "cid", threshold, dims, bands, maxBucket)
+    val comp = connectedComponents(pairs)
+    cells.select(col(idCol), col("cid"))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("cid"),
+        coalesce(col("component"), col(idCol)).as("component"),
+        (coalesce(col("component"), col(idCol)) === col(idCol)).as("kept"))
+  }
+
   /** Connected components over an undirected candidate-pair list — the
     * cluster-resolution step that turns [[minHashLshPairs]] /
     * [[jaccardPairs]] / [[embeddingNearDupPairs]] output into duplicate

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic source-MIXTURE sampling under a global token budget — the
+  * "assemble the training mix" primitive: given per-source weights (the
+  * domain-reweighting tables every LLM data recipe publishes) and a total
+  * token budget, select documents so each source contributes
+  * `floor(weight/Σweights × budget)` tokens, chosen in pure content-hash
+  * order (append-stable, engine-replayable, no seed drift — the same
+  * discipline as [[Dedup.systematicSample]]).
+  *
+  * Scale shape — the reason this is NOT a per-source global sort: a naive
+  * cumulative-sum window over each source orders the source's entire
+  * corpus (O(n log n) sort of 100 TB to pick the first few billion
+  * tokens). Instead the two-phase prefix-sum trick from
+  * [[Packing.packSequences]]:
+  *
+  *   1. rows get a coarse hash bucket (`md5` prefix mod `buckets`);
+  *      per-(source, bucket) token totals are ONE keyed partial-agg pass
+  *      — `O(sources × buckets)` rows out;
+  *   2. bucket offsets come from a window over that TINY frame, and ride
+  *      back on a broadcast join. Buckets entirely under budget keep every
+  *      row with NO row-level window at all; buckets entirely past it are
+  *      filtered out at the scan; only each source's single BOUNDARY
+  *      bucket (≈ corpus/buckets rows) pays a row-level cumulative sum.
+  *
+  * Selection order is (bucket, md5(id), id) — a pure hash order, so the
+  * boundary-bucket window plus bucket offsets equals the global
+  * cumulative sum an oracle computes with one flat window. Sources
+  * absent from `weights` get budget 0 and are dropped (explicit mixes
+  * stay explicit, like [[Dedup.stratifiedSample]]).
+  *
+  * The corpus frame is read by the totals pass and the two keep branches;
+  * each is a column-pruned scan (id, source, tokens), which at 100 TB is
+  * cheaper than materializing the corpus to skip a re-scan.
+  */
+object Mixture {
+
+  def mixtureSample(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: Column,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      buckets: Int = 256): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    require(weights.values.sum > 0.0, "at least one weight must be positive")
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val wSum = weights.values.sum
+    // Per-source budget as a literal when-chain: weights are config-sized
+    // (tens of sources), so the chain stays a shallow codegen'd CASE.
+    val budget = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+      when(col("_src") === s, lit(math.floor(w / wSum * totalTokens).toLong)).otherwise(acc)
+    }
+    val rows = df.select(
+        col(idCol).as("_id"), col(sourceCol).as("_src"),
+        tokensCol.cast("long").as("_tok"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("_b",
+        (conv(substring(col("_h"), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
+    // Phase 1: per-(source, bucket) token totals — O(sources × buckets).
+    val bucketTotals = rows.groupBy("_src", "_b").agg(sum("_tok").as("_bt"))
+    val wb = Window.partitionBy("_src").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Checkpointed: BOTH keep branches join against it, and without the
+    // materialization each branch re-runs the corpus-wide totals pass
+    // (evaluate-once discipline; the frame is O(sources × buckets) rows).
+    val offsets = bucketTotals
+      .withColumn("_off", sum(col("_bt")).over(wb) - col("_bt"))
+      .localCheckpoint(true)
+    val joined = rows.join(broadcast(offsets), Seq("_src", "_b"))
+      .withColumn("_budget", budget)
+    // Whole bucket fits — every row's global cum ≤ _off + _bt ≤ budget.
+    val fullyKept = joined.where(col("_off") + col("_bt") <= col("_budget"))
+    // Boundary bucket: the ONLY rows that pay a window (per source,
+    // ≈ corpus/buckets rows). `_off <= budget` (not <) so zero-token rows
+    // sitting exactly at the budget edge match the flat-window oracle.
+    val wr = Window.partitionBy("_src", "_b").orderBy("_h", "_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = joined
+      .where(col("_off") <= col("_budget") && col("_off") + col("_bt") > col("_budget"))
+      .withColumn("_cum", col("_off") + sum(col("_tok")).over(wr))
+      .where(col("_cum") <= col("_budget"))
+      .drop("_cum")
+    fullyKept.unionByName(boundaryKept)
+      .select(col("_id").as(idCol), col("_src").as(sourceCol),
+        col("_tok").as("n_tokens"))
+  }
+}

@@ -232,6 +232,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.map(_._2).toSet == Set(1L))
   }
 
+  test("semanticDedup: planted duplicates collapse to min-id, full cover, auditable flags") {
+    // 30 pairwise-ORTHOGONAL base vectors (one-hot, cosine 0 between any
+    // two) + exact copies of vectors 0 and 7: only the copies can clear the
+    // threshold, and they land in their original's cell and sign buckets by
+    // construction, so they are found regardless of where the cells fall.
+    val base = (0L until 30L).map(i =>
+      (i, Seq.tabulate(32)(d => if (d == i) 1.0f else 0.0f)))
+    val dups = Seq(100L -> base(0)._2, 107L -> base(7)._2)
+    val vecs = (base ++ dups).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        k = 3, iters = 1, threshold = 0.95, dims = 32, bands = 4)
+      .select("vec_id", "component", "kept")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 32, "one row per input vector")
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(100L)._2 == 0L && !m(100L)._3, "copy of 0 joins 0's component, dropped")
+    assert(m(107L)._2 == 7L && !m(107L)._3, "copy of 7 joins 7's component, dropped")
+    assert(m(0L)._3 && m(7L)._3, "min-id representatives kept")
+    // every component representative is kept exactly once
+    out.groupBy(_._2).foreach { case (comp, rows) =>
+      assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == comp)
+    }
+  }
+
+  test("mixtureSample: two-phase bucket selection equals the flat-window oracle") {
+    val rows = (0L until 200L).map { i =>
+      (i, s"src${i % 5}", 10L + (i % 7))
+    }.toDF("id", "source", "tok")
+    val weights = Map("src0" -> 2.0, "src1" -> 1.0, "src3" -> 1.0)
+    val got = graft.operators.Mixture.mixtureSample(
+        rows, "id", "source", col("tok"), weights, totalTokens = 400L, buckets = 8)
+      .select("id", "source", "n_tokens").as[(Long, String, Long)].collect().toSet
+    // flat-window reference: same hash order, single global cumsum
+    val flat = rows.select(col("id"), col("source"), col("tok"),
+        md5(col("id").cast("string")).as("h"))
+      .withColumn("b", (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8).cast("int"))
+      .withColumn("cum", sum("tok").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy("b", "h", "id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("budget",
+        when(col("source") === "src0", lit(200L))
+          .when(col("source") === "src1", lit(100L))
+          .when(col("source") === "src3", lit(100L)).otherwise(lit(0L)))
+      .where(col("cum") <= col("budget"))
+      .select(col("id"), col("source"), col("tok"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == flat)
+    assert(got.nonEmpty, "budget must select something")
+    assert(!got.exists(_._2 == "src2") && !got.exists(_._2 == "src4"), "unlisted sources dropped")
+    // per-source token sums respect the budgets
+    val sums = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._3).sum).toMap
+    assert(sums.getOrElse("src0", 0L) <= 200L && sums.getOrElse("src1", 0L) <= 100L)
+    // determinism across runs
+    val again = graft.operators.Mixture.mixtureSample(
+        rows, "id", "source", col("tok"), weights, totalTokens = 400L, buckets = 8)
+      .select("id", "source", "n_tokens").as[(Long, String, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("stratified sample: per-stratum rates, default for unlisted, 0 drops") {
     val d = spark.range(10000).selectExpr("id AS k", "concat('s', id % 2) AS src")
     val out = Dedup.stratifiedSample(d, col("k"), col("src"),

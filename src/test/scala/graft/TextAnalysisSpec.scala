@@ -92,6 +92,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nTok == 4) // 'the' x3 + 'cat' all single tokens after the 4 rules
   }
 
+  test("htmlToText: tags, script/style elements, entities, double-decode trap") {
+    import graft.functions.TextAnalysis
+    val cases = Seq(
+      // script ELEMENT content dropped, incl. markup-looking strings inside
+      ("<p>Hello</p><script>x = \"<b>not text</b>\";</script><p>world</p>", "Hello world"),
+      // style element dropped; case-insensitive; attributes on the tag
+      ("<STYLE type=\"x\">p{}</STYLE>text<br/>more", "text more"),
+      // comment (multi-line) dropped
+      ("a<!-- c\nc -->b", "a b"),
+      // entity decode; &amp;lt; is literal '&lt;' text, never '<'
+      ("x &amp; y &lt;z&gt; &amp;lt;raw&#39;s&nbsp;end", "x & y <z> &lt;raw's end"),
+      // whitespace collapse + trim
+      ("  <div> a\n\n b\t</div>  ", "a b"),
+      (null, null))
+      .toDF("html", "want")
+    val got = cases.select(TextAnalysis.htmlToText(col("html")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"'$g' != '$w'") }
+  }
+
   test("url ops: host, registrable domain, canonical url") {
     import graft.functions.UrlOps
     val cases = Seq(
