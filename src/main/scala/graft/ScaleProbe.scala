@@ -150,6 +150,42 @@ object ScaleProbe {
       }
       println(s"[probe] exact-variant guard fired = ${guard.isFailure}")
     }
+    timed("semantic dedup (SemDeDup)") {
+      // Replicated vectors: each replica set is an N-clique INSIDE its
+      // k-means cell (identical vectors share the assignment argmax), so
+      // the composition inherits the banded path's capped candidate
+      // economics while CC sees factor-sized cliques. The claim: wall
+      // clock tracks the banded pair volume; Lloyd training and the one
+      // corpus checkpoint are a fixed prefix that amortizes with factor.
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ne = e.count()
+      val bigE = (0 until factor).map { i =>
+        e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"), col("embedding"))
+      }.reduce(_ union _)
+      val out = Dedup.semanticDedup(bigE, "vec_id", "embedding",
+        k = 4, iters = 1, threshold = 0.95, dims = 64, bands = 8)
+        .localCheckpoint(true)
+      val kept = out.where(col("kept")).count()
+      println(s"[probe] semantic kept = $kept of ${out.count()} (dropped ${out.count() - kept})")
+    }
+    timed("mixture sample") {
+      // Rows grow ×factor under a FIXED token budget: per-(source, bucket)
+      // totals stay O(sources × buckets), the kept set shrinks toward the
+      // earliest hash buckets, and only each source's boundary bucket pays
+      // a row-level window — cost must track the corpus SCAN, never the
+      // selection or a per-source global sort.
+      val bigS = (0 until factor).map { i =>
+        base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
+          col("source"), col("text"))
+      }.reduce(_ union _)
+      val m = graft.operators.Mixture.mixtureSample(
+        bigS, "doc_id", "source", size(Dedup.tokens(col("text"))),
+        Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+        totalTokens = 30000L, buckets = 256)
+      println(s"[probe] mixture kept docs = ${m.count()}, tokens = " +
+        m.agg(sum(col("n_tokens"))).head().getLong(0))
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are
