@@ -545,19 +545,13 @@ object QueriesExt {
     """SELECT doc_id, lang, source FROM documents
       |WHERE ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 < 1000""".stripMargin))
 
-  /** Cluster resolution over the Jaccard candidate pairs: pair lists alone
-    * under-dedup (A~B, B~C ⇒ one kept doc even when A!~C); the oracle
-    * replays the fixpoint as a recursive reachability CTE (feasible at test
-    * SF; the Spark side's iterative min-label propagation is the scale
-    * path).
+  /** Shared oracle CTE chain: 3-gram Jaccard pairs at 0.3 over `documents`
+    * → undirected edges → recursive reachability (used by both the raw
+    * component gate and the keep-best resolution gate; component = min
+    * reachable id comes from aggregating `reach`).
     */
-  private val dedupClusters: Q = "x_dedup_clusters" -> ((
-    (s: SparkSession, dir: String) => {
-      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
-      Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("component"))
-    },
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+  private lazy val jaccardCcCtes: String =
+    """toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
       |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
       |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
@@ -570,8 +564,24 @@ object QueriesExt {
       |  WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3),
       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
       |reach(id, r) AS (SELECT u AS id, u AS r FROM (SELECT DISTINCT u FROM edges) t
-      |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      |  UNION SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)""".stripMargin
+
+  /** Cluster resolution over the Jaccard candidate pairs: pair lists alone
+    * under-dedup (A~B, B~C ⇒ one kept doc even when A!~C); the oracle
+    * replays the fixpoint as a recursive reachability CTE (feasible at test
+    * SF; the Spark side's iterative min-label propagation is the scale
+    * path).
+    */
+  private val dedupClusters: Q = "x_dedup_clusters" -> ((
+    (s: SparkSession, dir: String) => {
+      val pairs = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+    },
+    s"""WITH RECURSIVE $jaccardCcCtes
       |SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""".stripMargin))
+
+
 
   /** PII scrub gate. The synthetic corpus carries no digits, so the gate
     * deterministically plants one email/fnr/phone per document FROM doc_id
@@ -1714,6 +1724,103 @@ object QueriesExt {
       |         AND NOT EXISTS (SELECT 1 FROM customer c
       |                         WHERE c.c_custkey = o.o_custkey)""".stripMargin))
 
+  /** BPE tokenize-to-IDS gate: the materialized subword stream
+    * ([[graft.functions.TextAnalysis.bpeTokens]]) position-exploded and
+    * joined to a corpus-derived vocabulary (distinct tokens, ids by token
+    * sort order — deterministic on both engines). The vocab window is a
+    * single-partition sort over TOKEN TYPES, not occurrences —
+    * vocabulary-sized by construction (the justification every tokenizer
+    * vocab build leans on); the occurrence stream never sorts globally.
+    * Output restricted to every 17th doc to keep the gate artifact small;
+    * the vocab still builds over the FULL corpus.
+    */
+  private lazy val textBpeIds: Q = {
+    val perWord = bpePerWordSql(bpeGateMerges)
+    "x_text_bpe_ids" -> ((
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docs(s, dir).select(col("doc_id"),
+          graft.functions.TextAnalysis.bpeTokens(col("text"), bpeGateMerges).as("fl"))
+        val vocab = toks.select(explode(col("fl")).as("token")).distinct()
+          .withColumn("token_id", row_number().over(Window.orderBy("token")))
+        toks.where(col("doc_id") % 17 === 0)
+          .select(col("doc_id"), posexplode(col("fl")).as(Seq("pos", "token")))
+          .join(broadcast(vocab), Seq("token"))
+          .select("doc_id", "pos", "token_id", "token")
+      },
+      s"""WITH flat AS (SELECT doc_id,
+         |  flatten(list_transform(string_split(trim(text), ' '),
+         |    w -> string_split(trim($perWord), ' '))) AS fl
+         |  FROM documents),
+         |vocab AS (SELECT token, row_number() OVER (ORDER BY token) AS token_id
+         |  FROM (SELECT DISTINCT token FROM
+         |          (SELECT unnest(fl) AS token FROM flat))),
+         |toks AS (SELECT doc_id, u.i - 1 AS pos, fl[u.i] AS token
+         |  FROM (SELECT doc_id, fl FROM flat WHERE doc_id % 17 = 0),
+         |       UNNEST(range(1, len(fl)+1)) u(i))
+         |SELECT t.doc_id, t.pos::INT AS pos, v.token_id::INT AS token_id, t.token
+         |FROM toks t JOIN vocab v USING (token)""".stripMargin))
+  }
+
+  /** Linear quality-filter gate: a fixed learned-weights model over three
+    * document features, scored in logit space
+    * ([[graft.operators.Quality.linearLogit]] — pure multiply-add fold, no
+    * sigmoid per row) with the keep threshold p=0.6 mapped to a logit
+    * literal ONCE. The oracle evaluates the identical left-to-right
+    * arithmetic; the logit is emitted RAW (no rounding belt — the claim is
+    * bit-exactness of the fold).
+    */
+  private lazy val qualityFilter: Q = {
+    val thr = math.log(0.6 / 0.4) // logit(0.6), a plan literal on both sides
+    "x_quality_filter" -> ((
+      (s: SparkSession, dir: String) => {
+        import graft.functions.TextAnalysis
+        val logit = graft.operators.Quality.linearLogit(Seq(
+          (least(TextAnalysis.nChars(col("text")).cast("double") / lit(500.0), lit(1.0)), 1.2),
+          (TextAnalysis.stopwordRatio(col("text")), 2.0),
+          (TextAnalysis.punctRatio(col("text")), -3.0)), bias = -1.0)
+        docs(s, dir).select(col("doc_id"), logit.as("logit"),
+          (logit > lit(thr)).as("keep"))
+      },
+      {
+        val en = graft.functions.TextAnalysis.markers.head._2
+          .map(w => s"'$w'").mkString(",")
+        val sw = s"(len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE" +
+          s" / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE)"
+        val punct = "(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE)"
+        val logit = s"(((-1.0 + least(length(text)::DOUBLE / 500.0, 1.0) * 1.2)" +
+          s" + $sw * 2.0) + $punct * -3.0)"
+        s"""SELECT doc_id, $logit AS logit, $logit > $thr AS keep
+           |FROM documents""".stripMargin
+      }))
+  }
+
+  /** Keep-BEST cluster resolution gate: the Jaccard near-dup components
+    * resolved by [[graft.operators.Dedup.resolveClustersBy]] with
+    * preference = n_chars (keep the longest member, ties min id) — the
+    * production alternative to blind min-id keep. The oracle reuses the
+    * shared recursive-CC chain and replays the two-aggregate argmax.
+    */
+  private lazy val dedupKeepBest: Q = "x_dedup_keep_best" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3)
+      val comp = Dedup.connectedComponents(pairs)
+      Dedup.resolveClustersBy(d, "doc_id", comp, col("n_chars"))
+        .select("doc_id", "source", "n_chars")
+    },
+    s"""WITH RECURSIVE $jaccardCcCtes,
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |mem AS (SELECT d.doc_id, c.component, d.n_chars
+      |  FROM documents d JOIN comp c ON c.id = d.doc_id),
+      |best AS (SELECT component, max(n_chars) AS bp FROM mem GROUP BY 1),
+      |winners AS (SELECT component, min(doc_id) AS keep
+      |  FROM mem JOIN best USING (component) WHERE n_chars = bp GROUP BY 1),
+      |losers AS (SELECT m.doc_id FROM mem m JOIN winners w USING (component)
+      |  WHERE m.doc_id <> w.keep)
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin))
+
   /** HTML→text extraction gate: deterministic markup wrapped around each
     * document (comments, script/style elements with hostile content — a
     * `<p>` INSIDE a script string, a `<` comparison — entities incl. the
@@ -1874,7 +1981,8 @@ object QueriesExt {
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
-    textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic)
+    textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
+    textBpeIds, qualityFilter, dedupKeepBest)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -1974,16 +2082,26 @@ object QueriesExt {
     * later rules consume earlier rules' output (t+h → th, then th+e →
     * the). The oracle replays the same ordered literal replaces per word.
     */
-  private lazy val textBpe: Q = {
-    val merges = Seq("t h" -> "th", "i n" -> "in", "a n" -> "an", "e r" -> "er",
-      "o n" -> "on", "th e" -> "the", "a t" -> "at", "o r" -> "or")
-    // Space-DOUBLING replace per rule (exact greedy left-to-right merge) —
-    // see TextAnalysis.bpeTokenCount for the boundary/odd-run rationale.
-    val perWord = merges.foldLeft("""' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") {
+  /** The 8-rule merge list shared by the BPE application gates; later
+    * rules consume earlier rules' output (t+h → th, then th+e → the).
+    */
+  private lazy val bpeGateMerges = Seq("t h" -> "th", "i n" -> "in", "a n" -> "an",
+    "e r" -> "er", "o n" -> "on", "th e" -> "the", "a t" -> "at", "o r" -> "or")
+
+  /** Oracle replay of one word's merge application: space-DOUBLING replace
+    * per rule (exact greedy left-to-right merge) — see
+    * TextAnalysis.bpeTokenCount for the boundary/odd-run rationale.
+    */
+  private def bpePerWordSql(merges: Seq[(String, String)]): String =
+    merges.foldLeft("""' ' || regexp_replace(w, '(.)', '\1 ', 'g')""") {
       case (acc, (a, b)) =>
         val a2 = a.replace(" ", "  ")
         s"replace(replace(replace($acc, ' ', '  '), ' $a2 ', ' $b '), '  ', ' ')"
     }
+
+  private lazy val textBpe: Q = {
+    val merges = bpeGateMerges
+    val perWord = bpePerWordSql(merges)
     "x_text_bpe" -> ((
       (s: SparkSession, dir: String) =>
         docs(s, dir).select(col("doc_id"),

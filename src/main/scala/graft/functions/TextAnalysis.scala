@@ -186,20 +186,41 @@ object TextAnalysis {
     * shuffle, merges baked into the plan as literal replaces.
     */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    requireMerges(merges)
+    aggregate(
+      transform(tokens(text), w => size(split(trim(bpeApply(w, merges)), " "))),
+      lit(0), (acc, v) => acc + v)
+  }
+
+  private def requireMerges(merges: Seq[(String, String)]): Unit = {
     require(merges.nonEmpty, "merges required")
     require(merges.forall { case (a, b) => (a + b).matches("[A-Za-z0-9 ]+") },
       "merge pairs must be alphanumeric")
-    // " t h e " — leading space added, trailing space comes from the
-    // char-spacer, so every token (incl. first/last) is space-delimited.
-    val delimited = (w: Column) => concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
-    val applied = (w: Column) =>
-      merges.foldLeft(delimited(w)) { case (acc, (a, b)) =>
-        val p2 = " " + a.replace(" ", "  ") + " " // pair in doubled-space form
-        replace(replace(replace(acc, lit(" "), lit("  ")), lit(p2), lit(s" $b ")),
-          lit("  "), lit(" "))
-      }
-    aggregate(
-      transform(tokens(text), w => size(split(trim(applied(w)), " "))),
-      lit(0), (acc, v) => acc + v)
+  }
+
+  /** One WORD's merge application (shared by [[bpeTokenCount]] and
+    * [[bpeTokens]]): " t h e " — leading space added, trailing space comes
+    * from the char-spacer, so every token (incl. first/last) is
+    * space-delimited; each rule then applies via the space-doubling greedy
+    * replace described on [[bpeTokenCount]].
+    */
+  private def bpeApply(w: Column, merges: Seq[(String, String)]): Column = {
+    val delimited = concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
+    merges.foldLeft(delimited) { case (acc, (a, b)) =>
+      val p2 = " " + a.replace(" ", "  ") + " " // pair in doubled-space form
+      replace(replace(replace(acc, lit(" "), lit("  ")), lit(p2), lit(s" $b ")),
+        lit("  "), lit(" "))
+    }
+  }
+
+  /** TOKENIZE under a merge list: the flattened subword token stream in
+    * document order (what [[bpeTokenCount]] counts, materialized) — feed it
+    * a vocab join for token IDS, or aggregate it for type/frequency
+    * tables. Same pure-Column plan shape as the count: merges baked in as
+    * literal replaces, no UDF, no vocabulary shuffle.
+    */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    requireMerges(merges)
+    flatten(transform(tokens(text), w => split(trim(bpeApply(w, merges)), " ")))
   }
 }

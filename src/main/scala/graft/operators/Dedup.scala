@@ -874,6 +874,36 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster resolution keeping the PREFERRED member — argmax of a quality
+    * column, ties broken by min id — instead of [[resolveClusters]]' blind
+    * min-id keep: when near-dups differ (a clean original vs a
+    * boilerplate-wrapped scrape), production dedup keeps the best copy,
+    * not the lowest-numbered one.
+    *
+    * Scale shape: every aggregate runs on the COMPONENT MEMBERSHIP sliver
+    * (inner join with `components` — docs without a pair never enter), so
+    * the corpus pays exactly the final anti-join; no window over the
+    * corpus, no full sort. The argmax is two keyed aggregations (max
+    * preference per component, then min id among the maximizers) — generic
+    * over any orderable preference/id types, no numeric-negation trick.
+    */
+  def resolveClustersBy(
+      df: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      prefer: Column): DataFrame = {
+    val members = df.join(components.withColumnRenamed("id", idCol), Seq(idCol))
+      .select(col(idCol).as("_id"), col("component"), prefer.as("_p"))
+    val best = members.groupBy("component").agg(max(col("_p")).as("_bp"))
+    val winners = members.join(best, Seq("component"))
+      .where(col("_p") === col("_bp"))
+      .groupBy("component").agg(min(col("_id")).as("_keep"))
+    val losers = members.join(winners, Seq("component"))
+      .where(col("_id") =!= col("_keep"))
+      .select(col("_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ `minHits`
     * word `n`-grams with a benchmark/eval set — the pre-training hygiene step
     * that keeps test questions out of training data (long n-grams, n≈8–13,

@@ -111,6 +111,27 @@ object Quality {
     * `groupCol` — a single exchange, then per-partition sorts; no global
     * ordering anywhere.
     */
+  /** Linear quality-filter INFERENCE (the fastText/CCNet-style binary
+    * filter every published curation pipeline runs): a learned linear model
+    * over per-document features, evaluated in LOGIT space — `bias +
+    * Σ wᵢ·fᵢ` as a strict left fold in declaration order, pure double
+    * multiply-adds that any engine reproduces bit-for-bit. The keep
+    * decision compares the logit against `log(p/(1−p))` computed ONCE by
+    * the caller (a plan literal), so NO transcendental function evaluates
+    * per row — sigmoid monotonicity makes `σ(logit) > p ⟺ logit >
+    * logit(p)`, and the gate hash-matches without rounding belts.
+    *
+    * Scale shape: a shuffle-free codegen'd projection the scan absorbs —
+    * the filter form every 100 TB curation pass wants (model inference as
+    * column math, not a UDF batch).
+    */
+  def linearLogit(features: Seq[(Column, Double)], bias: Double): Column = {
+    require(features.nonEmpty, "features required")
+    features.foldLeft(lit(bias): Column) { case (acc, (f, w)) =>
+      acc + f.cast("double") * lit(w)
+    }
+  }
+
   def rankBlend(
       df: DataFrame,
       groupCol: String,

@@ -51,6 +51,23 @@ class CollocationsSpec extends SparkSpec {
     assert(oddRun === 2)
   }
 
+  test("bpeTokens materializes the stream the count counts") {
+    import graft.functions.TextAnalysis
+    val merges = Seq("t h" -> "th", "e r" -> "er", "th e" -> "the")
+    val d = Seq("the other", "thin her").toDF("text")
+    val toks = d.select(TextAnalysis.bpeTokens(col("text"), merges).as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(toks == Seq(
+      Seq("the", "o", "th", "er"),
+      Seq("th", "i", "n", "h", "er")))
+    // size of the stream == bpeTokenCount, by construction
+    val counts = d.select(
+        size(TextAnalysis.bpeTokens(col("text"), merges)).as("a"),
+        TextAnalysis.bpeTokenCount(col("text"), merges).as("b"))
+      .as[(Int, Int)].collect()
+    counts.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("randomProject: deterministic, right arity, JL-ball norm preservation") {
     val vecs = (0L until 50L).map(i =>
       (i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat))).toDF("id", "v")

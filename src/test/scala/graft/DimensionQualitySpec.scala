@@ -108,4 +108,34 @@ class DimensionQualitySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out.values.forall(_ == 0L))
   }
+
+  test("linearLogit: left-fold arithmetic exact; sigmoid threshold via logit literal") {
+    val d = Seq((1L, 0.1, 0.5), (2L, 1.0, 0.9)).toDF("id", "f1", "f2")
+    val logit = Quality.linearLogit(Seq((col("f1"), 2.0), (col("f2"), -1.5)), bias = 0.25)
+    val got = d.select(col("id"), logit.as("l")).as[(Long, Double)].collect().toMap
+    // exact IEEE fold in declaration order: ((0.25 + f1*2.0) + f2*(-1.5))
+    assert(got(1L) == ((0.25 + 0.1 * 2.0) + 0.5 * -1.5)) // -0.3
+    assert(got(2L) == ((0.25 + 1.0 * 2.0) + 0.9 * -1.5)) // 0.9
+    // keep at p=0.6 == logit > ln(0.6/0.4): row 2 (logit 0.9) only
+    val thr = math.log(0.6 / 0.4)
+    val kept = d.where(logit > lit(thr)).select("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("resolveClustersBy: keeps highest-preference member, tie min id, singletons kept") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, 10L), (2L, 99L),  // component 1: 2 wins on prefer
+      (5L, 7L), (6L, 7L),    // component 5: tie -> min id 5
+      (9L, 1L))              // singleton: kept
+      .toDF("doc_id", "score")
+    val comp = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("id", "component")
+    val kept = Dedup.resolveClustersBy(docs, "doc_id", comp, col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 9L))
+    // contrast: blind min-id keep chooses 1 over the higher-scoring 2
+    val blind = Dedup.resolveClusters(docs, "doc_id", comp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(blind == Set(1L, 5L, 9L))
+  }
 }
