@@ -1821,6 +1821,39 @@ object QueriesExt {
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin))
 
+  /** Span-corruption gate: the T5 denoising objective as a deterministic
+    * projection — span placement is a content-hash function of
+    * `(doc_id, span index)`, so the oracle replays the ENTIRE example
+    * construction (segment layout, hash offsets, sentinel numbering,
+    * target assembly) list-op for list-op.
+    */
+  private lazy val spanCorrupt: Q = "x_span_corrupt" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.SpanCorrupt.spanCorrupt(docs(s, dir), "doc_id", "text",
+        spanLen = 3, rate = 0.15),
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, len(ws)::BIGINT AS n,
+      |  floor(len(ws)::DOUBLE * 0.15 / 3.0)::BIGINT AS ns FROM t),
+      |d AS (SELECT *, CASE WHEN ns > 0 THEN floor(n::DOUBLE / ns)::BIGINT ELSE 0 END AS seg FROM c),
+      |e AS (SELECT *, CASE WHEN ns > 0 THEN
+      |    list_transform(range(0, ns), k -> k*seg +
+      |      (('0x'||substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR),1,8))::BIGINT
+      |        % greatest(seg - 3 + 1, 1)))
+      |    ELSE []::BIGINT[] END AS starts FROM d)
+      |SELECT doc_id,
+      |  array_to_string(flatten(list_transform(range(1, n+1), i ->
+      |    CASE WHEN len(list_filter(starts, s -> i = s + 1)) > 0
+      |           THEN ['<extra_id_' || ((i-1) // seg)::VARCHAR || '>']
+      |         WHEN len(list_filter(starts, s -> i > s AND i <= s + 3)) > 0
+      |           THEN []::VARCHAR[]
+      |         ELSE [ws[i]] END)), ' ') AS input_text,
+      |  CASE WHEN ns > 0 THEN array_to_string(flatten(list_transform(range(0, ns), k ->
+      |    list_concat(['<extra_id_' || k::VARCHAR || '>'],
+      |                ws[starts[k+1]+1 : starts[k+1]+3]))), ' ')
+      |  ELSE '' END AS target_text,
+      |  ns AS n_spans
+      |FROM e""".stripMargin))
+
   /** HTML→text extraction gate: deterministic markup wrapped around each
     * document (comments, script/style elements with hostile content — a
     * `<p>` INSIDE a script string, a `<` comparison — entities incl. the
@@ -1982,7 +2015,7 @@ object QueriesExt {
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
-    textBpeIds, qualityFilter, dedupKeepBest)
+    textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -68,6 +68,31 @@ class CollocationsSpec extends SparkSpec {
     counts.foreach { case (a, b) => assert(a == b) }
   }
 
+  test("spanCorrupt: hash-placed span, sentinel numbering, token conservation") {
+    import graft.operators.SpanCorrupt
+    val words = (1 to 20).map(i => s"t$i")
+    val d = Seq((7L, words.mkString(" ")), (8L, "too short")).toDF("doc_id", "text")
+    val out = SpanCorrupt.spanCorrupt(d, "doc_id", "text", spanLen = 3, rate = 0.15)
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 7: n=20 -> ns=1, seg=20, offset = hash32("7:0") % 18 (replayed here)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val off = (BigInt(md5hex.take(8), 16) % 18).toInt
+    val (_, in7, tgt7, ns7) = out(7L)
+    assert(ns7 == 1L)
+    assert(tgt7 == s"<extra_id_0> t${off + 1} t${off + 2} t${off + 3}")
+    val expectedIn = (words.take(off) :+ "<extra_id_0>") ++ words.drop(off + 3)
+    assert(in7 == expectedIn.mkString(" "))
+    // token conservation: every original token appears exactly once across
+    // input and target (minus sentinels)
+    val rebuilt = (in7.split(" ").toSeq ++ tgt7.split(" ").toSeq)
+      .filterNot(_.startsWith("<extra_id_"))
+    assert(rebuilt.sorted == words.sorted)
+    // short doc: no span fits the rate -> identity input, empty target
+    val (_, in8, tgt8, ns8) = out(8L)
+    assert(ns8 == 0L && in8 == "too short" && tgt8 == "")
+  }
+
   test("randomProject: deterministic, right arity, JL-ball norm preservation") {
     val vecs = (0L until 50L).map(i =>
       (i, Seq.tabulate(64)(d => (((i * 31 + d * 7) % 13) - 6).toFloat))).toDF("id", "v")
