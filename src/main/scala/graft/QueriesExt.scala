@@ -1821,6 +1821,47 @@ object QueriesExt {
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin))
 
+  /** Bigram Stupid-Backoff LM gate: the HELD-OUT shape — train on the even
+    * half of the corpus, score every document; odd docs exercise the
+    * backoff (unseen bigrams → α-discounted add-one unigram). The oracle
+    * replays counts, joins, the CASE per bigram, and the sorted fold;
+    * `ln` portability rides the same 6 dp belt as the unigram gate.
+    */
+  private lazy val textBigramLm: Q = "x_text_bigram_lm" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.operators.BigramLm.scoreDocs(d, "doc_id", "text",
+        d.where(col("doc_id") % 2 === 0), "text")
+    },
+    """WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |ttok AS (SELECT t FROM tr, UNNEST(string_split(trim(text),' ')) u(t) WHERE t <> ''),
+      |uni AS (SELECT t, count(*)::BIGINT cu FROM ttok GROUP BY 1),
+      |tot AS (SELECT sum(cu)::BIGINT nn, count(*)::BIGINT vv FROM uni),
+      |tbg AS (SELECT w1, w2, count(*)::BIGINT cb FROM (
+      |    SELECT ws[i] w1, ws[i+1] w2
+      |    FROM (SELECT string_split(trim(text),' ') ws FROM tr),
+      |         UNNEST(range(1, len(ws))) u(i))
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+      |dbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT tf FROM (
+      |    SELECT doc_id, ws[i] w1, ws[i+1] w2
+      |    FROM (SELECT doc_id, string_split(trim(text),' ') ws FROM documents),
+      |         UNNEST(range(1, len(ws))) u(i))
+      |  WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2, 3),
+      |sc AS (SELECT doc_id, dbg.w1, dbg.w2, tf,
+      |  CASE WHEN cb IS NOT NULL THEN ln(cb::DOUBLE / u1.cu::DOUBLE)
+      |       ELSE ln(0.4 * (coalesce(u2.cu, 0)::DOUBLE + 1.0) / (nn + vv)::DOUBLE) END AS lp
+      |  FROM dbg LEFT JOIN tbg USING (w1, w2)
+      |  LEFT JOIN uni u1 ON u1.t = dbg.w1
+      |  LEFT JOIN uni u2 ON u2.t = dbg.w2, tot),
+      |l AS (SELECT doc_id,
+      |  list(struct_pack(w1 := w1, w2 := w2, tf := tf, lp := lp) ORDER BY w1, w2) lst
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, round(
+      |  list_reduce(list_prepend(0.0, list_transform(lst, x -> x.tf * x.lp)), (a,b)->a+b) /
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(lst, x -> x.tf)), (a,b)->a+b)::DOUBLE,
+      |  6) AS bigram_lm_score
+      |FROM l""".stripMargin))
+
   /** Span-corruption gate: the T5 denoising objective as a deterministic
     * projection — span placement is a content-hash function of
     * `(doc_id, span index)`, so the oracle replays the ENTIRE example
@@ -2015,7 +2056,7 @@ object QueriesExt {
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
-    textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt)
+    textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -92,6 +92,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nTok == 4) // 'the' x3 + 'cat' all single tokens after the 4 rules
   }
 
+  test("bigram LM stupid backoff: hand-computed seen and backed-off scores") {
+    import graft.operators.BigramLm
+    val train = Seq("a b a b").toDF("text")
+    val score = Seq((0L, "a b a b"), (1L, "a c"), (2L, "x")).toDF("doc_id", "text")
+    val got = BigramLm.scoreDocs(score, "doc_id", "text", train, "text")
+      .as[(Long, Double)].collect().toMap
+    // train: uni a:2 b:2 (N=4, V=2); bigrams (a,b):2 (b,a):1
+    // doc0: tf(a,b)=2 lp=ln(2/2)=0; tf(b,a)=1 lp=ln(1/2) -> ln(.5)/3
+    assert(math.abs(got(0L) - math.log(0.5) / 3.0) < 1e-6)
+    // doc1: (a,c) unseen -> ln(0.4 * (0+1)/(4+2)) ; c is OOV (add-one)
+    assert(math.abs(got(1L) - math.log(0.4 / 6.0)) < 1e-6)
+    // doc2: single token, no bigram -> no row
+    assert(!got.contains(2L))
+  }
+
   test("htmlToText: tags, script/style elements, entities, double-decode trap") {
     import graft.functions.TextAnalysis
     val cases = Seq(
