@@ -1293,25 +1293,34 @@ object QueriesExt {
     * two-level public suffixes, a non-URL row), host/registrable-domain/
     * normalized-URL replayed step-for-step by the oracle's RE2 regexes.
     */
+  /** Shared synthetic URL fixture: SQL and Column twins of the same
+    * per-doc CASE (mixed case, userinfo, default and explicit ports,
+    * fragments, two-level public suffixes, a non-URL row).
+    */
+  private lazy val urlFixtureSql: String =
+    """CASE doc_id % 7
+      |  WHEN 0 THEN 'https://Example.COM/path/' || doc_id
+      |  WHEN 1 THEN 'http://sub.shop.co.uk:80/item?id=' || doc_id || '#frag'
+      |  WHEN 2 THEN 'https://cdn.example.com:443/assets/' || doc_id
+      |  WHEN 3 THEN 'http://user:pw@www.data.org:8080/x/' || doc_id
+      |  WHEN 4 THEN 'https://no-path.io?q=' || doc_id
+      |  WHEN 5 THEN 'ftp://files.example.net/pub/' || doc_id
+      |  ELSE 'not a url ' || doc_id END""".stripMargin
+
+  private def urlFixtureCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 7 === 0, concat(lit("https://Example.COM/path/"), col("doc_id")))
+      .when(col("doc_id") % 7 === 1, concat(lit("http://sub.shop.co.uk:80/item?id="), col("doc_id"), lit("#frag")))
+      .when(col("doc_id") % 7 === 2, concat(lit("https://cdn.example.com:443/assets/"), col("doc_id")))
+      .when(col("doc_id") % 7 === 3, concat(lit("http://user:pw@www.data.org:8080/x/"), col("doc_id")))
+      .when(col("doc_id") % 7 === 4, concat(lit("https://no-path.io?q="), col("doc_id")))
+      .when(col("doc_id") % 7 === 5, concat(lit("ftp://files.example.net/pub/"), col("doc_id")))
+      .otherwise(concat(lit("not a url "), col("doc_id")))
+
   private val urlOps: Q = {
-    val urlSql =
-      """CASE doc_id % 7
-        |  WHEN 0 THEN 'https://Example.COM/path/' || doc_id
-        |  WHEN 1 THEN 'http://sub.shop.co.uk:80/item?id=' || doc_id || '#frag'
-        |  WHEN 2 THEN 'https://cdn.example.com:443/assets/' || doc_id
-        |  WHEN 3 THEN 'http://user:pw@www.data.org:8080/x/' || doc_id
-        |  WHEN 4 THEN 'https://no-path.io?q=' || doc_id
-        |  WHEN 5 THEN 'ftp://files.example.net/pub/' || doc_id
-        |  ELSE 'not a url ' || doc_id END""".stripMargin
+    val urlSql = urlFixtureSql
     "x_url_ops" -> ((
       (s: SparkSession, dir: String) => {
-        val url = when(col("doc_id") % 7 === 0, concat(lit("https://Example.COM/path/"), col("doc_id")))
-          .when(col("doc_id") % 7 === 1, concat(lit("http://sub.shop.co.uk:80/item?id="), col("doc_id"), lit("#frag")))
-          .when(col("doc_id") % 7 === 2, concat(lit("https://cdn.example.com:443/assets/"), col("doc_id")))
-          .when(col("doc_id") % 7 === 3, concat(lit("http://user:pw@www.data.org:8080/x/"), col("doc_id")))
-          .when(col("doc_id") % 7 === 4, concat(lit("https://no-path.io?q="), col("doc_id")))
-          .when(col("doc_id") % 7 === 5, concat(lit("ftp://files.example.net/pub/"), col("doc_id")))
-          .otherwise(concat(lit("not a url "), col("doc_id")))
+        val url = urlFixtureCol
         docs(s, dir).select(col("doc_id"),
           graft.functions.UrlOps.urlHost(url).as("host"),
           graft.functions.UrlOps.registrableDomain(graft.functions.UrlOps.urlHost(url)).as("domain"),
@@ -1346,6 +1355,40 @@ object QueriesExt {
          |  END AS norm_url
          |FROM d""".stripMargin))
   }
+
+  /** Domain-blocklist gate: the broadcast anti-join gatekeeper over the
+    * shared URL fixture — subdomains fall to their registrable domain's
+    * entry, the blocklist is case-normalized, and non-URL rows (null
+    * domain) pass through (a blocklist drops KNOWN-bad, it never
+    * adjudicates unparseable rows).
+    */
+  private lazy val urlBlocklist: Q = "x_url_blocklist" -> ((
+    (s: SparkSession, dir: String) => {
+      import s.implicits._
+      val block = Seq("shop.co.uk", "EXAMPLE.NET").toDF("domain")
+      graft.functions.UrlOps.filterBlockedDomains(
+          docs(s, dir).withColumn("_url", urlFixtureCol), col("_url"), block, "domain")
+        .select("doc_id", "source")
+    },
+    s"""WITH u AS (SELECT doc_id, source, $urlFixtureSql AS url FROM documents),
+       |h AS (SELECT doc_id, source,
+       |  nullif(lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)), '') AS host
+       |  FROM u),
+       |d AS (SELECT *, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS two,
+       |               regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three FROM h),
+       |dom AS (SELECT doc_id, source,
+       |  CASE WHEN host IS NULL THEN NULL
+       |       WHEN two IN ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
+       |                    'com.au','net.au','org.au','edu.au','gov.au',
+       |                    'co.nz','org.nz','net.nz','co.jp','or.jp','ne.jp','ac.jp','go.jp',
+       |                    'com.br','org.br','net.br','gov.br','com.cn','org.cn','net.cn','gov.cn',
+       |                    'co.in','org.in','net.in','gov.in','com.mx','org.mx','com.tr','org.tr',
+       |                    'com.sg','com.hk','co.za','org.za','co.kr','or.kr')
+       |            AND three <> '' THEN three
+       |       WHEN two <> '' THEN two ELSE host END AS domain
+       |  FROM d)
+       |SELECT doc_id, source FROM dom
+       |WHERE domain IS NULL OR domain NOT IN ('shop.co.uk', 'example.net')""".stripMargin))
 
   /** Incremental embedding near-dup gate: vectors with `vec_id % 5 == 0`
     * play the new daily batch probing the persisted sign-band index of the
@@ -1765,13 +1808,13 @@ object QueriesExt {
   /** Linear quality-filter gate: a fixed learned-weights model over three
     * document features, scored in logit space
     * ([[graft.operators.Quality.linearLogit]] — pure multiply-add fold, no
-    * sigmoid per row) with the keep threshold p=0.6 mapped to a logit
+    * sigmoid per row) with the keep threshold p=0.5 mapped to a logit
     * literal ONCE. The oracle evaluates the identical left-to-right
     * arithmetic; the logit is emitted RAW (no rounding belt — the claim is
     * bit-exactness of the fold).
     */
   private lazy val qualityFilter: Q = {
-    val thr = math.log(0.6 / 0.4) // logit(0.6), a plan literal on both sides
+    val thr = math.log(0.5 / 0.5) // logit(0.5) = 0.0, a plan literal on both sides
     "x_quality_filter" -> ((
       (s: SparkSession, dir: String) => {
         import graft.functions.TextAnalysis
@@ -1782,18 +1825,72 @@ object QueriesExt {
         docs(s, dir).select(col("doc_id"), logit.as("logit"),
           (logit > lit(thr)).as("keep"))
       },
-      {
-        val en = graft.functions.TextAnalysis.markers.head._2
-          .map(w => s"'$w'").mkString(",")
-        val sw = s"(len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE" +
-          s" / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE)"
-        val punct = "(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE)"
-        val logit = s"(((-1.0 + least(length(text)::DOUBLE / 500.0, 1.0) * 1.2)" +
-          s" + $sw * 2.0) + $punct * -3.0)"
-        s"""SELECT doc_id, $logit AS logit, $logit > $thr AS keep
-           |FROM documents""".stripMargin
-      }))
+      s"""SELECT doc_id, $qualityLogitSql AS logit, $qualityLogitSql > $thr AS keep
+         |FROM documents""".stripMargin))
   }
+
+  /** Oracle twin of the x_quality_filter logit — same left-to-right
+    * arithmetic, shared with the streaming curation gate.
+    */
+  private lazy val qualityLogitSql: String = {
+    val en = graft.functions.TextAnalysis.markers.head._2
+      .map(w => s"'$w'").mkString(",")
+    val sw = s"(len(list_filter(string_split(trim(lower(text)),' '), t -> t IN ($en)))::DOUBLE" +
+      s" / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE)"
+    val punct = "(len(regexp_extract_all(text, '[.,!?;:]'))::DOUBLE / greatest(length(text),1)::DOUBLE)"
+    s"(((-1.0 + least(length(text)::DOUBLE / 500.0, 1.0) * 1.2)" +
+      s" + $sw * 2.0) + $punct * -3.0)"
+  }
+
+  /** The Spark twin, shared by the batch gate and the streaming increment. */
+  private def qualityLogitCol: org.apache.spark.sql.Column = {
+    import graft.functions.TextAnalysis
+    graft.operators.Quality.linearLogit(Seq(
+      (least(TextAnalysis.nChars(col("text")).cast("double") / lit(500.0), lit(1.0)), 1.2),
+      (TextAnalysis.stopwordRatio(col("text")), 2.0),
+      (TextAnalysis.punctRatio(col("text")), -3.0)), bias = -1.0)
+  }
+
+  /** STREAMING corpus curation increment: documents arrive in micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file topic); each batch is quality-
+    * filtered (the shared logit model) and content-deduped against the
+    * ACCUMULATED sink by anti-join on sha256(text), then appended — the
+    * daily-increment production shape (new crawl slice lands, only
+    * never-seen quality docs enter the corpus). The final sink STATE is
+    * order-independent — each passing sha appears exactly once no matter
+    * how files batch — so the batch oracle (quality-filtered DISTINCT
+    * shas) replays it regardless of micro-batch boundaries.
+    */
+  private lazy val stCurateIncrement: Q = "st_curate_increment" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-stcurate")
+      val tmp = tmpPath.toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        d.repartition(4).write.parquet(s"$tmp/topic")
+        val thr = math.log(0.5 / 0.5)
+        val q = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val passing = batch.where(qualityLogitCol > lit(thr))
+              .select(sha2(col("text").cast("binary"), 256).as("sha")).distinct()
+            val fresh =
+              if (new java.io.File(s"$tmp/sink").exists())
+                passing.join(batch.sparkSession.read.parquet(s"$tmp/sink"),
+                  Seq("sha"), "left_anti")
+              else passing
+            fresh.write.mode("append").parquet(s"$tmp/sink")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/sink").localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    s"""SELECT DISTINCT sha256(text) AS sha FROM documents
+       |WHERE $qualityLogitSql > ${math.log(0.5 / 0.5)}""".stripMargin))
 
   /** Keep-BEST cluster resolution gate: the Jaccard near-dup components
     * resolved by [[graft.operators.Dedup.resolveClustersBy]] with
@@ -2056,7 +2153,8 @@ object QueriesExt {
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
-    textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm)
+    textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
+    urlBlocklist, stCurateIncrement)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

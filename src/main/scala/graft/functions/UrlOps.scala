@@ -67,6 +67,25 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** Registrable-domain BLOCKLIST filter — the crawl-curation gatekeeper
+    * (spam/adult/SEO-farm domain lists are the first filter every web
+    * corpus applies): drop rows whose URL's registrable domain appears in
+    * the list. The blocklist is config-sized (thousands to low millions of
+    * domains), so it rides a BROADCAST anti-join — the corpus never
+    * shuffles; matching is on [[registrableDomain]] so `a.spam.com` and
+    * `b.spam.com` both fall to the `spam.com` entry.
+    */
+  def filterBlockedDomains(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: Column,
+      blocklist: org.apache.spark.sql.DataFrame,
+      domainCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val dom = registrableDomain(urlHost(urlCol))
+    df.join(broadcast(blocklist.select(lower(col(domainCol)).as("_blocked"))),
+        dom === col("_blocked"), "left_anti")
+  }
+
   /** Canonical URL (crawl-canonicalizer semantics): lowercase scheme and
     * host, strip userinfo (crawl canonicalizers drop it — it is never a
     * content key), strip the default port (`:80` for http, `:443` for

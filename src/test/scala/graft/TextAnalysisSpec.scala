@@ -157,4 +157,18 @@ class TextAnalysisSpec extends SparkSpec {
       assert(gn == n, s"norm: $gn != $n")
     }
   }
+
+  test("filterBlockedDomains: subdomains fall to the registrable entry, non-urls pass") {
+    import graft.functions.UrlOps
+    val rows = Seq(
+      (1L, "https://a.spam.com/x"),    // blocked via registrable domain
+      (2L, "https://b.spam.com/y"),    // second subdomain, same entry
+      (3L, "https://fine.org/z"),      // kept
+      (4L, "not a url at all"))        // null domain -> kept
+      .toDF("id", "url")
+    val block = Seq("SPAM.com").toDF("domain") // case-normalized
+    val kept = UrlOps.filterBlockedDomains(rows, col("url"), block, "domain")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
 }
