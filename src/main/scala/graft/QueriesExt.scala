@@ -768,6 +768,47 @@ object QueriesExt {
       |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
       |FROM per LEFT JOIN top ON per.doc_id = top.doc_id""".stripMargin))
 
+  /** Gopher rule-battery gate: the non-repetition half of the published
+    * MassiveText filter (word-count/mean-length bounds, symbol ratio,
+    * bullet/ellipsis lines, alphabetic-word fraction, stop-word presence)
+    * — every scalar, rule boolean, and the overall pass replayed exactly.
+    */
+  private lazy val textGopher: Q = "x_text_gopher" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Repetition.gopherRules(docs(s, dir), "doc_id", "text"),
+    """WITH t AS (SELECT doc_id, text, string_split(trim(text),' ') ws,
+      |            string_split(text, chr(10)) ls FROM documents),
+      |c AS (SELECT doc_id,
+      |  len(ws)::BIGINT AS n_words,
+      |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> length(w)::BIGINT)),
+      |    (a,b)->a+b)::DOUBLE / greatest(len(ws),1)::DOUBLE AS mean_word_len,
+      |  (len(regexp_extract_all(text, '#')) +
+      |   len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE
+      |    / greatest(len(ws),1)::DOUBLE AS symbol_word_ratio,
+      |  len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+      |    / greatest(len(ls),1)::DOUBLE AS bullet_line_frac,
+      |  len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))::DOUBLE
+      |    / greatest(len(ls),1)::DOUBLE AS ellipsis_line_frac,
+      |  len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+      |    / greatest(len(ws),1)::DOUBLE AS alpha_word_frac,
+      |  len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    s -> list_contains(ws, s)))::INT AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+      |  ellipsis_line_frac, alpha_word_frac, stop_hits,
+      |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+      |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_len,
+      |  symbol_word_ratio < 0.1 AS ok_symbols,
+      |  bullet_line_frac < 0.9 AS ok_bullets,
+      |  ellipsis_line_frac < 0.3 AS ok_ellipsis,
+      |  alpha_word_frac >= 0.8 AS ok_alpha,
+      |  stop_hits >= 2 AS ok_stops,
+      |  (n_words BETWEEN 50 AND 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |    AND symbol_word_ratio < 0.1 AND bullet_line_frac < 0.9
+      |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
+      |    AND stop_hits >= 2 AS gopher_pass
+      |FROM c""".stripMargin))
+
   /** FLAGSHIP composition: the full corpus-curation pipeline a training-data
     * run executes, end to end — repetition/quality filter → exact dedup
     * (keep-one) → near-dup candidate pairs → connected-component cluster
@@ -2154,7 +2195,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement)
+    urlBlocklist, stCurateIncrement, textGopher)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -54,4 +54,61 @@ object Repetition {
     perRow.join(top, Seq(idCol), "left")
       .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
+
+  /** The REST of the Gopher rule battery (Rae et al. 2021, Appendix A1 —
+    * the published MassiveText filter; [[metrics]] covers its repetition
+    * rules): word-count bounds, mean word length bounds, symbol-to-word
+    * ratio, bullet/ellipsis line fractions, alphabetic-word fraction, and
+    * the stop-word presence check, each as a per-document scalar plus its
+    * rule boolean and an overall `gopher_pass`. Shuffle-free per-row
+    * column math — the filter form a scan absorbs; every ratio is an exact
+    * rational in doubles and the mean folds in element order, so the gate
+    * hashes without rounding belts.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_ws", Dedup.tokens(col("_t")))
+      .withColumn("_ls", split(col("_t"), "\n"))
+      .withColumn("_n", greatest(size(col("_ws")), lit(1)).cast("double"))
+      .withColumn("_nl", greatest(size(col("_ls")), lit(1)).cast("double"))
+    val meanLen = aggregate(col("_ws"), lit(0L), (a, w) => a + length(w))
+      .cast("double") / col("_n")
+    val symRatio = (regexp_count(col("_t"), lit("#")) +
+      regexp_count(col("_t"), lit("\\.\\.\\.|…"))).cast("double") / col("_n")
+    val bulletFrac = size(filter(col("_ls"),
+      l => trim(l).rlike("^[-*•]"))).cast("double") / col("_nl")
+    val ellipsisFrac = size(filter(col("_ls"),
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / col("_nl")
+    val alphaFrac = size(filter(col("_ws"),
+      w => w.rlike("[A-Za-z]"))).cast("double") / col("_n")
+    val stopHits = size(filter(
+      array(stops.map(lit): _*), s => array_contains(col("_ws"), s))).cast("int")
+    val scored = base.select(col(idCol),
+      size(col("_ws")).cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"))
+    scored.select(col(idCol), col("n_words"), col("mean_word_len"),
+      col("symbol_word_ratio"), col("bullet_line_frac"), col("ellipsis_line_frac"),
+      col("alpha_word_frac"), col("stop_hits"),
+      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
+      (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_len"),
+      (col("symbol_word_ratio") < 0.1).as("ok_symbols"),
+      (col("bullet_line_frac") < 0.9).as("ok_bullets"),
+      (col("ellipsis_line_frac") < 0.3).as("ok_ellipsis"),
+      (col("alpha_word_frac") >= 0.8).as("ok_alpha"),
+      (col("stop_hits") >= 2).as("ok_stops"))
+      .withColumn("gopher_pass",
+        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stops"))
+  }
 }

@@ -92,6 +92,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nTok == 4) // 'the' x3 + 'cat' all single tokens after the 4 rules
   }
 
+  test("gopherRules: each rule fires on its designed violation") {
+    import graft.operators.Repetition
+    val goodWords = (1 to 13).flatMap(_ => Seq("the", "brown", "fox", "and", "dog")).mkString(" ")
+    val cases = Seq(
+      (0L, goodWords),                                    // 65 words, all rules pass
+      (1L, "too short to pass the word count rule here"), // n_words < 50
+      (2L, goodWords + " " + ("#### " * 8).trim),         // symbol ratio >= 0.1
+      (3L, (1 to 55).map(i => s"- bullet $i").mkString("\n")), // bullet lines
+      (4L, (1 to 55).map(_ => "12345 67890").mkString(" "))) // no alphabetic words, no stops
+      .toDF("doc_id", "text")
+    val got = Repetition.gopherRules(cases, "doc_id", "text")
+      .select("doc_id", "ok_word_count", "ok_symbols", "ok_bullets", "ok_alpha",
+        "ok_stops", "gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._7, "clean doc passes the battery")
+    assert(!got(1L)._2 && !got(1L)._7, "short doc fails word count")
+    assert(!got(2L)._3 && !got(2L)._7, "hash spam fails symbol ratio")
+    assert(!got(3L)._4 && !got(3L)._7, "bullet wall fails bullet fraction")
+    assert(!got(4L)._5 && !got(4L)._6 && !got(4L)._7, "numeric doc fails alpha and stops")
+  }
+
   test("bigram LM stupid backoff: hand-computed seen and backed-off scores") {
     import graft.operators.BigramLm
     val train = Seq("a b a b").toDF("text")
