@@ -106,7 +106,11 @@ object CurateMain {
         rs
       } else Nil
 
-    val text0 = if (cfg.nfc) Conversions.nfcNormalize(col(cfg.textColumn)) else col(cfg.textColumn)
+    // HTML extraction FIRST (markup is not text — every downstream filter
+    // and dedup key must see the extracted content), then NFC.
+    val textStripped =
+      if (cfg.htmlStrip) TextAnalysis.htmlToText(col(cfg.textColumn)) else col(cfg.textColumn)
+    val text0 = if (cfg.nfc) Conversions.nfcNormalize(textStripped) else textStripped
     val base = raw.withColumn(cfg.textColumn, text0)
 
     // Empty/whitespace-only text splits to [""] (1 token) — count it as 0
@@ -117,6 +121,9 @@ object CurateMain {
     val lenQual = base
       .where(nWords >= cfg.minWords && nWords <= cfg.maxWords)
       .where(TextAnalysis.qualityScore(col(cfg.textColumn)) >= cfg.minQuality)
+      // Gopher battery rides the same scan-absorbed predicate chain.
+      .where(if (cfg.gopher)
+        graft.operators.Repetition.gopherPass(col(cfg.textColumn)) else lit(true))
     // Repetition facets (Gopher-style) only when the config asks — their
     // top-bigram plan is relational (explode + keyed agg), not a per-row
     // projection like the bounds above, so the join is pay-for-what-you-use.
@@ -152,7 +159,14 @@ object CurateMain {
       case Some(t) =>
         val comp = Dedup.connectedComponents(
           Dedup.jaccardPairs(dd, cfg.idColumn, cfg.textColumn, n = 3, threshold = t))
-        Dedup.resolveClusters(dd, cfg.idColumn, comp).persist(StorageLevel.MEMORY_AND_DISK)
+        // `keep: best` retains each cluster's highest-quality member (the
+        // production choice when near-dups differ); default keeps min id.
+        val resolved =
+          if (cfg.nearDupKeepBest)
+            Dedup.resolveClustersBy(dd, cfg.idColumn, comp,
+              TextAnalysis.qualityScore(col(cfg.textColumn)))
+          else Dedup.resolveClusters(dd, cfg.idColumn, comp)
+        resolved.persist(StorageLevel.MEMORY_AND_DISK)
       case None => dd
     }
     stages += "after_near_dedup" -> afterNear.count()
@@ -177,10 +191,24 @@ object CurateMain {
     }
     stages += "after_sample" -> afterSample.count()
 
+    // Token-budgeted mixture assembly — the final "build the training mix"
+    // stage; selection joins back so the corpus keeps its full columns.
+    val afterMixture = cfg.mixtureTotalTokens match {
+      case Some(total) =>
+        graft.operators.Mixture.mixtureSample(
+            afterSample, cfg.idColumn, cfg.mixtureSourceColumn,
+            nWords.cast("long"), cfg.mixtureWeights, total)
+          .select(id)
+          .join(afterSample, cfg.idColumn)
+      case None => afterSample
+    }
+    if (cfg.mixtureTotalTokens.isDefined)
+      stages += "after_mixture" -> afterMixture.count()
+
     val (out, partitionCols) =
       if (cfg.splits.nonEmpty)
-        (Dedup.splitAssign(afterSample, id, cfg.splits), Seq("split"))
-      else (afterSample, Nil)
+        (Dedup.splitAssign(afterMixture, id, cfg.splits), Seq("split"))
+      else (afterMixture, Nil)
 
     val writer = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)

@@ -17,14 +17,20 @@ final case class CurateConfig(
     minQuality: Double = 0.0,
     maxDupWordFrac: Double = 1.0,
     maxTopBigramFrac: Double = 1.0,
+    gopher: Boolean = false,
+    htmlStrip: Boolean = false,
     nfc: Boolean = false,
     dedupExact: Boolean = true,
     nearDupThreshold: Option[Double] = None,
+    nearDupKeepBest: Boolean = false,
     decontaminateAgainst: Option[String] = None,
     decontaminateN: Int = 8,
     sampleStratum: Option[String] = None,
     sampleRates: Map[String, Double] = Map.empty,
     sampleDefault: Double = 100.0,
+    mixtureTotalTokens: Option[Long] = None,
+    mixtureWeights: Map[String, Double] = Map.empty,
+    mixtureSourceColumn: String = "source",
     splits: Seq[(String, Double)] = Nil,
     dqNotNull: Seq[String] = Nil,
     dqUnique: Seq[String] = Nil,
@@ -52,7 +58,8 @@ object CurateConfig {
   def fromYaml(src: String): CurateConfig = {
     val tree = ConfigYaml.parseTree(src)
     val known = Set("input", "output", "id-column", "text-column",
-      "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq")
+      "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq",
+      "mixture")
     val unknown = tree.keySet -- known
     require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
 
@@ -68,9 +75,9 @@ object CurateConfig {
     val decon = sub(tree, "decontaminate")
     val sample = sub(tree, "sample")
     val unknownF = filters.keySet -- Set("min-words", "max-words", "min-quality",
-      "max-dup-word-frac", "max-top-bigram-frac")
+      "max-dup-word-frac", "max-top-bigram-frac", "gopher", "html-strip")
     require(unknownF.isEmpty, s"unknown filters keys: ${unknownF.mkString(", ")}")
-    val unknownD = dedup.keySet -- Set("exact", "near-threshold")
+    val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep")
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
     val unknownC = decon.keySet -- Set("against", "n")
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
@@ -79,6 +86,13 @@ object CurateConfig {
     // dq block: input-contract checks before any curation stage. Column
     // lists are comma-separated scalars (the zero-dependency YAML subset has
     // no inline flow lists); `accepted` is a nested column -> csv map.
+    val mixture = sub(tree, "mixture")
+    val unknownM = mixture.keySet -- Set("total-tokens", "weights", "source-column")
+    require(unknownM.isEmpty, s"unknown mixture keys: ${unknownM.mkString(", ")}")
+    // Same half-specified-stage guard as sample/decontaminate: weights
+    // without a budget (or vice versa) must fail loudly, not no-op.
+    require(mixture.isEmpty || (mixture.contains("total-tokens") && mixture.contains("weights")),
+      "mixture: requires both total-tokens and weights")
     val dq = sub(tree, "dq")
     val unknownQ = dq.keySet -- Set("not-null", "unique", "accepted", "fail-on-violation")
     require(unknownQ.isEmpty, s"unknown dq keys: ${unknownQ.mkString(", ")}")
@@ -113,14 +127,25 @@ object CurateConfig {
       minQuality = str(filters, "min-quality").map(_.toDouble).getOrElse(0.0),
       maxDupWordFrac = str(filters, "max-dup-word-frac").map(_.toDouble).getOrElse(1.0),
       maxTopBigramFrac = str(filters, "max-top-bigram-frac").map(_.toDouble).getOrElse(1.0),
+      gopher = str(filters, "gopher").exists(_.toBoolean),
+      htmlStrip = str(filters, "html-strip").exists(_.toBoolean),
       nfc = str(tree, "nfc").exists(_.toBoolean),
       dedupExact = str(dedup, "exact").forall(_.toBoolean),
       nearDupThreshold = str(dedup, "near-threshold").map(_.toDouble),
+      nearDupKeepBest = str(dedup, "keep") match {
+        case Some("best") => true
+        case Some("first") | None => false
+        case Some(other) => throw ConfigYaml.ParseError(
+          s"dedup.keep: expected best|first, got $other")
+      },
       decontaminateAgainst = str(decon, "against"),
       decontaminateN = str(decon, "n").map(_.toInt).getOrElse(8),
       sampleStratum = str(sample, "stratum-column"),
       sampleRates = sub(sample, "rates").map { case (k, v) => k -> v.toString.toDouble },
       sampleDefault = str(sample, "default-percent").map(_.toDouble).getOrElse(100.0),
+      mixtureTotalTokens = str(mixture, "total-tokens").map(_.toLong),
+      mixtureWeights = sub(mixture, "weights").map { case (k, v) => k -> v.toString.toDouble },
+      mixtureSourceColumn = str(mixture, "source-column").getOrElse("source"),
       splits = splits,
       dqNotNull = str(dq, "not-null").map(csv).getOrElse(Nil),
       dqUnique = str(dq, "unique").map(csv).getOrElse(Nil),

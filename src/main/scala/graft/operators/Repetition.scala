@@ -65,6 +65,35 @@ object Repetition {
     * rational in doubles and the mean folds in element order, so the gate
     * hashes without rounding belts.
     */
+  /** The battery as ONE boolean Column — the form a config-driven filter
+    * (`CurateMain`) pushes into a `where` without materializing facet
+    * columns. Same rules as [[gopherRules]] (the spec asserts the two
+    * agree); repeated `tokens(text)` references collapse under codegen
+    * subexpression elimination, and no HOF lambda closes over an outer
+    * expression (the stop-word check is a plain add-chain, not a filter
+    * over a literal array).
+    */
+  def gopherPass(text: org.apache.spark.sql.Column, minWords: Int = 50,
+      maxWords: Int = 100000): org.apache.spark.sql.Column = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val ws = Dedup.tokens(text)
+    val ls = split(text, "\n")
+    val n = greatest(size(ws), lit(1)).cast("double")
+    val nl = greatest(size(ls), lit(1)).cast("double")
+    val nWords = size(ws).cast("long")
+    val meanLen = aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / n
+    val symRatio = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") / n
+    val bulletFrac = size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") / nl
+    val ellipsisFrac = size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl
+    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n
+    val stopHits = stops.map(s => array_contains(ws, s).cast("int")).reduce(_ + _)
+    (nWords >= minWords && nWords <= maxWords) &&
+      (meanLen >= 3.0 && meanLen <= 10.0) &&
+      symRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+      alphaFrac >= 0.8 && stopHits >= 2
+  }
+
   def gopherRules(
       df: DataFrame,
       idCol: String,

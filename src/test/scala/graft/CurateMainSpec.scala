@@ -149,6 +149,73 @@ class CurateMainSpec extends SparkSpec {
     assert(cleanReport.dq.forall(_._2 == 0L))
   }
 
+  test("CurateConfig.fromYaml: gopher/html-strip/keep/mixture knobs parse and guard") {
+    val cfg = CurateConfig.fromYaml(
+      """input: a
+        |output: b
+        |filters:
+        |  gopher: true
+        |  html-strip: true
+        |dedup:
+        |  near-threshold: 0.3
+        |  keep: best
+        |mixture:
+        |  total-tokens: 5000
+        |  weights:
+        |    src0: 2.0
+        |    src1: 1.0
+        |""".stripMargin)
+    assert(cfg.gopher && cfg.htmlStrip && cfg.nearDupKeepBest)
+    assert(cfg.mixtureTotalTokens.contains(5000L))
+    assert(cfg.mixtureWeights == Map("src0" -> 2.0, "src1" -> 1.0))
+    // half-specified mixture fails loudly
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nmixture:\n  total-tokens: 5000")
+    }
+    // invalid keep mode fails loudly
+    intercept[Exception] {
+      CurateConfig.fromYaml("input: a\noutput: b\ndedup:\n  keep: newest")
+    }
+  }
+
+  test("CurateMain.run: gopher+keep-best+mixture stages execute and report") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate-mix").toString
+    val docsTxt = (1 to 13).flatMap(_ => Seq("the", "brown", "fox", "and", "dog")).mkString(" ")
+    val near = docsTxt + " extra"
+    Seq(
+      (1L, s"<p>$docsTxt</p>", "src0"),        // html-wrapped, survives strip+gopher
+      (2L, near, "src0"),                       // near-dup of 1 (longer -> best)
+      (3L, "short doc", "src0"),                // fails gopher word count
+      (4L, (1 to 11).flatMap(_ => Seq("that", "quick", "red", "bird", "of", "sky")).mkString(" "), "src1"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$tmp/in")
+    val cfg = CurateConfig.fromYaml(
+      s"""input: $tmp/in
+         |output: $tmp/out
+         |filters:
+         |  gopher: true
+         |  html-strip: true
+         |dedup:
+         |  near-threshold: 0.3
+         |  keep: best
+         |mixture:
+         |  total-tokens: 1000
+         |  weights:
+         |    src0: 1.0
+         |    src1: 1.0
+         |""".stripMargin)
+    val report = CurateMain.run(spark, cfg)
+    val st = report.stages.toMap
+    assert(st("after_filters") == 3L, "gopher drops the short doc")
+    assert(st("after_near_dedup") == 2L, "near-dup cluster collapses")
+    assert(st.contains("after_mixture"))
+    val kept = spark.read.parquet(s"$tmp/out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    // keep: best retains doc 2 (longer text scores higher quality), not min-id 1
+    assert(kept.contains(2L) && !kept.contains(1L), s"keep-best should keep 2, got $kept")
+    assert(kept.contains(4L))
+  }
+
   test("CurateMain.run: no-op config passes everything through unchanged") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate2").toString
     val cfg = CurateConfig(

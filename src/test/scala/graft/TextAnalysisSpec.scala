@@ -112,6 +112,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(2L)._3 && !got(2L)._7, "hash spam fails symbol ratio")
     assert(!got(3L)._4 && !got(3L)._7, "bullet wall fails bullet fraction")
     assert(!got(4L)._5 && !got(4L)._6 && !got(4L)._7, "numeric doc fails alpha and stops")
+    // the single-Column form (CurateMain's filter) agrees with the facet frame
+    val passCol = cases.select(col("doc_id"), Repetition.gopherPass(col("text")).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    got.foreach { case (id, r) => assert(passCol(id) == r._7, s"drift at doc $id") }
   }
 
   test("bigram LM stupid backoff: hand-computed seen and backed-off scores") {
