@@ -195,11 +195,15 @@ object CurateMain {
     // stage; selection joins back so the corpus keeps its full columns.
     val afterMixture = cfg.mixtureTotalTokens match {
       case Some(total) =>
+        // Persisted like every transforming stage: the after_mixture count,
+        // splitAssign, and the final write would otherwise each re-run the
+        // mixture subtree (bucket totals + two keep branches + window).
         graft.operators.Mixture.mixtureSample(
             afterSample, cfg.idColumn, cfg.mixtureSourceColumn,
             nWords.cast("long"), cfg.mixtureWeights, total)
           .select(id)
           .join(afterSample, cfg.idColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
       case None => afterSample
     }
     if (cfg.mixtureTotalTokens.isDefined)
@@ -231,6 +235,7 @@ object CurateMain {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
 
+    if (afterMixture ne afterSample) afterMixture.unpersist()
     if (afterDecon ne afterNear) afterDecon.unpersist()
     if (afterNear ne dd) afterNear.unpersist()
     survivors0.unpersist()

@@ -1334,6 +1334,12 @@ object QueriesExt {
     * two-level public suffixes, a non-URL row), host/registrable-domain/
     * normalized-URL replayed step-for-step by the oracle's RE2 regexes.
     */
+  /** The two-level-suffix IN-list generated from the ONE Scala constant
+    * (`UrlOps.twoLevelSuffixes`) — hand-copied SQL lists drift.
+    */
+  private lazy val suffixInListSql: String =
+    graft.functions.UrlOps.twoLevelSuffixes.map(x => s"'$x'").mkString(",")
+
   /** Shared synthetic URL fixture: SQL and Column twins of the same
     * per-doc CASE (mixed case, userinfo, default and explicit ports,
     * fragments, two-level public suffixes, a non-URL row).
@@ -1378,12 +1384,7 @@ object QueriesExt {
          |               regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three FROM h)
          |SELECT doc_id, host,
          |  CASE WHEN host IS NULL THEN NULL
-         |       WHEN two IN ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
-         |                    'com.au','net.au','org.au','edu.au','gov.au',
-         |                    'co.nz','org.nz','net.nz','co.jp','or.jp','ne.jp','ac.jp','go.jp',
-         |                    'com.br','org.br','net.br','gov.br','com.cn','org.cn','net.cn','gov.cn',
-         |                    'co.in','org.in','net.in','gov.in','com.mx','org.mx','com.tr','org.tr',
-         |                    'com.sg','com.hk','co.za','org.za','co.kr','or.kr')
+         |       WHEN two IN ($suffixInListSql)
          |            AND three <> '' THEN three
          |       WHEN two <> '' THEN two ELSE host END AS domain,
          |  CASE WHEN scheme IS NULL THEN NULL
@@ -1419,12 +1420,7 @@ object QueriesExt {
        |               regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS three FROM h),
        |dom AS (SELECT doc_id, source,
        |  CASE WHEN host IS NULL THEN NULL
-       |       WHEN two IN ('co.uk','org.uk','ac.uk','gov.uk','me.uk','net.uk',
-       |                    'com.au','net.au','org.au','edu.au','gov.au',
-       |                    'co.nz','org.nz','net.nz','co.jp','or.jp','ne.jp','ac.jp','go.jp',
-       |                    'com.br','org.br','net.br','gov.br','com.cn','org.cn','net.cn','gov.cn',
-       |                    'co.in','org.in','net.in','gov.in','com.mx','org.mx','com.tr','org.tr',
-       |                    'com.sg','com.hk','co.za','org.za','co.kr','or.kr')
+       |       WHEN two IN ($suffixInListSql)
        |            AND three <> '' THEN three
        |       WHEN two <> '' THEN two ELSE host END AS domain
        |  FROM d)
@@ -1823,8 +1819,12 @@ object QueriesExt {
     "x_text_bpe_ids" -> ((
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.expressions.Window
+        // Checkpointed: the vocab build and the output stream BOTH consume
+        // the tokenized frame, and the 8-rule replace cascade over the full
+        // corpus is this gate's dominant cost — pay it once.
         val toks = docs(s, dir).select(col("doc_id"),
           graft.functions.TextAnalysis.bpeTokens(col("text"), bpeGateMerges).as("fl"))
+          .localCheckpoint(true)
         val vocab = toks.select(explode(col("fl")).as("token")).distinct()
           .withColumn("token_id", row_number().over(Window.orderBy("token")))
         toks.where(col("doc_id") % 17 === 0)
@@ -1858,11 +1858,7 @@ object QueriesExt {
     val thr = math.log(0.5 / 0.5) // logit(0.5) = 0.0, a plan literal on both sides
     "x_quality_filter" -> ((
       (s: SparkSession, dir: String) => {
-        import graft.functions.TextAnalysis
-        val logit = graft.operators.Quality.linearLogit(Seq(
-          (least(TextAnalysis.nChars(col("text")).cast("double") / lit(500.0), lit(1.0)), 1.2),
-          (TextAnalysis.stopwordRatio(col("text")), 2.0),
-          (TextAnalysis.punctRatio(col("text")), -3.0)), bias = -1.0)
+        val logit = qualityLogitCol // ONE source of truth with the streaming gate
         docs(s, dir).select(col("doc_id"), logit.as("logit"),
           (logit > lit(thr)).as("keep"))
       },
@@ -1918,9 +1914,16 @@ object QueriesExt {
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val passing = batch.where(qualityLogitCol > lit(thr))
               .select(sha2(col("text").cast("binary"), 256).as("sha")).distinct()
+            // Explicit schema on the sink read: a first batch with ZERO
+            // passing rows leaves a part-less parquet dir, and schema
+            // inference over it would crash the next batch.
+            val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                "sha", org.apache.spark.sql.types.StringType)))
             val fresh =
               if (new java.io.File(s"$tmp/sink").exists())
-                passing.join(batch.sparkSession.read.parquet(s"$tmp/sink"),
+                passing.join(
+                  batch.sparkSession.read.schema(sinkSchema).parquet(s"$tmp/sink"),
                   Seq("sha"), "left_anti")
               else passing
             fresh.write.mode("append").parquet(s"$tmp/sink")
@@ -2101,7 +2104,8 @@ object QueriesExt {
          |  sum(tok) OVER (PARTITION BY source ORDER BY b, h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
-         |SELECT doc_id, source, tok AS n_tokens FROM w WHERE cum <= budget""".stripMargin))
+         |SELECT doc_id, source, tok AS n_tokens FROM w
+         |WHERE budget > 0 AND cum <= budget""".stripMargin))
   }
 
   /** SemDeDup gate: spherical k-means cells (k=4, 1 Lloyd round) as the

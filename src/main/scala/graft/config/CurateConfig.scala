@@ -105,6 +105,8 @@ object CurateConfig {
       "sample: requires stratum-column (rates/default-percent alone do nothing)")
     require(decon.isEmpty || decon.contains("against"),
       "decontaminate: requires against (n alone does nothing)")
+    require(!dedup.contains("keep") || dedup.contains("near-threshold"),
+      "dedup.keep: requires near-threshold (keep alone runs no near-dup stage)")
 
     val splits: Seq[(String, Double)] = tree.get("split") match {
       case Some(xs: List[_]) => xs.map {

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object BigramLm {
 
+  /** Returns `(idCol, bigram_lm_score)` — documents with FEWER THAN TWO
+    * tokens have no bigrams and hence NO ROW (a likelihood over zero
+    * events is undefined, the [[UnigramLm]] empty-doc contract); a caller
+    * using this as a filter must left-join and decide the no-bigram policy
+    * explicitly rather than inherit an inner join's silent drop.
+    */
   def scoreDocs(
       df: DataFrame,
       idCol: String,

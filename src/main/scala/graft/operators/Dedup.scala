@@ -895,8 +895,13 @@ object Dedup {
     val members = df.join(components.withColumnRenamed("id", idCol), Seq(idCol))
       .select(col(idCol).as("_id"), col("component"), prefer.as("_p"))
     val best = members.groupBy("component").agg(max(col("_p")).as("_bp"))
+    // Null-SAFE equality: a component whose preference is NULL on every
+    // member has _bp = NULL (max ignores nulls), and a plain `===` would
+    // produce NO winner — every duplicate would survive. `<=>` makes the
+    // all-NULL component fall back to min-id keep; mixed null/non-null
+    // components are unaffected (NULL <=> non-null is false).
     val winners = members.join(best, Seq("component"))
-      .where(col("_p") === col("_bp"))
+      .where(col("_p") <=> col("_bp"))
       .groupBy("component").agg(min(col("_id")).as("_keep"))
     val losers = members.join(winners, Seq("component"))
       .where(col("_id") =!= col("_keep"))

@@ -74,8 +74,13 @@ object Mixture {
     val offsets = bucketTotals
       .withColumn("_off", sum(col("_bt")).over(wb) - col("_bt"))
       .localCheckpoint(true)
+    // Budget-0 sources (unlisted, or explicit weight 0) drop ENTIRELY here
+    // — without this, a zero-token row hash-sorted at the head of such a
+    // source's boundary bucket would satisfy `cum 0 <= budget 0` and leak
+    // through the documented "unlisted sources are dropped" contract.
     val joined = rows.join(broadcast(offsets), Seq("_src", "_b"))
       .withColumn("_budget", budget)
+      .where(col("_budget") > 0)
     // Whole bucket fits — every row's global cum ≤ _off + _bt ≤ budget.
     val fullyKept = joined.where(col("_off") + col("_bt") <= col("_budget"))
     // Boundary bucket: the ONLY rows that pay a window (per source,

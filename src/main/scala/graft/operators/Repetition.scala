@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality metrics for training-data filtering (the
@@ -65,33 +65,49 @@ object Repetition {
     * rational in doubles and the mean folds in element order, so the gate
     * hashes without rounding belts.
     */
-  /** The battery as ONE boolean Column — the form a config-driven filter
-    * (`CurateMain`) pushes into a `where` without materializing facet
-    * columns. Same rules as [[gopherRules]] (the spec asserts the two
-    * agree); repeated `tokens(text)` references collapse under codegen
-    * subexpression elimination, and no HOF lambda closes over an outer
-    * expression (the stop-word check is a plain add-chain, not a filter
-    * over a literal array).
+  /** Shared per-facet builders — BOTH forms (the facet frame and the
+    * single-Column predicate) compose these, so a threshold or regex edit
+    * cannot drift between the gate and the config-driven filter.
     */
-  def gopherPass(text: org.apache.spark.sql.Column, minWords: Int = 50,
-      maxWords: Int = 100000): org.apache.spark.sql.Column = {
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val ws = Dedup.tokens(text)
-    val ls = split(text, "\n")
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def gopherFacets(text: Column, ws: Column, ls: Column): Seq[(String, Column)] = {
     val n = greatest(size(ws), lit(1)).cast("double")
     val nl = greatest(size(ls), lit(1)).cast("double")
-    val nWords = size(ws).cast("long")
-    val meanLen = aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / n
-    val symRatio = (regexp_count(text, lit("#")) +
-      regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") / n
-    val bulletFrac = size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") / nl
-    val ellipsisFrac = size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl
-    val alphaFrac = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n
-    val stopHits = stops.map(s => array_contains(ws, s).cast("int")).reduce(_ + _)
-    (nWords >= minWords && nWords <= maxWords) &&
-      (meanLen >= 3.0 && meanLen <= 10.0) &&
-      symRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
-      alphaFrac >= 0.8 && stopHits >= 2
+    Seq(
+      "n_words" -> size(ws).cast("long"),
+      "mean_word_len" ->
+        (aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / n),
+      "symbol_word_ratio" -> ((regexp_count(text, lit("#")) +
+        regexp_count(text, lit("\\.\\.\\.|…"))).cast("double") / n),
+      "bullet_line_frac" ->
+        (size(filter(ls, l => trim(l).rlike("^[-*•]"))).cast("double") / nl),
+      "ellipsis_line_frac" ->
+        (size(filter(ls, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nl),
+      "alpha_word_frac" ->
+        (size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / n),
+      // plain add-chain, not a HOF over a literal array: no lambda closes
+      // over an outer expression, and codegen CSE collapses the ws refs
+      "stop_hits" -> gopherStops.map(x => array_contains(ws, x).cast("int")).reduce(_ + _))
+  }
+
+  private def gopherOks(f: Map[String, Column], minWords: Int,
+      maxWords: Int): Seq[(String, Column)] = Seq(
+    "ok_word_count" -> (f("n_words") >= minWords && f("n_words") <= maxWords),
+    "ok_mean_len" -> (f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0),
+    "ok_symbols" -> (f("symbol_word_ratio") < 0.1),
+    "ok_bullets" -> (f("bullet_line_frac") < 0.9),
+    "ok_ellipsis" -> (f("ellipsis_line_frac") < 0.3),
+    "ok_alpha" -> (f("alpha_word_frac") >= 0.8),
+    "ok_stops" -> (f("stop_hits") >= 2))
+
+  /** The battery as ONE boolean Column — the form a config-driven filter
+    * (`CurateMain`) pushes into a `where` without materializing facet
+    * columns; composed from the SAME builders as [[gopherRules]].
+    */
+  def gopherPass(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val f = gopherFacets(text, Dedup.tokens(text), split(text, "\n")).toMap
+    gopherOks(f, minWords, maxWords).map(_._2).reduce(_ && _)
   }
 
   def gopherRules(
@@ -100,44 +116,17 @@ object Repetition {
       textCol: String,
       minWords: Int = 50,
       maxWords: Int = 100000): DataFrame = {
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val base = df.select(col(idCol), col(textCol).as("_t"))
       .withColumn("_ws", Dedup.tokens(col("_t")))
       .withColumn("_ls", split(col("_t"), "\n"))
-      .withColumn("_n", greatest(size(col("_ws")), lit(1)).cast("double"))
-      .withColumn("_nl", greatest(size(col("_ls")), lit(1)).cast("double"))
-    val meanLen = aggregate(col("_ws"), lit(0L), (a, w) => a + length(w))
-      .cast("double") / col("_n")
-    val symRatio = (regexp_count(col("_t"), lit("#")) +
-      regexp_count(col("_t"), lit("\\.\\.\\.|…"))).cast("double") / col("_n")
-    val bulletFrac = size(filter(col("_ls"),
-      l => trim(l).rlike("^[-*•]"))).cast("double") / col("_nl")
-    val ellipsisFrac = size(filter(col("_ls"),
-      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / col("_nl")
-    val alphaFrac = size(filter(col("_ws"),
-      w => w.rlike("[A-Za-z]"))).cast("double") / col("_n")
-    val stopHits = size(filter(
-      array(stops.map(lit): _*), s => array_contains(col("_ws"), s))).cast("int")
-    val scored = base.select(col(idCol),
-      size(col("_ws")).cast("long").as("n_words"),
-      meanLen.as("mean_word_len"),
-      symRatio.as("symbol_word_ratio"),
-      bulletFrac.as("bullet_line_frac"),
-      ellipsisFrac.as("ellipsis_line_frac"),
-      alphaFrac.as("alpha_word_frac"),
-      stopHits.as("stop_hits"))
-    scored.select(col(idCol), col("n_words"), col("mean_word_len"),
-      col("symbol_word_ratio"), col("bullet_line_frac"), col("ellipsis_line_frac"),
-      col("alpha_word_frac"), col("stop_hits"),
-      (col("n_words") >= minWords && col("n_words") <= maxWords).as("ok_word_count"),
-      (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("ok_mean_len"),
-      (col("symbol_word_ratio") < 0.1).as("ok_symbols"),
-      (col("bullet_line_frac") < 0.9).as("ok_bullets"),
-      (col("ellipsis_line_frac") < 0.3).as("ok_ellipsis"),
-      (col("alpha_word_frac") >= 0.8).as("ok_alpha"),
-      (col("stop_hits") >= 2).as("ok_stops"))
-      .withColumn("gopher_pass",
-        col("ok_word_count") && col("ok_mean_len") && col("ok_symbols") &&
-          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") && col("ok_stops"))
+    val facets = gopherFacets(col("_t"), col("_ws"), col("_ls"))
+    val scored = base.select(
+      col(idCol) +: facets.map { case (nm, c) => c.as(nm) }: _*)
+    val named = facets.map { case (nm, _) => nm -> col(nm) }.toMap
+    val oks = gopherOks(named, minWords, maxWords)
+    scored.select(
+      (col(idCol) +: facets.map(f => col(f._1))) ++
+        oks.map { case (nm, c) => c.as(nm) }: _*)
+      .withColumn("gopher_pass", oks.map(o => col(o._1)).reduce(_ && _))
   }
 }
