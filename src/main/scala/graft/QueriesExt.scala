@@ -2199,7 +2199,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, textGopher)
+    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -2505,6 +2505,38 @@ object QueriesExt {
          |  ntile(10) OVER (PARTITION BY source ORDER BY blend, doc_id) AS decile
          |FROM b""".stripMargin))
   }
+
+  /** Curriculum EXPORT layout gate: rank-decile the corpus, land it
+    * `partitionBy(decile)` with in-file ordering
+    * ([[graft.sinks.ParquetLayout.writePartitioned]]), and read back the
+    * curriculum head (`decile <= 2`) — a training reader that consumes
+    * easy-to-hard buckets must PRUNE to its bucket's directories, not scan
+    * the corpus (pruning itself asserted on scan metrics in
+    * ParquetLayoutSpec; this gate pins the decile VALUES that land).
+    */
+  private lazy val exportCurriculum: Q = "x_export_curriculum" -> ((
+    (s: SparkSession, dir: String) => {
+      val ranked = graft.operators.Quality.rankBlend(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", signals = Seq(col("n_chars")))
+      val tmpPath = java.nio.file.Files.createTempDirectory("graft-cur")
+      try {
+        graft.sinks.ParquetLayout.writePartitioned(
+          ranked.select("doc_id", "source", "n_chars", "decile"),
+          s"$tmpPath/cur", partitionCols = Seq("decile"), sortCols = Seq("n_chars"))
+        s.read.parquet(s"$tmpPath/cur").where(col("decile") <= 2)
+          .select(col("doc_id"), col("source"), col("decile").cast("int").as("decile"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """WITH r AS (SELECT doc_id, source,
+      |  round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6) AS blend
+      |  FROM documents)
+      |SELECT doc_id, source, decile FROM (
+      |  SELECT doc_id, source,
+      |    ntile(10) OVER (PARTITION BY source ORDER BY blend, doc_id)::INT AS decile
+      |  FROM r)
+      |WHERE decile <= 2""".stripMargin))
 
   /** N-gram novelty gate: per document, the share of its DISTINCT word
     * trigrams that occur in no other document — the "how much of this doc

@@ -73,4 +73,27 @@ class ParquetLayoutSpec extends SparkSpec {
     assert(probeFiles > 0 && probeFiles <= allFiles / 4,
       s"probe scanned $probeFiles of $allFiles files")
   }
+
+  test("curriculum layout: a decile-head reader prunes to its buckets") {
+    import graft.operators.Quality
+    val out = Files.createTempDirectory("graft-cur-layout").toString + "/cur"
+    val docs = (1 to 400).map(i => (i.toLong, s"src${i % 2}", (i * 37 % 991) + 10))
+      .toDF("doc_id", "source", "n_chars")
+    val ranked = Quality.rankBlend(docs, "source", "doc_id", Seq(col("n_chars")))
+    graft.sinks.ParquetLayout.writePartitioned(
+      ranked.select("doc_id", "source", "n_chars", "decile"),
+      out, partitionCols = Seq("decile"), sortCols = Seq("n_chars"))
+    val back = spark.read.parquet(out)
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    // The easy-head reader (2 of 10 deciles) touches ≤ 1/5 + rounding of
+    // the layout's files — directory pruning, no data read from the tail.
+    val headFiles = org.apache.spark.sql.graft.Shim.scannedFileCounts(
+      back.where(col("decile") <= 2)).sum
+    assert(headFiles > 0 && headFiles <= (allFiles * 2) / 10 + 1,
+      s"head read scanned $headFiles of $allFiles files")
+    // Every row lands in exactly one decile and the round trip is lossless.
+    assert(back.count() == 400)
+    assert(back.select("decile").distinct().count() == 10)
+  }
 }
