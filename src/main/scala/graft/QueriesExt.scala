@@ -775,9 +775,21 @@ object QueriesExt {
     */
   private lazy val textGopher: Q = "x_text_gopher" -> ((
     (s: SparkSession, dir: String) =>
-      graft.operators.Repetition.gopherRules(docs(s, dir), "doc_id", "text"),
-    """WITH t AS (SELECT doc_id, text, string_split(trim(text),' ') ws,
-      |            string_split(text, chr(10)) ls FROM documents),
+      // The synthetic corpus carries no English stop words, which would
+      // leave ok_stops (and the pass conjunction) vacuously false — a
+      // hash-match that proves only the all-false case. Two thirds of the
+      // docs get a deterministic stop-word tail so every rule AND the
+      // overall pass vary across the gate.
+      graft.operators.Repetition.gopherRules(
+        docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" the and of to have")))),
+        "doc_id", "text"),
+    """WITH aug AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text
+      |       ELSE text || ' the and of to have' END AS text FROM documents),
+      |t AS (SELECT doc_id, text, string_split(trim(text),' ') ws,
+      |            string_split(text, chr(10)) ls FROM aug),
       |c AS (SELECT doc_id,
       |  len(ws)::BIGINT AS n_words,
       |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> length(w)::BIGINT)),

@@ -186,6 +186,26 @@ object ScaleProbe {
       println(s"[probe] mixture kept docs = ${m.count()}, tokens = " +
         m.agg(sum(col("n_tokens"))).head().getLong(0))
     }
+    timed("bigram LM (stupid backoff)") {
+      // Bigram volume grows ×factor while the TRAIN model (the even half
+      // of the same replicated corpus) holds its type tables nearly flat:
+      // the claim is scoring pays one (w1, w2)-keyed exchange of the doc
+      // bigram stream plus the backoff-sliver join — never a model
+      // broadcast, never a third corpus-wide re-partition.
+      val sc = graft.operators.BigramLm.scoreDocs(big, "doc_id", "text",
+        big.where(col("doc_id") % 2 === 0), "text")
+      println(s"[probe] bigram-scored docs = ${sc.count()}")
+    }
+    timed("gopher filter") {
+      // Pure per-row predicate: cost must track the scan exactly (no
+      // shuffle, no state) — the shape every 100 TB quality filter needs.
+      // (Stop-word tail appended: the synthetic corpus has no English stop
+      // words, and an all-false filter would probe nothing.)
+      val kept = big
+        .withColumn("text", concat(col("text"), lit(" the and of to have")))
+        .where(graft.operators.Repetition.gopherPass(col("text"))).count()
+      println(s"[probe] gopher kept = $kept")
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are

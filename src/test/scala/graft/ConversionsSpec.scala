@@ -195,6 +195,16 @@ class ConversionsSpec extends SparkSpec {
         Some(lit(java.sql.Timestamp.valueOf("2024-05-31 12:00:00")))), "yyyy-MM-dd HH:mm:ss"))
       .as[String].head()
     assert(clamp == "2024-02-29 13:00:00")
+    // sub-second anchor: calendar-unit shifts keep fractional seconds
+    // (relativedelta moves only the date) — both relative families agree
+    val subSec = Seq("2 months ago", "3 hours ago").toDF("s")
+      .select(date_format(Conversions.lenientDateOslo(col("s"),
+        Some(lit(java.sql.Timestamp.valueOf("2024-06-01 12:00:00.123456")))),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .as[String].collect()
+    assert(subSec.toSeq == Seq(
+      "2024-04-01 14:00:00.123456",  // calendar branch keeps micros (CEST)
+      "2024-06-01 11:00:00.123456")) // seconds branch keeps micros
   }
 
   test("unix seconds/millis to Oslo wall clock across DST boundary") {
