@@ -279,14 +279,23 @@ object QueriesExt {
     */
   private val mmDecode: Q = "x_multimodal_decode" -> ((
     (s: SparkSession, dir: String) =>
+      // Every 11th blob is NOT an image (crawl corpora are full of
+      // mislabeled bytes): the degrade-don't-fail contract must show up in
+      // the gate output, not only in the spec — otherwise `decoded` is a
+      // constant column and the gate can't catch a decoder that never says
+      // no.
       Multimodal.decodeImages(
-          Multimodal.syntheticPngs(docs(s, dir), "doc_id"), "doc_id", "blob")
+          Multimodal.syntheticPngs(docs(s, dir), "doc_id")
+            .withColumn("blob",
+              when(col("doc_id") % 11 === 0, lit("not an image").cast("binary"))
+                .otherwise(col("blob"))),
+          "doc_id", "blob")
         .select("doc_id", "width", "height", "format", "decoded"),
     """SELECT doc_id,
-      |  (1 + doc_id % 37)::INT AS width,
-      |  (1 + doc_id % 23)::INT AS height,
-      |  'png' AS format,
-      |  true AS decoded
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 37)::INT END AS width,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 23)::INT END AS height,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'png' END AS format,
+      |  doc_id % 11 <> 0 AS decoded
       |FROM documents""".stripMargin))
 
   private val mmFrames: Q = "x_multimodal_frames" -> ((
@@ -773,33 +782,52 @@ object QueriesExt {
     * bullet/ellipsis lines, alphabetic-word fraction, stop-word presence)
     * — every scalar, rule boolean, and the overall pass replayed exactly.
     */
-  private lazy val textGopher: Q = "x_text_gopher" -> ((
-    (s: SparkSession, dir: String) =>
-      // The synthetic corpus carries no English stop words, which would
-      // leave ok_stops (and the pass conjunction) vacuously false — a
-      // hash-match that proves only the all-false case. Two thirds of the
-      // docs get a deterministic stop-word tail so every rule AND the
-      // overall pass vary across the gate.
-      graft.operators.Repetition.gopherRules(
-        docs(s, dir).withColumn("text",
-          when(col("doc_id") % 3 === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" the and of to have")))),
-        "doc_id", "text"),
-    """WITH aug AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN text
-      |       ELSE text || ' the and of to have' END AS text FROM documents),
-      |t AS (SELECT doc_id, text, string_split(trim(text),' ') ws,
-      |            string_split(text, chr(10)) ls FROM aug),
+  private lazy val textGopher: Q = {
+    // Deterministic violation tails: the synthetic corpus is clean prose
+    // with NO English stop words, so without these every rule boolean is
+    // constant and the gate would hash-match vacuously. Each doc_id class
+    // trips one facet; the %3 stop-word tail lets the pass conjunction
+    // actually fire on clean rows.
+    val longW = (" " + "q" * 25) * 25        // mean word length > 10
+    val bullets = "\n- bullet point" * 20    // bullet-line fraction ≥ 0.9
+    val ellip = "\nline ends ..." * 20       // ellipsis-line fraction ≥ 0.3
+    val hashNum = " ####" * 20 + " 123" * 25 // symbol ratio ≥ 0.1, alpha < 0.8
+    "x_text_gopher" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Repetition.gopherRules(
+          docs(s, dir)
+            .withColumn("text",
+              when(col("doc_id") % 3 === 0, col("text"))
+                .otherwise(concat(col("text"), lit(" the and of to have"))))
+            .withColumn("text",
+              when(col("doc_id") % 5 === 1, concat(col("text"), lit(longW)))
+                .when(col("doc_id") % 5 === 2, concat(col("text"), lit(bullets)))
+                .when(col("doc_id") % 5 === 3, concat(col("text"), lit(ellip)))
+                .when(col("doc_id") % 5 === 4, concat(col("text"), lit(hashNum)))
+                .otherwise(col("text"))),
+          "doc_id", "text"),
+      s"""WITH aug0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text
+        |       ELSE text || ' the and of to have' END AS text FROM documents),
+        |aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 1 THEN text || '$longW'
+        |       WHEN doc_id % 5 = 2 THEN text || '$bullets'
+        |       WHEN doc_id % 5 = 3 THEN text || '$ellip'
+        |       WHEN doc_id % 5 = 4 THEN text || '$hashNum'
+        |       ELSE text END AS text FROM aug0),
+        |t AS (SELECT doc_id, text,
+        |            regexp_split_to_array(trim(text), '\\s+') ws,
+        |            string_split(text, chr(10)) ls FROM aug),
       |c AS (SELECT doc_id,
       |  len(ws)::BIGINT AS n_words,
       |  list_reduce(list_prepend(0::BIGINT, list_transform(ws, w -> length(w)::BIGINT)),
       |    (a,b)->a+b)::DOUBLE / greatest(len(ws),1)::DOUBLE AS mean_word_len,
       |  (len(regexp_extract_all(text, '#')) +
-      |   len(regexp_extract_all(text, '\.\.\.|…')))::DOUBLE
+      |   len(regexp_extract_all(text, '\\.\\.\\.|…')))::DOUBLE
       |    / greatest(len(ws),1)::DOUBLE AS symbol_word_ratio,
       |  len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
       |    / greatest(len(ls),1)::DOUBLE AS bullet_line_frac,
-      |  len(list_filter(ls, l -> regexp_matches(trim(l), '(\.\.\.|…)$')))::DOUBLE
+      |  len(list_filter(ls, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE
       |    / greatest(len(ls),1)::DOUBLE AS ellipsis_line_frac,
       |  len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
       |    / greatest(len(ws),1)::DOUBLE AS alpha_word_frac,
@@ -820,6 +848,7 @@ object QueriesExt {
       |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
       |    AND stop_hits >= 2 AS gopher_pass
       |FROM c""".stripMargin))
+  }
 
   /** FLAGSHIP composition: the full corpus-curation pipeline a training-data
     * run executes, end to end — repetition/quality filter → exact dedup

@@ -184,9 +184,13 @@ object QueriesParity {
       val wireV2 = ConfluentAvro.encode(
         struct(col("event_id").as("id"), col("event_type").as("name"), col("user_id").as("extra")),
         avroSchemaV2Json, schemaId = 2)
+      // Every 97th message carries an UNREGISTERED schema id (valid wire
+      // magic, id 99): the error channel must fire in-gate — a constant
+      // false kafka_error could not catch a decoder that never fails.
       val raw = ev.select(
         col("user_id").cast(StringType).cast(BinaryType).as("key"),
-        when(col("event_id") % 2 === 0, wireV1).otherwise(wireV2).as("value"),
+        when(col("event_id") % 97 === 0, lit(Array[Byte](0, 0, 0, 0, 99)))
+          .when(col("event_id") % 2 === 0, wireV1).otherwise(wireV2).as("value"),
         lit("events").as("topic"),
         pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
         col("event_id").as("offset"),
@@ -198,12 +202,14 @@ object QueriesParity {
           col("payload.extra").as("extra"), col("kafka_message"))
     },
     """SELECT event_id AS kafka_offset,
-      |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS kafka_schema_id,
-      |  false AS kafka_error,
-      |  event_id AS id,
-      |  event_type AS name,
-      |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE user_id END AS extra,
-      |  CASE WHEN event_id % 2 = 0
+      |  CASE WHEN event_id % 97 = 0 THEN 99
+      |       WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS kafka_schema_id,
+      |  event_id % 97 = 0 AS kafka_error,
+      |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS id,
+      |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS name,
+      |  CASE WHEN event_id % 97 = 0 OR event_id % 2 = 0 THEN NULL ELSE user_id END AS extra,
+      |  CASE WHEN event_id % 97 = 0 THEN NULL
+      |    WHEN event_id % 2 = 0
       |    THEN '{"id":' || event_id || ',"name":"' || event_type || '"}'
       |    ELSE '{"id":' || event_id || ',"name":"' || event_type || '","extra":' || user_id || '}'
       |  END AS kafka_message
