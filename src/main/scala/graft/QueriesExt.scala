@@ -784,10 +784,11 @@ object QueriesExt {
     */
   private lazy val textGopher: Q = {
     // Deterministic violation tails: the synthetic corpus is clean prose
-    // with NO English stop words, so without these every rule boolean is
-    // constant and the gate would hash-match vacuously. Each doc_id class
-    // trips one facet; the %3 stop-word tail lets the pass conjunction
-    // actually fire on clean rows.
+    // whose vocabulary contains at most ONE gopherStops word ('the'), so
+    // stop_hits never reaches the >= 2 threshold and, without these,
+    // every rule boolean is constant — the gate would hash-match
+    // vacuously. Each doc_id class trips one facet; the %3 stop-word tail
+    // lets the pass conjunction actually fire on clean rows.
     val longW = (" " + "q" * 25) * 25        // mean word length > 10
     val bullets = "\n- bullet point" * 20    // bullet-line fraction ≥ 0.9
     val ellip = "\nline ends ..." * 20       // ellipsis-line fraction ≥ 0.3

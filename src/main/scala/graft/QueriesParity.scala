@@ -185,11 +185,13 @@ object QueriesParity {
         struct(col("event_id").as("id"), col("event_type").as("name"), col("user_id").as("extra")),
         avroSchemaV2Json, schemaId = 2)
       // Every 97th message carries an UNREGISTERED schema id (valid wire
-      // magic, id 99): the error channel must fire in-gate — a constant
-      // false kafka_error could not catch a decoder that never fails.
+      // magic, id 99, one datum byte so the frame passes the length guard
+      // and actually reaches the id-dispatch `schemasById.get => None`
+      // branch): the error channel must fire in-gate — a constant false
+      // kafka_error could not catch a decoder that never says no.
       val raw = ev.select(
         col("user_id").cast(StringType).cast(BinaryType).as("key"),
-        when(col("event_id") % 97 === 0, lit(Array[Byte](0, 0, 0, 0, 99)))
+        when(col("event_id") % 97 === 0, lit(Array[Byte](0, 0, 0, 0, 99, 0)))
           .when(col("event_id") % 2 === 0, wireV1).otherwise(wireV2).as("value"),
         lit("events").as("topic"),
         pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),

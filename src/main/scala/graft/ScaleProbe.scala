@@ -199,8 +199,8 @@ object ScaleProbe {
     timed("gopher filter") {
       // Pure per-row predicate: cost must track the scan exactly (no
       // shuffle, no state) — the shape every 100 TB quality filter needs.
-      // (Stop-word tail appended: the synthetic corpus has no English stop
-      // words, and an all-false filter would probe nothing.)
+      // (Stop-word tail appended: the corpus vocabulary holds at most one
+      // gopherStops word, and an all-false filter would probe nothing.)
       val kept = big
         .withColumn("text", concat(col("text"), lit(" the and of to have")))
         .where(graft.operators.Repetition.gopherPass(col("text"))).count()
