@@ -292,6 +292,79 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("mixtureSample property: equals flat-window selection across seeded weight/bucket configs") {
+    val rng = new scala.util.Random(42)
+    for (round <- 1 to 5) {
+      val nSrc = 2 + rng.nextInt(4)
+      val rows = (0L until 150L).map { i =>
+        (i, s"s${rng.nextInt(nSrc)}", 1L + rng.nextInt(40))
+      }.toDF("id", "source", "tok").localCheckpoint(true)
+      val weights = (0 until nSrc).filter(_ => rng.nextBoolean() || round == 1)
+        .map(k => s"s$k" -> (0.5 + rng.nextDouble() * 3)).toMap match {
+        case m if m.isEmpty => Map("s0" -> 1.0)
+        case m => m
+      }
+      val buckets = Seq(1, 4, 16)(rng.nextInt(3))
+      val total = 200L + rng.nextInt(2000)
+      val got = graft.operators.Mixture.mixtureSample(
+          rows, "id", "source", col("tok"), weights, total, buckets)
+        .select("id").as[Long].collect().toSet
+      // flat reference: one global cumsum in the same hash order
+      val wSum = weights.values.sum
+      val budgets = weights.map { case (s, w) => s -> math.floor(w / wSum * total).toLong }
+      val flat = rows.select(col("id"), col("source"), col("tok"),
+          md5(col("id").cast("string")).as("h"))
+        .withColumn("b", (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % buckets).cast("int"))
+        .collect()
+        .groupBy(_.getString(1))
+        .flatMap { case (src, rs) =>
+          val budget = budgets.getOrElse(src, 0L)
+          if (budget <= 0) Seq.empty[Long]
+          else {
+            var cum = 0L
+            rs.sortBy(r => (r.getInt(4), r.getString(3), r.getLong(0))).toSeq.flatMap { r =>
+              cum += r.getLong(2)
+              if (cum <= budget) Some(r.getLong(0)) else None
+            }
+          }
+        }.toSet
+      assert(got == flat, s"round $round (weights=$weights buckets=$buckets total=$total)")
+    }
+  }
+
+  test("spanCorrupt property: token conservation and non-overlap across rates and lengths") {
+    import graft.operators.SpanCorrupt
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 30L).map { i =>
+      (i, (1 to (5 + rng.nextInt(120))).map(k => s"w${k}x$i").mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    for ((spanLen, rate) <- Seq((2, 0.1), (3, 0.15), (5, 0.3), (1, 0.5))) {
+      val out = SpanCorrupt.spanCorrupt(docs, "doc_id", "text", spanLen, rate)
+        .as[(Long, String, String, Long)].collect()
+      val words = docs.as[(Long, String)].collect().toMap
+      out.foreach { case (id, in, tgt, ns) =>
+        val orig = words(id).split(" ").toSeq
+        val inToks = in.split(" ").toSeq
+        val tgtToks = if (tgt.isEmpty) Seq.empty else tgt.split(" ").toSeq
+        val sentinelsIn = inToks.filter(_.startsWith("<extra_id_"))
+        val sentinelsTgt = tgtToks.filter(_.startsWith("<extra_id_"))
+        // one sentinel per span on each side, numbered 0..ns-1 in order
+        assert(sentinelsIn.size == ns && sentinelsTgt.size == ns, s"doc $id")
+        assert(sentinelsTgt == (0L until ns).map(k => s"<extra_id_$k>"), s"doc $id order")
+        // every original token appears exactly once across input+target
+        val rebuilt = (inToks ++ tgtToks).filterNot(_.startsWith("<extra_id_"))
+        assert(rebuilt.sorted == orig.sorted, s"doc $id conservation")
+        // each target span is contiguous in the original (non-overlap +
+        // in-order extraction): splitting target on sentinels yields runs
+        // that appear as slices of the original token stream
+        val runs = tgt.split("<extra_id_\\d+>").map(_.trim).filter(_.nonEmpty)
+        runs.foreach { run =>
+          assert(words(id).contains(run), s"doc $id span '$run' not contiguous")
+        }
+      }
+    }
+  }
+
   test("stratified sample: per-stratum rates, default for unlisted, 0 drops") {
     val d = spark.range(10000).selectExpr("id AS k", "concat('s', id % 2) AS src")
     val out = Dedup.stratifiedSample(d, col("k"), col("src"),
