@@ -105,6 +105,38 @@ object QueriesExt {
       |WHERE list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding,b.embedding),
       |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(a.nrm*b.nrm) > 0.4""".stripMargin))
 
+  /** Winnowing fingerprint gate: character k-gram window-min fingerprints
+    * (the MOSS family) + shared-fingerprint candidate pairs, both replayed
+    * list-op for list-op by the oracle — rolling hashes, window minima,
+    * per-doc distinct, the df cap, and the shared-count threshold.
+    */
+  private lazy val dedupWinnow: Q = {
+    // Parameters probed on the gate corpus: its small shared vocabulary
+    // makes short char-grams collide corpus-wide (k=5 flags ~all pairs).
+    // At k=12/w=8 the background shared-fingerprint count is ≤ 8 (99.9th
+    // pct) while true near-dups share 40+ — minShared=40 isolates them.
+    val k = 12; val w = 8; val minShared = 40; val maxDf = 1000
+    "x_dedup_winnow" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowingPairs(docs(s, dir), "doc_id", "text", k, w, minShared, maxDf),
+      s"""WITH t AS (SELECT doc_id, text,
+        |  greatest(length(text) - ${k - 1}, 0) AS m FROM documents),
+        |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
+        |    list_transform(range(1, m + 1), i ->
+        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |  ELSE []::BIGINT[] END AS hs FROM t),
+        |f0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
+        |    list_distinct(list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
+        |      list_aggregate(hs[j:j+${w - 1}], 'min')))
+        |  ELSE list_distinct(hs) END AS fps FROM h),
+        |fp AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM f0),
+        |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $maxDf),
+        |fpk AS (SELECT fp.doc_id, fp.fp FROM fp JOIN keep USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin))
+  }
+
   /** Banded (subquadratic) embedding near-dup: sign-band LSH candidates +
     * exact cosine verify. The oracle replays the ENTIRE algorithm — band
     * buckets from raw sign bits, the (1, maxBucket] membership window, the
@@ -2241,7 +2273,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum)
+    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

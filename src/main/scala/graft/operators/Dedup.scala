@@ -339,6 +339,79 @@ object Dedup {
     aggregate(bitVals, lit(0L), (acc, x) => acc + x)
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS local fingerprinting scheme): character k-gram rolling
+    * hashes, then each sliding window of `w` consecutive hashes
+    * contributes its MINIMUM — the selected set is position-robust
+    * (insertions far away cannot change a window's min) and carries the
+    * winnowing guarantee: any shared substring of length ≥ `w + k − 1`
+    * produces at least one shared fingerprint. The character-level cousin
+    * of [[minHashLshPairs]]' token shingles — the standard family for CODE
+    * dedup, where whitespace/identifier noise defeats word shingles.
+    *
+    * Pure per-row Column math: the hash array is materialized as a REAL
+    * column before the window-min pass references it (interpreted HOF
+    * lambdas re-evaluate outer expression trees per element — the O(n²)
+    * trap), so the per-row cost is O(len · w) integer compares. Returns
+    * one `(idCol, fp)` row per distinct selected fingerprint.
+    */
+  def winnowingFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    // The hash array MUST be let-bound before the window-min pass: a
+    // withColumn boundary is NOT a materialization barrier (CollapseProject
+    // folds adjacent projections), so a plain column reference inside the
+    // window lambda would re-run the full O(len) md5 transform PER WINDOW —
+    // O(len²) md5 calls per document (measured: minutes per sf0.1 doc
+    // batch). The 1-element-array let binding evaluates it once per row.
+    val letBound = (v: Column, body: Column => Column) =>
+      element_at(transform(array(v), bound => body(bound)), 1)
+    val m = greatest(length(col("_t")) - (k - 1), lit(0))
+    val hs = when(m > 0,
+      transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val fp = letBound(hs, h =>
+      when(size(h) >= w,
+        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)),
+          j => array_min(slice(h, j, lit(w))))))
+        .otherwise(array_distinct(h)))
+    df.select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), explode(fp).as("fp"))
+  }
+
+  /** Candidate pairs from shared winnowing fingerprints: the fingerprint
+    * inverted index self-joins exactly like [[jaccardPairs]]' shingle
+    * index — posting lists over `maxDf` leave the space (a fingerprint in
+    * thousands of documents is boilerplate, not evidence), bounding the
+    * pair expansion at C(maxDf, 2) per fingerprint; pairs must share at
+    * least `minShared` fingerprints.
+    */
+  def winnowingPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val fps = winnowingFingerprints(
+      df.repartition(parallelism, col(idCol)), idCol, textCol, k, w)
+      .repartition(parallelism, col("fp"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fp")
+    val fpk = fps.join(keep, Seq("fp"))
+    val a = fpk.select(col("fp"), col(idCol).as("id_a"))
+    val b = fpk.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** n-gram Jaccard similarity pairs above `threshold`, via the shingle
     * inverted index: pairs sharing ≥1 shingle get their intersection counted
     * by a self-join on shingle (keyed shuffle, not n²), then

@@ -65,6 +65,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!capped.contains((10L, 12L)) && !capped.contains((11L, 12L)))
   }
 
+  test("winnowing: shared-substring guarantee, disjoint docs share nothing, pair threshold") {
+    val shared = "zqvxjwkpmbyfgthcdnrsl" // 21 chars >= w + k - 1 = 8 for (k=5,w=4)
+    val d = Seq(
+      (1L, s"aaaa bbbb $shared cccc"),
+      (2L, s"dddd $shared eeee ffff gggg"),   // shares the long substring with 1
+      (3L, "0000 1111 2222 3333 4444 5555"))  // disjoint alphabet
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: a shared substring of length >= w + k - 1
+    // yields at least one shared fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty, "long shared substring must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint-alphabet docs share nothing")
+    // pair generation respects the shared-count threshold
+    val loose = Dedup.winnowingPairs(d, "doc_id", "text", k = 5, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L)))
+    val strict = Dedup.winnowingPairs(d, "doc_id", "text", k = 5, w = 4,
+        minShared = (fps(1L) & fps(2L)).size + 1)
+      .collect()
+    assert(strict.isEmpty, "threshold above the shared count yields no pair")
+  }
+
   test("simhash: identical texts equal; unrelated text differs") {
     val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
