@@ -362,33 +362,45 @@ object Dedup {
       k: Int = 5,
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
     // The hash array MUST be let-bound before the window-min pass: a
     // withColumn boundary is NOT a materialization barrier (CollapseProject
     // folds adjacent projections), so a plain column reference inside the
     // window lambda would re-run the full O(len) md5 transform PER WINDOW —
     // O(len²) md5 calls per document (measured: minutes per sf0.1 doc
-    // batch). The 1-element-array let binding evaluates it once per row.
-    val letBound = (v: Column, body: Column => Column) =>
-      element_at(transform(array(v), bound => body(bound)), 1)
+    // batch). Similarity.letBound evaluates it once per row.
     val m = greatest(length(col("_t")) - (k - 1), lit(0))
     val hs = when(m > 0,
       transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    val fp = letBound(hs, h =>
+    val fp = Similarity.letBound(hs) { h =>
       when(size(h) >= w,
         array_distinct(transform(sequence(lit(1), size(h) - (w - 1)),
           j => array_min(slice(h, j, lit(w))))))
-        .otherwise(array_distinct(h)))
-    df.select(col(idCol), col(textCol).as("_t"))
-      .select(col(idCol), explode(fp).as("fp"))
+        .otherwise(array_distinct(h))
+    }
+    // Repartitioned BEFORE the expansion (the shingleArrays discipline: a
+    // compact parquet file arrives as ONE split, and the per-char hash +
+    // window pipeline must not run single-task); explode_outer +
+    // null-filter, not explode — InferFiltersFromGenerate would sink an
+    // inferred size() filter below the exchange and re-run the whole
+    // fingerprint expression on the compact pre-shuffle partition the
+    // moment `fp` becomes a named column (the measured 12x trap at
+    // shingleTable).
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), explode_outer(fp).as("fp"))
+      .where(col("fp").isNotNull)
   }
 
-  /** Candidate pairs from shared winnowing fingerprints: the fingerprint
-    * inverted index self-joins exactly like [[jaccardPairs]]' shingle
-    * index — posting lists over `maxDf` leave the space (a fingerprint in
-    * thousands of documents is boilerplate, not evidence), bounding the
-    * pair expansion at C(maxDf, 2) per fingerprint; pairs must share at
-    * least `minShared` fingerprints.
+  /** Candidate pairs from shared winnowing fingerprints via the
+    * fingerprint inverted index — the [[jaccardPairs]] posting
+    * discipline: singleton postings (df = 1, the MAJORITY at char-gram
+    * granularity — most k-grams are document-unique) can never witness a
+    * pair and leave before the join; postings over `maxDf` leave the
+    * space too (a fingerprint in thousands of documents is boilerplate,
+    * not evidence), bounding the pair expansion at C(maxDf, 2) per
+    * fingerprint. Pairs must share at least `minShared` fingerprints.
     */
   def winnowingPairs(
       df: DataFrame,
@@ -399,11 +411,10 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    val fps = winnowingFingerprints(
-      df.repartition(parallelism, col(idCol)), idCol, textCol, k, w)
+    val fps = winnowingFingerprints(df, idCol, textCol, k, w)
       .repartition(parallelism, col("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf).select("fp")
+      .where(col("_df") >= 2 && col("_df") <= maxDf).select("fp")
     val fpk = fps.join(keep, Seq("fp"))
     val a = fpk.select(col("fp"), col(idCol).as("id_a"))
     val b = fpk.select(col("fp"), col(idCol).as("id_b"))

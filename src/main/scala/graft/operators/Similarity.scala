@@ -70,7 +70,7 @@ object Similarity {
     * per row. Lambda-variable reads are cheap, so routing the value
     * through `transform(array(v), bound => …)[1]` restores O(dims).
     */
-  private def letBound(v: Column)(body: Column => Column): Column =
+  private[operators] def letBound(v: Column)(body: Column => Column): Column =
     element_at(transform(array(v), bound => body(bound)), 1)
 
   /** L2-normalize an embedding column (elements promoted to double). */
