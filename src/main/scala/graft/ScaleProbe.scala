@@ -186,6 +186,17 @@ object ScaleProbe {
       println(s"[probe] mixture kept docs = ${m.count()}, tokens = " +
         m.agg(sum(col("n_tokens"))).head().getLong(0))
     }
+    timed("winnowing pairs") {
+      // Replicas share their ENTIRE character stream (modulo the one
+      // suffix token): every base doc's N copies share nearly all
+      // fingerprints, so shared-count pairs grow quadratically while the
+      // singleton-df prune (most char-grams are corpus-unique) keeps the
+      // inverted-index shuffle near-flat. Claim: wall tracks fingerprint
+      // volume, never the clique blowup.
+      val p = Dedup.winnowingPairs(big, "doc_id", "text",
+        k = 12, w = 8, minShared = 40)
+      println(s"[probe] winnowing pairs = ${p.count()}")
+    }
     timed("bigram LM (stupid backoff)") {
       // Bigram volume grows ×factor while the TRAIN model (the even half
       // of the same replicated corpus) holds its type tables nearly flat:

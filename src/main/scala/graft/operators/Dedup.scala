@@ -411,14 +411,24 @@ object Dedup {
       minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Posting-list aggregation, not a self-join (the jaccardPairs shape):
+    // the df pre-count is a Long-buffer aggregate, survivors group into a
+    // list provably ≤ maxDf elements, and the local pair expansion rides
+    // the same fp partitioning — ONE exchange of the fingerprint table
+    // where a self-join shuffles both sides and joins. On the hostile
+    // replica probe (every doc in a factor-clique sharing ~all
+    // fingerprints) wall clock is expansion-bound either way — Σ C(df,2)
+    // pair rows dominate — but the posting shape halves the shuffled
+    // bytes and carries the bounded-state guarantee.
     val fps = winnowingFingerprints(df, idCol, textCol, k, w)
       .repartition(parallelism, col("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
       .where(col("_df") >= 2 && col("_df") <= maxDf).select("fp")
-    val fpk = fps.join(keep, Seq("fp"))
-    val a = fpk.select(col("fp"), col(idCol).as("id_a"))
-    val b = fpk.select(col("fp"), col(idCol).as("id_b"))
-    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+    fps.join(keep, Seq("fp"))
+      .groupBy(col("fp")).agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
