@@ -121,9 +121,12 @@ object CurateMain {
     val lenQual = base
       .where(nWords >= cfg.minWords && nWords <= cfg.maxWords)
       .where(TextAnalysis.qualityScore(col(cfg.textColumn)) >= cfg.minQuality)
-      // Gopher battery rides the same scan-absorbed predicate chain.
+      // Gopher battery rides the same scan-absorbed predicate chain; its
+      // word-count bounds take the CONFIGURED min/max (a `min-words: 20`
+      // config must not silently re-impose the published 50-word floor).
       .where(if (cfg.gopher)
-        graft.operators.Repetition.gopherPass(col(cfg.textColumn)) else lit(true))
+        graft.operators.Repetition.gopherPass(
+          col(cfg.textColumn), cfg.minWords, cfg.maxWords) else lit(true))
     // Repetition facets (Gopher-style) only when the config asks — their
     // top-bigram plan is relational (explode + keyed agg), not a per-row
     // projection like the bounds above, so the join is pay-for-what-you-use.

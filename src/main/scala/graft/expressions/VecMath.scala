@@ -1,11 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types._
 
 /** Native codegen'd vector reductions — the hot inner loop of every
   * similarity / dedup / quantization operator.
@@ -33,13 +34,29 @@ abstract class VecFold extends BinaryExpression {
 
   protected def implMethod: String
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => true
-      case DoubleType => false
-      case other => throw new IllegalArgumentException(
-        s"$prettyName requires array<float|double> input, got array<$other>")
-    }
+  /** Element accessor kind for [[VecMathImpl]]: 0=double 1=float 2=long
+    * 3=int 4=short 5=byte. Integral elements promote exactly as the old
+    * `x.cast("double")` inside zip_with did, so callers feeding integer
+    * embedding columns (the composition's tolerance) keep working.
+    */
+  private def elemKind(e: Expression): Int = e.dataType match {
+    case ArrayType(DoubleType, _)  => 0
+    case ArrayType(FloatType, _)   => 1
+    case ArrayType(LongType, _)    => 2
+    case ArrayType(IntegerType, _) => 3
+    case ArrayType(ShortType, _)   => 4
+    case ArrayType(ByteType, _)    => 5
+    case _ => -1
+  }
+
+  /** Analysis-time contract (not a mid-job ClassCastException): both inputs
+    * must be arrays of a primitive numeric type.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemKind(left) >= 0 && elemKind(right) >= 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<numeric> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def eval(input: InternalRow): Any = {
     val l = left.eval(input)
@@ -47,11 +64,11 @@ abstract class VecFold extends BinaryExpression {
     val r = right.eval(input)
     if (r == null) return null
     val res = if (implMethod == "dot")
-      VecMathImpl.dot(l.asInstanceOf[ArrayData], isFloat(left),
-        r.asInstanceOf[ArrayData], isFloat(right))
+      VecMathImpl.dot(l.asInstanceOf[ArrayData], elemKind(left),
+        r.asInstanceOf[ArrayData], elemKind(right))
     else
-      VecMathImpl.l2sq(l.asInstanceOf[ArrayData], isFloat(left),
-        r.asInstanceOf[ArrayData], isFloat(right))
+      VecMathImpl.l2sq(l.asInstanceOf[ArrayData], elemKind(left),
+        r.asInstanceOf[ArrayData], elemKind(right))
     res // java.lang.Double or null — Catalyst accepts the box for DoubleType
   }
 
@@ -66,7 +83,7 @@ abstract class VecFold extends BinaryExpression {
       double ${ev.value} = 0.0;
       if (!${leftGen.isNull} && !${rightGen.isNull}) {
         java.lang.Double $boxed = graft.expressions.VecMathImpl.$implMethod(
-          ${leftGen.value}, ${isFloat(left)}, ${rightGen.value}, ${isFloat(right)});
+          ${leftGen.value}, ${elemKind(left)}, ${rightGen.value}, ${elemKind(right)});
         if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
       }
     """)
@@ -94,34 +111,44 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecFold {
 
 object VecMathImpl {
 
+  /** Read element i promoted to double; `kind` is the loop-invariant code
+    * from `VecFold.elemKind` (a tableswitch the JIT hoists/predicts — the
+    * hot float/double cases cost one branch, no boxing).
+    */
+  @inline private def elem(a: ArrayData, kind: Int, i: Int): Double = kind match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
+
   /** Returns null (not NaN) on length mismatch or a null element — the
     * exact contract of the zip_with + aggregate composition this replaces.
     */
-  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+  def dot(a: ArrayData, aKind: Int, b: ArrayData, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += elem(a, aKind, i) * elem(b, bKind, i)
       i += 1
     }
     java.lang.Double.valueOf(acc)
   }
 
-  def l2sq(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
+  def l2sq(a: ArrayData, aKind: Int, b: ArrayData, bKind: Int): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += (x - y) * (x - y)
+      val d = elem(a, aKind, i) - elem(b, bKind, i)
+      acc += d * d
       i += 1
     }
     java.lang.Double.valueOf(acc)

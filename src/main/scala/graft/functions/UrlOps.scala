@@ -27,10 +27,15 @@ object UrlOps {
     when(s === "", lit(null)).otherwise(lower(s))
   }
 
-  /** Lowercased host: authority minus userinfo and port. NULL for non-URLs. */
+  /** Lowercased host: authority minus userinfo and port. NULL for non-URLs
+    * and for bracketed IPv6 authorities (`http://[::1]:8080/x`) — the
+    * colon-heavy bracket form would otherwise truncate to garbage (`[`);
+    * IPv6 literals are not registrable-domain material, so the whole chain
+    * (host → registrableDomain → normalize) treats them as unparseable.
+    */
   def urlHost(c: Column): Column = {
     val h = regexp_extract(c, s"$schemePrefix(?:[^/?#]*@)?([^/:?#]+)", 1)
-    when(h === "", lit(null)).otherwise(lower(h))
+    when(h === "" || h.startsWith("["), lit(null)).otherwise(lower(h))
   }
 
   /** Two-level public suffixes this resolver recognizes — a pragmatic,
@@ -104,7 +109,9 @@ object UrlOps {
     val path = when(rest === "", lit("/"))
       .when(rest.startsWith("?"), concat(lit("/"), rest))
       .otherwise(rest)
-    when(scheme.isNull, lit(null))
+    // Bracketed IPv6 authorities are unparseable across the whole chain
+    // (see urlHost) — NULL here too, not a half-normalized form.
+    when(scheme.isNull || hostPort.startsWith("["), lit(null))
       .otherwise(concat(scheme, lit("://"), noDefault, path))
   }
 }

@@ -104,10 +104,16 @@ object Similarity {
     }
   }
 
-  /** Inverse of [[quantizeInt8]]: `mn + code·scale`, max error scale/2. */
+  /** Inverse of [[quantizeInt8]]: `mn + code·scale`, max error scale/2.
+    * `q` rides [[letBound]]: referenced inside the per-element lambda, a
+    * non-attribute argument (e.g. an inline `quantizeInt8(v)`) would
+    * otherwise re-evaluate — reductions included — per element.
+    */
   def dequantizeInt8(q: Column): Column =
-    transform(q.getField("codes"),
-      c => q.getField("mn") + c.cast("double") * q.getField("scale"))
+    letBound(q) { qq =>
+      transform(qq.getField("codes"),
+        c => qq.getField("mn") + c.cast("double") * qq.getField("scale"))
+    }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
     * to its nearest centroid (one broadcast pass — the "inverted lists");

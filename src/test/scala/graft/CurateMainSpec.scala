@@ -216,6 +216,24 @@ class CurateMainSpec extends SparkSpec {
     assert(kept.contains(4L))
   }
 
+  test("CurateMain.run: gopher honors configured min-words, not the published 50-word floor") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate-gmin").toString
+    // 30 words, stopword-rich, alpha, mean length in range: passes every
+    // gopher rule except (formerly) the hardcoded 50-word floor.
+    val thirty = (1 to 6).flatMap(_ => Seq("the", "brown", "fox", "and", "dog")).mkString(" ")
+    Seq((1L, thirty, "s")).toDF("doc_id", "text", "source").write.parquet(s"$tmp/in")
+    val cfg = CurateConfig.fromYaml(
+      s"""input: $tmp/in
+         |output: $tmp/out
+         |filters:
+         |  min-words: 20
+         |  gopher: true
+         |""".stripMargin)
+    val report = CurateMain.run(spark, cfg)
+    assert(report.stages.toMap.apply("after_filters") == 1L,
+      "explicit min-words: 20 must not be overridden by a 50-word gopher floor")
+  }
+
   test("CurateMain.run: no-op config passes everything through unchanged") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate2").toString
     val cfg = CurateConfig(

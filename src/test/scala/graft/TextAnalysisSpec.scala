@@ -169,6 +169,10 @@ class TextAnalysisSpec extends SparkSpec {
       ("https://no-path.io?q=1", "no-path.io", "no-path.io", "https://no-path.io/?q=1"),
       ("ftp://files.example.net/pub", "files.example.net", "example.net", "ftp://files.example.net/pub"),
       ("localhost/nope", null, null, null),  // no scheme -> null
+      // bracketed IPv6 authorities: unparseable across the whole chain
+      // (NULL), never the truncated '[' garbage key
+      ("http://[::1]:8080/x", null, null, null),
+      ("https://u@[2001:db8::1]/y", null, null, null),
       ("https://single", "single", "single", "https://single/"))
       .toDF("url", "h", "d", "n")
     val got = cases.select(

@@ -85,6 +85,41 @@ class VecMathSpec extends SparkSpec {
     assert(const._3 == 0.0 && const._2 == 0.0)
   }
 
+  test("VecDot: integral element arrays promote like the old cast-to-double composition") {
+    // The zip_with composition tolerated array<int>/array<bigint> inputs via
+    // its explicit cast("double"); the native expression must keep that
+    // tolerance instead of throwing mid-job.
+    val df = Seq((Array(1, -2, 3), Array(100000000000L, 2L, 3L))).toDF("i", "l")
+    val got = df.select(
+      Similarity.dot(col("i"), col("l")),
+      hofDot(col("i"), col("l")),
+      Similarity.l2sq(col("i"), col("i"))).as[(Double, Double, Double)].head()
+    assert(java.lang.Double.doubleToLongBits(got._1) == java.lang.Double.doubleToLongBits(got._2))
+    assert(got._3 == 0.0)
+  }
+
+  test("VecDot: non-numeric array input fails at analysis time, not mid-job") {
+    val df = Seq((Array("a", "b"), Array(1.0, 2.0))).toDF("s", "d")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.dot(col("s"), col("d"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("dequantizeInt8 composes inline over quantizeInt8 (non-attribute argument)") {
+    // Regression shape for the letBound routing: the argument here is the
+    // whole quantize expression, not a column attribute.
+    val df = Seq(Array(0.5f, -1.5f, 2.5f)).toDF("v")
+    val errs = df.select(
+      zip_with(Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))),
+        transform(col("v"), _.cast("double")),
+        (d, x) => abs(d - x)).as("e"),
+      Similarity.quantizeInt8(col("v")).getField("scale").as("s"))
+      .select(aggregate(col("e"), lit(0.0), (m, e) => greatest(m, e)), col("s"))
+      .as[(Double, Double)].head()
+    assert(errs._1 <= errs._2 * 0.5000001)
+  }
+
   test("VecDot survives both codegen and interpreted eval paths") {
     // Interpreted path: filter on the expression forces eval() in places
     // codegen can't reach (e.g. literal folding in the optimizer).
