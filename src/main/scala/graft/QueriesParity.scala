@@ -128,7 +128,9 @@ object QueriesParity {
     */
   private val s2SubscribeSink: Q = "s2_subscribe_sink" -> ((
     (s: SparkSession, dir: String) => QueriesExt.withStatePartitions(s, 8) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s2").toString
+      val tmpPath = QueriesExt.scratchDir("s2")
+      val tmp = tmpPath.toString
+      try {
       MessageSource.fromEvents(s, dir).write.parquet(s"$tmp/topic")
       val cfg = PipelineConfig(
         source = SourceConfig(topic = "events"),
@@ -148,9 +150,13 @@ object QueriesParity {
       val runner = new graft.streaming.StreamRunner(pipe, sink, s"$tmp/ckpt")
       val stream = s.readStream.schema(MessageSource.schema).parquet(s"$tmp/topic")
       runner.runAvailableNow(s, stream)
+      // Materialize so the scratch tree (topic, checkpoint, sink) can be
+      // deleted before the gate returns its result.
       s.read.parquet(s"$tmp/sink")
         .select("kafka_key", "kafka_offset", "kafka_partition", "kafka_topic",
           "kafka_hash", "kafka_message", "k")
+        .localCheckpoint(true)
+      } finally QueriesExt.rmTree(tmpPath.toFile)
     },
     """SELECT user_id::VARCHAR AS kafka_key,
       |  event_id AS kafka_offset,
