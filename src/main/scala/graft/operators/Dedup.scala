@@ -878,22 +878,36 @@ object Dedup {
     * still collapse to one kept document, which is what production
     * near-dedup pipelines do after candidate generation).
     *
-    * Algorithm: Pregel-style min-label propagation — the same fixpoint
-    * GraphX's `ConnectedComponents` computes — expressed in DataFrame ops so
-    * each iteration is Catalyst-planned (one keyed join shuffle + one
-    * partial-agg min shuffle, both on the id key; map-side combine keeps the
-    * agg state at one Long per id). The driver-side loop is inherent to any
-    * iterative fixpoint (GraphX's Pregel does the same); each iteration's
-    * result is `localCheckpoint`ed to truncate lineage — without it the
-    * self-referential plan doubles in depth per iteration and analysis cost
-    * explodes long before data cost does.
+    * Algorithm — HYBRID, both phases measured head-to-head at sf0.1:
     *
-    * Convergence: iterations are bounded by the graph diameter. Near-dup
-    * graphs are unions of near-cliques (an LSH bucket or a shared-shingle
-    * posting list emits ALL its pairs, not a spanning path), so the diameter
-    * is small — chains only arise from transitive bucket overlap; `maxIter`
-    * is a guard against pathological inputs, and hitting it raises rather
-    * than returning a half-converged labeling.
+    * 1. Pregel-style min-label propagation (the fixpoint GraphX's
+    *    `ConnectedComponents` computes), ONE Catalyst job per iteration
+    *    (keyed join + partial-agg min, convergence observed on the
+    *    materialization). Near-dup graphs are unions of near-cliques (an
+    *    LSH bucket or a shared-shingle posting list emits ALL its pairs,
+    *    not a spanning path), so propagation converges in 2–4 cheap
+    *    iterations — measured FASTER per round than star contraction's
+    *    multi-shuffle rounds on every CC gate (round-7 A/B: star-only
+    *    regressed the four CC gates ~1.5×).
+    * 2. If propagation hasn't converged after `starSwitchAfter` iterations
+    *    the graph has long chains (transitive bucket overlap does build
+    *    them at corpus scale), where propagation needs diameter rounds and
+    *    a diameter beyond `maxIter` previously RAISED. The loop then
+    *    switches to alternating LARGE-STAR / SMALL-STAR contraction
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    *    SoCC 2014): large-star(u) connects every strictly-larger neighbor
+    *    to min(Γ(u) ∪ {u}); small-star(u) connects every smaller neighbor
+    *    and u itself to the minimum of those. Each large-star at least
+    *    halves every propagation distance → O(log² n) rounds worst-case,
+    *    so the default budget covers graphs no real corpus can exceed
+    *    (propagation would need 2^17 rounds where the hybrid spends 8 + a
+    *    few dozen).
+    *
+    * Every iteration's result is `localCheckpoint`ed to truncate lineage —
+    * without it the self-referential plan doubles in depth per round and
+    * analysis cost explodes long before data cost does. `maxIter` is the
+    * TOTAL round budget across both phases and stays a loud guard: hitting
+    * it raises rather than returning a half-converged labeling.
     *
     * Returns (id, component) with `component` = min id reachable; rows cover
     * every id present in `pairs` (ids with no pair are their own singleton
@@ -904,7 +918,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      starSwitchAfter: Int = 8): DataFrame = {
     // Materialize the PAIR list before mirroring it: the union of the two
     // edge orientations would otherwise evaluate the caller's pair plan
     // TWICE (for jaccard/minhash candidates that plan carries the shingle
@@ -928,7 +943,8 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
+    val propBudget = math.min(maxIter, starSwitchAfter)
+    while (!converged && iter < propBudget) {
       // The previous label rides along through the union (`_prev` is non-null
       // exactly on the one row each id contributes from `labels`), so the
       // convergence test needs NO second join — and no second JOB either:
@@ -952,8 +968,73 @@ object Dedup {
       labels = next.select("id", "component")
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter iterations")
-    labels
+    if (converged) labels
+    else connectedComponentsStar(p, width, maxIter - iter)
+  }
+
+  /** Star-contraction phase of [[connectedComponents]] (Kiveris et al. 2014):
+    * rewrites the edge set each round until it is a forest of stars centered
+    * at each component's min id, then reads the labeling off the edges.
+    * Engaged only when min-label propagation exceeded its budget — i.e. the
+    * graph has chains — so its heavier rounds (two keyed aggregates + two
+    * joins) buy logarithmic convergence where propagation was diameter-bound.
+    */
+  private def connectedComponentsStar(
+      p: DataFrame, width: Int, roundBudget: Int): DataFrame = {
+    // Canonical (hi, lo) edges; self-loop pairs carry no connectivity (their
+    // ids are re-covered by the final anti-join) — drop them here.
+    var edges = p
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .repartition(width, col("u")).localCheckpoint(true)
+    var edgeCount = edges.count()
+    var rounds = 0
+    var converged = edgeCount == 0L
+    while (!converged && rounds < roundBudget) {
+      // Large-star: m(u) over BOTH orientations, emit (v, m(u)) for v > u.
+      // Output stays canonical: v > u ≥ m(u).
+      val dir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = dir.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+      val ls = dir.join(mL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+      // Small-star: every edge already points down (u > v), so Γ⁻(u) is just
+      // the neighbor list; emit (v, m(u)) for each small neighbor plus the
+      // center's own (u, m(u)); drop the root's self-loop.
+      val mS = ls.groupBy("u").agg(min("v").as("_m"))
+      val ss = ls.join(mS, "u")
+        .select(col("v").as("u"), col("_m").as("v"))
+        .where(col("u") =!= col("v"))
+        .union(mS.select(col("u"), col("_m").as("v")))
+        .distinct()
+      // ONE materialization job per round (row count rides it as an observe
+      // metric); the set-equality fixpoint test is a short-circuited count
+      // compare + an anti-join over two checkpointed sliver frames.
+      val obs = org.apache.spark.sql.Observation()
+      val next = ss.repartition(width, col("u"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nextCount = obs.get("n").asInstanceOf[Long]
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      edgeCount = nextCount
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge (star phase exhausted $roundBudget rounds)")
+    // Star forest → labels: leaves point at their root (u, v); roots appear
+    // only on the v side (v, v); ids whose every pair was a self-loop get
+    // their singleton row back via the anti-join.
+    val starLabels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")).distinct())
+    val nodes = p.select(col("u").as("id")).union(p.select(col("v").as("id"))).distinct()
+    starLabels
+      .union(nodes.join(starLabels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+      .localCheckpoint(true)
   }
 
   /** Keep-one cluster resolution: drop every document that is NOT its

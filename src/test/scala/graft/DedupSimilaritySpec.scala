@@ -256,6 +256,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.map(_._2).toSet == Set(1L))
   }
 
+  test("connected components: a 200-node chain converges within the default round budget") {
+    // Diameter 199 — the diameter-bound propagation loop this replaced
+    // raised at maxIter=25 on this input; star contraction needs ~log₂
+    // rounds. Transitive LSH-bucket overlap genuinely builds chains at
+    // corpus scale, so this is a robustness property, not a toy.
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(comp.length == 200 && comp.map(_._2).toSet == Set(1L))
+  }
+
   test("semanticDedup: planted duplicates collapse to min-id, full cover, auditable flags") {
     // 30 pairwise-ORTHOGONAL base vectors (one-hot, cosine 0 between any
     // two) + exact copies of vectors 0 and 7: only the copies can clear the
@@ -456,6 +466,14 @@ class DedupSimilaritySpec extends SparkSpec {
         val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
           .as[(Long, Long)].collect().toMap
         assert(got == expected, s"trial $trial: graph $edges")
+        // Force the star-contraction phase (starSwitchAfter = 0): both
+        // hybrid branches must produce the identical labeling.
+        if (trial <= 10) {
+          val star = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), starSwitchAfter = 0)
+            .as[(Long, Long)].collect().toMap
+          assert(star == expected, s"trial $trial (star-only): graph $edges")
+        }
       }
     }
   }
