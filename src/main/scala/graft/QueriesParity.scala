@@ -374,6 +374,21 @@ object QueriesParity {
         .when(k % 13 === 5, concat(dayofmonth(d).cast("string"), lit(". "),
           element_at(array(Conversions.norwegianMonths.map(lit): _*), month(d)),
           lit(" "), year(d).cast("string")))
+        // … led by the (true) Norwegian weekday token ("mandag 2. januar 2024")
+        .when(k % 13 === 6, concat(
+          element_at(array(Conversions.norwegianDays.map(lit): _*),
+            ((dayofweek(d) + 5) % 7).cast("int") + 1),
+          lit(" "), dayofmonth(d).cast("string"), lit(". "),
+          element_at(array(Conversions.norwegianMonths.map(lit): _*), month(d)),
+          lit(" "), year(d).cast("string")))
+        // compound relative ("2 weeks ago tuesday") — weekday varies by key
+        .when(k % 13 === 7, concat(((k % 4) + 1).cast("string"), lit(" weeks ago "),
+          element_at(array(Conversions.englishDays.map(lit): _*), (k % 7).cast("int") + 1)))
+        // Norwegian relative forms (dateparser nb locale)
+        .when(k % 13 === 8, concat(lit("for "), ((k % 30) + 1).cast("string"),
+          lit(" dager siden")))
+        .when(k % 13 === 9, lit("om 3 timer"))
+        .when(k % 13 === 10, lit("i går"))
         .when(k % 11 === 0, unix_timestamp(d).cast("string"))            // epoch seconds in string
         .when(k % 11 === 1, (unix_timestamp(d) * 1000).cast("string"))   // epoch millis in string
         .when(k % 8 === 0, date_format(d, "yyyy-MM-dd'T'HH:mm:ss"))
@@ -399,6 +414,18 @@ object QueriesParity {
       |      TIMESTAMP '2024-06-01 12:00:00' + INTERVAL 3 HOUR)), '%Y-%m-%d %H:%M:%S')
       |    WHEN o_orderkey % 13 = 4 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
       |      TIMESTAMP '2024-06-01 12:00:00' - INTERVAL 14 DAY)), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 6 THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
+      |      '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 7 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      date_trunc('week', TIMESTAMP '2024-06-01 12:00:00'
+      |                         - to_days((7 * ((o_orderkey % 4) + 1))::INT))
+      |        + to_days((o_orderkey % 7)::INT))), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 8 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' - to_days(((o_orderkey % 30) + 1)::INT))), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 9 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' + INTERVAL 3 HOUR)), '%Y-%m-%d %H:%M:%S')
+      |    WHEN o_orderkey % 13 = 10 THEN strftime(timezone('Europe/Oslo', timezone('UTC',
+      |      TIMESTAMP '2024-06-01 12:00:00' - INTERVAL 1 DAY)), '%Y-%m-%d %H:%M:%S')
       |    WHEN o_orderkey % 13 = 5 OR o_orderkey % 11 IN (0,1) OR o_orderkey % 8 IN (0,1,2,3,4,5,6)
       |      THEN strftime(timezone('Europe/Oslo', timezone('UTC', o_orderdate)),
       |                    '%Y-%m-%d %H:%M:%S')

@@ -105,6 +105,19 @@ object Conversions {
     "januar", "februar", "mars", "april", "mai", "juni",
     "juli", "august", "september", "oktober", "november", "desember")
 
+  /** Norwegian weekday names, Monday-first (ISO order) — recognized as a
+    * strippable prefix on Norwegian date forms ("mandag 2. januar 2024"),
+    * the same treatment dateparser's nb locale gives the token.
+    */
+  val norwegianDays: Seq[String] = Seq(
+    "mandag", "tirsdag", "onsdag", "torsdag", "fredag", "lørdag", "søndag")
+
+  /** English weekday names, Monday-first — the compound-relative rung's
+    * vocabulary ("2 weeks ago tuesday"); shared with the gate generator.
+    */
+  val englishDays: Seq[String] = Seq(
+    "monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday")
+
   /** `str -> datetime-no` (`/root/reference/src/transform.py:49-60`): lenient
     * date parse (reference uses `dateparser` with English locale), then Oslo
     * wall clock; unparseable -> NULL. graft tries a fixed format ladder with
@@ -167,25 +180,92 @@ object Conversions {
         when(low.rlike(dmPat), coalesce(
           try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy d MMMM")),
           try_to_timestamp(concat(yr, lit(" "), low), lit("yyyy d MMM")))))
+      // Norwegian relative forms (dateparser's nb locale, the reference's
+      // own domain): "i går"/"i dag"/"i morgen"/"nå", "for N <enhet> siden"
+      // (ago) and "om N <enhet>" (in). Units map onto the English machinery
+      // so second/calendar arithmetic stays identical across locales.
+      val noUnits = "sekund|sekunder|minutt|minutter|time|timer|dag|dager|uke|uker|måned|måneder|år"
+      val noAgoPat = s"^for (\\d{1,6}) ($noUnits) siden$$"
+      val noInPat = s"^om (\\d{1,6}) ($noUnits)$$"
+      def unitNoEn(u: Column): Column =
+        when(u.startsWith("sekund"), lit("second"))
+          .when(u.startsWith("minutt"), lit("minute"))
+          .when(u.startsWith("time"), lit("hour"))
+          .when(u.startsWith("dag"), lit("day"))
+          .when(u.startsWith("uke"), lit("week"))
+          .when(u.startsWith("måned"), lit("month"))
+          .otherwise(lit("year"))
+      def noCalShift(pat: String, sign: Int): Column = {
+        val n = regexp_extract(low, pat, 1).cast("int") * sign
+        val unit = unitNoEn(regexp_extract(low, pat, 2))
+        val months = when(unit === "month", n).otherwise(n * 12)
+        to_timestamp(concat(
+          add_months(a.cast("date"), months).cast("string"), lit(" "),
+          date_format(a, "HH:mm:ss.SSSSSS")))
+      }
+      val isNoCal = (pat: String) => {
+        val u = unitNoEn(regexp_extract(low, pat, 2))
+        u === "month" || u === "year"
+      }
+      // Compound relative "N units ago <weekday>" ("2 weeks ago tuesday"):
+      // shift the anchor first (seconds or calendar, as the plain rung),
+      // then resolve the weekday within the ISO (Monday-start) week
+      // CONTAINING the shifted base at midnight — dateparser's
+      // current-period weekday resolution applied to the shifted anchor.
+      // Deterministic by construction, like every rung here.
+      val cAgoPat =
+        s"^(\\d{1,6}) (second|minute|hour|day|week|month|year)s? ago (${englishDays.mkString("|")})$$"
+      val compoundAgo = when(low.rlike(cAgoPat), {
+        val nS = regexp_extract(low, cAgoPat, 1)
+        val unit = regexp_extract(low, cAgoPat, 2)
+        val cal = {
+          val n = nS.cast("int") * -1
+          val months = when(unit === "month", n).otherwise(n * 12)
+          to_timestamp(concat(
+            add_months(a.cast("date"), months).cast("string"), lit(" "),
+            date_format(a, "HH:mm:ss.SSSSSS")))
+        }
+        val base = when(unit === "month" || unit === "year", cal)
+          .otherwise(shift(a, -spanSeconds(nS, unit)))
+        val d0 = base.cast("date")
+        val monday = date_sub(d0, (dayofweek(d0) + lit(5)) % 7)
+        val wd = regexp_extract(low, cAgoPat, 3)
+        val idx = englishDays.zipWithIndex.foldLeft(lit(0)) {
+          case (acc, (nm, i)) => when(wd === nm, lit(i)).otherwise(acc)
+        }
+        date_add(monday, idx).cast("timestamp")
+      })
       coalesce(
         when(low === "now" || low === "today", a),
         when(low === "yesterday", shift(a, lit(-86400L))),
         when(low === "tomorrow", shift(a, lit(86400L))),
+        when(low === "nå" || low === "i dag", a),
+        when(low === "i går", shift(a, lit(-86400L))),
+        when(low === "i morgen", shift(a, lit(86400L))),
         when(low.rlike(agoPat) && isCal(agoPat), calShift(agoPat, -1)),
         when(low.rlike(inPat) && isCal(inPat), calShift(inPat, 1)),
         when(low.rlike(agoPat),
           shift(a, -spanSeconds(regexp_extract(low, agoPat, 1), regexp_extract(low, agoPat, 2)))),
         when(low.rlike(inPat),
           shift(a, spanSeconds(regexp_extract(low, inPat, 1), regexp_extract(low, inPat, 2)))),
+        when(low.rlike(noAgoPat) && isNoCal(noAgoPat), noCalShift(noAgoPat, -1)),
+        when(low.rlike(noInPat) && isNoCal(noInPat), noCalShift(noInPat, 1)),
+        when(low.rlike(noAgoPat), shift(a, -spanSeconds(
+          regexp_extract(low, noAgoPat, 1), unitNoEn(regexp_extract(low, noAgoPat, 2))))),
+        when(low.rlike(noInPat), shift(a, spanSeconds(
+          regexp_extract(low, noInPat, 1), unitNoEn(regexp_extract(low, noInPat, 2))))),
+        compoundAgo,
         monthDay)
     }
-    // Norwegian month-name dates ("2. januar 2024", "15 mars 2023") —
-    // dateparser's nb locale accepts these and the reference's domain is
-    // Norwegian. Normalized to ISO via a month-name→number when-chain and
-    // re-parsed; case-insensitive; date-only scope (time-of-day forms stay
-    // with the numeric rungs).
+    // Norwegian month-name dates ("2. januar 2024", "15 mars 2023"),
+    // optionally led by a weekday token ("mandag 2. januar 2024") which is
+    // stripped, not validated — exactly dateparser's nb-locale treatment.
+    // Normalized to ISO via a month-name→number when-chain and re-parsed;
+    // case-insensitive; date-only scope (time-of-day forms stay with the
+    // numeric rungs).
     val lowNo = lower(s)
-    val noPat = s"^(\\d{1,2})\\.? (${norwegianMonths.mkString("|")}) (\\d{4})$$"
+    val noPat = s"^(?:(?:${norwegianDays.mkString("|")}),? )?" +
+      s"(\\d{1,2})\\.? (${norwegianMonths.mkString("|")}) (\\d{4})$$"
     val noMonthNum = norwegianMonths.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (m, i)) => when(regexp_extract(lowNo, noPat, 2) === m, lit(i + 1)).otherwise(acc)
     }

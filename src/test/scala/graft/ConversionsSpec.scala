@@ -163,6 +163,41 @@ class ConversionsSpec extends SparkSpec {
     assert(noAnchor.head == null)
   }
 
+  test("lenientDateOslo: Norwegian weekday prefix, Norwegian relatives, compound relatives") {
+    val anchor = java.sql.Timestamp.valueOf("2024-06-01 12:00:00") // UTC, a Saturday
+    val got = Seq(
+      "mandag 1. januar 2024",   // weekday-led Norwegian date (token stripped)
+      "Lørdag 15. juni 2024",    // case-insensitive, comma-less
+      "i går", "i morgen", "nå", // Norwegian day words
+      "for 2 dager siden",       // "2 days ago"
+      "om 3 timer",              // "in 3 hours"
+      "for 3 måneder siden",     // calendar months
+      "om 1 år",                 // calendar year
+      "for 2 uker siden",        // weeks (seconds arithmetic)
+      // compound: shift, then the weekday of the shifted base's ISO week
+      "2 weeks ago tuesday",     // base Sat 2024-05-18 -> Tue 2024-05-14 00:00 UTC
+      "1 day ago sunday",        // base Fri 2024-05-31 -> Sun 2024-06-02 00:00 UTC
+      "3 months ago monday",     // calendar base Fri 2024-03-01 -> Mon 2024-02-26
+      "for 2 fjortendager siden") // unsupported unit -> null
+      .toDF("s")
+      .select(date_format(
+        Conversions.lenientDateOslo(col("s"), Some(lit(anchor))), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(got.toSeq == Seq(
+      "2024-01-01 01:00:00",
+      "2024-06-15 02:00:00",
+      "2024-05-31 14:00:00", "2024-06-02 14:00:00", "2024-06-01 14:00:00",
+      "2024-05-30 14:00:00",
+      "2024-06-01 17:00:00",
+      "2024-03-01 13:00:00",
+      "2025-06-01 14:00:00",
+      "2024-05-18 14:00:00",
+      "2024-05-14 02:00:00",
+      "2024-06-02 02:00:00",
+      "2024-02-26 01:00:00",
+      null))
+  }
+
   test("lenientDateOslo: calendar-unit relatives, article forms, month-day without year") {
     val anchor = java.sql.Timestamp.valueOf("2024-06-01 12:00:00") // UTC anchor
     val got = Seq(
