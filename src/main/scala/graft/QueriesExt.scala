@@ -316,8 +316,11 @@ object QueriesExt {
       // the gate output, not only in the spec — otherwise `decoded` is a
       // constant column and the gate can't catch a decoder that never says
       // no.
+      // Mixed real formats: odd ids are true JPEGs (SOF marker-scan path),
+      // even ids true PNGs (ImageIO IHDR path) — both header layouts
+      // exercised end-to-end in one gate.
       Multimodal.decodeImages(
-          Multimodal.syntheticPngs(docs(s, dir), "doc_id")
+          Multimodal.syntheticImages(docs(s, dir), "doc_id")
             .withColumn("blob",
               when(col("doc_id") % 11 === 0, lit("not an image").cast("binary"))
                 .otherwise(col("blob"))),
@@ -326,7 +329,8 @@ object QueriesExt {
     """SELECT doc_id,
       |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 37)::INT END AS width,
       |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 23)::INT END AS height,
-      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'png' END AS format,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       WHEN doc_id % 2 <> 0 THEN 'jpeg' ELSE 'png' END AS format,
       |  doc_id % 11 <> 0 AS decoded
       |FROM documents""".stripMargin))
 

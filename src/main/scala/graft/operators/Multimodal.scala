@@ -88,19 +88,66 @@ object Multimodal {
     StructField("format", StringType, nullable = true),
     StructField("decoded", BooleanType, nullable = false)))
 
-  /** REAL image metadata decode via `javax.imageio` (ships in the JDK — no
-    * new dependency): width/height/format come from the image HEADER reader
-    * (`ImageReader.getWidth(0)` parses the PNG IHDR / JPEG SOF marker, it
-    * does NOT decompress pixels), so the per-row cost is a few hundred
-    * bytes of parsing regardless of image size — the right scale shape for
-    * a metadata pass over 100 TB of media. Bytes no installed reader
-    * recognizes — AND bytes a reader claims but chokes on (valid magic,
-    * truncated/garbled header: inevitable in a crawl corpus) — degrade to
-    * `decoded = false` with null dimensions rather than failing the
-    * partition: one corrupt blob must never kill a 100 TB metadata pass.
+  /** JPEG dimensions from a raw SOF marker scan (public JPEG/JFIF layout:
+    * SOI `FFD8`, then `FF mk [len:2] payload` segments; any SOF marker
+    * `C0–CF` except DHT `C4` / JPG `C8` / DAC `CC` carries
+    * `[precision:1][height:2][width:2]` big-endian at the payload head).
+    * This is the cheapest possible metadata path — a linear scan over the
+    * segment table, typically < 1 KB of the blob, with ZERO reader/stream
+    * allocation — which is what you want per-row on a 100 TB media pass;
+    * [[decodeImageMeta]] uses it as the JPEG fast path before falling back
+    * to the `ImageIO` reader machinery. Returns None on anything malformed
+    * (no SOF before SOS/EOI, truncated segment, zero dimension).
+    */
+  def jpegSofDimensions(blob: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = blob(i) & 0xff
+    if (blob.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var i = 2
+    while (i + 1 < blob.length) {
+      if (u8(i) != 0xFF) return None
+      var j = i + 1 // skip fill bytes: a marker may be padded with extra FFs
+      while (j < blob.length && u8(j) == 0xFF) j += 1
+      if (j >= blob.length) return None
+      val mk = u8(j)
+      if (mk == 0x01 || (mk >= 0xD0 && mk <= 0xD9)) {
+        if (mk == 0xD9) return None // EOI before any SOF
+        i = j + 1                   // standalone marker, no length word
+      } else {
+        if (j + 2 >= blob.length) return None
+        val len = (u8(j + 1) << 8) | u8(j + 2)
+        if (len < 2) return None
+        if (mk >= 0xC0 && mk <= 0xCF && mk != 0xC4 && mk != 0xC8 && mk != 0xCC) {
+          if (j + 7 >= blob.length) return None
+          val h = (u8(j + 4) << 8) | u8(j + 5)
+          val w = (u8(j + 6) << 8) | u8(j + 7)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        if (mk == 0xDA) return None // entropy-coded data begins: no SOF seen
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** REAL image metadata decode: JPEG rides [[jpegSofDimensions]] (a raw
+    * marker scan, no reader allocation); everything else goes through
+    * `javax.imageio` (ships in the JDK — no new dependency), whose HEADER
+    * reader (`ImageReader.getWidth(0)` parses the PNG IHDR etc., it does
+    * NOT decompress pixels) keeps the per-row cost at a few hundred bytes
+    * of parsing regardless of image size — the right scale shape for a
+    * metadata pass over 100 TB of media. Bytes no path recognizes — AND
+    * bytes a reader claims but chokes on (valid magic, truncated/garbled
+    * header: inevitable in a crawl corpus) — degrade to `decoded = false`
+    * with null dimensions rather than failing the partition: one corrupt
+    * blob must never kill a 100 TB metadata pass. (A JPEG whose SOF scan
+    * fails still falls to ImageIO before degrading, so the fast path can
+    * only add coverage, never subtract it.)
     */
   def decodeImageMeta(id: Long, blob: Array[Byte]): Row = {
     val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
+    val sof = jpegSofDimensions(blob)
+    if (sof.isDefined)
+      return Row(id, blob.length, sha, sof.get._1, sof.get._2, "jpeg", true)
     val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(blob))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(in)
@@ -154,10 +201,52 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Fixture frame: one synthetic PNG per input id with dimensions derived
+  /** Deterministic grayscale JPEG — the JPEG sibling of [[syntheticPng]]:
+    * real bytes through the JDK's `ImageIO` JPEG writer (SOI/JFIF/SOF0
+    * layout), so [[jpegSofDimensions]] and the decode gate exercise a real
+    * marker table. JPEG is lossy in PIXELS, never in the SOF dimensions,
+    * so the dimension round-trip is exact.
+    */
+  def syntheticJpeg(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.getRaster.setSample(x, y, 0, (((seed + 31L * x + 17L * y) % 256L) + 256L) % 256L)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture frame: one synthetic image per input id with dimensions derived
     * from the id (`width = 1 + id % 37`, `height = 1 + id % 23`) — executed
     * distributed (mapPartitions; the encoder init amortizes per partition),
-    * never on the driver.
+    * never on the driver. Odd ids encode as JPEG, even as PNG, so a decode
+    * gate exercises BOTH real header layouts from one generator.
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (1 + (id % 37).toInt, 1 + (id % 23).toInt)
+        Row(id, if (id % 2 != 0) syntheticJpeg(w, h, id) else syntheticPng(w, h, id))
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  /** PNG-only fixture frame (kept for spec call sites; [[syntheticImages]]
+    * is the mixed-format generator the gate uses).
     */
   def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(

@@ -221,6 +221,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mix == Set((1L, true), (2L, false)))
   }
 
+  test("real image decode: JPEG SOF scan recovers exact dims, agrees with ImageIO, degrades on corruption") {
+    // Fixture JPEGs through the decode path: dims exact despite lossy pixels.
+    val imgs = Multimodal.syntheticImages(Seq(5L, 41L, 100L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeImages(imgs, "doc_id", "blob")
+      .select("doc_id", "width", "height", "format", "decoded")
+      .as[(Long, Int, Int, String, Boolean)].collect().toSet
+    assert(got == Set(
+      (5L, 6, 6, "jpeg", true),    // odd id -> jpeg
+      (41L, 5, 19, "jpeg", true),
+      (100L, 27, 9, "png", true))) // even id -> png
+    // SOF parser agrees with ImageIO's own reader on real JPEG bytes.
+    val jb = Multimodal.syntheticJpeg(320, 240, 7L)
+    assert(Multimodal.jpegSofDimensions(jb).contains((320, 240)))
+    // Progressive JPEG (SOF2) — hand-built marker table: SOI, APP0 stub,
+    // SOF2 [precision=8, h=513, w=1027], EOI. ImageIO never sees it; the
+    // scan must read the big-endian dims straight off the segment.
+    val sof2 = Array[Int](
+      0xFF, 0xD8,                                     // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,             // APP0, len 4
+      0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x02, 0x01, 0x04, 0x03, // SOF2: h=0x0201 w=0x0403
+      0x01, 0x11, 0x00,
+      0xFF, 0xD9).map(_.toByte)                       // EOI
+    assert(Multimodal.jpegSofDimensions(sof2).contains((0x0403, 0x0201)))
+    // Corrupt JPEG: SOI magic then garbage — SOF scan bails, ImageIO
+    // fallback also fails -> degrade, never throw.
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte) ++ "garbage".getBytes("UTF-8")
+    val c = Multimodal.decodeImages(Seq((9L, corrupt)).toDF("doc_id", "blob"), "doc_id", "blob")
+      .select("decoded", "width").as[(Boolean, Option[Int])].head()
+    assert(c == ((false, None)))
+    // Truncated real JPEG (header cut mid-segment) degrades too.
+    assert(Multimodal.jpegSofDimensions(jb.take(6)).isEmpty)
+  }
+
   test("multimodal stub decode agrees with the declarative twin") {
     val d = docs.withColumn("blob", col("text").cast("binary"))
     val viaMap = Multimodal.decodeStub(d, "doc_id", "blob").orderBy("doc_id").collect().toSeq
