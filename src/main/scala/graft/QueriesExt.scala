@@ -137,6 +137,47 @@ object QueriesExt {
         |GROUP BY 1, 2 HAVING count(*) >= $minShared""".stripMargin))
   }
 
+  /** Winnowing match-SPAN gate (the MOSS report shape): for each qualified
+    * pair, one row per shared fingerprint with the earliest selected char
+    * offset in both documents. The oracle replays the whole chain step for
+    * step — rolling hashes, window minima WITH leftmost-min positions
+    * (`list_position`), per-(doc,fp) first occurrence, the df window, the
+    * pair expansion, and the windowed shared-count gate.
+    */
+  private lazy val dedupWinnowSpans: Q = {
+    val k = 12; val w = 8; val minShared = 40; val maxDf = 1000
+    "x_dedup_winnow_spans" -> ((
+      (s: SparkSession, dir: String) =>
+        Dedup.winnowingMatchSpans(docs(s, dir), "doc_id", "text", k, w, minShared, maxDf),
+      s"""WITH t AS (SELECT doc_id, text,
+        |  greatest(length(text) - ${k - 1}, 0) AS m FROM documents),
+        |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
+        |    list_transform(range(1, m + 1), i ->
+        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |  ELSE []::BIGINT[] END AS hs FROM t),
+        |sel0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
+        |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
+        |      struct_pack(fp := list_aggregate(hs[j:j+${w - 1}], 'min'),
+        |        pos := j - 1 + list_position(hs[j:j+${w - 1}],
+        |                 list_aggregate(hs[j:j+${w - 1}], 'min'))))
+        |  ELSE list_transform(range(1, len(hs) + 1), i ->
+        |    struct_pack(fp := hs[i], pos := i)) END AS sel FROM h),
+        |-- duplicate (fp,pos) selections are harmless: the min(pos) group
+        |-- below absorbs them (DuckDB cannot list_distinct a struct list)
+        |selx AS (SELECT doc_id, unnest(sel) AS s FROM sel0),
+        |first AS (SELECT doc_id, s.fp AS fp, min(s.pos) AS pos
+        |  FROM selx GROUP BY 1, 2),
+        |keep AS (SELECT fp FROM first GROUP BY fp
+        |  HAVING count(*) >= 2 AND count(*) <= $maxDf),
+        |fk AS (SELECT f.doc_id, f.fp, f.pos FROM first f JOIN keep USING (fp)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp,
+        |    a.pos AS start_a, b.pos AS start_b
+        |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, fp, start_a, start_b,
+        |  count(*) OVER (PARTITION BY id_a, id_b) AS n_shared
+        |FROM p QUALIFY n_shared >= $minShared""".stripMargin))
+  }
+
   /** Banded (subquadratic) embedding near-dup: sign-band LSH candidates +
     * exact cosine verify. The oracle replays the ENTIRE algorithm — band
     * buckets from raw sign bits, the (1, maxBucket] membership window, the
@@ -2300,7 +2341,8 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow)
+    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
+    dedupWinnowSpans)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

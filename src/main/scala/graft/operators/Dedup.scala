@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the 100 TB training-data pipeline surface:
@@ -430,6 +431,92 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** [[winnowingFingerprints]] keeping the POSITION of each selected
+    * fingerprint — the MOSS report shape needs the matched character
+    * offsets, and the positions are already computed inside the window-min
+    * pass (each window's minimum sits at a known offset). Tie-break:
+    * LEFTMOST minimal hash in the window (`array_position` returns the
+    * first occurrence) — deterministic and replayed by the oracle via
+    * DuckDB's `list_position`. Returns one `(idCol, fp, pos)` row per
+    * distinct (fingerprint, position) selection; `pos` is the 1-based char
+    * offset of the k-gram, so the matched span is `[pos, pos+k-1]`.
+    */
+  def winnowingFingerprintPositions(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Same letBound discipline as winnowingFingerprints: the O(len) hash
+    // array must bind ONCE per row; the per-window slice/min/position
+    // references are O(w) each with w a small constant.
+    val m = greatest(length(col("_t")) - (k - 1), lit(0))
+    val hs = when(m > 0,
+      transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val sel = Similarity.letBound(hs) { h =>
+      when(size(h) >= w,
+        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)), j => {
+          val win = slice(h, j, lit(w))
+          val mn = array_min(win)
+          struct(mn.as("fp"), (j.cast("long") - 1L + array_position(win, mn)).as("pos"))
+        })))
+        .otherwise(transform(sequence(lit(1), size(h)), i =>
+          struct(element_at(h, i).as("fp"), i.cast("long").as("pos"))))
+    }
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol), col(textCol).as("_t"))
+      .select(col(idCol), explode_outer(sel).as("s"))
+      .where(col("s").isNotNull)
+      .select(col(idCol), col("s.fp").as("fp"), col("s.pos").as("pos"))
+  }
+
+  /** MOSS-style match SPANS for qualified winnowing pairs: for every pair
+    * sharing ≥ `minShared` distinct fingerprints, one row per shared
+    * fingerprint with the EARLIEST selected position of that fingerprint
+    * in each document (`start_a`/`start_b`; spans cover `k` characters).
+    * First-occurrence is the deterministic bounded report shape — a
+    * repeated fingerprint inside one document reports its earliest span,
+    * so rows per pair are bounded by the shared-fingerprint count, never
+    * by a positions × positions cross product on repetitive text.
+    *
+    * Scale shape: one fp-keyed exchange builds first-occurrence postings
+    * (df window [2, maxDf] pruned BEFORE the local C(df,2) expansion —
+    * the [[winnowingPairs]] posting discipline), then one pair-keyed
+    * window counts shared fingerprints for the minShared gate. No
+    * self-join, no per-document state beyond the posting list cap.
+    */
+  def winnowingMatchSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val first = winnowingFingerprintPositions(df, idCol, textCol, k, w)
+      .groupBy(col(idCol), col("fp")).agg(min("pos").as("pos"))
+      .repartition(parallelism, col("fp"))
+    // One row per (doc, fp) above → count(*) per fp IS the document
+    // frequency; the [2, maxDf] window drops singletons and boilerplate.
+    val keep = first.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= 2 && col("_df") <= maxDf).select("fp")
+    val pairs = first.join(keep, Seq("fp"))
+      .groupBy("fp").agg(collect_list(struct(col(idCol).as("id"), col("pos"))).as("docs"))
+      .select(col("fp"), explode(col("docs")).as("a"), col("docs"))
+      .select(col("fp"), col("a"), explode(col("docs")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("fp"),
+        col("a.pos").as("start_a"), col("b.pos").as("start_b"))
+    val byPair = Window.partitionBy("id_a", "id_b")
+    pairs
+      .withColumn("n_shared", count(lit(1)).over(byPair))
       .where(col("n_shared") >= minShared)
   }
 

@@ -269,6 +269,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(0, 2)) // 3 frames -> indices 0,2
   }
 
+  test("winnowingMatchSpans: offsets point at identical k-grams, planted block located") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val a = s"AAAA $shared BBBB"
+    val b = s"xxxxxxxx $shared yy"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val spans = Dedup.winnowingMatchSpans(df, "doc_id", "text",
+        k = 5, w = 4, minShared = 1, maxDf = 10)
+      .select("start_a", "start_b").as[(Long, Long)].collect()
+    assert(spans.nonEmpty)
+    // The MOSS invariant: every reported span names the SAME k characters
+    // in both documents (offsets are 1-based).
+    spans.foreach { case (sa, sb) =>
+      assert(a.substring(sa.toInt - 1, sa.toInt + 4) == b.substring(sb.toInt - 1, sb.toInt + 4),
+        s"span mismatch at ($sa, $sb)")
+    }
+    // and at least one span lands inside the planted shared block
+    assert(spans.exists { case (sa, _) => sa >= 6 && sa <= 5 + shared.length - 4 })
+  }
+
   test("connected components: chains collapse transitively, islands stay apart") {
     // 1-2, 2-3, 3-4 is a 4-node chain (diameter 3 -> needs >1 propagation
     // round); 10-11 is a separate island; pair order (id_a < id_b) is not
