@@ -203,7 +203,8 @@ object CurateMain {
         // mixture subtree (bucket totals + two keep branches + window).
         graft.operators.Mixture.mixtureSample(
             afterSample, cfg.idColumn, cfg.mixtureSourceColumn,
-            nWords.cast("long"), cfg.mixtureWeights, total)
+            nWords.cast("long"), cfg.mixtureWeights, total,
+            temperature = cfg.mixtureTemperature)
           .select(id)
           .join(afterSample, cfg.idColumn)
           .persist(StorageLevel.MEMORY_AND_DISK)

@@ -2250,6 +2250,42 @@ object QueriesExt {
          |WHERE budget > 0 AND cum <= budget""".stripMargin))
   }
 
+  /** Temperature-scaled mixture gate: the SAME 4:2:1:1 mix at τ = 0.5 —
+    * the published low-resource-upsampling move (`w^τ`, renormalized,
+    * before budgeting). Temperature math happens driver-side in BOTH
+    * engines' plan construction (this very JVM computes the oracle's
+    * budget literals with the same `math.pow`), so the budgets are
+    * bit-identical by construction and the oracle stays a flat window.
+    */
+  private lazy val sampleMixtureTemp: Q = {
+    val weights = Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+    val total = 3000L
+    val tau = 0.5
+    val scaled = weights.map { case (s, w) => s -> math.pow(w, tau) }
+    val wSum = scaled.map(_._2).sum
+    val budgetSql = scaled.map { case (s, w) =>
+      s"WHEN '$s' THEN ${math.floor(w / wSum * total).toLong}"
+    }.mkString(" ")
+    "x_sample_mixture_temp" -> ((
+      (s: SparkSession, dir: String) =>
+        graft.operators.Mixture.mixtureSample(
+          docs(s, dir), "doc_id", "source",
+          size(graft.operators.Dedup.tokens(col("text"))),
+          weights.toMap, totalTokens = total, temperature = tau, buckets = 16),
+      s"""WITH t AS (SELECT doc_id, source,
+         |  len(string_split(trim(text), ' '))::BIGINT AS tok,
+         |  md5(doc_id::VARCHAR) AS h,
+         |  (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 16)::INT AS b
+         |  FROM documents),
+         |w AS (SELECT *,
+         |  CASE source $budgetSql ELSE 0 END AS budget,
+         |  sum(tok) OVER (PARTITION BY source ORDER BY b, h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, tok AS n_tokens FROM w
+         |WHERE budget > 0 AND cum <= budget""".stripMargin))
+  }
+
   /** SemDeDup gate: spherical k-means cells (k=4, 1 Lloyd round) as the
     * blocking column for banded near-dup + transitive keep-one. The oracle
     * unrolls the ENTIRE composition — Lloyd CTEs (same discipline as
@@ -2342,7 +2378,7 @@ object QueriesExt {
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
-    dedupWinnowSpans)
+    dedupWinnowSpans, sampleMixtureTemp)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -31,6 +31,7 @@ final case class CurateConfig(
     mixtureTotalTokens: Option[Long] = None,
     mixtureWeights: Map[String, Double] = Map.empty,
     mixtureSourceColumn: String = "source",
+    mixtureTemperature: Double = 1.0,
     splits: Seq[(String, Double)] = Nil,
     dqNotNull: Seq[String] = Nil,
     dqUnique: Seq[String] = Nil,
@@ -45,6 +46,7 @@ final case class CurateConfig(
     require(minWords >= 0 && maxWords >= minWords, "invalid word bounds")
     nearDupThreshold.foreach(t => require(t > 0 && t < 1, "near-threshold in (0,1)"))
     require(decontaminateN >= 2, "decontaminate n-gram size must be >= 2")
+    require(mixtureTemperature >= 0.0, "mixture temperature must be non-negative")
     this
   }
 }
@@ -87,7 +89,7 @@ object CurateConfig {
     // lists are comma-separated scalars (the zero-dependency YAML subset has
     // no inline flow lists); `accepted` is a nested column -> csv map.
     val mixture = sub(tree, "mixture")
-    val unknownM = mixture.keySet -- Set("total-tokens", "weights", "source-column")
+    val unknownM = mixture.keySet -- Set("total-tokens", "weights", "source-column", "temperature")
     require(unknownM.isEmpty, s"unknown mixture keys: ${unknownM.mkString(", ")}")
     // Same half-specified-stage guard as sample/decontaminate: weights
     // without a budget (or vice versa) must fail loudly, not no-op.
@@ -148,6 +150,7 @@ object CurateConfig {
       mixtureTotalTokens = str(mixture, "total-tokens").map(_.toLong),
       mixtureWeights = sub(mixture, "weights").map { case (k, v) => k -> v.toString.toDouble },
       mixtureSourceColumn = str(mixture, "source-column").getOrElse("source"),
+      mixtureTemperature = str(mixture, "temperature").map(_.toDouble).getOrElse(1.0),
       splits = splits,
       dqNotNull = str(dq, "not-null").map(csv).getOrElse(Nil),
       dqUnique = str(dq, "unique").map(csv).getOrElse(Nil),

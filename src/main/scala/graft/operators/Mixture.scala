@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
+  /** `temperature` applies the published data-recipe reweighting `w^τ`
+    * (normalized afterward) BEFORE budgeting, driver-side: τ = 1 keeps the
+    * stated mix, τ < 1 flattens toward uniform (the multilingual
+    * low-resource-upsampling move), τ > 1 sharpens toward the heavy
+    * sources. Zero weights stay zero at every temperature (an excluded
+    * source must not resurrect at τ = 0, where pow(0,0) would read 1).
+    */
   def mixtureSample(
       df: DataFrame,
       idCol: String,
@@ -46,16 +53,21 @@ object Mixture {
       tokensCol: Column,
       weights: Map[String, Double],
       totalTokens: Long,
+      temperature: Double = 1.0,
       buckets: Int = 256): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
     require(weights.values.sum > 0.0, "at least one weight must be positive")
     require(totalTokens > 0, "totalTokens must be positive")
+    require(temperature >= 0.0, "temperature must be non-negative")
     require(buckets > 0, "buckets must be positive")
-    val wSum = weights.values.sum
+    val scaled = weights.map { case (s, w0) =>
+      s -> (if (w0 == 0.0) 0.0 else math.pow(w0, temperature))
+    }
+    val wSum = scaled.values.sum
     // Per-source budget as a literal when-chain: weights are config-sized
     // (tens of sources), so the chain stays a shallow codegen'd CASE.
-    val budget = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
+    val budget = scaled.foldLeft(lit(0L)) { case (acc, (s, w)) =>
       when(col("_src") === s, lit(math.floor(w / wSum * totalTokens).toLong)).otherwise(acc)
     }
     val rows = df.select(

@@ -378,6 +378,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("mixtureSample temperature: tau flattens budgets, tau=1 is identity, zero weights stay dead") {
+    val rows = (0L until 200L).map(i => (i, s"s${i % 3}", 10L)).toDF("id", "source", "tok")
+      .localCheckpoint(true)
+    val weights = Map("s0" -> 9.0, "s1" -> 1.0, "s2" -> 0.0)
+    def sums(tau: Double): Map[String, Long] =
+      graft.operators.Mixture.mixtureSample(
+          rows, "id", "source", col("tok"), weights, totalTokens = 600L, temperature = tau)
+        .groupBy("source").agg(sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+    val t1 = sums(1.0)
+    val tHalf = sums(0.5)
+    val t0 = sums(0.0)
+    // tau=1: 9:1 mix -> s0 dominates (540 vs 60 budget)
+    assert(t1("s0") > 5 * t1.getOrElse("s1", 0L))
+    // tau=0.5: 3:1 -> flatter but still ordered
+    assert(tHalf("s0") > tHalf("s1") && tHalf("s0") < t1("s0"))
+    // tau=0: uniform between live sources
+    assert(t0("s0") == t0("s1"))
+    // excluded source never resurrects (pow(0, 0) must not read 1)
+    Seq(t1, tHalf, t0).foreach(m => assert(!m.contains("s2")))
+    // default temperature is identity with the explicit tau=1 call
+    val default = graft.operators.Mixture.mixtureSample(
+        rows, "id", "source", col("tok"), weights, totalTokens = 600L)
+      .select("id").as[Long].collect().toSet
+    val explicit = graft.operators.Mixture.mixtureSample(
+        rows, "id", "source", col("tok"), weights, totalTokens = 600L, temperature = 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(default == explicit)
+  }
+
   test("mixtureSample property: equals flat-window selection across seeded weight/bucket configs") {
     val rng = new scala.util.Random(42)
     for (round <- 1 to 5) {
@@ -393,7 +423,7 @@ class DedupSimilaritySpec extends SparkSpec {
       val buckets = Seq(1, 4, 16)(rng.nextInt(3))
       val total = 200L + rng.nextInt(2000)
       val got = graft.operators.Mixture.mixtureSample(
-          rows, "id", "source", col("tok"), weights, total, buckets)
+          rows, "id", "source", col("tok"), weights, total, buckets = buckets)
         .select("id").as[Long].collect().toSet
       // flat reference: one global cumsum in the same hash order
       val wSum = weights.values.sum
