@@ -222,7 +222,11 @@ object CurateMain {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(s"${cfg.output}/corpus")
 
-    val written = spark.read.parquet(s"${cfg.output}/corpus")
+    // Explicit schema on the readback: a config whose filters drop EVERY
+    // row writes an empty partitioned dir (no part files), and schema
+    // inference would throw UNABLE_TO_INFER_SCHEMA — an over-aggressive
+    // filter config must report zeros, not crash the report step.
+    val written = spark.read.schema(out.schema).parquet(s"${cfg.output}/corpus")
     stages += "written" -> written.count()
     // Token budget of the curated corpus — the number a training-mix plan
     // actually consumes; the SAME guarded word count as the filter stage

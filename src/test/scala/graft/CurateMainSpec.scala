@@ -112,6 +112,23 @@ class CurateMainSpec extends SparkSpec {
     assert(ids == Set(1L))
   }
 
+  test("CurateMain.run: filters dropping EVERY row reports zeros, not a readback crash") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-empty").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-curate-empty-in").toString
+    Seq((1L, "too short", "s"), (2L, "also short", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$in/docs.parquet")
+    // min-words 100 kills both docs; split partitioning writes an empty dir
+    // with no part files — the report must still come back with zeros.
+    val cfg = CurateConfig(
+      input = s"$in/docs.parquet", output = out, minWords = 100,
+      dedupExact = false, splits = Seq("train" -> 90.0, "test" -> 10.0))
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    assert(m("after_filters") == 0 && m("written") == 0 && m("written_tokens") == 0)
+    assert(report.splits.isEmpty)
+  }
+
   test("CurateMain.run: dq block reports violations, fail-on-violation aborts, clean input passes") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate-dq").toString
     val in = java.nio.file.Files.createTempDirectory("graft-curate-dq-in").toString
