@@ -375,6 +375,29 @@ object QueriesExt {
       |  doc_id % 11 <> 0 AS decoded
       |FROM documents""".stripMargin))
 
+  /** REAL audio-metadata gate: deterministic RIFF/WAVE fixtures (real byte
+    * stream through the fixture encoder) parsed back by the raw chunk walk,
+    * with the same every-11th corrupt channel as the image gate — the
+    * degrade-don't-fail contract must show in the output. The oracle knows
+    * only the fixture's field FORMULAS, never the bytes.
+    */
+  private val mmAudio: Q = "x_multimodal_audio" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.decodeAudio(
+          Multimodal.syntheticWavs(docs(s, dir), "doc_id")
+            .withColumn("blob",
+              when(col("doc_id") % 11 === 0, lit("not audio").cast("binary"))
+                .otherwise(col("blob"))),
+          "doc_id", "blob")
+        .select("doc_id", "sample_rate", "channels", "bits", "n_samples", "decoded"),
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (8000 * (1 + doc_id % 5))::INT END AS sample_rate,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 2)::INT END AS channels,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (8 * (1 + (doc_id // 2) % 2))::INT END AS bits,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 400)::BIGINT END AS n_samples,
+      |  doc_id % 11 <> 0 AS decoded
+      |FROM documents""".stripMargin))
+
   private val mmFrames: Q = "x_multimodal_frames" -> ((
     (s: SparkSession, dir: String) =>
       Multimodal.sampleFrames(docs(s, dir).withColumn("blob", col("text").cast("binary")),
@@ -2365,7 +2388,7 @@ object QueriesExt {
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
+    mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,

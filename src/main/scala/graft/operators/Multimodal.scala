@@ -273,4 +273,129 @@ object Multimodal {
       .select(col(idCol), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step))).as("frame_idx"))
   }
+
+  // ------------------------------------------------------------------ audio
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** WAV metadata from a raw RIFF chunk walk (public RIFF/WAVE layout:
+    * `RIFF <size:4 LE> WAVE`, then `<ckId:4> <ckSize:4 LE> <payload>` chunks
+    * with odd-sized payloads padded to even; `fmt ` carries
+    * `[audioFormat:2][channels:2][sampleRate:4][byteRate:4][blockAlign:2]
+    * [bitsPerSample:2]` LE, `data`'s size over blockAlign is the frame
+    * count). Same scale shape as [[jpegSofDimensions]]: a linear scan over
+    * the chunk table — tens of bytes, zero stream/codec allocation — never
+    * a sample decode. Returns None on anything malformed (bad magic,
+    * truncated chunk, PCM fields that disagree, zero-channel/rate).
+    */
+  def wavRiffMeta(blob: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(i: Int): Int = blob(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+    def tag(i: Int): String = new String(blob, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (blob.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
+    var dataSize: Option[Long] = None
+    while (i + 8 <= blob.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val id = tag(i)
+      val sz = u32(i + 4)
+      if (i + 8 + sz > blob.length) return None
+      if (id == "fmt ") {
+        if (sz < 16) return None
+        val channels = u16(i + 10)
+        val rate = u32(i + 12)
+        val blockAlign = u16(i + 20)
+        val bits = u16(i + 22)
+        if (channels == 0 || rate == 0 || rate > Int.MaxValue || bits == 0 ||
+            blockAlign != channels * ((bits + 7) / 8)) return None
+        fmt = Some((channels, rate.toInt, blockAlign, bits))
+      } else if (id == "data") dataSize = Some(sz)
+      i += 8 + sz.toInt + (sz.toInt & 1) // odd payloads pad to even
+    }
+    for ((channels, rate, blockAlign, bits) <- fmt; d <- dataSize)
+      yield (rate, channels, bits, d / blockAlign)
+  }
+
+  /** [[wavRiffMeta]] over a frame — the audio sibling of [[decodeImages]]:
+    * partition-preserving `mapPartitions`, blob dropped right after the
+    * parse, malformed bytes degrade to `decoded = false` with null fields
+    * (one corrupt blob must never kill a 100 TB metadata pass). This
+    * RETIRES the stub for the audio-metadata surface: the parse is real;
+    * only sample DECODE (codec work) remains out of scope in this
+    * environment.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
+        wavRiffMeta(blob) match {
+          case Some((rate, channels, bits, nSamples)) =>
+            Row(id, blob.length, sha, rate, channels, bits, nSamples, true)
+          case None => Row(id, blob.length, sha, null, null, null, null, false)
+        }
+      }
+    }(RowEncoder.encoderFor(audioSchema))
+  }
+
+  /** Deterministic PCM WAV — FIXTURE encoder for gates/specs, the audio
+    * sibling of [[syntheticPng]]: a real RIFF/WAVE byte stream (fmt + data
+    * chunks, LE fields, deterministic seed-derived samples) whose header
+    * fields are pure functions of the arguments, so a decode gate can
+    * assert the round-trip with an oracle that knows only the field
+    * formulas, never the bytes.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, bits: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0, "invalid wav params")
+    require(bits == 8 || bits == 16, "fixture covers 8/16-bit PCM")
+    val blockAlign = channels * (bits / 8)
+    val dataSize = nSamples * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) {
+      out.put((((seed + 31L * i) % 256L + 256L) % 256L).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Fixture frame: one synthetic WAV per input id with header fields
+    * derived from the id — executed distributed like [[syntheticImages]].
+    * Field formulas (the oracle's contract):
+    * `sample_rate = 8000 * (1 + id % 5)`, `channels = 1 + id % 2`,
+    * `bits = 8 * (1 + (id / 2) % 2)`, `n_samples = 1 + id % 400`.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticWav(
+          8000 * (1 + (id % 5).toInt), 1 + (id % 2).toInt,
+          8 * (1 + ((id / 2) % 2).toInt), 1 + (id % 400).toInt, id))
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
 }

@@ -254,6 +254,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Multimodal.jpegSofDimensions(jb.take(6)).isEmpty)
   }
 
+  test("wav riff parse: round-trip, chunk order, padding, corrupt degrade") {
+    // Round-trip through the fixture encoder.
+    val wav = Multimodal.syntheticWav(16000, 2, 16, 123, 7L)
+    assert(Multimodal.wavRiffMeta(wav).contains((16000, 2, 16, 123L)))
+    // 8-bit mono: blockAlign 1, n_samples = dataSize.
+    assert(Multimodal.wavRiffMeta(Multimodal.syntheticWav(8000, 1, 8, 55, 3L))
+      .contains((8000, 1, 8, 55L)))
+    // Chunk order independence: a LIST chunk with an ODD payload (pad byte)
+    // before fmt/data, and data BEFORE fmt — real encoders emit both shapes.
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val data = "data".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](1, 2, 3) ++
+      Array[Byte](0) // odd payload -> pad byte
+    val list = "LIST".getBytes("US-ASCII") ++ le32(5) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0)
+    val body = list ++ data ++ fmt
+    val reordered = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    assert(Multimodal.wavRiffMeta(reordered).contains((8000, 1, 8, 3L)))
+    // Malformed inputs degrade to None, and the frame op to decoded=false.
+    assert(Multimodal.wavRiffMeta("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.wavRiffMeta(wav.take(30)).isEmpty) // truncated mid-chunk
+    val inconsistent = wav.clone() // blockAlign no longer channels*bytes
+    inconsistent(32) = 9
+    assert(Multimodal.wavRiffMeta(inconsistent).isEmpty)
+    val d = Multimodal.decodeAudio(
+      Seq((1L, "RIFFjunk".getBytes("UTF-8"))).toDF("doc_id", "blob"), "doc_id", "blob")
+      .select("decoded", "sample_rate").as[(Boolean, Option[Int])].head()
+    assert(d == ((false, None)))
+  }
+
   test("multimodal stub decode agrees with the declarative twin") {
     val d = docs.withColumn("blob", col("text").cast("binary"))
     val viaMap = Multimodal.decodeStub(d, "doc_id", "blob").orderBy("doc_id").collect().toSeq
