@@ -215,6 +215,62 @@ object QueriesExt {
          |WHERE ${cosExpr("na", "nb")} > 0.4""".stripMargin))
   }
 
+  /** LSH RECALL evaluation gate — the accuracy-contract pattern the sketch
+    * gates use, applied to candidate generation: exact all-pairs truth and
+    * banded-LSH candidates computed independently, full-outer-joined on the
+    * pair key, and the three counts (truth, candidates, intersection) gated
+    * as one scalar row. A banding change that silently loses true pairs
+    * (band/bit sizing is THE scale lever, and mis-sizing is the documented
+    * failure mode) flips `n_common` and hash-mismatches — the recall claim
+    * lives in the board, not only in BASELINE prose.
+    */
+  private val dedupLshRecall: Q = {
+    val bands = 16; val rows = 4
+    val bandSelects = (0 until bands).map { b =>
+      val bucket = (0 until rows)
+        .map(r => s"CASE WHEN embedding[${b * rows + r + 1}] > 0 THEN ${1L << r} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, label, $b AS band, ($bucket)::BIGINT AS bucket FROM n"
+    }.mkString(" UNION ALL ")
+    val cosExpr = (a: String, b: String) =>
+      s"list_reduce(list_prepend(0.0, list_transform(list_zip($a.embedding,$b.embedding)," +
+        s" x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/($a.nrm*$b.nrm)"
+    "x_dedup_lsh_recall" -> ((
+      (s: SparkSession, dir: String) => {
+        val e = emb(s, dir)
+        val exact = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", "label",
+          threshold = 0.4).select("id_a", "id_b")
+        val banded = Dedup.embeddingNearDupPairsBanded(e, "vec_id", "embedding", "label",
+          threshold = 0.4, dims = 64, bands = bands).select("id_a", "id_b")
+        exact.withColumn("_e", lit(1L))
+          .join(banded.withColumn("_b", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            coalesce(sum("_e"), lit(0L)).as("n_exact"),
+            coalesce(sum("_b"), lit(0L)).as("n_banded"),
+            coalesce(sum(when(col("_e").isNotNull && col("_b").isNotNull, 1L)), lit(0L))
+              .as("n_common"))
+      },
+      s"""WITH n AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+         |       (a,b)->a+b)) nrm FROM embeddings),
+         |exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${cosExpr("a", "b")} > 0.4),
+         |banded AS ($bandSelects),
+         |q AS (SELECT label, band, bucket FROM banded
+         |      GROUP BY 1,2,3 HAVING count(*) > 1 AND count(*) <= 1000),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.label=b.label AND a.band=b.band AND a.bucket=b.bucket AND a.vec_id < b.vec_id
+         |  JOIN q ON q.label=a.label AND q.band=a.band AND q.bucket=a.bucket),
+         |blsh AS (SELECT id_a, id_b
+         |  FROM cand JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         |  WHERE ${cosExpr("na", "nb")} > 0.4)
+         |SELECT (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM blsh) AS n_banded,
+         |  (SELECT count(*) FROM exact JOIN blsh USING (id_a, id_b)) AS n_common""".stripMargin))
+  }
+
   // --------------------------------------------------------------- ANN
   private val annOracleCte =
     """WITH n AS (SELECT vec_id, embedding,
@@ -2384,7 +2440,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
-    dedupClusters,
+    dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
