@@ -1213,6 +1213,29 @@ object QueriesExt {
       |  sum(CASE WHEN d.c > 1 THEN 1 ELSE 0 END)::BIGINT AS docs_in_dup_groups
       |FROM t JOIN d USING (h) GROUP BY t.source""".stripMargin))
 
+  /** Token-distribution drift gate: per-source top-5 tokens by
+    * |within-group − corpus| relative-frequency divergence (the train/val
+    * skew screen). The float score is ORDER-only (two exact i64→f64
+    * divisions, a subtraction, an abs — correctly-rounded identically on
+    * both engines, token tie-break total-orders the window); the gated
+    * output carries the exact counts and the rank, never the float.
+    */
+  private val driftReport: Q = "x_drift_report" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Quality.driftReport(docs(s, dir), "text", "source", topK = 5),
+    """WITH tok AS (SELECT source AS g, t FROM documents,
+      |             UNNEST(string_split(trim(text), ' ')) u(t) WHERE t <> ''),
+      |pg AS (SELECT g, t, count(*)::BIGINT AS n_group FROM tok GROUP BY 1, 2),
+      |corpus AS (SELECT t, sum(n_group)::BIGINT AS n_corpus FROM pg GROUP BY 1),
+      |gt AS (SELECT g, sum(n_group)::BIGINT AS ng FROM pg GROUP BY 1),
+      |nn AS (SELECT sum(n_corpus)::BIGINT AS nn FROM corpus),
+      |scored AS (SELECT pg.g, pg.t, pg.n_group, corpus.n_corpus,
+      |    abs(pg.n_group::DOUBLE / gt.ng::DOUBLE - corpus.n_corpus::DOUBLE / nn.nn::DOUBLE) AS score
+      |  FROM pg JOIN gt USING (g) JOIN corpus USING (t) CROSS JOIN nn)
+      |SELECT g AS source, t AS token, n_group, n_corpus, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY score DESC, t) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin))
+
   /** Corpus-unigram-LM quality score gate: the fold runs in sorted-token
     * order on both engines, so the double sum is bit-reproducible (an
     * arbitrary-order `sum()` would not be).
@@ -2457,7 +2480,7 @@ object QueriesExt {
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
-    dedupWinnowSpans, sampleMixtureTemp)
+    dedupWinnowSpans, sampleMixtureTemp, driftReport)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -188,4 +188,53 @@ object Quality {
       .groupBy(col(groupCol), col("med"), col("mad"), col("n"))
       .agg(count_if(col("_absdev") > lit(z) * col("mad")).as("n_outliers"))
   }
+
+  /** Token-distribution DRIFT report: for each group (source, split, snapshot
+    * — whatever `groupCol` names), the `topK` tokens whose within-group
+    * relative frequency diverges most from the corpus-wide frequency —
+    * |c_g/n_g − c_t/N| ranked descending, token-tiebroken. The standard
+    * train/val contamination-and-skew screen: a split whose token mass
+    * shifted (one source over-sampled, template text leaking into val, a
+    * scrape gone stale) surfaces its shifted tokens at the head.
+    *
+    * Determinism: counts are exact longs; the divergence score is two exact
+    * i64→f64 divisions, one subtraction, one abs — each correctly-rounded
+    * IEEE ops on both engines — and the score is used ONLY to order (the
+    * output carries the counts, not the float), with a full tie-break on
+    * token. Scale shape: one (group, token)-keyed partial agg over the token
+    * stream, a token-keyed re-agg of THAT (vocab-sized) for corpus counts,
+    * broadcast group totals, and a per-group top-k window over the vocab —
+    * which Spark plans with a WindowGroupLimit map-side prune, so no
+    * group-wide sort of anything corpus-sized. The corpus grand total rides
+    * a 1-row broadcast cross join.
+    */
+  def driftReport(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      topK: Int = 5): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val tok = df.select(col(groupCol).as("_g"),
+        explode(Dedup.tokens(col(textCol))).as("_t"))
+      .where(col("_t") =!= "")
+    val perGroup = tok.groupBy("_g", "_t").agg(count(lit(1)).as("n_group"))
+    // Vocab-sized inputs from here down: corpus counts re-aggregate the
+    // per-group counts, never the token stream.
+    val corpus = perGroup.groupBy("_t").agg(sum("n_group").as("n_corpus"))
+    val groupTotals = perGroup.groupBy("_g").agg(sum("n_group").as("_ng"))
+    val grand = corpus.agg(sum("n_corpus").as("_nn"))
+    val scored = perGroup
+      .join(broadcast(groupTotals), "_g")
+      .join(corpus, "_t")
+      .crossJoin(broadcast(grand))
+      .withColumn("_score", abs(
+        col("n_group").cast("double") / col("_ng").cast("double") -
+          col("n_corpus").cast("double") / col("_nn").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_g")
+      .orderBy(col("_score").desc, col("_t"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("_g").as(groupCol), col("_t").as("token"),
+        col("n_group"), col("n_corpus"), col("rank"))
+  }
 }

@@ -138,4 +138,25 @@ class DimensionQualitySpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(blind == Set(1L, 5L, 9L))
   }
+
+  test("driftReport: planted skew token heads its group, balanced tokens rank below") {
+    // 'common' is uniform across groups (zero divergence); 'LEAK' exists
+    // only in group b — maximal divergence there, and its ABSENCE skews
+    // group a's 'common' share too (a's topK stays defined via tie-break).
+    val d = Seq(
+      ("a", "common common common common"),
+      ("b", "common common LEAK LEAK"))
+      .toDF("source", "text")
+    val out = Quality.driftReport(d, "text", "source", topK = 1)
+      .select("source", "token", "n_group", "n_corpus", "rank")
+      .as[(String, String, Long, Long, Int)].collect().toMap2
+    assert(out(("b", "LEAK")) == ((2L, 2L, 1)))
+    // group a's biggest divergence is 'common' (4/4 vs 6/8 corpus-wide)
+    assert(out(("a", "common")) == ((4L, 6L, 1)))
+  }
+
+  implicit private class Map2[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
+    def toMap2: Map[(A, B), (C, D, E)] =
+      rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+  }
 }
