@@ -283,6 +283,29 @@ object QueriesExt {
       |SELECT query_id, neighbor_id, rank, cosine FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM scored) WHERE rank <= 10""".stripMargin
+  /** Hard-negative mining gate: per anchor, top-10 most-similar corpus
+    * vectors UNDER the near-dup ceiling (0.4 — the same threshold the
+    * dedup gates treat as duplicate). The oracle replays score + ceiling +
+    * rank exactly; a mined "negative" that is actually a near-dup (ceiling
+    * off by one row) hash-mismatches.
+    */
+  private val mineHardNegatives: Q = "x_mine_hard_negatives" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.mineHardNegatives(e.where(col("vec_id") < 20), e, "vec_id", "embedding",
+        k = 10, dupCeiling = 0.4)
+    },
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.embedding,c.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(q.nrm*c.nrm) AS cosine
+      |  FROM n q JOIN n c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored WHERE cosine < 0.4) WHERE rank <= 10""".stripMargin))
+
   private val annBruteforce: Q = "x_ann_bruteforce" -> ((
     (s: SparkSession, dir: String) => {
       val e = emb(s, dir)
@@ -2480,7 +2503,7 @@ object QueriesExt {
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
-    dedupWinnowSpans, sampleMixtureTemp, driftReport)
+    dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

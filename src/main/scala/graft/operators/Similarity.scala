@@ -62,6 +62,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: for each
+    * anchor (query), the `k` corpus items MOST similar while staying under
+    * `dupCeiling` — similar enough to be hard, dissimilar enough not to be
+    * the same content (a near-dup labeled negative poisons the loss; every
+    * published retrieval recipe mines this band). The ceiling filter sits
+    * BEFORE the rank window, so near-dup rows never enter the top-k state.
+    *
+    * Scale shape: identical to [[topK]] (anchors broadcast, corpus scanned
+    * once, per-anchor top-k via the WindowGroupLimit-pruned rank window);
+    * at corpus scale substitute IVF-probed candidates for the full scan —
+    * the ceiling-then-rank composition is unchanged.
+    */
+  def mineHardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dupCeiling: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(dupCeiling > -1.0 && dupCeiling <= 1.0, "dupCeiling in (-1, 1]")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      norm(col(vecCol)).as("c_norm"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+      .where(col("cosine") < dupCeiling)
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Bind `v` once as a lambda variable for `body` — the let-binding trick
     * over a 1-element array transform. HOF lambdas are interpreted with NO
     * common-subexpression elimination, so any outer Column referenced

@@ -254,6 +254,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Multimodal.jpegSofDimensions(jb.take(6)).isEmpty)
   }
 
+  test("mineHardNegatives: near-dup excluded by ceiling, hardest remaining ranks first") {
+    // anchor 1: vec (1,0). 2 is a near-dup (cos 1.0, above ceiling 0.9),
+    // 3 is hard (cos ~0.89), 4 easy (cos 0.0). Expect 3 then 4; never 2.
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+      (3L, Array(2f, 1f)), (4L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mineHardNegatives(
+        vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding",
+        k = 10, dupCeiling = 0.9)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(out == Seq((3L, 1), (4L, 2)))
+  }
+
   test("wav riff parse: round-trip, chunk order, padding, corrupt degrade") {
     // Round-trip through the fixture encoder.
     val wav = Multimodal.syntheticWav(16000, 2, 16, 123, 7L)
