@@ -875,6 +875,68 @@ object QueriesExt {
       |  GROUP BY tok)
       |WHERE rank <= 50""".stripMargin))
 
+  /** Corpus snapshot-diff gate: the new snapshot is a deterministic
+    * transform of the old (every 11th id dropped, every 7th surviving text
+    * edited, every 13th re-added under a shifted id), so the oracle knows
+    * the expected delta from arithmetic alone. Unchanged rows must be
+    * ABSENT — a diff that reports the identity hash-mismatches on row
+    * count.
+    */
+  private val corpusDiff: Q = "x_corpus_diff" -> ((
+    (s: SparkSession, dir: String) => {
+      val old = docs(s, dir).select("doc_id", "text")
+      val neu = old.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")))
+        .unionByName(old.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      graft.operators.Dimension.snapshotDiff(old, neu, "doc_id", "text")
+    },
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |neu AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)
+      |SELECT doc_id, status FROM (
+      |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text <> n.text THEN 'changed' END AS status
+      |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+      |WHERE status IS NOT NULL""".stripMargin))
+
+  /** Vocabulary-coverage (OOV) gate: per-source token count and
+    * out-of-vocabulary count against the corpus top-50 vocab (the
+    * [[textVocab]] head, same (freq desc, token) tie-broken ranking) —
+    * the tokenizer-coverage screen a training mix runs per source.
+    * Counts only; the vocab join is broadcast-sized by construction.
+    */
+  private val textOov: Q = "x_text_oov" -> ((
+    (s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("tok"))))
+        .where(col("rank") <= 50).select(col("tok"), lit(1).as("_in"))
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_tokens"),
+          count_if(col("_in").isNull).as("n_oov"))
+    },
+    """WITH tok AS (SELECT source, t AS tok FROM documents,
+      |             UNNEST(string_split(trim(text), ' ')) u(t) WHERE t <> ''),
+      |vocab AS (SELECT tok FROM (
+      |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rank
+      |  FROM tok GROUP BY tok) WHERE rank <= 50)
+      |SELECT source, count(*)::BIGINT AS n_tokens,
+      |  count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))::BIGINT AS n_oov
+      |FROM tok GROUP BY source""".stripMargin))
+
   /** Boilerplate span removal gate: tokens covered by 5-grams shared across
     * >2 distinct docs are cut; the oracle rebuilds each doc with the same
     * covered-position arithmetic.
@@ -2503,7 +2565,8 @@ object QueriesExt {
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
-    dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives)
+    dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
+    corpusDiff, textOov)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -217,6 +217,41 @@ object ScaleProbe {
         .where(graft.operators.Repetition.gopherPass(col("text"))).count()
       println(s"[probe] gopher kept = $kept")
     }
+    timed("drift report") {
+      // Token volume grows ×factor, the vocabulary stays nearly flat
+      // (replica suffixes add `factor` types): the claim is the one
+      // (group, token)-keyed pass absorbs the growth map-side and every
+      // downstream frame (corpus counts, totals, top-k window) is
+      // vocab-sized, so wall tracks the token scan.
+      val d = graft.operators.Quality.driftReport(
+        big.withColumn("source", (col("doc_id") % 20).cast("string")),
+        "text", "source", topK = 5)
+      println(s"[probe] drift rows = ${d.count()}")
+    }
+    timed("hard negatives") {
+      // Fixed anchor set against a factor× corpus: anchors broadcast, the
+      // corpus is scanned once, and the per-anchor top-k window is
+      // WindowGroupLimit-pruned map-side — cost must track the corpus scan
+      // linearly, output stays k × anchors regardless of factor.
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ne = e.count()
+      val bigE = (0 until factor).map { i =>
+        e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"), col("embedding"))
+      }.reduce(_ union _)
+      val hn = Similarity.mineHardNegatives(e.where(col("vec_id") < 20), bigE,
+        "vec_id", "embedding", k = 10, dupCeiling = 0.4)
+      println(s"[probe] hard-negative rows = ${hn.count()}")
+    }
+    timed("audio metadata decode") {
+      // Pure per-row chunk walk over factor× synthetic WAVs (no shuffle,
+      // no state, blob dropped at the parse) — like the gopher filter,
+      // cost must track the scan exactly; the media-metadata shape at
+      // 100 TB.
+      val a = graft.operators.Multimodal.decodeAudio(
+        graft.operators.Multimodal.syntheticWavs(big, "doc_id"), "doc_id", "blob")
+      println(s"[probe] decoded audio rows = ${a.where(col("decoded")).count()}")
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are

@@ -86,4 +86,35 @@ object Dimension {
     Dedup.latestByKey(df, keys, orderCols, payloadCols :+ opCol)
       .where(col(opCol) =!= deleteOp)
       .drop(opCol)
+
+  /** Corpus SNAPSHOT DIFF — the data-versioning delta between two corpus
+    * versions: one row per id whose membership or content changed
+    * (`added` / `removed` / `changed` by content-hash inequality), the
+    * audit record every re-crawl, re-filter, or re-dedup run should emit
+    * next to its output. Unchanged rows are NOT reported: at 100 TB the
+    * deliverable is the delta, never a copy of the identity.
+    *
+    * Scale shape: both sides project to (id, md5) BEFORE the join — the
+    * full-outer join shuffles two hash-sized columns keyed on id, text
+    * never moves; the status case ends the plan, so the output is
+    * delta-sized.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    // Presence flags, not hash-nullness, decide membership: a NULL-text row
+    // is a PRESENT row with a null hash (null-safe compared below), never a
+    // phantom add/remove.
+    val o = oldDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_ho"), lit(1).as("_po"))
+    val n = newDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_hn"), lit(1).as("_pn"))
+    o.join(n, Seq("_id"), "full_outer")
+      .withColumn("status",
+        when(col("_po").isNull, lit("added"))
+          .when(col("_pn").isNull, lit("removed"))
+          .when(!(col("_ho") <=> col("_hn")), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col("_id").as(idCol), col("status"))
+  }
 }

@@ -139,6 +139,21 @@ class DimensionQualitySpec extends SparkSpec {
     assert(blind == Set(1L, 5L, 9L))
   }
 
+  test("snapshotDiff: add/remove/change statuses; null text is presence, not a phantom") {
+    val old = Seq(
+      (1L, Some("same")), (2L, Some("will change")), (3L, Some("will vanish")),
+      (4L, None: Option[String]), (5L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, Some("same")), (2L, Some("changed")), (6L, Some("brand new")),
+      (4L, None: Option[String]),    // null -> null: unchanged, NOT reported
+      (5L, Some("text appeared")))   // null -> text: changed
+      .toDF("doc_id", "text")
+    val out = Dimension.snapshotDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "changed", 6L -> "added"))
+  }
+
   test("driftReport: planted skew token heads its group, balanced tokens rank below") {
     // 'common' is uniform across groups (zero divergence); 'LEAK' exists
     // only in group b — maximal divergence there, and its ABSENCE skews
