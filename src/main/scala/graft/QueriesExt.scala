@@ -937,6 +937,80 @@ object QueriesExt {
       |  count(*) FILTER (WHERE tok NOT IN (SELECT tok FROM vocab))::BIGINT AS n_oov
       |FROM tok GROUP BY source""".stripMargin))
 
+  /** CDC chunk-level dedup gate — content-defined chunk boundaries
+    * (md5-prefix hash ≡ 0 mod 8 starts a chunk), then paragraph-style dedup:
+    * only the globally FIRST occurrence of each chunk text survives and docs
+    * are stitched back from their kept chunks. Every 10th doc is re-added
+    * under a shifted id, so the replicas' chunks are all second occurrences
+    * and must collapse to the empty string while the originals keep theirs;
+    * natural short-chunk collisions exercise the cross-doc path too. The
+    * oracle replays boundary flags, running chunk ids, first-occurrence
+    * ranks, and reassembly step for step.
+    */
+  private val dedupCdc: Q = "x_dedup_cdc" -> ((
+    (s: SparkSession, dir: String) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val corpus = base.unionByName(
+        base.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      graft.operators.Chunking.cdcDedup(corpus, "doc_id", "text", modulus = 8)
+    },
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+      |tok AS (SELECT doc_id, i AS pos, ws[i::INT] AS tok
+      |        FROM toks, UNNEST(range(1, len(ws)+1)) t(i) WHERE ws[i::INT] <> ''),
+      |c AS (SELECT doc_id, pos, tok,
+      |    sum(CASE WHEN ('0x'||substr(md5(tok),1,8))::BIGINT % 8 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+      |  FROM tok),
+      |ch AS (SELECT doc_id, chunk_id, count(*)::BIGINT AS n_chunk_tokens,
+      |    string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      |  FROM c GROUP BY doc_id, chunk_id),
+      |rk AS (SELECT *, row_number()
+      |    OVER (PARTITION BY md5(chunk_text) ORDER BY doc_id, chunk_id) AS rk FROM ch)
+      |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+      |  count(*) FILTER (WHERE rk = 1)::BIGINT AS n_kept,
+      |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE rk = 1), '') AS text
+      |FROM rk GROUP BY doc_id""".stripMargin))
+
+  /** SFT chat-template gate — conversations synthesized deterministically
+    * from documents (conv = doc_id mod 50, turns in doc_id order, roles
+    * alternating by parity, content = 40-char text prefix), rendered as
+    * `<|role|>content` per turn; the gate emits one row per assistant turn
+    * with its completion-only loss span (char offsets, content only — the
+    * role marker is never in the span) plus the full conversation's length
+    * and md5, so assembly and masking verify through the same rows. The
+    * oracle replays the prefix-sum offsets and the ordered concat.
+    */
+  private val sftTemplate: Q = "x_sft_template" -> ((
+    (s: SparkSession, dir: String) => {
+      val turns = docs(s, dir).select(
+        (col("doc_id") % 50).as("conv_id"),
+        col("doc_id").as("turn_idx"),
+        when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        substring(col("text"), 1, 40).as("content"))
+      graft.operators.ChatTemplate.lossSpans(turns, "conv_id", "turn_idx", "role", "content")
+    },
+    """WITH turns AS (
+      |  SELECT doc_id % 50 AS conv_id, doc_id AS turn_idx,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+      |    substr(text, 1, 40) AS content
+      |  FROM documents),
+      |r AS (SELECT *, '<|' || role || '|>' || content AS rt FROM turns),
+      |c AS (SELECT *,
+      |    sum(length(rt)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS e,
+      |    string_agg(rt, '') OVER (PARTITION BY conv_id ORDER BY turn_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS conv_text
+      |  FROM r)
+      |SELECT conv_id, turn_idx,
+      |  (e - length(rt) + length('<|assistant|>'))::BIGINT AS span_start,
+      |  e::BIGINT AS span_end,
+      |  length(conv_text)::BIGINT AS conv_len, md5(conv_text) AS conv_hash
+      |FROM c WHERE role = 'assistant'""".stripMargin))
+
   /** Boilerplate span removal gate: tokens covered by 5-grams shared across
     * >2 distinct docs are cut; the oracle rebuilds each doc with the same
     * covered-position arithmetic.
@@ -2566,7 +2640,7 @@ object QueriesExt {
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
-    corpusDiff, textOov)
+    corpusDiff, textOov, dedupCdc, sftTemplate)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

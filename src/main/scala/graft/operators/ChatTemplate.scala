@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SFT chat-template assembly — the supervised-fine-tuning data-prep step:
+  * per-conversation turn rows become ONE rendered training text plus the
+  * completion-only loss-mask spans (loss on the `lossRole` turns' CONTENT,
+  * never on role markers or the other roles' text — the standard
+  * assistant-only masking of instruction-tuning collators).
+  *
+  * Spans are CHARACTER offsets `[span_start, span_end)` into the rendered
+  * text: the downstream tokenizer maps chars → token ids via its own offset
+  * mapping, so the engine's contract stays tokenizer-agnostic — exact
+  * integers an oracle can replay, not estimates tied to one vocab.
+  *
+  * Turn rendering is `<|role|>content` concatenated in `turnCol` order with
+  * no separator, so every span boundary is a pure prefix-sum of rendered
+  * lengths.
+  *
+  * Plan shape: ONE conversation-keyed Exchange+Sort feeds every window —
+  * the running end-offset (`sum(length) ORDER BY turn`) and the
+  * whole-conversation frame (rendered text via an ordered, unbounded
+  * `collect_list`) share partitioning and ordering, so Catalyst plans a
+  * single Window chain over a single shuffle. Per-conversation state is the
+  * turn list (conversations are KB-sized by construction; the corpus never
+  * concentrates on one key the way a join can). No UDFs, no driver loops.
+  */
+object ChatTemplate {
+
+  /** Returns one row per `lossRole` turn:
+    * (convCol, turnCol, span_start, span_end, conv_len, conv_hash) where
+    * conv_len/conv_hash describe the full rendered conversation — the gate
+    * verifies assembly and masking through the same rows.
+    */
+  def lossSpans(
+      df: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String,
+      lossRole: String = "assistant"): DataFrame = {
+    val rendered = concat(lit("<|"), col(roleCol), lit("|>"), col(contentCol))
+    val byTurn = Window.partitionBy(convCol).orderBy(turnCol)
+    val wholeConv = byTurn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("_rt", rendered)
+      .withColumn("_end", sum(length(col("_rt"))).over(byTurn))
+      .withColumn("_conv", array_join(collect_list(col("_rt")).over(wholeConv), ""))
+      .where(col(roleCol) === lossRole)
+      .select(
+        col(convCol), col(turnCol),
+        // Mask the content only: skip the `<|role|>` marker prefix.
+        (col("_end") - length(col("_rt")) + lit(s"<|$lossRole|>".length)).cast("long")
+          .as("span_start"),
+        col("_end").cast("long").as("span_end"),
+        length(col("_conv")).cast("long").as("conv_len"),
+        md5(col("_conv")).as("conv_hash"))
+  }
+}

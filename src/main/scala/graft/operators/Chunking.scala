@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document chunking — the embedding-/context-window-prep step of a training
@@ -37,5 +38,75 @@ object Chunking {
       .select(col(idCol), col("chunk_idx"), col("chunk_start"),
         size(slice(col("_ws"), col("chunk_start") + 1, lit(chunkSize))).as("n_chunk_tokens"),
         array_join(slice(col("_ws"), col("chunk_start") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
+  /** CONTENT-DEFINED chunking (the rsync/LBFS boundary rule re-expressed on
+    * word streams): a chunk starts AT every token whose 32-bit md5-prefix
+    * hash ([[Dedup.hash32]] — the corpus-portable family every graft oracle
+    * replays) is ≡ 0 mod `modulus`, so expected chunk length is `modulus`
+    * tokens and — unlike fixed windows — an insertion or deletion only
+    * rewrites its OWN chunk: every downstream boundary re-synchronizes on
+    * the next content-chosen token. That shift-robustness is why CDC, not
+    * fixed-stride chunking, is the unit for chunk-level dedup between
+    * near-identical documents (re-crawls, template pages, forked posts).
+    *
+    * Plan shape: one posexplode, then a running `sum(flag)` window keyed on
+    * the document — the doc-keyed Exchange+Sort is the ONLY shuffle, and the
+    * (id, chunk_id) reassembly aggregate reuses it (HashPartitioning on a
+    * SUBSET of the grouping keys satisfies the aggregate's
+    * ClusteredDistribution, so Catalyst plans no second exchange). Per-doc
+    * state is one running counter; nothing in the plan is corpus-quadratic.
+    *
+    * Returns (idCol, chunk_id, n_chunk_tokens, chunk_text), chunk_id dense
+    * from 0 or 1 in token order (the pre-first-boundary prefix, when the
+    * first token is not itself a boundary, is chunk 0).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String, modulus: Int = 8): DataFrame = {
+    require(modulus > 1, s"need modulus > 1, got $modulus")
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tok = df
+      .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+      .repartition(parallelism, col(idCol))
+    val boundary = when(Dedup.hash32(col("tok")) % modulus === 0, 1).otherwise(0)
+    tok
+      .withColumn("chunk_id", sum(boundary).over(Window.partitionBy(idCol).orderBy("pos")))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_chunk_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            t => t.getField("tok")), " ").as("chunk_text"))
+  }
+
+  /** Chunk-level exact dedup with reassembly — the paragraph-dedup step of a
+    * web-corpus pipeline (CCNet/RefinedWeb drop repeated paragraphs, keeping
+    * one occurrence) on CDC chunks: a chunk INSTANCE survives iff it is the
+    * globally first occurrence of its text, "first" = min (id, chunk_id) —
+    * deterministic, so replicated documents keep their text exactly once
+    * and every later copy collapses. Surviving chunks are stitched back in
+    * chunk order; a document whose every chunk was seen earlier comes back
+    * as the empty string (membership is the caller's signal — n_kept = 0 —
+    * never a silently dropped row).
+    *
+    * Scale shape on top of [[cdcChunks]]'s single doc-keyed shuffle: one
+    * chunk-hash-keyed Exchange for the first-occurrence rank (state per key
+    * is one counter; no df-quadratic expansion — identical chunks meet once,
+    * on their hash) and one id-keyed Exchange for reassembly. Three keyed
+    * shuffles total, each linear in the chunk count.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String, modulus: Int = 8): DataFrame = {
+    val firstSeen = Window.partitionBy(md5(col("chunk_text"))).orderBy(col(idCol), col("chunk_id"))
+    cdcChunks(df, idCol, textCol, modulus)
+      .withColumn("_rk", row_number().over(firstSeen))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("_rk") === 1).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_rk") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            t => t.getField("chunk_text")), " ").as("text"))
   }
 }
