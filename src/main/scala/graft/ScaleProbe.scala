@@ -252,6 +252,29 @@ object ScaleProbe {
         graft.operators.Multimodal.syntheticWavs(big, "doc_id"), "doc_id", "blob")
       println(s"[probe] decoded audio rows = ${a.where(col("decoded")).count()}")
     }
+    timed("cdc dedup") {
+      // Replicas differ only in their one-token suffix, so every NON-final
+      // chunk of a replica exactly duplicates the original's: chunk
+      // instances grow linearly, the first-occurrence window keeps ONE
+      // counter per chunk-hash key, and kept-token volume stays ~flat
+      // (replicas collapse to their resynchronized tail chunk). Wall must
+      // track the three keyed shuffles — never the duplicate multiplicity.
+      val d = graft.operators.Chunking.cdcDedup(big, "doc_id", "text", 8)
+      val kept = d.agg(sum(col("n_kept")), sum(col("n_chunks"))).first()
+      println(s"[probe] cdc kept/total chunks = ${kept.getLong(0)}/${kept.getLong(1)}")
+    }
+    timed("sft render") {
+      // Fixed 10-turn conversations over disjoint replica id spaces: conv
+      // COUNT grows with the factor while per-conv window state (the turn
+      // list) stays constant — wall tracks the single conv-keyed exchange.
+      val turns = big.select((col("doc_id") / 10).cast("long").as("conv_id"),
+        col("doc_id").as("turn_idx"),
+        when(col("doc_id") % 2 === 0, lit("user")).otherwise(lit("assistant")).as("role"),
+        substring(col("text"), 1, 60).as("content"))
+      val sft = graft.operators.ChatTemplate.lossSpans(
+        turns, "conv_id", "turn_idx", "role", "content")
+      println(s"[probe] sft spans = ${sft.count()}")
+    }
     timed("per-group cap") {
       // Replication multiplies GROUP sizes, not group counts: every replica
       // lands in the same synthetic group (doc_id % 20), so groups are
