@@ -976,6 +976,33 @@ object QueriesExt {
       |  coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id) FILTER (WHERE rk = 1), '') AS text
       |FROM rk GROUP BY doc_id""".stripMargin))
 
+  /** Pretraining example-slicing gate — documents concatenated in id order
+    * with an `<|eod|>` separator after each, the global token stream cut
+    * into exact 64-token examples (trailing partial dropped). The oracle
+    * rebuilds the stream token by token (exclusive prefix-sum offsets,
+    * separator at each doc's end) and regroups by `gpos // 64` — the
+    * engine's doc-level fragment arithmetic must be invisible next to the
+    * oracle's brute-force per-token replay.
+    */
+  private val packExamples: Q = "x_pack_examples" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Packing.sliceExamples(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text", exampleLen = 64),
+    """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |n AS (SELECT doc_id, ws, len(ws)::BIGINT + 1 AS n FROM d),
+      |o AS (SELECT doc_id, ws, n,
+      |    coalesce(sum(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+      |  FROM n),
+      |tok AS (
+      |  SELECT doc_id, off + i - 1 AS gpos, ws[i::INT] AS tok
+      |  FROM o, UNNEST(range(1, len(ws)+1)) t(i)
+      |  UNION ALL
+      |  SELECT doc_id, off + n - 1 AS gpos, '<|eod|>' AS tok FROM o)
+      |SELECT gpos // 64 AS example_id, count(DISTINCT doc_id)::BIGINT AS n_docs,
+      |  count(*)::BIGINT AS n_tokens, string_agg(tok, ' ' ORDER BY gpos) AS text
+      |FROM tok GROUP BY 1 HAVING count(*) = 64""".stripMargin))
+
   /** SFT chat-template gate — conversations synthesized deterministically
     * from documents (conv = doc_id mod 50, turns in doc_id order, roles
     * alternating by parity, content = 40-char text prefix), rendered as
@@ -2640,7 +2667,7 @@ object QueriesExt {
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
-    corpusDiff, textOov, dedupCdc, sftTemplate)
+    corpusDiff, textOov, dedupCdc, sftTemplate, packExamples)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

@@ -263,6 +263,13 @@ object ScaleProbe {
       val kept = d.agg(sum(col("n_kept")), sum(col("n_chunks"))).first()
       println(s"[probe] cdc kept/total chunks = ${kept.getLong(0)}/${kept.getLong(1)}")
     }
+    timed("example slicing") {
+      // NO per-token rows: each doc contributes ~n/L+1 array-slice fragments,
+      // so the example-keyed shuffle carries O(docs + examples) rows at any
+      // factor and wall must track the scan — the pretraining-stream cut.
+      val ex = graft.operators.Packing.sliceExamples(big, "doc_id", "text", 512)
+      println(s"[probe] examples = ${ex.count()}")
+    }
     timed("sft render") {
       // Fixed 10-turn conversations over disjoint replica id spaces: conv
       // COUNT grows with the factor while per-conv window state (the turn

@@ -63,6 +63,32 @@ class CdcChatTemplateSpec extends SparkSpec {
     assert(out(3L) == ((2L, 1L, p2)))
   }
 
+  test("sliceExamples: hand-laid stream slices exactly; straddling doc continues; partial tail dropped") {
+    // Stream (L=4): a b c <eod> | d e <eod> f | <eod>   ← last position is a
+    // partial example (1 token) and must be dropped.
+    val d = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val out = graft.operators.Packing.sliceExamples(d, "doc_id", "text", exampleLen = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      0L -> ((1L, 4L, "a b c <|eod|>")),
+      1L -> ((2L, 4L, "d e <|eod|> f"))))
+  }
+
+  test("sliceExamples: every example is exactly L tokens and the stream is a clean reassembly") {
+    val d = Seq.tabulate(40)(i => (i.toLong, (0 to i % 7).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Packing.sliceExamples(d, "doc_id", "text", exampleLen = 10)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.forall(r => r._3 == 10L && r._4.split(" ").length == 10))
+    // Example ids are contiguous from 0 and concatenating them reproduces
+    // the id-ordered stream prefix.
+    assert(out.map(_._1).toSeq == out.indices.map(_.toLong))
+    val stream = (0L until 40L).flatMap(i =>
+      (0 to i.toInt % 7).map(j => s"w${i}_$j") :+ "<|eod|>")
+    assert(out.flatMap(_._4.split(" ")).toSeq == stream.take(out.length * 10))
+  }
+
   test("lossSpans: offsets are exact, marker excluded, conversation hash matches an independent render") {
     val turns = Seq(
       (1L, 1L, "user", "hi"),
