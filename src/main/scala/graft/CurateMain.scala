@@ -243,6 +243,24 @@ object CurateMain {
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       else Map.empty
 
+    // Pretraining example export — the fixed-L cut of the curated corpus
+    // (first-listed split only when splits are configured: slicing held-out
+    // docs into cross-document examples would stitch eval text INTO train
+    // examples, the leak the split exists to prevent). Reads the corpus
+    // back from disk, so the slice costs no re-run of the curation subtree.
+    cfg.exampleLen.foreach { len =>
+      val trainCorpus =
+        if (cfg.splits.nonEmpty) written.where(col("split") === cfg.splits.head._1)
+        else written
+      val sliced = graft.operators.Packing.sliceExamples(
+        trainCorpus, cfg.idColumn, cfg.textColumn, len, cfg.exampleEod)
+      sliced.write.mode("overwrite").parquet(s"${cfg.output}/examples")
+      // Same explicit-schema readback guard as the corpus: a corpus shorter
+      // than one example writes an empty dir and must report zero.
+      stages += "examples" -> spark.read.schema(sliced.schema)
+        .parquet(s"${cfg.output}/examples").count()
+    }
+
     if (afterMixture ne afterSample) afterMixture.unpersist()
     if (afterDecon ne afterNear) afterDecon.unpersist()
     if (afterNear ne dd) afterNear.unpersist()

@@ -33,6 +33,8 @@ final case class CurateConfig(
     mixtureSourceColumn: String = "source",
     mixtureTemperature: Double = 1.0,
     splits: Seq[(String, Double)] = Nil,
+    exampleLen: Option[Int] = None,
+    exampleEod: String = "<|eod|>",
     dqNotNull: Seq[String] = Nil,
     dqUnique: Seq[String] = Nil,
     dqAccepted: Map[String, Seq[String]] = Map.empty,
@@ -47,6 +49,8 @@ final case class CurateConfig(
     nearDupThreshold.foreach(t => require(t > 0 && t < 1, "near-threshold in (0,1)"))
     require(decontaminateN >= 2, "decontaminate n-gram size must be >= 2")
     require(mixtureTemperature >= 0.0, "mixture temperature must be non-negative")
+    exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
+    require(exampleEod.nonEmpty, "examples.eod must be non-empty")
     this
   }
 }
@@ -61,7 +65,7 @@ object CurateConfig {
     val tree = ConfigYaml.parseTree(src)
     val known = Set("input", "output", "id-column", "text-column",
       "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq",
-      "mixture")
+      "mixture", "examples")
     val unknown = tree.keySet -- known
     require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
 
@@ -95,6 +99,12 @@ object CurateConfig {
     // without a budget (or vice versa) must fail loudly, not no-op.
     require(mixture.isEmpty || (mixture.contains("total-tokens") && mixture.contains("weights")),
       "mixture: requires both total-tokens and weights")
+    val examples = sub(tree, "examples")
+    val unknownE = examples.keySet -- Set("len", "eod")
+    require(unknownE.isEmpty, s"unknown examples keys: ${unknownE.mkString(", ")}")
+    // Same half-specified-stage guard: `eod` without `len` slices nothing.
+    require(examples.isEmpty || examples.contains("len"),
+      "examples: requires len (eod alone does nothing)")
     val dq = sub(tree, "dq")
     val unknownQ = dq.keySet -- Set("not-null", "unique", "accepted", "fail-on-violation")
     require(unknownQ.isEmpty, s"unknown dq keys: ${unknownQ.mkString(", ")}")
@@ -152,6 +162,8 @@ object CurateConfig {
       mixtureSourceColumn = str(mixture, "source-column").getOrElse("source"),
       mixtureTemperature = str(mixture, "temperature").map(_.toDouble).getOrElse(1.0),
       splits = splits,
+      exampleLen = str(examples, "len").map(_.toInt),
+      exampleEod = str(examples, "eod").getOrElse("<|eod|>"),
       dqNotNull = str(dq, "not-null").map(csv).getOrElse(Nil),
       dqUnique = str(dq, "unique").map(csv).getOrElse(Nil),
       dqAccepted = sub(dq, "accepted").map { case (k, v) => k -> csv(v.toString) },

@@ -81,6 +81,48 @@ class CurateMainSpec extends SparkSpec {
     assert(report.json.startsWith("""{"stages":{"""))
   }
 
+  test("CurateConfig.fromYaml: examples block parses and guards") {
+    val cfg = CurateConfig.fromYaml(
+      "input: a\noutput: b\nexamples:\n  len: 128\n  eod: <eos>")
+    assert(cfg.exampleLen.contains(128) && cfg.exampleEod == "<eos>")
+    // eod without len would silently slice nothing
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nexamples:\n  eod: <eos>")
+    }
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nexamples:\n  length: 8")
+    }
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nexamples:\n  len: 1")
+    }
+  }
+
+  test("CurateMain.run: examples export slices the train split only, exact-L rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-ex").toString
+    val in = java.nio.file.Files.createTempDirectory("graft-curate-ex-in").toString
+    (1 to 40).map(i => (i.toLong, (1 to 10).map(j => s"w${i}_$j").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$in/docs.parquet")
+    val cfg = CurateConfig(
+      input = s"$in/docs.parquet", output = out, dedupExact = false,
+      splits = Seq("train" -> 50.0, "val" -> 50.0), exampleLen = Some(8))
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    val ex = spark.read.parquet(s"$out/examples")
+    assert(m("examples") == ex.count() && m("examples") > 0)
+    assert(ex.select("n_tokens").as[Long].collect().forall(_ == 8L))
+    // Only train-split tokens may appear: every non-eod token belongs to a
+    // doc assigned `train` in the written corpus.
+    val trainIds = spark.read.parquet(s"$out/corpus")
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val tokenDocIds = ex.select("text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_ != "<|eod|>")
+      .map(t => t.stripPrefix("w").takeWhile(_ != '_').toLong).toSet
+    assert(tokenDocIds.nonEmpty && tokenDocIds.subsetOf(trainIds))
+    // train docs: 11 tokens each incl. eod -> full examples of 8, partial tail dropped
+    assert(m("examples") == trainIds.size * 11 / 8)
+  }
+
   test("CurateMain.run: repetition filters drop degenerate docs") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate3").toString
     val in = java.nio.file.Files.createTempDirectory("graft-curate3-in").toString
