@@ -421,6 +421,13 @@ object Dedup {
     // fingerprints) wall clock is expansion-bound either way — Σ C(df,2)
     // pair rows dominate — but the posting shape halves the shuffled
     // bytes and carries the bounded-state guarantee.
+    // (Measured alternative — rejected: an eager localCheckpoint barrier
+    // here, on the theory that the two consumers below re-execute the
+    // fingerprint selection, REGRESSES 5.2 → 9.1 s in a cold sf0.1 A/B:
+    // AQE's runtime exchange reuse already unifies the df pre-count and the
+    // posting join on this shared repartition, so the barrier pays full
+    // materialization for nothing. Same result shape for
+    // winnowingMatchSpans' first-occurrence frame.)
     val fps = winnowingFingerprints(df, idCol, textCol, k, w)
       .repartition(parallelism, col("fp"))
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("_df"))
