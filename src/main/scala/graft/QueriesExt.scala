@@ -2667,7 +2667,7 @@ object QueriesExt {
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
-    corpusDiff, textOov, dedupCdc, sftTemplate, packExamples)
+    corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -2797,6 +2797,35 @@ object QueriesExt {
          |  list_reduce(list_prepend(0, list_transform(string_split(trim(text),' '),
          |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b) AS n_bpe
          |FROM documents""".stripMargin))
+  }
+
+  /** Tokenizer FERTILITY gate — per-source whitespace-token vs BPE-subword
+    * counts (fertility = n_bpe / n_ws, the tokenizer-efficiency screen a
+    * training mix runs per source: a source whose fertility is far above
+    * the corpus norm is one the tokenizer fragments, and it silently pays
+    * more sequence length per word than its mixture weight assumes).
+    * Counts only — exact longs, division left to the reader. Plan shape:
+    * per-row Column math under one source-keyed aggregate; shuffle carries
+    * `sources × 3` longs.
+    */
+  private lazy val textFertility: Q = {
+    val merges = bpeGateMerges
+    val perWord = bpePerWordSql(merges)
+    "x_text_fertility" -> ((
+      (s: SparkSession, dir: String) =>
+        docs(s, dir).select(col("source"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("_ws"),
+          graft.functions.TextAnalysis.bpeTokenCount(col("text"), merges)
+            .cast("long").as("_bpe"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("_ws")).as("n_ws"),
+            sum(col("_bpe")).as("n_bpe")),
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(len(string_split(trim(text),' ')))::BIGINT AS n_ws,
+         |  sum(list_reduce(list_prepend(0, list_transform(string_split(trim(text),' '),
+         |    w -> len(string_split(trim($perWord), ' '))::INT)), (a,b)->a+b))::BIGINT AS n_bpe
+         |FROM documents GROUP BY source""".stripMargin))
   }
 
   /** BPE merge-LEARNING gate: 4 greedy rounds over the corpus word-
