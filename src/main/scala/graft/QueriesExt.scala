@@ -1038,6 +1038,35 @@ object QueriesExt {
       |  length(conv_text)::BIGINT AS conv_len, md5(conv_text) AS conv_hash
       |FROM c WHERE role = 'assistant'""".stripMargin))
 
+  /** DPO preference-pair gate — pairs synthesized deterministically from
+    * documents (prompt = 30-char head, chosen = next 40 chars, rejected =
+    * their reverse), both sequences rendered over the SAME prompt prefix
+    * with char-offset response spans. The oracle replays the concat and
+    * length arithmetic; hashing both texts and all three offsets pins the
+    * shared-prefix contract exactly.
+    */
+  private val sftPairs: Q = "x_sft_pairs" -> ((
+    (s: SparkSession, dir: String) => {
+      val pairs = docs(s, dir).select(
+        col("doc_id").as("pair_id"),
+        substring(col("text"), 1, 30).as("prompt"),
+        substring(col("text"), 31, 40).as("chosen"),
+        reverse(substring(col("text"), 31, 40)).as("rejected"))
+      graft.operators.ChatTemplate.preferencePairs(
+        pairs, "pair_id", "prompt", "chosen", "rejected")
+    },
+    """WITH p AS (SELECT doc_id AS pair_id, substr(text, 1, 30) AS prompt,
+      |    substr(text, 31, 40) AS chosen, reverse(substr(text, 31, 40)) AS rejected
+      |  FROM documents),
+      |r AS (SELECT *, '<|user|>' || prompt || '<|assistant|>' AS prefix FROM p)
+      |SELECT pair_id,
+      |  prefix || chosen AS chosen_text,
+      |  prefix || rejected AS rejected_text,
+      |  length(prefix)::BIGINT AS span_start,
+      |  (length(prefix) + length(chosen))::BIGINT AS chosen_end,
+      |  (length(prefix) + length(rejected))::BIGINT AS rejected_end
+      |FROM r""".stripMargin))
+
   /** Boilerplate span removal gate: tokens covered by 5-grams shared across
     * >2 distinct docs are cut; the oracle rebuilds each doc with the same
     * covered-position arithmetic.
@@ -2667,7 +2696,8 @@ object QueriesExt {
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
-    corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility)
+    corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
+    sftPairs)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their

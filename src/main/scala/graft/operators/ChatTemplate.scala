@@ -33,6 +33,10 @@ object ChatTemplate {
     * (convCol, turnCol, span_start, span_end, conv_len, conv_hash) where
     * conv_len/conv_hash describe the full rendered conversation — the gate
     * verifies assembly and masking through the same rows.
+    *
+    * `turnCol` must order each conversation's turns UNIQUELY: ties leave
+    * the rendered order (and therefore every offset) nondeterministic, the
+    * same contract as any window sort key in this library.
     */
   def lossSpans(
       df: DataFrame,
@@ -56,5 +60,37 @@ object ChatTemplate {
         col("_end").cast("long").as("span_end"),
         length(col("_conv")).cast("long").as("conv_len"),
         md5(col("_conv")).as("conv_hash"))
+  }
+
+  /** DPO/RLHF preference-pair assembly — the post-training counterpart of
+    * [[lossSpans]]: each (prompt, chosen, rejected) row becomes BOTH
+    * rendered sequences, sharing the exact same rendered prompt prefix
+    * (`<|user|>prompt<|assistant|>`), plus the response loss span — the
+    * span starts where the shared prefix ends, so a DPO collator masks the
+    * prompt and scores only the responses, and the shared prefix means the
+    * two sequences' prompt KV/log-prob work is provably identical.
+    *
+    * Offsets are char-based like [[lossSpans]] (tokenizer-agnostic). Plan
+    * shape: pure per-row codegen'd Column math — no shuffle, no window, no
+    * UDF; at 100 TB this is scan-speed.
+    *
+    * Returns (pairCol, chosen_text, rejected_text, span_start, chosen_end,
+    * rejected_end): both spans are `[span_start, *_end)` into their own
+    * sequence.
+    */
+  def preferencePairs(
+      df: DataFrame,
+      pairCol: String,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val prefix = concat(lit("<|user|>"), col(promptCol), lit("<|assistant|>"))
+    df.select(
+      col(pairCol),
+      concat(prefix, col(chosenCol)).as("chosen_text"),
+      concat(prefix, col(rejectedCol)).as("rejected_text"),
+      length(prefix).cast("long").as("span_start"),
+      (length(prefix) + length(col(chosenCol))).cast("long").as("chosen_end"),
+      (length(prefix) + length(col(rejectedCol))).cast("long").as("rejected_end"))
   }
 }

@@ -116,4 +116,18 @@ class CdcChatTemplateSpec extends SparkSpec {
     // User turns never get a span row.
     assert(!out.contains((1L, 1L)) && !out.contains((1L, 3L)))
   }
+
+  test("preferencePairs: shared prefix, spans slice exactly the responses") {
+    val d = Seq((7L, "why?", "because", "no")).toDF("pid", "prompt", "chosen", "rejected")
+    val r = ChatTemplate.preferencePairs(d, "pid", "prompt", "chosen", "rejected")
+      .as[(Long, String, String, Long, Long, Long)].collect().head
+    val (pid, ct, rt, s0, ce, re) = r
+    assert(pid == 7L)
+    assert(ct == "<|user|>why?<|assistant|>because" && rt == "<|user|>why?<|assistant|>no")
+    // Both sequences share the prefix byte-for-byte up to span_start.
+    assert(ct.substring(0, s0.toInt) == rt.substring(0, s0.toInt))
+    assert(ct.substring(s0.toInt, ce.toInt) == "because")
+    assert(rt.substring(s0.toInt, re.toInt) == "no")
+    assert(ce == ct.length.toLong && re == rt.length.toLong)
+  }
 }
