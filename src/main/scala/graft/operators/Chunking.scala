@@ -64,10 +64,14 @@ object Chunking {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String, modulus: Int = 8): DataFrame = {
     require(modulus > 1, s"need modulus > 1, got $modulus")
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Repartition BEFORE the explode (the chunkTokens/shingling compact-file
+    // discipline): Generate preserves its child's partitioning, so the
+    // id-keyed exchange both parallelizes the token expansion AND satisfies
+    // the chunk-id window's distribution — still exactly one shuffle.
     val tok = df
+      .repartition(parallelism, col(idCol))
       .select(col(idCol), posexplode(Dedup.tokens(col(textCol))).as(Seq("pos", "tok")))
       .where(col("tok") =!= "")
-      .repartition(parallelism, col(idCol))
     val boundary = when(Dedup.hash32(col("tok")) % modulus === 0, 1).otherwise(0)
     tok
       .withColumn("chunk_id", sum(boundary).over(Window.partitionBy(idCol).orderBy("pos")))
