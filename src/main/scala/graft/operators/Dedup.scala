@@ -374,12 +374,15 @@ object Dedup {
     val hs = when(m > 0,
       transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    val fp = Similarity.letBound(hs) { h =>
-      when(size(h) >= w,
-        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)),
-          j => array_min(slice(h, j, lit(w))))))
-        .otherwise(array_distinct(h))
-    }
+    // Native O(len) deque selection (graft_winnow_select) replaces the
+    // O(len·w) interpreted window composition — same selections bit for bit
+    // (WinnowSelectSpec equivalence property; gates unchanged). Distinct
+    // FPs fall out of the distinct (fp, pos) selections: first occurrence
+    // of an fp in the pair sequence IS its first window, so order matches
+    // the old array_distinct-over-minima exactly.
+    val sel = org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.WinnowSelect(org.apache.spark.sql.graft.Shim.expression(hs), w))
+    val fp = array_distinct(transform(sel, s => s.getField("fp")))
     // Repartitioned BEFORE the expansion (the shingleArrays discipline: a
     // compact parquet file arrives as ONE split, and the per-char hash +
     // window pipeline must not run single-task); explode_outer +
@@ -459,23 +462,17 @@ object Dedup {
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    // Same letBound discipline as winnowingFingerprints: the O(len) hash
-    // array must bind ONCE per row; the per-window slice/min/position
-    // references are O(w) each with w a small constant.
     val m = greatest(length(col("_t")) - (k - 1), lit(0))
     val hs = when(m > 0,
       transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
       .otherwise(array().cast("array<bigint>"))
-    val sel = Similarity.letBound(hs) { h =>
-      when(size(h) >= w,
-        array_distinct(transform(sequence(lit(1), size(h) - (w - 1)), j => {
-          val win = slice(h, j, lit(w))
-          val mn = array_min(win)
-          struct(mn.as("fp"), (j.cast("long") - 1L + array_position(win, mn)).as("pos"))
-        })))
-        .otherwise(transform(sequence(lit(1), size(h)), i =>
-          struct(element_at(h, i).as("fp"), i.cast("long").as("pos"))))
-    }
+    // Native O(len) deque selection — replaces the interpreted O(len·w)
+    // slice/array_min/array_position window composition (and the letBound it
+    // required: an Expression child evaluates exactly once). Leftmost-min
+    // tie-break and first-occurrence distinct are preserved bit for bit —
+    // WinnowSelectSpec proves element equality against the old composition.
+    val sel = org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.WinnowSelect(org.apache.spark.sql.graft.Shim.expression(hs), w))
     df.repartition(parallelism, col(idCol))
       .select(col(idCol), col(textCol).as("_t"))
       .select(col(idCol), explode_outer(sel).as("s"))
