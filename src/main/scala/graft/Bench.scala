@@ -25,16 +25,23 @@ object Bench {
     // the driver invokes with no args and gets the full suite).
     val only = args.toSet
     val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // Failure-honest accounting: a query that crashes records -1 (never its
+    // crash latency) and lands in the `failed` list; the total covers ONLY
+    // succeeding queries. A partial board can therefore never masquerade as
+    // a full-run total — readers of the artifact alone see exactly which
+    // queries contributed.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val (passed, failed) = results.partition(_._2 >= 0)
+    val total = passed.map(_._2).sum
+    val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passed":${passed.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     writeArtifact(line)
     spark.stop()

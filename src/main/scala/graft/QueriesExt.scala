@@ -489,7 +489,7 @@ object QueriesExt {
   // ----------------------------------------------- event-time windows (ST6+)
   private val eventWindows: Q = "x_event_windows" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
       val ts = graft.functions.Conversions.nanosToTimestamp(col("ts"))
       ev.groupBy(window(ts, "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -520,7 +520,7 @@ object QueriesExt {
   private val stWindowedCounts: Q = "st_windowed_counts" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
           col("event_type"), col("value"))
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
@@ -552,7 +552,7 @@ object QueriesExt {
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
       val gapMs = 21600000L // 6h, as the batch q_sessionize gate
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("user_id"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
           col("value"))
@@ -715,7 +715,7 @@ object QueriesExt {
   private val skewSaltedAgg: Q = "x_skew_salted_agg" -> ((
     (s: SparkSession, dir: String) =>
       graft.operators.Skew.saltedAgg(
-        s.read.parquet(s"$dir/events.parquet"),
+        sources.EventsTable.load(s, dir),
         keys = Seq("event_type"), spreadOn = Seq("event_id"), salts = 16)(
         partial = Seq(
           sum(col("value").cast("decimal(18,2)")).as("ps"),
@@ -789,7 +789,7 @@ object QueriesExt {
     */
   private val joinAsof: Q = "x_join_asof" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
       val facts = ev.where(col("event_type") === "purchase")
@@ -816,7 +816,7 @@ object QueriesExt {
     */
   private val joinRange: Q = "x_join_range" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("event_id"), col("event_type"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
       val facts = ev.where(col("event_type") === "view")
@@ -1504,7 +1504,7 @@ object QueriesExt {
     */
   private val upsertLatest: Q = "x_upsert_latest" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("user_id"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
           col("event_id"), col("event_type"), col("value"))
@@ -1529,7 +1529,7 @@ object QueriesExt {
     */
   private val stDedup: Q = "st_dedup" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
       streamedGate(s, "stdedup", ev)(
@@ -1546,7 +1546,7 @@ object QueriesExt {
     */
   private val skewSaltedJoin: Q = "x_skew_salted_join" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("event_id"), col("event_type"))
       val dim = ev.select(col("event_type")).distinct()
         .withColumn("type_code", length(col("event_type")))
@@ -1644,7 +1644,7 @@ object QueriesExt {
     */
   private val stJoinInterval: Q = "st_join_interval" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
       streamedGate(s, "stjoin", ev)(plan = mk => {
@@ -1675,7 +1675,7 @@ object QueriesExt {
   private val stJoinIntervalLeft: Q = "st_join_interval_left" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       import s.implicits._
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"),
           graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
@@ -2186,7 +2186,7 @@ object QueriesExt {
     */
   private val scd2Build: Q = "x_scd2_build" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("user_id"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
           col("event_id"), col("event_type"))
@@ -2212,7 +2212,7 @@ object QueriesExt {
     */
   private val cdcApply: Q = "x_cdc_apply" -> ((
     (s: SparkSession, dir: String) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = sources.EventsTable.load(s, dir)
         .select(col("user_id"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
           col("event_id"), col("event_type"), col("value"),
@@ -2349,13 +2349,20 @@ object QueriesExt {
 
   /** STREAMING corpus curation increment: documents arrive in micro-batches
     * (maxFilesPerTrigger=1 over a 4-file topic); each batch is quality-
-    * filtered (the shared logit model) and content-deduped against the
-    * ACCUMULATED sink by anti-join on sha256(text), then appended — the
-    * daily-increment production shape (new crawl slice lands, only
-    * never-seen quality docs enter the corpus). The final sink STATE is
-    * order-independent — each passing sha appears exactly once no matter
-    * how files batch — so the batch oracle (quality-filtered DISTINCT
-    * shas) replays it regardless of micro-batch boundaries.
+    * filtered (the shared logit model) and content-deduped on sha256(text)
+    * by STREAMING `dropDuplicates` — the seen-sha set lives in the state
+    * store (checkpointed, RocksDB-backed at scale; see
+    * [[graft.GraftSession]]), so per-batch I/O is the batch itself plus a
+    * keyed state lookup, NEVER a re-read of the accumulated sink (the
+    * round-7 shape was O(batches × sink-size); this is O(batch)). The
+    * daily-increment production shape: new crawl slice lands, only
+    * never-seen quality docs enter the corpus. At unbounded retention the
+    * state grows with corpus cardinality — the production knob is
+    * `dropDuplicatesWithinWatermark` once the dedup horizon is bounded in
+    * event time. Final sink STATE is order-independent — each passing sha
+    * appears exactly once no matter how files batch — so the batch oracle
+    * (quality-filtered DISTINCT shas) replays it regardless of micro-batch
+    * boundaries.
     */
   private lazy val stCurateIncrement: Q = "st_curate_increment" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
@@ -2367,26 +2374,13 @@ object QueriesExt {
         val thr = math.log(0.5 / 0.5)
         val q = s.readStream.schema(d.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .where(qualityLogitCol > lit(thr))
+          .select(sha2(col("text").cast("binary"), 256).as("sha"))
+          .dropDuplicates("sha")
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            val passing = batch.where(qualityLogitCol > lit(thr))
-              .select(sha2(col("text").cast("binary"), 256).as("sha")).distinct()
-            // Explicit schema on the sink read: a first batch with ZERO
-            // passing rows leaves a part-less parquet dir, and schema
-            // inference over it would crash the next batch.
-            val sinkSchema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField(
-                "sha", org.apache.spark.sql.types.StringType)))
-            val fresh =
-              if (new java.io.File(s"$tmp/sink").exists())
-                passing.join(
-                  batch.sparkSession.read.schema(sinkSchema).parquet(s"$tmp/sink"),
-                  Seq("sha"), "left_anti")
-              else passing
-            fresh.write.mode("append").parquet(s"$tmp/sink")
-          }
+          .format("parquet").option("path", s"$tmp/sink")
           .start()
         q.awaitTermination()
         s.read.parquet(s"$tmp/sink").localCheckpoint(true)
@@ -2912,7 +2906,7 @@ object QueriesExt {
       val tmpPath = scratchDir("stdq")
       val tmp = tmpPath.toString
       try {
-        val ev = s.read.parquet(s"$dir/events.parquet")
+        val ev = sources.EventsTable.load(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         ev.write.parquet(s"$tmp/topic")
         val totals = scala.collection.mutable.Map.empty[String, Long]
@@ -2954,7 +2948,7 @@ object QueriesExt {
     */
   private lazy val eventsAnomaly: Q = "x_events_anomaly" -> ((
     (s: SparkSession, dir: String) => {
-      val hourly = s.read.parquet(s"$dir/events.parquet")
+      val hourly = sources.EventsTable.load(s, dir)
         .select(col("user_id"),
           graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ms"))
         // integer floor-div, NOT `/` (Column `/` is double division and the

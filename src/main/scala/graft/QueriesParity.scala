@@ -32,7 +32,7 @@ object QueriesParity {
   private def fmtMs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSS")
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
+    sources.EventsTable.load(s, dir)
 
   /** type Q = name -> (query, oracleSql) */
   type Q = (String, ((SparkSession, String) => DataFrame, String))

@@ -44,6 +44,49 @@ object Conversions {
   def nanosToEpochMs(c: Column): Column =
     floorDivExact(c, 1000000L)
 
+  /** Normalize an event-time column to the engine's canonical Long
+    * epoch-nanos, dispatching on the column's RESOLVED type at plan time.
+    *
+    * Parquet in the wild carries event time in three physical shapes:
+    *   - TIMESTAMP(NANOS), which Spark reads as Long under `nanosAsLong`
+    *     (see [[graft.GraftSession]]) — already canonical;
+    *   - TIMESTAMP(MICROS/MILLIS) adjusted-to-UTC → Spark `TimestampType`;
+    *   - naive timestamp (the pandas/pyarrow default) → `TimestampNTZType`.
+    * The reference's epoch handling is type-tolerant
+    * (`/root/reference/src/transform.py:63-87` accepts whatever the payload
+    * carries); graft matches by dispatching HERE, once, instead of assuming
+    * one physical type at every call site. The NTZ branch interprets the
+    * wall clock as UTC via a cast under the pinned-UTC session TZ — the same
+    * instant DuckDB's `epoch_ms(ts)` assigns a naive timestamp, so oracle
+    * parity is preserved across all three shapes.
+    *
+    * Micros→nanos (`*1000`) is exact in Long until year 2262 — the same
+    * bound TIMESTAMP(NANOS) itself has.
+    */
+  def tsToLongNanos(df: org.apache.spark.sql.DataFrame, colName: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => col(colName)
+      case TimestampType => unix_micros(col(colName)) * lit(1000L)
+      case TimestampNTZType => unix_micros(col(colName).cast(TimestampType)) * lit(1000L)
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$colName` has unsupported type $other " +
+          "(expected Long epoch-nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
+
+  /** [[tsToLongNanos]] applied in place: downstream operators always see the
+    * canonical Long-nanos `ts`, whatever the file carried. No-op (no extra
+    * projection) when the column is already Long.
+    */
+  def normalizeTsNanos(df: org.apache.spark.sql.DataFrame, colName: String = "ts"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType => df
+      case _ => df.withColumn(colName, tsToLongNanos(df, colName))
+    }
+  }
+
   /** `str -> str-code` (`/root/reference/src/transform.py:33-46`):
     * DVH code standard. NULL -> "UKJENT"; whitespace runs -> `_`; uppercase;
     * AE/OE/AA-fold Norwegian letters; strip anything outside `[0-9A-Z_]`;

@@ -79,7 +79,7 @@ object MessageSource {
       partitions: Int = 8,
       startMs: Option[Long] = None,
       endMs: Option[Long] = None): DataFrame = {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = EventsTable.load(spark, sfDir)
     val tsMs = graft.functions.Conversions.nanosToEpochMs(col("ts"))
     var df = ev.select(
         col("user_id").cast(StringType).cast(BinaryType).as("key"),

@@ -41,7 +41,7 @@ class DimensionQualitySpec extends SparkSpec {
   }
 
   test("scd2Build consistency: each key's open interval carries the latestByKey value (events sf0.001)") {
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.sources.EventsTable.load(spark, "/root/testdata/sf0.001")
       .select(col("user_id"),
         graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
         col("event_id"), col("event_type"))
