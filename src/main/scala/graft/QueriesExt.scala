@@ -2670,7 +2670,124 @@ object QueriesExt {
          |FROM cells c LEFT JOIN comp m ON m.id = c.vec_id""".stripMargin))
   }
 
+  /** CCNet-shaped segment-level LM pruning gate ([[UnigramLm.segmentFilter]]):
+    * 20-token windows scored under the corpus unigram model, windows below
+    * −3.41 dropped, documents reassembled from the survivors. The threshold
+    * sits just below the corpus mode (≈ −3.40 at sf0.01), so a real minority
+    * of windows dies — a gate where n_kept ≡ n_seg would prove nothing. The
+    * oracle replays the whole path: windowing by token ordinal, the sorted
+    * per-window likelihood fold, the filter, and the ordered reassembly.
+    */
+  private lazy val textSegmentLm: Q = "x_text_segment_lm" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.UnigramLm.segmentFilter(docs(s, dir), "doc_id", "text",
+        segTokens = 20, minScore = -3.41),
+    """WITH toks0 AS (SELECT doc_id, list_filter(string_split(trim(text),' '), t -> t <> '') ws
+      |               FROM documents),
+      |seg AS (SELECT doc_id, ((i-1)//20)::INT AS seg, ws[i] AS t, i
+      |        FROM toks0, UNNEST(range(1, len(ws)+1)) u(i)),
+      |v AS (SELECT t, count(*)::BIGINT cnt FROM seg GROUP BY 1),
+      |n AS (SELECT sum(cnt)::BIGINT nn FROM v),
+      |st AS (SELECT doc_id, seg, t, count(*)::BIGINT tf FROM seg GROUP BY 1, 2, 3),
+      |l AS (SELECT doc_id, seg, list(struct_pack(t := st.t, tf := tf, c := cnt) ORDER BY st.t) lst
+      |      FROM st JOIN v USING (t) GROUP BY 1, 2),
+      |scored AS (SELECT doc_id, seg, round(
+      |    list_reduce(list_prepend(0.0, list_transform(lst, x -> x.tf * ln(x.c::DOUBLE / nn))),
+      |                (a, b) -> a + b)
+      |  / list_reduce(list_prepend(0::BIGINT, list_transform(lst, x -> x.tf)),
+      |                (a, b) -> a + b)::DOUBLE, 6) sc
+      |  FROM l, n),
+      |segtext AS (SELECT doc_id, seg, string_agg(t, ' ' ORDER BY i) txt FROM seg GROUP BY 1, 2)
+      |SELECT doc_id, count(*)::BIGINT AS n_seg,
+      |  coalesce(sum(CASE WHEN sc >= -3.41 THEN 1 ELSE 0 END), 0)::BIGINT AS n_kept,
+      |  coalesce(string_agg(txt, ' ' ORDER BY seg) FILTER (WHERE sc >= -3.41), '') AS text_clean
+      |FROM scored JOIN segtext USING (doc_id, seg) GROUP BY doc_id""".stripMargin))
+
+  /** REAL video-container metadata gate: deterministic ISO-BMFF fixtures
+    * (real ftyp/moov/mvhd/trak/tkhd byte stream) parsed back by the raw box
+    * walk ([[Multimodal.decodeVideos]]), with the same every-11th corrupt
+    * channel as the image/audio gates. The oracle knows only the fixture's
+    * field FORMULAS, never the bytes.
+    */
+  private lazy val mmVideo: Q = "x_multimodal_video" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.decodeVideos(
+          Multimodal.syntheticMp4s(docs(s, dir), "doc_id")
+            .withColumn("blob",
+              when(col("doc_id") % 11 === 0, lit("not a video").cast("binary"))
+                .otherwise(col("blob"))),
+          "doc_id", "blob")
+        .select("doc_id", "brand", "timescale", "duration_ms",
+          "width", "height", "n_tracks", "decoded"),
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (600 * (1 + doc_id % 4))::BIGINT END AS timescale,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE ((1 + doc_id % 120) * 1000)::BIGINT END AS duration_ms,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (16 * (1 + doc_id % 80))::INT END AS width,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (16 * (1 + doc_id % 45))::INT END AS height,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE (1 + doc_id % 2)::INT END AS n_tracks,
+      |  doc_id % 11 <> 0 AS decoded
+      |FROM documents""".stripMargin))
+
+  /** Verified exact-duplicate-span gate ([[Dedup.exactDupSpans]], the
+    * ExactSubstr surface): the corpus plus engineered near-copies (every
+    * 50th doc duplicated under a shifted id with a prefix edit — copies
+    * share the ENTIRE original text as an exact span, so the gate always
+    * has non-trivial verified output) run through anchor → character-verify
+    * → maximal extension. The oracle replays the full chain: winnowing
+    * selection at k = minLen−w+1, earliest-position postings, the df
+    * window, anchor substring verification, and two-sided longest-common-
+    * extension via monotone substring equality.
+    */
+  private lazy val dedupExactSpans: Q = {
+    val minLen = 40; val w = 8; val maxDf = 1000
+    val k = minLen - w + 1 // 33
+    "x_dedup_exact_spans" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val copies = d.where(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("COPYPFX "), col("text")).as("text"))
+        Dedup.exactDupSpans(d.unionByName(copies), "doc_id", "text", minLen, w, maxDf)
+      },
+      s"""WITH docs2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'COPYPFX ' || text FROM documents WHERE doc_id % 50 = 0),
+        |t AS (SELECT doc_id, text, greatest(length(text) - ${k - 1}, 0) AS m FROM docs2),
+        |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
+        |    list_transform(range(1, m + 1), i ->
+        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |  ELSE []::BIGINT[] END AS hs FROM t),
+        |sel0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
+        |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
+        |      struct_pack(fp := list_aggregate(hs[j:j+${w - 1}], 'min'),
+        |        pos := j - 1 + list_position(hs[j:j+${w - 1}],
+        |                 list_aggregate(hs[j:j+${w - 1}], 'min'))))
+        |  ELSE list_transform(range(1, len(hs) + 1), i ->
+        |    struct_pack(fp := hs[i], pos := i)) END AS sel FROM h),
+        |selx AS (SELECT doc_id, unnest(sel) AS s FROM sel0),
+        |first AS (SELECT doc_id, s.fp AS fp, min(s.pos) AS pos FROM selx GROUP BY 1, 2),
+        |keep AS (SELECT fp FROM first GROUP BY fp HAVING count(*) >= 2 AND count(*) <= $maxDf),
+        |fk AS (SELECT f.doc_id, f.fp, f.pos FROM first f JOIN keep USING (fp)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS sa, b.pos AS sb
+        |  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |cand AS (SELECT id_a, id_b, sa, sb, da.text ta, db.text tb
+        |  FROM p JOIN docs2 da ON da.doc_id = id_a JOIN docs2 db ON db.doc_id = id_b
+        |  WHERE substr(da.text, sa::INT, $k) = substr(db.text, sb::INT, $k)),
+        |ext AS (SELECT id_a, id_b, sa, sb,
+        |    list_max(list_filter(range(0, least(sa, sb)), l ->
+        |      substr(ta, (sa - l)::INT, l::INT) = substr(tb, (sb - l)::INT, l::INT))) AS le,
+        |    list_max(list_filter(range($k, least(length(ta) - sa, length(tb) - sb) + 2), r ->
+        |      substr(ta, sa::INT, r::INT) = substr(tb, sb::INT, r::INT))) AS re
+        |  FROM cand)
+        |SELECT DISTINCT id_a, id_b,
+        |  (sa - le)::INT AS start_a, (sb - le)::INT AS start_b,
+        |  (le + re)::INT AS match_len
+        |FROM ext WHERE le + re >= $minLen""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
+    textSegmentLm, mmVideo, dedupExactSpans,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

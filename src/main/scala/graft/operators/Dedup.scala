@@ -524,6 +524,87 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** VERIFIED exact duplicate spans — the ExactSubstr surface of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (2022): report maximal character spans of length ≥ `minLen` that two
+    * documents share EXACTLY. Where [[winnowingMatchSpans]] reports
+    * fingerprint evidence (hash-level, unverified), this operator extends
+    * every shared-fingerprint anchor by actual character comparison and
+    * reports only verified spans — soundness is absolute (every reported
+    * span is a true byte-exact match), recall carries winnowing's guarantee
+    * (any shared span of length ≥ minLen contains a selected shared
+    * fingerprint, k = minLen − w + 1) modulo earliest-occurrence collapse
+    * on self-repetitive text.
+    *
+    * Scale shape: candidate anchors come from the posting-list discipline
+    * of [[winnowingMatchSpans]] (fp-keyed exchange, df ∈ [2, maxDf] pruned
+    * before the C(df,2) expansion); verification joins each candidate pair
+    * to its two texts (two idCol-keyed hash joins — a document's text
+    * travels once per pair partner, bounded by maxDf, never broadcast) and
+    * extends anchors with a per-row two-pointer walk in `mapPartitions`
+    * (genuinely imperative per-row logic — O(span) per candidate, no
+    * quadratic re-scan). All anchors inside one maximal span extend to the
+    * SAME (start_a, start_b, len) triple, so the trailing distinct yields
+    * maximal spans exactly once.
+    *
+    * Returns (id_a, id_b, start_a, start_b, match_len), 1-based starts.
+    */
+  def exactDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      w: Int = 8,
+      maxDf: Int = 1000): DataFrame = {
+    require(minLen > w, "minLen must exceed the winnowing window")
+    val k = minLen - w + 1
+    val anchors = winnowingMatchSpans(df, idCol, textCol, k, w, minShared = 1, maxDf)
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+    val texts = df.select(col(idCol), col(textCol))
+    val joined = anchors
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("_ta"), col("_tb"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_a", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("start_b", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("match_len", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    joined.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val sa = r.getAs[Number]("start_a").intValue() - 1 // 0-based anchor
+        val sb = r.getAs[Number]("start_b").intValue() - 1
+        val ta = r.getAs[String]("_ta"); val tb = r.getAs[String]("_tb")
+        // Anchor k-grams share a 32-bit hash; verify the characters before
+        // extending (hash collisions must not produce phantom spans).
+        var ok = sa + k <= ta.length && sb + k <= tb.length
+        var i = 0
+        while (ok && i < k) {
+          if (ta.charAt(sa + i) != tb.charAt(sb + i)) ok = false
+          i += 1
+        }
+        if (!ok) Iterator.empty
+        else {
+          var left = 0
+          while (sa - left - 1 >= 0 && sb - left - 1 >= 0 &&
+            ta.charAt(sa - left - 1) == tb.charAt(sb - left - 1)) left += 1
+          var right = k
+          while (sa + right < ta.length && sb + right < tb.length &&
+            ta.charAt(sa + right) == tb.charAt(sb + right)) right += 1
+          val len = left + right
+          if (len >= minLen)
+            Iterator.single(org.apache.spark.sql.Row(
+              r.getAs[Number]("id_a").longValue(), r.getAs[Number]("id_b").longValue(),
+              sa - left + 1, sb - left + 1, len))
+          else Iterator.empty
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity pairs above `threshold`, via the shingle
     * inverted index: pairs sharing ≥1 shingle get their intersection counted
     * by a self-join on shingle (keyed shuffle, not n²), then

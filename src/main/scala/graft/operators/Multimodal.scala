@@ -398,4 +398,212 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(schema))
   }
+
+  // ------------------------------------------------------------------ video
+
+  val videoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_sha", StringType, nullable = false),
+    StructField("brand", StringType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_tracks", IntegerType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** MP4 container metadata from a raw ISO-BMFF box walk (public ISO/IEC
+    * 14496-12 layout: `[size:4 BE][type:4 ASCII][payload]` boxes, size
+    * including the 8-byte header, `size==1` → 64-bit largesize follows,
+    * `size==0` → box runs to EOF; `ftyp` carries the major brand, `moov`
+    * contains `mvhd` (movie timescale + duration; version 0 = 32-bit
+    * fields, version 1 = 64-bit) and one `trak`→`tkhd` per track with
+    * 16.16 fixed-point width/height). Same scale discipline as
+    * [[wavRiffMeta]]/[[jpegSofDimensions]]: a linear walk over the box
+    * table reading tens of bytes — never a sample/codec decode, which is
+    * exactly what a 100 TB metadata pass can afford. Video dimensions are
+    * the FIRST track with nonzero width×height (audio tracks carry 0×0).
+    * Returns None on anything malformed (bad magic, truncated box,
+    * missing mvhd, zero timescale).
+    */
+  def mp4Meta(blob: Array[Byte]): Option[(String, Long, Long, Option[Int], Option[Int], Int)] = {
+    def u16(i: Int): Int = ((blob(i) & 0xff) << 8) | (blob(i + 1) & 0xff)
+    def u32(i: Int): Long = ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String = new String(blob, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // Walk one box level in [from, to); `f` gets (type, payloadStart, payloadEnd).
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size0 = u32(i)
+        val tp = tag(i + 4)
+        val (payload, end) =
+          if (size0 == 1L) {
+            if (i + 16 > to) return false
+            val sz = u64(i + 8)
+            if (sz < 16 || i + sz > to) return false
+            (i + 16, i + sz.toInt)
+          } else if (size0 == 0L) (i + 8, to)
+          else {
+            if (size0 < 8 || i + size0 > to) return false
+            (i + 8, i + size0.toInt)
+          }
+        f(tp, payload, end)
+        i = end
+      }
+      i == to || i >= to
+    }
+    if (blob.length < 8) return None
+    var brand: Option[String] = None
+    var timescale = 0L
+    var duration = -1L
+    var nTracks = 0
+    var dims: Option[(Int, Int)] = None
+    var bad = false
+    val okTop = walk(0, blob.length) { (tp, p, e) =>
+      tp match {
+        case "ftyp" =>
+          if (e - p >= 4) brand = Some(tag(p)) else bad = true
+        case "moov" =>
+          val okMoov = walk(p, e) { (ct, cp, ce) =>
+            ct match {
+              case "mvhd" =>
+                if (ce - cp >= 4) {
+                  val v = blob(cp) & 0xff
+                  if (v == 0 && ce - cp >= 20) {
+                    timescale = u32(cp + 12); duration = u32(cp + 16)
+                  } else if (v == 1 && ce - cp >= 32) {
+                    timescale = u32(cp + 20); duration = u64(cp + 24)
+                  } else bad = true
+                } else bad = true
+              case "trak" =>
+                nTracks += 1
+                val okTrak = walk(cp, ce) { (tt, tpp, tpe) =>
+                  if (tt == "tkhd" && tpe - tpp >= 4) {
+                    val v = blob(tpp) & 0xff
+                    // v0 tkhd payload: 4 ver/flags + 4+4 times + 4 id +
+                    // 4 res + 4 dur + 8 res + 2+2+2+2 + 36 matrix = 76,
+                    // then width/height (the last 8 of the 84-byte
+                    // payload); v1 widens the three time/duration fields
+                    // by 4 each → offset 88 of a 96-byte payload.
+                    val off = if (v == 1) tpp + 88 else tpp + 76
+                    if (tpe - off >= 8) {
+                      val wpx = (u32(off) >> 16).toInt
+                      val hpx = (u32(off + 4) >> 16).toInt
+                      if (dims.isEmpty && wpx > 0 && hpx > 0) dims = Some((wpx, hpx))
+                    } else bad = true
+                  }
+                }
+                if (!okTrak) bad = true
+              case _ => ()
+            }
+          }
+          if (!okMoov) bad = true
+        case _ => ()
+      }
+    }
+    if (!okTop || bad || brand.isEmpty || timescale <= 0 || duration < 0) None
+    else Some((brand.get, timescale,
+      Math.floorDiv(duration * 1000L, timescale),
+      dims.map(_._1), dims.map(_._2), nTracks))
+  }
+
+  /** [[mp4Meta]] over a frame — the video sibling of [[decodeAudio]]:
+    * partition-preserving `mapPartitions`, blob dropped right after the
+    * walk, malformed bytes degrade to `decoded = false` with null fields.
+    * This retires the stub for the video-METADATA surface; sample decode
+    * (codec work) stays out of scope in this environment.
+    */
+  def decodeVideos(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val sha = hex(MessageDigest.getInstance("SHA-256").digest(blob))
+        mp4Meta(blob) match {
+          case Some((brand, ts, durMs, wpx, hpx, n)) =>
+            Row(id, blob.length, sha, brand, ts, durMs,
+              wpx.orNull, hpx.orNull, n, true)
+          case None => Row(id, blob.length, sha, null, null, null, null, null, null, false)
+        }
+      }
+    }(RowEncoder.encoderFor(videoSchema))
+  }
+
+  /** Deterministic minimal MP4 — FIXTURE encoder (real ISO-BMFF byte
+    * stream: ftyp + moov(mvhd + n×trak(tkhd)) + a small mdat) whose fields
+    * are pure functions of the arguments, so the decode gate's oracle
+    * knows only the formulas, never the bytes. Track 1 is the video track
+    * (given dims); an optional second track carries 0×0 dims like a real
+    * audio tkhd.
+    */
+  def syntheticMp4(brand: String, timescale: Int, durationS: Int,
+      widthPx: Int, heightPx: Int, nTracks: Int, seed: Long): Array[Byte] = {
+    require(brand.length == 4 && timescale > 0 && durationS >= 0 && nTracks >= 1,
+      "invalid mp4 params")
+    val bb = java.nio.ByteBuffer.allocate(4096).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(tp: String)(body: => Unit): Unit = {
+      val at = bb.position(); bb.putInt(0); bb.put(tp.getBytes("US-ASCII"))
+      body
+      bb.putInt(at, bb.position() - at)
+    }
+    box("ftyp") { bb.put(brand.getBytes("US-ASCII")); bb.putInt(0); bb.put("isom".getBytes("US-ASCII")) }
+    box("moov") {
+      box("mvhd") {
+        bb.putInt(0) // version 0 + flags
+        bb.putInt(0).putInt(0) // ctime mtime
+        bb.putInt(timescale).putInt(timescale * durationS)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        bb.putLong(0) // reserved
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+        (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(nTracks + 1) // next_track_ID
+      }
+      (1 to nTracks).foreach { t =>
+        box("trak") {
+          box("tkhd") {
+            bb.putInt(0x000007) // version 0, flags enabled|in-movie|in-preview
+            bb.putInt(0).putInt(0) // ctime mtime
+            bb.putInt(t) // track_ID
+            bb.putInt(0)
+            bb.putInt(timescale * durationS)
+            bb.putLong(0)
+            bb.putShort(0).putShort(0)
+            bb.putShort(if (t == 1) 0 else 0x0100.toShort).putShort(0) // volume: audio-style on track 2
+            Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+            if (t == 1) { bb.putInt(widthPx << 16).putInt(heightPx << 16) }
+            else { bb.putInt(0).putInt(0) }
+          }
+        }
+      }
+    }
+    box("mdat") {
+      (0 until 32).foreach(i => bb.put((((seed + 17L * i) % 256L + 256L) % 256L).toByte))
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Fixture frame: one synthetic MP4 per id. Field formulas (the oracle's
+    * contract): `brand = id % 2 == 0 ? "isom" : "mp42"`,
+    * `timescale = 600 * (1 + id % 4)`, `duration_ms = (1 + id % 120) * 1000`,
+    * `width = 16 * (1 + id % 80)`, `height = 16 * (1 + id % 45)`,
+    * `n_tracks = 1 + id % 2`.
+    */
+  def syntheticMp4s(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("blob", BinaryType, nullable = false)))
+    df.select(col(idCol).cast(LongType)).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticMp4(
+          if (id % 2 == 0) "isom" else "mp42",
+          600 * (1 + (id % 4).toInt), 1 + (id % 120).toInt,
+          16 * (1 + (id % 80).toInt), 16 * (1 + (id % 45).toInt),
+          1 + (id % 2).toInt, id))
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
 }

@@ -75,4 +75,78 @@ object UnigramLm {
     val den = aggregate(col("_l"), lit(0L), (acc, s) => acc + s.getField("tf"))
     perDoc.select(col(idCol), round(num / den.cast("double"), 6).as("lm_score"))
   }
+
+  /** CCNet-shaped SEGMENT-level quality pruning (Wenzek et al. 2020 filter
+    * LM applied below document granularity): cut each document into
+    * fixed-`segTokens` token windows, score every window under the corpus
+    * unigram distribution (same length-normalized log-likelihood as
+    * [[scoreDocs]]), DROP windows scoring below `minScore`, and reassemble
+    * the document from the kept windows in order. The production value:
+    * a mostly-good document with one gibberish/boilerplate stretch keeps
+    * its good text instead of dying whole at the doc-level filter.
+    *
+    * Fixed windows, not delimiter paragraphs: delimiter choice is corpus-
+    * specific, while fixed token windows are deterministic on any text and
+    * give the oracle an exact replay (`(pos-1) / segTokens` is the window
+    * id in both engines).
+    *
+    * Scale shape: the corpus model is ONE token-keyed aggregation (shared
+    * exchange discipline of [[scoreDocs]]); segment scoring adds only a
+    * segment id to the same per-(doc, token) frame, so the whole filter is
+    * two id-keyed exchanges + the model join — no new shuffle class over
+    * doc-level scoring. Reassembly is a per-doc sorted fold over O(doc)
+    * segments, never a corpus-wide sort.
+    *
+    * Returns (idCol, n_seg, n_kept, text_clean); docs with zero tokens drop
+    * out (no likelihood), matching [[scoreDocs]].
+    */
+  def segmentFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segTokens: Int = 20,
+      minScore: Double = -3.41): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol), Dedup.tokens(col(textCol)).as("_ws"))
+      .repartition(parallelism, col(idCol))
+    // (id, seg, pos, tok): posexplode gives the 0-based token position; the
+    // window id is pos / segTokens. explode_outer+filter — the
+    // InferFiltersFromGenerate pushdown trap (see Dedup.shingleTable).
+    val segTok = toks
+      .select(col(idCol), posexplode_outer(col("_ws")))
+      .where(col("col").isNotNull && col("col") =!= "")
+      .select(col(idCol), (col("pos") / segTokens).cast("int").as("seg"),
+        col("pos"), col("col").as("tok"))
+    val tf = segTok.groupBy(col(idCol), col("seg"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(parallelism, col("tok"))
+    // Corpus model over the SAME frame (vocab counts are segment-sum =
+    // doc-sum); N broadcast as one scalar row.
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val totals = broadcast(vocab.agg(sum(col("cnt")).cast("long").as("_N")))
+    val scored = tf.join(vocab, Seq("tok"))
+      .crossJoin(totals)
+      .withColumn("lp", log(col("cnt").cast("double") / col("_N").cast("double")))
+      .groupBy(col(idCol), col("seg"))
+      .agg(array_sort(collect_list(struct(col("tok").as("t"), col("tf"), col("lp")))).as("_l"))
+    val num = aggregate(col("_l"), lit(0.0),
+      (acc, s) => acc + s.getField("tf").cast("double") * s.getField("lp"))
+    val den = aggregate(col("_l"), lit(0L), (acc, s) => acc + s.getField("tf"))
+    val segScore = scored.select(col(idCol), col("seg"),
+      round(num / den.cast("double"), 6).as("sc"))
+    // Segment text re-derived from the positional frame (first-seen order
+    // inside the window), then per-doc ordered reassembly of kept windows.
+    val segText = segTok.groupBy(col(idCol), col("seg"))
+      .agg(array_join(transform(array_sort(
+        collect_list(struct(col("pos"), col("tok")))), s => s.getField("tok")), " ").as("txt"))
+    segScore.join(segText, Seq(idCol, "seg"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_seg"),
+        sum(when(col("sc") >= minScore, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("sc") >= minScore, struct(col("seg"), col("txt"))))),
+          s => s.getField("txt")), " ").as("text_clean"))
+  }
 }

@@ -872,4 +872,86 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q0.map(_._4).distinct.length == 1) // identical adist across the tie
     assert(q0.map(_._3).toSeq == Seq(1, 2, 3))
   }
+
+  test("exactDupSpans: maximal verified spans with exact boundaries; sub-minLen shares drop") {
+    // Doc 10 and 11 share one long block (with different flanks) plus a
+    // short 12-char tail share that must NOT survive minLen=30. Doc 12 is
+    // unrelated. The shared block: chars verify end-to-end and all anchors
+    // inside it must collapse to ONE maximal span.
+    val block = "0123456789abcdefghijklmnopqrstuvwxyz ABCDEFGH" // 45 chars
+    val d = Seq(
+      (10L, s"LEFTA $block RIGHTA tail-share"),
+      (11L, s"LB $block RB tail-share"),
+      (12L, "completely unrelated text with nothing shared at all beyond")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDupSpans(d, "doc_id", "text", minLen = 30, w = 4)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)).distinct == Seq((10L, 11L)))
+    // Exactly one maximal span: " <block> R" — extension runs into the
+    // differing flank chars on both sides. 1-based starts.
+    val ta = s"LEFTA $block RIGHTA tail-share"; val tb = s"LB $block RB tail-share"
+    val expStartA = ta.indexOf(s" $block R") + 1
+    val expStartB = tb.indexOf(s" $block R") + 1
+    assert(out == Seq((10L, 11L, expStartA, expStartB, block.length + 3)))
+  }
+
+  test("exactDupSpans: two disjoint shared blocks report two spans; reversed doc order normalizes") {
+    val b1 = "first shared block of considerable length here"
+    val b2 = "second distinct shared run long enough to count"
+    val d = Seq(
+      (20L, s"xx $b1 yy $b2 zz"),
+      (21L, s"qq $b2 ww $b1 ee")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDupSpans(d, "doc_id", "text", minLen = 30, w = 4)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq.sortBy(_._3)
+    assert(out.length == 2)
+    assert(out.forall(r => r._1 == 20L && r._2 == 21L))
+    // Each block's span covers " <block> " including both flanking spaces.
+    assert(out.map(_._5) == Seq(b1.length + 2, b2.length + 2))
+  }
+
+  test("mp4Meta: fixture round-trip, v0 fields, first nonzero-dim track wins; malformed degrade") {
+    val mp4 = Multimodal.syntheticMp4("mp42", 1200, 7, 640, 360, 2, seed = 5L)
+    assert(Multimodal.mp4Meta(mp4).contains(("mp42", 1200L, 7000L, Some(640), Some(360), 2)))
+    // duration_ms floors against a non-divisible timescale: 600 units at
+    // ts=900 → 666 ms
+    val odd = Multimodal.syntheticMp4("isom", 900, 2, 16, 16, 1, 0L)
+    // patch mvhd duration to 600 units (offset: ftyp(20) + moov hdr(8) +
+    // mvhd hdr(8) + ver/flags(4) + ctime(4) + mtime(4) + timescale(4))
+    val patched = odd.clone()
+    val durOff = 20 + 8 + 8 + 4 + 4 + 4 + 4
+    patched(durOff) = 0; patched(durOff + 1) = 0
+    patched(durOff + 2) = 0x02; patched(durOff + 3) = 0x58 // 600
+    assert(Multimodal.mp4Meta(patched).map(_._3).contains(666L))
+    assert(Multimodal.mp4Meta("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.mp4Meta(mp4.take(40)).isEmpty) // truncated inside moov
+    val d = Multimodal.decodeVideos(
+      Seq((1L, "ftypjunk".getBytes("UTF-8"))).toDF("doc_id", "blob"), "doc_id", "blob")
+      .select("decoded", "width").as[(Boolean, Option[Int])].head()
+    assert(d == ((false, None)))
+  }
+
+  test("segmentFilter: rare-token window dropped, doc reassembled in order, counts right") {
+    import graft.operators.UnigramLm
+    // 3-token windows. Doc 1: two common windows + one window holding the
+    // corpus-unique token "zzz" (very low likelihood). Doc 2 pads the
+    // common-token mass so the common windows clear the threshold.
+    val common = (1 to 30).map(_ => "tok").mkString(" ")
+    val d = Seq(
+      (1L, "tok tok tok tok tok zzz tok tok tok"),
+      (2L, common)
+    ).toDF("doc_id", "text")
+    // p(tok)=38/39, p(zzz)=1/39; window scores: ln(38/39)≈-0.026 vs the
+    // zzz window (2·ln(38/39)+ln(1/39))/3 ≈ -1.238. Threshold between.
+    val byId = UnigramLm.segmentFilter(d, "doc_id", "text", segTokens = 3, minScore = -0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(1L) == ((3L, 2L, "tok tok tok tok tok tok")))
+    assert(byId(2L) == ((10L, 10L, common)))
+    // every window below threshold -> empty text_clean, row retained
+    val allLow = UnigramLm.segmentFilter(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      segTokens = 3, minScore = 0.0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(allLow == ((1L, 0L, "")))
+  }
 }
