@@ -2786,8 +2786,52 @@ object QueriesExt {
         |FROM ext WHERE le + re >= $minLen""".stripMargin))
   }
 
+  /** Robust JSONL corpus ingestion gate ([[graft.sources.JsonlSource]]):
+    * the documents table serialized to newline-delimited JSON with every
+    * 11th line mangled, read back schema-explicit with the corrupt-record
+    * channel. The oracle knows the corruption RULE (never the files): good
+    * rows must round-trip their fields, corrupt rows must surface exactly
+    * their offending line (pinned by sha) with null fields.
+    */
+  private lazy val jsonlIngest: Q = "x_jsonl_ingest" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmpPath = scratchDir("jsonl")
+      val tmp = tmpPath.toString
+      try {
+        docs(s, dir).select(
+            when(col("doc_id") % 11 === 0,
+              concat(lit("{broken "), substring(col("text"), 1, 10)))
+              .otherwise(to_json(struct(col("doc_id"), col("source"), col("text"))))
+              .as("value"))
+          .repartition(4)
+          .write.text(s"$tmp/in")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val r = graft.sources.JsonlSource.read(s, s"$tmp/in", schema)
+        r.select(col("doc_id"), col("source"),
+            length(col("text")).as("n_text_chars"),
+            when(col(graft.sources.JsonlSource.corruptField).isNotNull,
+              sha2(col(graft.sources.JsonlSource.corruptField).cast("binary"), 256))
+              .as("corrupt_sha"),
+            col(graft.sources.JsonlSource.corruptField).isNotNull.as("is_corrupt"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """SELECT CASE WHEN doc_id % 11 = 0 THEN NULL ELSE doc_id END AS doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE source END AS source,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL ELSE length(text) END AS n_text_chars,
+      |  CASE WHEN doc_id % 11 = 0 THEN sha256('{broken ' || substr(text, 1, 10))
+      |       ELSE NULL END AS corrupt_sha,
+      |  doc_id % 11 = 0 AS is_corrupt
+      |FROM documents""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    textSegmentLm, mmVideo, dedupExactSpans,
+    textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

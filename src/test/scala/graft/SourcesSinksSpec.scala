@@ -107,4 +107,30 @@ class SourcesSinksSpec extends SparkSpec {
     val routed = graft.sinks.Sinks.forTarget(graft.config.TargetConfig(table = "console"))
     assert(routed.isInstanceOf[ConsoleSink])
   }
+
+  test("JsonlSource: good lines round-trip typed, corrupt lines carry their raw bytes, field-level nulls stay per-field") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl-spec").toString
+    val lines = Seq(
+      """{"id": 1, "name": "alpha", "n": 10}""",
+      """not json at all""",
+      """{"id": 3, "name": "gamma"}""",          // missing field -> null n, NOT corrupt
+      """{"id": "NaN-ish", "name": "delta", "n": 4}""") // wrong-typed id -> null field
+    spark.createDataset(lines).toDF("value").coalesce(1).write.text(s"$dir/in")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("n", IntegerType)))
+    val out = graft.sources.JsonlSource.read(spark, s"$dir/in", schema)
+      .orderBy(col("name").asc_nulls_last)
+      .collect().map(r => (Option(r.get(0)), r.getAs[String]("name"),
+        Option(r.get(2)), Option(r.getAs[String](graft.sources.JsonlSource.corruptField))))
+      .toSeq
+    assert(out(0) == ((Some(1L), "alpha", Some(10), None)))
+    assert(out(1)._2 == "delta" && out(1)._1.isEmpty) // wrong-typed field nulled
+    assert(out(2) == ((Some(3L), "gamma", None, None)))
+    val corrupt = out(3)
+    assert(corrupt._2 == null && corrupt._4.contains("not json at all"))
+    graft.QueriesExt.rmTree(new java.io.File(dir))
+  }
 }
