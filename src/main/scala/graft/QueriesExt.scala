@@ -123,7 +123,8 @@ object QueriesExt {
         |  greatest(length(text) - ${k - 1}, 0) AS m FROM documents),
         |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
         |    list_transform(range(1, m + 1), i ->
-        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + $k), j ->
+        |        ascii(substr(text, j::INT, 1))::BIGINT)), (a, c) -> (a * 257 + c) % 1000000007))
         |  ELSE []::BIGINT[] END AS hs FROM t),
         |f0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
         |    list_distinct(list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
@@ -153,7 +154,8 @@ object QueriesExt {
         |  greatest(length(text) - ${k - 1}, 0) AS m FROM documents),
         |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
         |    list_transform(range(1, m + 1), i ->
-        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + $k), j ->
+        |        ascii(substr(text, j::INT, 1))::BIGINT)), (a, c) -> (a * 257 + c) % 1000000007))
         |  ELSE []::BIGINT[] END AS hs FROM t),
         |sel0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
         |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
@@ -2756,7 +2758,8 @@ object QueriesExt {
         |t AS (SELECT doc_id, text, greatest(length(text) - ${k - 1}, 0) AS m FROM docs2),
         |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
         |    list_transform(range(1, m + 1), i ->
-        |      ('0x'||substr(md5(substr(text, i::INT, $k)),1,8))::BIGINT)
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + $k), j ->
+        |        ascii(substr(text, j::INT, 1))::BIGINT)), (a, c) -> (a * 257 + c) % 1000000007))
         |  ELSE []::BIGINT[] END AS hs FROM t),
         |sel0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
         |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->

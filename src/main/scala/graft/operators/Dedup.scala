@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *    groupBy/join — so Catalyst plans partial aggregation map-side and the
   *    only shuffles are keyed by shingle/band/signature, never an O(n²)
   *    cross product;
-  *  - all hash primitives are md5 over deterministic strings, so results are
-  *    engine-reproducible (the DuckDB oracle replays them bit-for-bit) and
+  *  - all hash primitives are engine-reproducible deterministic functions —
+  *    md5 over deterministic strings, plus the polynomial rolling family
+  *    ([[graft.expressions.KgramHash]], B=257 mod 1e9+7) for the winnowing
+  *    feeds — so the DuckDB oracle replays them bit-for-bit and results are
   *    stable across Spark versions (no Murmur3 seed drift);
   *  - per-row signature computation (simhash, minhash aggs) stays inside
   *    whole-stage codegen — no UDFs.
@@ -350,11 +352,12 @@ object Dedup {
     * of [[minHashLshPairs]]' token shingles — the standard family for CODE
     * dedup, where whitespace/identifier noise defeats word shingles.
     *
-    * Pure per-row Column math: the hash array is materialized as a REAL
-    * column before the window-min pass references it (interpreted HOF
-    * lambdas re-evaluate outer expression trees per element — the O(n²)
-    * trap), so the per-row cost is O(len · w) integer compares. Returns
-    * one `(idCol, fp)` row per distinct selected fingerprint.
+    * Per-row cost is O(len) end to end: the k-gram hash array comes from
+    * the native one-pass [[graft.expressions.KgramHash]] rolling hash
+    * (polynomial B=257 mod 1e9+7 over code points — the portable family
+    * the oracles replay), and the window-min selection from the native
+    * monotonic-deque [[graft.expressions.WinnowSelect]]. Returns one
+    * `(idCol, fp)` row per distinct selected fingerprint.
     */
   def winnowingFingerprints(
       df: DataFrame,
@@ -364,16 +367,14 @@ object Dedup {
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    // The hash array MUST be let-bound before the window-min pass: a
-    // withColumn boundary is NOT a materialization barrier (CollapseProject
-    // folds adjacent projections), so a plain column reference inside the
-    // window lambda would re-run the full O(len) md5 transform PER WINDOW —
-    // O(len²) md5 calls per document (measured: minutes per sf0.1 doc
-    // batch). Similarity.letBound evaluates it once per row.
-    val m = greatest(length(col("_t")) - (k - 1), lit(0))
-    val hs = when(m > 0,
-      transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
+    // Native one-pass rolling-hash feed ([[graft.expressions.KgramHash]]):
+    // replaces the O(len·k) interpreted per-position md5 HOF (which also
+    // needed a let-bound materialization to dodge the per-window re-eval
+    // trap) with O(len) codegen'd work — an Expression child evaluates
+    // exactly once, so no let-binding is needed either.
+    val hs = org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.KgramHash(
+        org.apache.spark.sql.graft.Shim.expression(col("_t")), k))
     // Native O(len) deque selection (graft_winnow_select) replaces the
     // O(len·w) interpreted window composition — same selections bit for bit
     // (WinnowSelectSpec equivalence property; gates unchanged). Distinct
@@ -462,10 +463,10 @@ object Dedup {
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    val m = greatest(length(col("_t")) - (k - 1), lit(0))
-    val hs = when(m > 0,
-      transform(sequence(lit(1), m), i => hash32(col("_t").substr(i, lit(k)))))
-      .otherwise(array().cast("array<bigint>"))
+    // Same native rolling-hash feed as [[winnowingFingerprints]].
+    val hs = org.apache.spark.sql.graft.Shim.column(
+      graft.expressions.KgramHash(
+        org.apache.spark.sql.graft.Shim.expression(col("_t")), k))
     // Native O(len) deque selection — replaces the interpreted O(len·w)
     // slice/array_min/array_position window composition (and the letBound it
     // required: an Expression child evaluates exactly once). Leftmost-min
