@@ -2833,8 +2833,49 @@ object QueriesExt {
       |  doc_id % 11 = 0 AS is_corrupt
       |FROM documents""".stripMargin))
 
+  /** Unicode-script profiling gate ([[TextAnalysis.scriptCount]] /
+    * `dominantScript`): the multilingual-triage first cut (script routing
+    * before any language-ID model runs). The corpus is ASCII, so the gate
+    * engineers deterministic variants both engines replay — every 7th doc
+    * transliterated to Cyrillic lookalike vowels, every 11th given a Greek
+    * suffix — making the dominant-script label and the fractions genuinely
+    * vary. Java `\p{IsXxx}` ≡ RE2 `\p{Xxx}`, and both lengths count code
+    * points, so the oracle is exact.
+    */
+  private lazy val textScript: Q = "x_text_script" -> ((
+    (s: SparkSession, dir: String) => {
+      import graft.functions.TextAnalysis
+      val t = when(col("doc_id") % 7 === 0, translate(col("text"), "aeiou", "аеіоу"))
+        .when(col("doc_id") % 11 === 0, concat(col("text"), lit(" αβγδ")))
+        .otherwise(col("text"))
+      val n = length(t)
+      docs(s, dir).select(col("doc_id"),
+        n.cast("long").as("n_chars"),
+        round(TextAnalysis.scriptCount(t, "Latin").cast("double") / greatest(n, lit(1)), 6).as("latin_frac"),
+        round(TextAnalysis.scriptCount(t, "Cyrillic").cast("double") / greatest(n, lit(1)), 6).as("cyrillic_frac"),
+        round(TextAnalysis.scriptCount(t, "Greek").cast("double") / greatest(n, lit(1)), 6).as("greek_frac"),
+        TextAnalysis.dominantScript(t, Seq("Latin", "Cyrillic", "Greek")).as("dominant_script"))
+    },
+    """WITH t2 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN translate(text, 'aeiou', 'аеіоу')
+      |       WHEN doc_id % 11 = 0 THEN text || ' αβγδ'
+      |       ELSE text END AS t FROM documents),
+      |c AS (SELECT doc_id, length(t)::BIGINT AS n,
+      |  (length(t) - length(regexp_replace(t, '\p{Latin}', '', 'g')))::BIGINT AS lat,
+      |  (length(t) - length(regexp_replace(t, '\p{Cyrillic}', '', 'g')))::BIGINT AS cyr,
+      |  (length(t) - length(regexp_replace(t, '\p{Greek}', '', 'g')))::BIGINT AS grk
+      |  FROM t2)
+      |SELECT doc_id, n AS n_chars,
+      |  round(lat::DOUBLE / greatest(n, 1), 6) AS latin_frac,
+      |  round(cyr::DOUBLE / greatest(n, 1), 6) AS cyrillic_frac,
+      |  round(grk::DOUBLE / greatest(n, 1), 6) AS greek_frac,
+      |  CASE WHEN lat >= cyr AND lat >= grk THEN 'latin'
+      |       WHEN cyr >= grk THEN 'cyrillic'
+      |       ELSE 'greek' END AS dominant_script
+      |FROM c""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest,
+    textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

@@ -223,4 +223,33 @@ object TextAnalysis {
     requireMerges(merges)
     flatten(transform(tokens(text), w => split(trim(bpeApply(w, merges)), " ")))
   }
+
+  /** Count of characters in a Unicode SCRIPT (Latin, Cyrillic, Greek, Han,
+    * …): length minus the length with that script's characters removed.
+    * Both regex engines in play understand script classes (Java
+    * `\p{IsXxx}`, RE2/DuckDB `\p{Xxx}`) and both `length`s count code
+    * points, so the oracle replays exactly. Two codegen'd regex passes per
+    * script — fine for a triage profile; a per-codepoint histogram
+    * Expression is the upgrade path if dozens of scripts are needed.
+    */
+  def scriptCount(text: Column, script: String): Column =
+    length(text) - length(regexp_replace(text, s"\\p{Is$script}", ""))
+
+  /** Dominant script among the candidates, first-listed winning ties —
+    * the multilingual-corpus triage label (script ≠ language, but script
+    * routing is the cheap first cut before any language-ID model runs).
+    */
+  def dominantScript(text: Column, scripts: Seq[String]): Column = {
+    require(scripts.nonEmpty, "at least one script")
+    val counts = scripts.map(s => scriptCount(text, s))
+    // First script whose count is >= every LATER count wins — equivalent to
+    // argmax with first-listed tie-break (earlier scripts strictly below
+    // the max always fail against the max's position).
+    scripts.zip(counts).zipWithIndex.foldRight(lit(scripts.last.toLowerCase): Column) {
+      case (((name, cnt), i), rest) =>
+        val geLater = counts.drop(i + 1)
+          .foldLeft(lit(true))((acc, c2) => acc && cnt >= c2)
+        when(geLater, lit(name.toLowerCase)).otherwise(rest)
+    }
+  }
 }

@@ -201,4 +201,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L))
   }
+
+  test("scriptCount/dominantScript: code-point counts per script, argmax with first-listed tie-break") {
+    val d = Seq(
+      (1L, "hello мир"),        // 5 latin, 3 cyrillic, 1 space
+      (2L, "αβγ ab"),           // 3 greek, 2 latin
+      (3L, "дом dom"),          // 3 cyrillic, 3 latin -> tie, latin listed first
+      (4L, "12345 !!"))         // nothing in any script
+      .toDF("id", "text")
+    val out = d.select(col("id"),
+        TextAnalysis.scriptCount(col("text"), "Latin").as("lat"),
+        TextAnalysis.scriptCount(col("text"), "Cyrillic").as("cyr"),
+        TextAnalysis.scriptCount(col("text"), "Greek").as("grk"),
+        TextAnalysis.dominantScript(col("text"), Seq("Latin", "Cyrillic", "Greek")).as("dom"))
+      .as[(Long, Int, Int, Int, String)].collect().toMap2
+    assert(out(1L) == ((5, 3, 0, "latin")))
+    assert(out(2L) == ((2, 0, 3, "greek")))
+    assert(out(3L) == ((3, 3, 0, "latin"))) // tie -> first listed
+    assert(out(4L) == ((0, 0, 0, "latin"))) // all-zero tie -> first listed
+  }
+
+  implicit private class Tup5Ops[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
+    def toMap2: Map[A, (B, C, D, E)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
 }
