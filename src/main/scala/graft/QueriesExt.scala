@@ -2874,8 +2874,71 @@ object QueriesExt {
       |       ELSE 'greek' END AS dominant_script
       |FROM c""".stripMargin))
 
+  /** Incremental verified-exact-span gate
+    * ([[Dedup.exactDupSpansIncremental]]): a NEW batch (every 5th doc plus
+    * engineered copies of index docs under shifted ids) against the INDEX
+    * corpus (the rest) — pairing is new-fps × index-postings only, never
+    * index². The oracle replays both winnow selections side-labeled, the
+    * index-side df cap, the cross-side pairing, and the same verify+extend
+    * chain as the batch gate.
+    */
+  private lazy val dedupExactSpansIncr: Q = {
+    val minLen = 40; val w = 8; val maxDf = 1000
+    val k = minLen - w + 1 // 33
+    "x_dedup_exact_spans_incr" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        val index = d.where(col("doc_id") % 5 =!= 0)
+        val fresh = d.where(col("doc_id") % 5 === 0).unionByName(
+          d.where(col("doc_id") % 50 === 1)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              concat(lit("NEWPFX "), col("text")).as("text")))
+        Dedup.exactDupSpansIncremental(fresh, index, "doc_id", "text", minLen, w, maxDf)
+      },
+      s"""WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 200000, 'NEWPFX ' || text FROM documents WHERE doc_id % 50 = 1),
+        |allx AS (SELECT 0 AS side, doc_id, text FROM nw
+        |  UNION ALL SELECT 1 AS side, doc_id, text FROM idx),
+        |t AS (SELECT side, doc_id, text, greatest(length(text) - ${k - 1}, 0) AS m FROM allx),
+        |h AS (SELECT side, doc_id, CASE WHEN m > 0 THEN
+        |    list_transform(range(1, m + 1), i ->
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + $k), j ->
+        |        ascii(substr(text, j::INT, 1))::BIGINT)), (a, c) -> (a * 257 + c) % 1000000007))
+        |  ELSE []::BIGINT[] END AS hs FROM t),
+        |sel0 AS (SELECT side, doc_id, CASE WHEN len(hs) >= $w THEN
+        |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
+        |      struct_pack(fp := list_aggregate(hs[j:j+${w - 1}], 'min'),
+        |        pos := j - 1 + list_position(hs[j:j+${w - 1}],
+        |                 list_aggregate(hs[j:j+${w - 1}], 'min'))))
+        |  ELSE list_transform(range(1, len(hs) + 1), i ->
+        |    struct_pack(fp := hs[i], pos := i)) END AS sel FROM h),
+        |selx AS (SELECT side, doc_id, unnest(sel) AS s FROM sel0),
+        |first AS (SELECT side, doc_id, s.fp AS fp, min(s.pos) AS pos
+        |  FROM selx GROUP BY 1, 2, 3),
+        |keep AS (SELECT fp FROM first WHERE side = 1 GROUP BY fp
+        |  HAVING count(*) <= $maxDf),
+        |p AS (SELECT n.doc_id AS id_a, i.doc_id AS id_b, n.pos AS sa, i.pos AS sb
+        |  FROM first n JOIN first i ON n.fp = i.fp AND n.side = 0 AND i.side = 1
+        |  JOIN keep k2 ON k2.fp = n.fp),
+        |cand AS (SELECT id_a, id_b, sa, sb, na.text ta, ib.text tb
+        |  FROM p JOIN nw na ON na.doc_id = id_a JOIN idx ib ON ib.doc_id = id_b
+        |  WHERE substr(na.text, sa::INT, $k) = substr(ib.text, sb::INT, $k)),
+        |ext AS (SELECT id_a, id_b, sa, sb,
+        |    list_max(list_filter(range(0, least(sa, sb)), l ->
+        |      substr(ta, (sa - l)::INT, l::INT) = substr(tb, (sb - l)::INT, l::INT))) AS le,
+        |    list_max(list_filter(range($k, least(length(ta) - sa, length(tb) - sb) + 2), r ->
+        |      substr(ta, sa::INT, r::INT) = substr(tb, sb::INT, r::INT))) AS re
+        |  FROM cand)
+        |SELECT DISTINCT id_a, id_b,
+        |  (sa - le)::INT AS start_a, (sb - le)::INT AS start_b,
+        |  (le + re)::INT AS match_len
+        |FROM ext WHERE le + re >= $minLen""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
+    dedupExactSpansIncr,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

@@ -562,9 +562,70 @@ object Dedup {
     val anchors = winnowingMatchSpans(df, idCol, textCol, k, w, minShared = 1, maxDf)
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
     val texts = df.select(col(idCol), col(textCol))
+    verifyExtendSpans(anchors, texts, texts, idCol, textCol, k, minLen)
+  }
+
+  /** INCREMENTAL [[exactDupSpans]] — the production daily shape: verified
+    * exact spans between a NEW batch and an already-curated INDEX corpus,
+    * without re-pairing the index against itself. In production the index
+    * side's earliest-position fingerprint postings are a stored table
+    * (computed once, appended per increment); here they are derived from
+    * `indexDf` in the same job — the pairing cost is
+    * O(new fingerprints × matched postings), never O(index²).
+    *
+    * The df cap applies to the INDEX posting lists (boilerplate guard —
+    * a fingerprint carried by thousands of index docs is template noise);
+    * new-batch fingerprints are matched exactly. Output orientation:
+    * `id_a` = new doc, `id_b` = index doc.
+    */
+  def exactDupSpansIncremental(
+      newDf: DataFrame,
+      indexDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      w: Int = 8,
+      maxDf: Int = 1000): DataFrame = {
+    require(minLen > w, "minLen must exceed the winnowing window")
+    val k = minLen - w + 1
+    val parallelism = newDf.sparkSession.sessionState.conf.numShufflePartitions
+    def firstPos(df: DataFrame): DataFrame =
+      winnowingFingerprintPositions(df, idCol, textCol, k, w)
+        .groupBy(col(idCol), col("fp")).agg(min("pos").as("pos"))
+        .repartition(parallelism, col("fp"))
+    val newFp = firstPos(newDf)
+    val idxFp = firstPos(indexDf)
+    val idxKeep = idxFp.groupBy("fp").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select("fp")
+    val anchors = newFp
+      .join(idxFp.join(idxKeep, Seq("fp"))
+        .select(col("fp"), col(idCol).as("id_b"), col("pos").as("start_b")), Seq("fp"))
+      .select(col(idCol).as("id_a"), col("id_b"),
+        col("pos").as("start_a"), col("start_b"))
+    verifyExtendSpans(anchors,
+      newDf.select(col(idCol), col(textCol)),
+      indexDf.select(col(idCol), col(textCol)), idCol, textCol, k, minLen)
+  }
+
+  /** Shared verify+extend stage of the ExactSubstr family: join candidate
+    * anchor pairs to their two texts (a-side from `textsA`, b-side from
+    * `textsB` — anchors are the small side, texts travel once per pair
+    * partner), character-verify the k-gram anchor (hash collisions must
+    * not produce phantom spans), extend maximally with a two-pointer walk,
+    * keep spans ≥ minLen, distinct (all anchors inside one maximal span
+    * extend to the same triple).
+    */
+  private def verifyExtendSpans(
+      anchors: DataFrame,
+      textsA: DataFrame,
+      textsB: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minLen: Int): DataFrame = {
     val joined = anchors
-      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
-      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
+      .join(textsA.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
+      .join(textsB.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
         col("_ta"), col("_tb"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -578,8 +639,6 @@ object Dedup {
         val sa = r.getAs[Number]("start_a").intValue() - 1 // 0-based anchor
         val sb = r.getAs[Number]("start_b").intValue() - 1
         val ta = r.getAs[String]("_ta"); val tb = r.getAs[String]("_tb")
-        // Anchor k-grams share a 32-bit hash; verify the characters before
-        // extending (hash collisions must not produce phantom spans).
         var ok = sa + k <= ta.length && sb + k <= tb.length
         var i = 0
         while (ok && i < k) {

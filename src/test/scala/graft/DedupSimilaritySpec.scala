@@ -910,6 +910,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_._5) == Seq(b1.length + 2, b2.length + 2))
   }
 
+  test("exactDupSpansIncremental: new-vs-index pairs only, index-internal dups never reported") {
+    val block = "a long run of text shared between the new batch and the index"
+    val idx = Seq(
+      (100L, s"II $block JJ"),
+      (101L, s"KK $block LL"),       // index-internal dup with 100 — must NOT appear
+      (102L, "index only content nothing shared with anything else here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (200L, s"NN $block MM"),
+      (201L, "fresh content with no overlap to the index whatsoever today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDupSpansIncremental(fresh, idx, "doc_id", "text", minLen = 30, w = 4)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // 200 matches BOTH index carriers of the block; no (100,101) pair.
+    assert(out.map(r => (r._1, r._2)) == Seq((200L, 100L), (200L, 101L)))
+    // span = " <block> " (both flanks differ beyond the spaces)
+    assert(out.forall(_._5 == block.length + 2))
+  }
+
   test("mp4Meta: fixture round-trip, v0 fields, first nonzero-dim track wins; malformed degrade") {
     val mp4 = Multimodal.syntheticMp4("mp42", 1200, 7, 640, 360, 2, seed = 5L)
     assert(Multimodal.mp4Meta(mp4).contains(("mp42", 1200L, 7000L, Some(640), Some(360), 2)))
