@@ -31,6 +31,14 @@ import graft.operators.Dedup
   */
 object CurateMain {
 
+  /** Fixed script panel the allow-list filter judges dominance against —
+    * a superset of any sane allow-list, so `allowed-scripts: latin` means
+    * "latin beats every OTHER major script in this doc", not a vacuous
+    * one-candidate argmax.
+    */
+  private val scriptPanel: Seq[String] =
+    Seq("Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han", "Hangul", "Devanagari")
+
   final case class StageReport(
       stages: Seq[(String, Long)],
       splits: Map[String, Long],
@@ -127,6 +135,13 @@ object CurateMain {
       .where(if (cfg.gopher)
         graft.operators.Repetition.gopherPass(
           col(cfg.textColumn), cfg.minWords, cfg.maxWords) else lit(true))
+      // Script allow-list (multilingual triage): dominant script judged
+      // against a fixed panel, kept only when listed. Scan-absorbed per-row
+      // regex math like the other bounds.
+      .where(if (cfg.allowedScripts.nonEmpty)
+        TextAnalysis.dominantScript(col(cfg.textColumn), scriptPanel)
+          .isin(cfg.allowedScripts.map(_.toLowerCase): _*)
+        else lit(true))
     // Repetition facets (Gopher-style) only when the config asks — their
     // top-bigram plan is relational (explode + keyed agg), not a per-row
     // projection like the bounds above, so the join is pay-for-what-you-use.
@@ -145,12 +160,29 @@ object CurateMain {
     val survivors0 = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_filters" -> survivors0.count()
 
+    // CCNet-order sub-document pruning BEFORE dedup: dedup keys must see the
+    // cleaned text (a doc whose boilerplate window died is a different
+    // document). Docs whose every window fails drop out (n_kept = 0).
+    val afterSegLm = cfg.segmentLmTokens match {
+      case Some(n) =>
+        val seg = graft.operators.UnigramLm.segmentFilter(
+            survivors0, cfg.idColumn, cfg.textColumn, n, cfg.segmentLmMinScore)
+          .where(col("n_kept") > 0)
+          .select(id, col("text_clean"))
+        survivors0.drop(cfg.textColumn)
+          .join(seg, cfg.idColumn)
+          .withColumnRenamed("text_clean", cfg.textColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => survivors0
+    }
+    stages += "after_segment_lm" -> afterSegLm.count()
+
     val afterExact =
       if (cfg.dedupExact)
-        survivors0.join(
-          Dedup.exact(survivors0, cfg.idColumn, md5(col(cfg.textColumn)))
+        afterSegLm.join(
+          Dedup.exact(afterSegLm, cfg.idColumn, md5(col(cfg.textColumn)))
             .select(col("kept_id").as(cfg.idColumn)), cfg.idColumn)
-      else survivors0
+      else afterSegLm
     val dd = afterExact.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_exact_dedup" -> dd.count()
 
@@ -264,6 +296,7 @@ object CurateMain {
     if (afterMixture ne afterSample) afterMixture.unpersist()
     if (afterDecon ne afterNear) afterDecon.unpersist()
     if (afterNear ne dd) afterNear.unpersist()
+    if (afterSegLm ne survivors0) afterSegLm.unpersist()
     survivors0.unpersist()
     dd.unpersist()
     StageReport(stages.result(), splitCounts, dqResults)

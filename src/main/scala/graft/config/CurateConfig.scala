@@ -19,6 +19,9 @@ final case class CurateConfig(
     maxTopBigramFrac: Double = 1.0,
     gopher: Boolean = false,
     htmlStrip: Boolean = false,
+    allowedScripts: Seq[String] = Nil,
+    segmentLmTokens: Option[Int] = None,
+    segmentLmMinScore: Double = -3.41,
     nfc: Boolean = false,
     dedupExact: Boolean = true,
     nearDupThreshold: Option[Double] = None,
@@ -51,6 +54,7 @@ final case class CurateConfig(
     require(mixtureTemperature >= 0.0, "mixture temperature must be non-negative")
     exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
     require(exampleEod.nonEmpty, "examples.eod must be non-empty")
+    segmentLmTokens.foreach(n => require(n > 0, "segment-lm.tokens must be positive"))
     this
   }
 }
@@ -65,7 +69,7 @@ object CurateConfig {
     val tree = ConfigYaml.parseTree(src)
     val known = Set("input", "output", "id-column", "text-column",
       "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq",
-      "mixture", "examples")
+      "mixture", "examples", "segment-lm")
     val unknown = tree.keySet -- known
     require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
 
@@ -81,7 +85,8 @@ object CurateConfig {
     val decon = sub(tree, "decontaminate")
     val sample = sub(tree, "sample")
     val unknownF = filters.keySet -- Set("min-words", "max-words", "min-quality",
-      "max-dup-word-frac", "max-top-bigram-frac", "gopher", "html-strip")
+      "max-dup-word-frac", "max-top-bigram-frac", "gopher", "html-strip",
+      "allowed-scripts")
     require(unknownF.isEmpty, s"unknown filters keys: ${unknownF.mkString(", ")}")
     val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep")
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
@@ -99,6 +104,12 @@ object CurateConfig {
     // without a budget (or vice versa) must fail loudly, not no-op.
     require(mixture.isEmpty || (mixture.contains("total-tokens") && mixture.contains("weights")),
       "mixture: requires both total-tokens and weights")
+    val segLm = sub(tree, "segment-lm")
+    val unknownL = segLm.keySet -- Set("tokens", "min-score")
+    require(unknownL.isEmpty, s"unknown segment-lm keys: ${unknownL.mkString(", ")}")
+    // Same half-specified-stage guard: min-score without tokens runs nothing.
+    require(segLm.isEmpty || segLm.contains("tokens"),
+      "segment-lm: requires tokens (min-score alone does nothing)")
     val examples = sub(tree, "examples")
     val unknownE = examples.keySet -- Set("len", "eod")
     require(unknownE.isEmpty, s"unknown examples keys: ${unknownE.mkString(", ")}")
@@ -143,6 +154,9 @@ object CurateConfig {
       maxTopBigramFrac = str(filters, "max-top-bigram-frac").map(_.toDouble).getOrElse(1.0),
       gopher = str(filters, "gopher").exists(_.toBoolean),
       htmlStrip = str(filters, "html-strip").exists(_.toBoolean),
+      allowedScripts = str(filters, "allowed-scripts").map(csv).getOrElse(Nil),
+      segmentLmTokens = str(segLm, "tokens").map(_.toInt),
+      segmentLmMinScore = str(segLm, "min-score").map(_.toDouble).getOrElse(-3.41),
       nfc = str(tree, "nfc").exists(_.toBoolean),
       dedupExact = str(dedup, "exact").forall(_.toBoolean),
       nearDupThreshold = str(dedup, "near-threshold").map(_.toDouble),

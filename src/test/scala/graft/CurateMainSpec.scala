@@ -65,7 +65,7 @@ class CurateMainSpec extends SparkSpec {
     val m = report.stages.toMap
     assert(m("input") > 0)
     // each stage can only shrink the corpus
-    val order = Seq("input", "after_filters", "after_exact_dedup",
+    val order = Seq("input", "after_filters", "after_segment_lm", "after_exact_dedup",
       "after_near_dedup", "after_decontaminate", "after_sample", "written")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
@@ -121,6 +121,40 @@ class CurateMainSpec extends SparkSpec {
     assert(tokenDocIds.nonEmpty && tokenDocIds.subsetOf(trainIds))
     // train docs: 11 tokens each incl. eod -> full examples of 8, partial tail dropped
     assert(m("examples") == trainIds.size * 11 / 8)
+  }
+
+  test("CurateMain.run: segment-lm prunes the low-likelihood window, scripts allow-list drops foreign docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-seg").toString
+    val rare = "qqxyzzy wobblefrak zimzam"
+    val common = (1 to 40).map(_ => "alpha beta gamma delta").mkString(" ")
+    Seq(
+      (1L, s"$common $rare", "s0"),              // rare tail window pruned, doc kept
+      (2L, common, "s0"),                        // untouched
+      (3L, "съешь ещё этих мягких булок и выпей чаю сказал кот и ушёл прочь опять", "s0") // cyrillic -> dropped
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val cfg = CurateConfig.fromYaml(
+      s"""input: $dir/in
+         |output: $dir/out
+         |filters:
+         |  min-words: 5
+         |  allowed-scripts: latin
+         |dedup:
+         |  exact: false
+         |segment-lm:
+         |  tokens: 4
+         |  min-score: -2.5
+         |""".stripMargin)
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    assert(m("input") == 3)
+    assert(m("after_filters") == 2)     // cyrillic doc dropped by the allow-list
+    assert(m("after_segment_lm") == 2)  // both survivors keep >= 1 window
+    val outDocs = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!outDocs(1L).contains("wobblefrak")) // rare window pruned from text
+    assert(outDocs(2L) == common)               // common doc untouched
+    graft.QueriesExt.rmTree(new java.io.File(dir))
   }
 
   test("CurateMain.run: repetition filters drop degenerate docs") {
