@@ -22,6 +22,11 @@ import graft.operators.{Dedup, Similarity}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    // Optional second arg: run only stages whose label contains it, then
+    // exit (local iteration aid — one stage's scale row without the whole
+    // battery; stages with cross-stage dataflow run under the full probe
+    // only).
+    val onlyStage = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -48,6 +53,25 @@ object ScaleProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
+    def stage(label: String)(f: => Unit): Unit =
+      if (onlyStage.forall(label.contains(_))) timed(label)(f)
+
+    stage("exact dup spans") {
+      // Replicas share their ENTIRE text modulo the one suffix token:
+      // every base doc's C(factor, 2) replica pairs carry one full-length
+      // verified span each, all anchors per pair collapsing onto a single
+      // alignment diagonal — the shape the per-(pair, diagonal) grouping
+      // in verifyExtendSpans exists for (text join rows track PAIRS, not
+      // anchors). Claim: wall tracks pair volume, span output is exactly
+      // one row per replica pair (+ natural corpus dups).
+      val p = Dedup.exactDupSpans(big, "doc_id", "text", minLen = 40, w = 8)
+      println(s"[probe] exact dup spans = ${p.count()}")
+    }
+    stage("winnowing pairs only") {
+      val p = Dedup.winnowingPairs(big, "doc_id", "text", k = 12, w = 8, minShared = 40)
+      println(s"[probe] winnowing pairs = ${p.count()}")
+    }
+    if (onlyStage.isDefined) { spark.stop(); return }
 
     val pairs = timed("minhash pairs materialize") {
       val p = Dedup.minHashLshPairs(big, "doc_id", "text").localCheckpoint(true)

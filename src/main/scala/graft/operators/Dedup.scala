@@ -623,11 +623,25 @@ object Dedup {
       textCol: String,
       k: Int,
       minLen: Int): DataFrame = {
-    val joined = anchors
+    // Anchors inside ONE maximal span share the alignment DIAGONAL
+    // (start_a − start_b) and all extend to the same triple, so near-copy
+    // pairs — which carry one anchor per winnow window over the whole
+    // shared text — would otherwise drag both full texts through the join
+    // once PER ANCHOR. Grouping per (pair, diagonal) first makes the text
+    // join O(pair-diagonals) rows (≈ O(pairs) on near-copies), and the
+    // walk below skips anchors a previously-extended span already covers
+    // (a covered anchor reproduces the same span; a boundary-straddling
+    // anchor fails its character verify — either way, emitting nothing new
+    // is exact, not an approximation). Output is bit-identical to
+    // per-anchor extension + distinct, which is what the oracles replay.
+    val grouped = anchors
+      .withColumn("_diag", col("start_a") - col("start_b"))
+      .groupBy(col("id_a"), col("id_b"), col("_diag"))
+      .agg(sort_array(collect_list(struct(col("start_a"), col("start_b")))).as("_as"))
+    val joined = grouped
       .join(textsA.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
       .join(textsB.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
-        col("_ta"), col("_tb"))
+      .select(col("id_a"), col("id_b"), col("_as"), col("_ta"), col("_tb"))
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType, nullable = false),
@@ -636,30 +650,37 @@ object Dedup {
       org.apache.spark.sql.types.StructField("match_len", org.apache.spark.sql.types.IntegerType, nullable = false)))
     joined.mapPartitions { rows =>
       rows.flatMap { r =>
-        val sa = r.getAs[Number]("start_a").intValue() - 1 // 0-based anchor
-        val sb = r.getAs[Number]("start_b").intValue() - 1
+        val idA = r.getAs[Number]("id_a").longValue()
+        val idB = r.getAs[Number]("id_b").longValue()
         val ta = r.getAs[String]("_ta"); val tb = r.getAs[String]("_tb")
-        var ok = sa + k <= ta.length && sb + k <= tb.length
-        var i = 0
-        while (ok && i < k) {
-          if (ta.charAt(sa + i) != tb.charAt(sb + i)) ok = false
-          i += 1
+        val as = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("_as")
+        val out = Seq.newBuilder[org.apache.spark.sql.Row]
+        var coveredEndA = -1 // exclusive 0-based end of the last span on this diagonal
+        as.foreach { a =>
+          val sa = a.getAs[Number](0).intValue() - 1 // 0-based anchor
+          val sb = a.getAs[Number](1).intValue() - 1
+          if (sa >= coveredEndA) {
+            var ok = sa + k <= ta.length && sb + k <= tb.length
+            var i = 0
+            while (ok && i < k) {
+              if (ta.charAt(sa + i) != tb.charAt(sb + i)) ok = false
+              i += 1
+            }
+            if (ok) {
+              var left = 0
+              while (sa - left - 1 >= 0 && sb - left - 1 >= 0 &&
+                ta.charAt(sa - left - 1) == tb.charAt(sb - left - 1)) left += 1
+              var right = k
+              while (sa + right < ta.length && sb + right < tb.length &&
+                ta.charAt(sa + right) == tb.charAt(sb + right)) right += 1
+              val len = left + right
+              coveredEndA = sa + right
+              if (len >= minLen)
+                out += org.apache.spark.sql.Row(idA, idB, sa - left + 1, sb - left + 1, len)
+            }
+          }
         }
-        if (!ok) Iterator.empty
-        else {
-          var left = 0
-          while (sa - left - 1 >= 0 && sb - left - 1 >= 0 &&
-            ta.charAt(sa - left - 1) == tb.charAt(sb - left - 1)) left += 1
-          var right = k
-          while (sa + right < ta.length && sb + right < tb.length &&
-            ta.charAt(sa + right) == tb.charAt(sb + right)) right += 1
-          val len = left + right
-          if (len >= minLen)
-            Iterator.single(org.apache.spark.sql.Row(
-              r.getAs[Number]("id_a").longValue(), r.getAs[Number]("id_b").longValue(),
-              sa - left + 1, sb - left + 1, len))
-          else Iterator.empty
-        }
+        out.result()
       }
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
       .distinct()
