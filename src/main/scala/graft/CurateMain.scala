@@ -31,13 +31,7 @@ import graft.operators.Dedup
   */
 object CurateMain {
 
-  /** Fixed script panel the allow-list filter judges dominance against —
-    * a superset of any sane allow-list, so `allowed-scripts: latin` means
-    * "latin beats every OTHER major script in this doc", not a vacuous
-    * one-candidate argmax.
-    */
-  private val scriptPanel: Seq[String] =
-    Seq("Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han", "Hangul", "Devanagari")
+  private def scriptPanel: Seq[String] = CurateConfig.scriptPanel
 
   final case class StageReport(
       stages: Seq[(String, Long)],

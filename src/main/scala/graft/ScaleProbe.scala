@@ -53,8 +53,9 @@ object ScaleProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
+    var stagesMatched = 0
     def stage(label: String)(f: => Unit): Unit =
-      if (onlyStage.forall(label.contains(_))) timed(label)(f)
+      if (onlyStage.forall(label.contains(_))) { stagesMatched += 1; timed(label)(f) }
 
     stage("exact dup spans") {
       // Replicas share their ENTIRE text modulo the one suffix token:
@@ -71,7 +72,14 @@ object ScaleProbe {
       val p = Dedup.winnowingPairs(big, "doc_id", "text", k = 12, w = 8, minShared = 40)
       println(s"[probe] winnowing pairs = ${p.count()}")
     }
-    if (onlyStage.isDefined) { spark.stop(); return }
+    if (onlyStage.isDefined) {
+      // A filter matching nothing must be loud — a silent empty run is
+      // indistinguishable from an instant stage.
+      if (stagesMatched == 0)
+        println(s"[probe] WARNING: no filterable stage label contains " +
+          s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only')")
+      spark.stop(); return
+    }
 
     val pairs = timed("minhash pairs materialize") {
       val p = Dedup.minHashLshPairs(big, "doc_id", "text").localCheckpoint(true)

@@ -55,11 +55,28 @@ final case class CurateConfig(
     exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
     require(exampleEod.nonEmpty, "examples.eod must be non-empty")
     segmentLmTokens.foreach(n => require(n > 0, "segment-lm.tokens must be positive"))
+    // Allow-list values must be panel members: the dominant-script label
+    // can only ever be a panel script, so an off-panel value (or a typo —
+    // `latn`) would silently drop the ENTIRE corpus instead of failing here.
+    val offPanel = allowedScripts.filterNot(s =>
+      CurateConfig.scriptPanel.exists(_.equalsIgnoreCase(s)))
+    require(offPanel.isEmpty,
+      s"filters.allowed-scripts: not in the script panel " +
+        s"(${CurateConfig.scriptPanel.mkString(", ")}): ${offPanel.mkString(", ")}")
     this
   }
 }
 
 object CurateConfig {
+
+  /** Fixed script panel the allow-list filter judges dominance against —
+    * a superset of any sane allow-list, so `allowed-scripts: latin` means
+    * "latin beats every OTHER major script in this doc", not a vacuous
+    * one-candidate argmax. Allow-list values are validated against it at
+    * parse time ([[CurateConfig.validated]]).
+    */
+  val scriptPanel: Seq[String] =
+    Seq("Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han", "Hangul", "Devanagari")
 
   /** YAML → [[CurateConfig]], over the same zero-dependency subset parser as
     * [[ConfigYaml]]. Unknown keys fail loudly — a typo'd filter silently

@@ -75,12 +75,12 @@ object KgramHashImpl {
     * intermediates stay under 2^51 (cp ≤ 0x10FFFF, h < M), so the modular
     * arithmetic is exact in Long.
     */
-  def compute(input: UTF8String, k: Int): ArrayData = {
-    if (input == null) return Empty
-    val s = input.toString
+  /** Decode a string to its code-point array — shared with the span
+    * verification walk ([[graft.operators.Dedup]]), which must index by
+    * the SAME units as the hash positions (code points, not UTF-16).
+    */
+  def codePoints(s: String): Array[Int] = {
     val n = s.codePointCount(0, s.length)
-    val m = n - k + 1
-    if (m <= 0) return Empty
     val cps = new Array[Int](n)
     var ci = 0; var off = 0
     while (off < s.length) {
@@ -88,6 +88,16 @@ object KgramHashImpl {
       cps(ci) = cp; ci += 1
       off += Character.charCount(cp)
     }
+    cps
+  }
+
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    if (input == null) return Empty
+    val s = input.toString
+    val cps = codePoints(s)
+    val n = cps.length
+    val m = n - k + 1
+    if (m <= 0) return Empty
     // B^(k-1) mod M
     var bk = 1L
     var e = 0

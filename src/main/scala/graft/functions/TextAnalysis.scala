@@ -241,15 +241,23 @@ object TextAnalysis {
     */
   def dominantScript(text: Column, scripts: Seq[String]): Column = {
     require(scripts.nonEmpty, "at least one script")
-    val counts = scripts.map(s => scriptCount(text, s))
-    // First script whose count is >= every LATER count wins — equivalent to
-    // argmax with first-listed tie-break (earlier scripts strictly below
-    // the max always fail against the max's position).
-    scripts.zip(counts).zipWithIndex.foldRight(lit(scripts.last.toLowerCase): Column) {
-      case (((name, cnt), i), rest) =>
-        val geLater = counts.drop(i + 1)
-          .foldLeft(lit(true))((acc, c2) => acc && cnt >= c2)
-        when(geLater, lit(name.toLowerCase)).otherwise(rest)
-    }
+    // Bind the per-script counts ONCE as an array (the Similarity.letBound
+    // discipline): the argmax chain below references each count O(n) times
+    // and CaseWhen defeats common-subexpression elimination for
+    // conditionally-evaluated branches — inlined counts would re-run the
+    // two regex passes per script O(n²) times per row.
+    val counts = array(scripts.map(s => scriptCount(text, s).cast("long")): _*)
+    element_at(transform(array(counts), cs => {
+      def cnt(i: Int): Column = element_at(cs, i + 1)
+      // First script whose count is >= every LATER count wins — equivalent
+      // to argmax with first-listed tie-break (earlier scripts strictly
+      // below the max always fail against the max's position).
+      scripts.zipWithIndex.foldRight(lit(scripts.last.toLowerCase): Column) {
+        case ((name, i), rest) =>
+          val geLater = (i + 1 until scripts.length)
+            .foldLeft(lit(true))((acc, j) => acc && cnt(i) >= cnt(j))
+          when(geLater, lit(name.toLowerCase)).otherwise(rest)
+      }
+    }), 1)
   }
 }

@@ -504,25 +504,41 @@ object Dedup {
       w: Int = 4,
       minShared: Int = 2,
       maxDf: Int = 1000): DataFrame = {
+    val pairs = winnowingAnchorPairs(df, idCol, textCol, k, w, maxDf)
+    val byPair = Window.partitionBy("id_a", "id_b")
+    pairs
+      .withColumn("n_shared", count(lit(1)).over(byPair))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** The anchor-pair stage of [[winnowingMatchSpans]] WITHOUT the per-pair
+    * shared-count window — for consumers like [[exactDupSpans]] whose
+    * minShared is 1, where the window's exchange+sort over the full
+    * candidate expansion (the job's largest intermediate) would gate on a
+    * vacuous `n_shared >= 1`. One row per (doc, fp) in `first` → count(*)
+    * per fp IS the document frequency; the [2, maxDf] window drops
+    * singletons and boilerplate BEFORE the local C(df, 2) expansion.
+    */
+  private def winnowingAnchorPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      maxDf: Int): DataFrame = {
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
     val first = winnowingFingerprintPositions(df, idCol, textCol, k, w)
       .groupBy(col(idCol), col("fp")).agg(min("pos").as("pos"))
       .repartition(parallelism, col("fp"))
-    // One row per (doc, fp) above → count(*) per fp IS the document
-    // frequency; the [2, maxDf] window drops singletons and boilerplate.
     val keep = first.groupBy("fp").agg(count(lit(1)).as("_df"))
       .where(col("_df") >= 2 && col("_df") <= maxDf).select("fp")
-    val pairs = first.join(keep, Seq("fp"))
+    first.join(keep, Seq("fp"))
       .groupBy("fp").agg(collect_list(struct(col(idCol).as("id"), col("pos"))).as("docs"))
       .select(col("fp"), explode(col("docs")).as("a"), col("docs"))
       .select(col("fp"), col("a"), explode(col("docs")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("fp"),
         col("a.pos").as("start_a"), col("b.pos").as("start_b"))
-    val byPair = Window.partitionBy("id_a", "id_b")
-    pairs
-      .withColumn("n_shared", count(lit(1)).over(byPair))
-      .where(col("n_shared") >= minShared)
   }
 
   /** VERIFIED exact duplicate spans — the ExactSubstr surface of Lee et
@@ -559,8 +575,7 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     require(minLen > w, "minLen must exceed the winnowing window")
     val k = minLen - w + 1
-    val anchors = winnowingMatchSpans(df, idCol, textCol, k, w, minShared = 1, maxDf)
-      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"))
+    val anchors = winnowingAnchorPairs(df, idCol, textCol, k, w, maxDf)
     val texts = df.select(col(idCol), col(textCol))
     verifyExtendSpans(anchors, texts, texts, idCol, textCol, k, minLen)
   }
@@ -642,17 +657,25 @@ object Dedup {
       .join(textsA.select(col(idCol).as("id_a"), col(textCol).as("_ta")), Seq("id_a"))
       .join(textsB.select(col(idCol).as("id_b"), col(textCol).as("_tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("_as"), col("_ta"), col("_tb"))
+    // Ids pass through untyped (the rest of the Dedup family is id-type
+    // generic — string ids must work here too).
+    val idType = textsA.schema(idCol).dataType
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_a", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("id_b", idType, nullable = false),
       org.apache.spark.sql.types.StructField("start_a", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("start_b", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("match_len", org.apache.spark.sql.types.IntegerType, nullable = false)))
     joined.mapPartitions { rows =>
       rows.flatMap { r =>
-        val idA = r.getAs[Number]("id_a").longValue()
-        val idB = r.getAs[Number]("id_b").longValue()
-        val ta = r.getAs[String]("_ta"); val tb = r.getAs[String]("_tb")
+        val idA = r.get(0)
+        val idB = r.get(1)
+        // Anchor positions are CODE-POINT offsets (KgramHash hashes code
+        // points; DuckDB substr indexes them) — decode before the walk, or
+        // any supplementary-plane character shifts the verify window and
+        // silently drops or mis-measures spans.
+        val ta = graft.expressions.KgramHashImpl.codePoints(r.getAs[String]("_ta"))
+        val tb = graft.expressions.KgramHashImpl.codePoints(r.getAs[String]("_tb"))
         val as = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("_as")
         val out = Seq.newBuilder[org.apache.spark.sql.Row]
         var coveredEndA = -1 // exclusive 0-based end of the last span on this diagonal
@@ -660,19 +683,19 @@ object Dedup {
           val sa = a.getAs[Number](0).intValue() - 1 // 0-based anchor
           val sb = a.getAs[Number](1).intValue() - 1
           if (sa >= coveredEndA) {
-            var ok = sa + k <= ta.length && sb + k <= tb.length
+            var ok = sa >= 0 && sb >= 0 && sa + k <= ta.length && sb + k <= tb.length
             var i = 0
             while (ok && i < k) {
-              if (ta.charAt(sa + i) != tb.charAt(sb + i)) ok = false
+              if (ta(sa + i) != tb(sb + i)) ok = false
               i += 1
             }
             if (ok) {
               var left = 0
               while (sa - left - 1 >= 0 && sb - left - 1 >= 0 &&
-                ta.charAt(sa - left - 1) == tb.charAt(sb - left - 1)) left += 1
+                ta(sa - left - 1) == tb(sb - left - 1)) left += 1
               var right = k
               while (sa + right < ta.length && sb + right < tb.length &&
-                ta.charAt(sa + right) == tb.charAt(sb + right)) right += 1
+                ta(sa + right) == tb(sb + right)) right += 1
               val len = left + right
               coveredEndA = sa + right
               if (len >= minLen)

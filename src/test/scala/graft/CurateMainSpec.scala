@@ -157,6 +157,26 @@ class CurateMainSpec extends SparkSpec {
     graft.QueriesExt.rmTree(new java.io.File(dir))
   }
 
+  test("CurateConfig: off-panel allowed-scripts fail at parse, never as a silent empty corpus") {
+    val bad = intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml(
+        """input: /x
+          |output: /y
+          |filters:
+          |  allowed-scripts: latn
+          |""".stripMargin)
+    }
+    assert(bad.getMessage.contains("latn"))
+    // case-insensitive panel membership parses fine
+    val ok = CurateConfig.fromYaml(
+      """input: /x
+        |output: /y
+        |filters:
+        |  allowed-scripts: LATIN,han
+        |""".stripMargin)
+    assert(ok.allowedScripts == Seq("LATIN", "han"))
+  }
+
   test("CurateMain.run: repetition filters drop degenerate docs") {
     val out = java.nio.file.Files.createTempDirectory("graft-curate3").toString
     val in = java.nio.file.Files.createTempDirectory("graft-curate3-in").toString

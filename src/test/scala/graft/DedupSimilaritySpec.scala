@@ -910,6 +910,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_._5) == Seq(b1.length + 2, b2.length + 2))
   }
 
+  test("exactDupSpans: astral-plane prefixes keep spans aligned (code-point walk), string ids work") {
+    // U+1F600 is 2 UTF-16 units but 1 code point: a UTF-16 walk would shift
+    // doc A's verify window one unit left and silently drop the span.
+    val block = "shared run long enough to clear the minimum span floor"
+    val d = Seq(
+      ("😀😀 " + block + " after", "a1"),
+      ("xy " + block + " zz", "b2")
+    ).toDF("text", "uid")
+    val out = Dedup.exactDupSpans(d, "uid", "text", minLen = 30, w = 4)
+      .as[(String, String, Int, Int, Int)].collect().toSeq
+    assert(out.length == 1)
+    val (idA, idB, sa, sb, len) = out.head
+    assert(Set(idA, idB) == Set("a1", "b2"))
+    // span = " <block> " in code points: starts after 2 emoji (a-side pos 3)
+    assert(len == block.length + 2)
+    val (posA, posB) = if (idA == "a1") (sa, sb) else (sb, sa)
+    assert(posA == 3 && posB == 3)
+  }
+
   test("exactDupSpansIncremental: new-vs-index pairs only, index-internal dups never reported") {
     val block = "a long run of text shared between the new batch and the index"
     val idx = Seq(
