@@ -2936,9 +2936,79 @@ object QueriesExt {
         |FROM ext WHERE le + re >= $minLen""".stripMargin))
   }
 
+  /** Intra-document self-dedup REMOVAL gate ([[Dedup.removeSelfDupText]] —
+    * Lee et al.'s cut semantics at document scope): every 13th doc gets its
+    * own first 120 chars appended, so repeated spans provably exist; the
+    * operator must find each repeat's later occurrence and delete it,
+    * keeping the first. The oracle replays the whole path: all winnow
+    * positions (NO earliest collapse — the later occurrence is the quarry),
+    * the per-(doc, fp) occurrence window, within-doc position pairs, anchor
+    * verify + maximal extension, interval-union removal, and the character-
+    * level rebuild.
+    */
+  private lazy val dedupSelfRemoval: Q = {
+    val minLen = 40; val w = 8; val maxOcc = 100
+    val k = minLen - w + 1 // 33
+    "x_dedup_self_removal" -> ((
+      (s: SparkSession, dir: String) => {
+        val d = docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "), substring(col("text"), 1, 120)))
+            .otherwise(col("text")).as("text"))
+        Dedup.removeSelfDupText(d, "doc_id", "text", minLen, w, maxOcc)
+      },
+      s"""WITH docs2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN text || ' ' || substr(text, 1, 120)
+        |       ELSE text END AS t FROM documents),
+        |t AS (SELECT doc_id, t AS text, greatest(length(t) - ${k - 1}, 0) AS m FROM docs2),
+        |h AS (SELECT doc_id, CASE WHEN m > 0 THEN
+        |    list_transform(range(1, m + 1), i ->
+        |      list_reduce(list_prepend(0::BIGINT, list_transform(range(i, i + $k), j ->
+        |        ascii(substr(text, j::INT, 1))::BIGINT)), (a, c) -> (a * 257 + c) % 1000000007))
+        |  ELSE []::BIGINT[] END AS hs FROM t),
+        |sel0 AS (SELECT doc_id, CASE WHEN len(hs) >= $w THEN
+        |    list_transform(range(1, len(hs) - ${w - 1} + 1), j ->
+        |      struct_pack(fp := list_aggregate(hs[j:j+${w - 1}], 'min'),
+        |        pos := j - 1 + list_position(hs[j:j+${w - 1}],
+        |                 list_aggregate(hs[j:j+${w - 1}], 'min'))))
+        |  ELSE list_transform(range(1, len(hs) + 1), i ->
+        |    struct_pack(fp := hs[i], pos := i)) END AS sel FROM h),
+        |selx AS (SELECT doc_id, unnest(sel) AS s FROM sel0),
+        |selu AS (SELECT DISTINCT doc_id, s.fp AS fp, s.pos AS pos FROM selx),
+        |occ AS (SELECT doc_id, fp FROM selu GROUP BY 1, 2
+        |  HAVING count(*) >= 2 AND count(*) <= $maxOcc),
+        |p AS (SELECT a.doc_id, a.pos AS p1, b.pos AS p2
+        |  FROM selu a JOIN selu b ON a.doc_id = b.doc_id AND a.fp = b.fp AND a.pos < b.pos
+        |  JOIN occ ON occ.doc_id = a.doc_id AND occ.fp = a.fp),
+        |cand AS (SELECT p.doc_id, p1, p2, d.t FROM p JOIN docs2 d ON d.doc_id = p.doc_id
+        |  WHERE substr(d.t, p1::INT, $k) = substr(d.t, p2::INT, $k)),
+        |ext AS (SELECT doc_id, p1, p2,
+        |    list_max(list_filter(range(0, least(p1, p2)), l ->
+        |      substr(t, (p1 - l)::INT, l::INT) = substr(t, (p2 - l)::INT, l::INT))) AS le,
+        |    list_max(list_filter(range($k, least(length(t) - p1, length(t) - p2) + 2), r ->
+        |      substr(t, p1::INT, r::INT) = substr(t, p2::INT, r::INT))) AS re
+        |  FROM cand),
+        |spans AS (SELECT DISTINCT doc_id, (p1 - le)::INT AS s1, (p2 - le)::INT AS s2,
+        |    (le + re)::INT AS len FROM ext WHERE le + re >= $minLen),
+        |chars AS (SELECT doc_id, i, substr(t, i::INT, 1) AS ch
+        |  FROM docs2, UNNEST(range(1, length(t) + 1)) u(i)),
+        |removed AS (SELECT DISTINCT c.doc_id, c.i FROM chars c
+        |  JOIN spans s ON s.doc_id = c.doc_id AND c.i >= s.s2 AND c.i < s.s2 + s.len),
+        |nsp AS (SELECT doc_id, count(*)::BIGINT AS n FROM spans GROUP BY 1),
+        |nrm AS (SELECT doc_id, count(*)::BIGINT AS n FROM removed GROUP BY 1),
+        |clean AS (SELECT c.doc_id,
+        |    string_agg(c.ch, '' ORDER BY c.i) FILTER (WHERE r.i IS NULL) AS txt
+        |  FROM chars c LEFT JOIN removed r ON r.doc_id = c.doc_id AND r.i = c.i
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(clean.txt, '') AS text_clean,
+        |  coalesce(nsp.n, 0) AS n_spans, coalesce(nrm.n, 0) AS n_removed_chars
+        |FROM docs2 d LEFT JOIN nsp USING (doc_id) LEFT JOIN nrm USING (doc_id)
+        |  LEFT JOIN clean USING (doc_id)""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
-    dedupExactSpansIncr,
+    dedupExactSpansIncr, dedupSelfRemoval,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

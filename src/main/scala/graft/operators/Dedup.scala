@@ -622,6 +622,104 @@ object Dedup {
       indexDf.select(col(idCol), col(textCol)), idCol, textCol, k, minLen)
   }
 
+  /** INTRA-document self-duplicate spans: maximal character spans of length
+    * ≥ `minLen` that repeat WITHIN one document (start_a < start_b, both in
+    * the same text) — the within-doc half of the ExactSubstr surface
+    * (repeated boilerplate blocks, periodic junk, copy-paste stutter).
+    * Candidates come from same-fingerprint position pairs inside one doc
+    * (ALL winnow-selected positions, no earliest-occurrence collapse — the
+    * later occurrence is exactly what we're hunting); `maxOcc` caps the
+    * per-(doc, fingerprint) occurrence list before the local C(n, 2)
+    * expansion, the same loud-cap discipline as `maxDf` on the cross-doc
+    * path. Verification and maximal extension reuse [[exactDupSpans]]'
+    * per-diagonal walk against the document's own text.
+    */
+  def selfDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      w: Int = 8,
+      maxOcc: Int = 100): DataFrame = {
+    require(minLen > w, "minLen must exceed the winnowing window")
+    val k = minLen - w + 1
+    val pos = winnowingFingerprintPositions(df, idCol, textCol, k, w)
+    val ps = pos.groupBy(col(idCol), col("fp"))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .where(size(col("_ps")) >= 2 && size(col("_ps")) <= maxOcc)
+    val anchors = ps
+      .select(col(idCol), explode(col("_ps")).as("p1"), col("_ps"))
+      .select(col(idCol), col("p1"), explode(col("_ps")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        col("p1").as("start_a"), col("p2").as("start_b"))
+    val texts = df.select(col(idCol), col(textCol))
+    verifyExtendSpans(anchors, texts, texts, idCol, textCol, k, minLen)
+      .select(col("id_a").as(idCol), col("start_a"), col("start_b"), col("match_len"))
+  }
+
+  /** [[selfDupSpans]] applied as REMOVAL — Lee et al.'s cut semantics at
+    * document scope: for every repeated span, the LATER occurrence(s)
+    * (`[start_b, start_b + len)`) are deleted and the first kept;
+    * overlapping removal intervals merge, so periodic text collapses to
+    * one period plus the remainder shorter than `minLen`. Single pass (a
+    * duplicate formed ACROSS a cut seam is not re-hunted — the standard
+    * production contract). Every document returns a row:
+    * `(idCol, text_clean, n_spans, n_removed_chars)`; untouched docs carry
+    * their original text with zero counts. Removal positions are CODE
+    * POINTS, matching the span coordinates.
+    */
+  def removeSelfDupText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 40,
+      w: Int = 8,
+      maxOcc: Int = 100): DataFrame = {
+    val spans = selfDupSpans(df, idCol, textCol, minLen, w, maxOcc)
+    val ivs = spans
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("start_b").as("s"), col("match_len").as("l")))).as("_ivs"),
+        count(lit(1)).as("n_spans"))
+    val joined = df.select(col(idCol), col(textCol))
+      .join(ivs, Seq(idCol), "left")
+    val idType = df.schema(idCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType, nullable = false),
+      org.apache.spark.sql.types.StructField("text_clean", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_spans", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_removed_chars", org.apache.spark.sql.types.LongType, nullable = false)))
+    joined.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(0)
+        val text = r.getString(1)
+        val ivsOpt = Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]])
+        val nSpans = if (r.isNullAt(3)) 0L else r.getLong(3)
+        ivsOpt match {
+          case None => org.apache.spark.sql.Row(id, text, 0L, 0L)
+          case Some(list) =>
+            val cps = graft.expressions.KgramHashImpl.codePoints(text)
+            val removed = new Array[Boolean](cps.length)
+            list.foreach { iv =>
+              val s = iv.getAs[Number](0).intValue() - 1 // 0-based
+              val l = iv.getAs[Number](1).intValue()
+              var i = s
+              val end = math.min(s + l, cps.length)
+              while (i < end) { removed(i) = true; i += 1 }
+            }
+            val sb = new java.lang.StringBuilder(cps.length)
+            var kept = 0
+            var i = 0
+            while (i < cps.length) {
+              if (!removed(i)) { sb.appendCodePoint(cps(i)); kept += 1 }
+              i += 1
+            }
+            org.apache.spark.sql.Row(id, sb.toString, nSpans, (cps.length - kept).toLong)
+        }
+      }
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+  }
+
   /** Shared verify+extend stage of the ExactSubstr family: join candidate
     * anchor pairs to their two texts (a-side from `textsA`, b-side from
     * `textsB` — anchors are the small side, texts travel once per pair

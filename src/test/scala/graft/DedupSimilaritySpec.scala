@@ -948,6 +948,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.forall(_._5 == block.length + 2))
   }
 
+  test("removeSelfDupText: later occurrence cut, first kept; periodic text collapses; clean docs untouched") {
+    val block = "a distinctive block of text that is clearly long enough to trip the floor"
+    val periodic = ("xyzw " * 40).trim // 199 chars of period-5 repetition
+    val d = Seq(
+      (1L, s"HEAD $block MID $block TAIL"),  // second occurrence removed
+      (2L, periodic),
+      (3L, "perfectly ordinary text with no internal repetition at all today ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSelfDupText(d, "doc_id", "text", minLen = 30, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: " <block> " repeated around different flanks — the later copy
+    // (with its shared flank chars) is cut; the first occurrence survives.
+    val (t1, n1, rm1) = out(1L)
+    assert(n1 >= 1 && rm1 > 0)
+    assert(t1.indexOf(block) >= 0, "first occurrence must survive")
+    assert(t1.indexOf(block) == t1.lastIndexOf(block), "later occurrence must be cut")
+    assert(t1.length == s"HEAD $block MID $block TAIL".length - rm1.toInt)
+    // doc 2: periodic junk collapses — most of the text goes
+    val (t2, n2, rm2) = out(2L)
+    assert(n2 >= 1 && rm2 > periodic.length / 2)
+    assert(t2.length == periodic.length - rm2.toInt && t2.nonEmpty)
+    // doc 3: untouched, zero counts
+    assert(out(3L) == (("perfectly ordinary text with no internal repetition at all today ok", 0L, 0L)))
+  }
+
   test("mp4Meta: fixture round-trip, v0 fields, first nonzero-dim track wins; malformed degrade") {
     val mp4 = Multimodal.syntheticMp4("mp42", 1200, 7, 640, 360, 2, seed = 5L)
     assert(Multimodal.mp4Meta(mp4).contains(("mp42", 1200L, 7000L, Some(640), Some(360), 2)))
