@@ -171,12 +171,28 @@ object CurateMain {
     }
     stages += "after_segment_lm" -> afterSegLm.count()
 
+    // Intra-document self-dedup (cut later occurrences of repeated spans)
+    // BEFORE exact dedup for the same reason as segment-lm: the dedup key
+    // must hash the cleaned text.
+    val afterSelf = cfg.selfDedupMinLen match {
+      case Some(l) =>
+        val cleaned = Dedup.removeSelfDupText(
+            afterSegLm, cfg.idColumn, cfg.textColumn, minLen = l)
+          .select(id, col("text_clean"))
+        afterSegLm.drop(cfg.textColumn)
+          .join(cleaned, cfg.idColumn)
+          .withColumnRenamed("text_clean", cfg.textColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => afterSegLm
+    }
+    stages += "after_self_dedup" -> afterSelf.count()
+
     val afterExact =
       if (cfg.dedupExact)
-        afterSegLm.join(
-          Dedup.exact(afterSegLm, cfg.idColumn, md5(col(cfg.textColumn)))
+        afterSelf.join(
+          Dedup.exact(afterSelf, cfg.idColumn, md5(col(cfg.textColumn)))
             .select(col("kept_id").as(cfg.idColumn)), cfg.idColumn)
-      else afterSegLm
+      else afterSelf
     val dd = afterExact.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_exact_dedup" -> dd.count()
 
@@ -290,6 +306,7 @@ object CurateMain {
     if (afterMixture ne afterSample) afterMixture.unpersist()
     if (afterDecon ne afterNear) afterDecon.unpersist()
     if (afterNear ne dd) afterNear.unpersist()
+    if (afterSelf ne afterSegLm) afterSelf.unpersist()
     if (afterSegLm ne survivors0) afterSegLm.unpersist()
     survivors0.unpersist()
     dd.unpersist()

@@ -24,6 +24,7 @@ final case class CurateConfig(
     segmentLmMinScore: Double = -3.41,
     nfc: Boolean = false,
     dedupExact: Boolean = true,
+    selfDedupMinLen: Option[Int] = None,
     nearDupThreshold: Option[Double] = None,
     nearDupKeepBest: Boolean = false,
     decontaminateAgainst: Option[String] = None,
@@ -55,6 +56,7 @@ final case class CurateConfig(
     exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
     require(exampleEod.nonEmpty, "examples.eod must be non-empty")
     segmentLmTokens.foreach(n => require(n > 0, "segment-lm.tokens must be positive"))
+    selfDedupMinLen.foreach(l => require(l > 8, "dedup.self-minlen must exceed the winnowing window (8)"))
     // Allow-list values must be panel members: the dominant-script label
     // can only ever be a panel script, so an off-panel value (or a typo —
     // `latn`) would silently drop the ENTIRE corpus instead of failing here.
@@ -105,7 +107,7 @@ object CurateConfig {
       "max-dup-word-frac", "max-top-bigram-frac", "gopher", "html-strip",
       "allowed-scripts")
     require(unknownF.isEmpty, s"unknown filters keys: ${unknownF.mkString(", ")}")
-    val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep")
+    val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep", "self-minlen")
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
     val unknownC = decon.keySet -- Set("against", "n")
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
@@ -176,6 +178,7 @@ object CurateConfig {
       segmentLmMinScore = str(segLm, "min-score").map(_.toDouble).getOrElse(-3.41),
       nfc = str(tree, "nfc").exists(_.toBoolean),
       dedupExact = str(dedup, "exact").forall(_.toBoolean),
+      selfDedupMinLen = str(dedup, "self-minlen").map(_.toInt),
       nearDupThreshold = str(dedup, "near-threshold").map(_.toDouble),
       nearDupKeepBest = str(dedup, "keep") match {
         case Some("best") => true

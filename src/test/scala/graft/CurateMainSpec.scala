@@ -65,8 +65,8 @@ class CurateMainSpec extends SparkSpec {
     val m = report.stages.toMap
     assert(m("input") > 0)
     // each stage can only shrink the corpus
-    val order = Seq("input", "after_filters", "after_segment_lm", "after_exact_dedup",
-      "after_near_dedup", "after_decontaminate", "after_sample", "written")
+    val order = Seq("input", "after_filters", "after_segment_lm", "after_self_dedup",
+      "after_exact_dedup", "after_near_dedup", "after_decontaminate", "after_sample", "written")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
     }
@@ -141,6 +141,7 @@ class CurateMainSpec extends SparkSpec {
          |  allowed-scripts: latin
          |dedup:
          |  exact: false
+         |  self-minlen: 30
          |segment-lm:
          |  tokens: 4
          |  min-score: -2.5
@@ -150,10 +151,14 @@ class CurateMainSpec extends SparkSpec {
     assert(m("input") == 3)
     assert(m("after_filters") == 2)     // cyrillic doc dropped by the allow-list
     assert(m("after_segment_lm") == 2)  // both survivors keep >= 1 window
+    assert(m("after_self_dedup") == 2)  // cut shortens text, drops no docs
     val outDocs = spark.read.parquet(s"$dir/out/corpus")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(!outDocs(1L).contains("wobblefrak")) // rare window pruned from text
-    assert(outDocs(2L) == common)               // common doc untouched
+    // doc 2 is "alpha beta gamma delta" x40 — intra-doc periodic repetition:
+    // the self-dedup cut collapses it far below the original length
+    assert(outDocs(2L).length < common.length / 2 && outDocs(2L).nonEmpty)
+    assert(outDocs(2L).startsWith("alpha beta gamma delta"))
     graft.QueriesExt.rmTree(new java.io.File(dir))
   }
 
