@@ -1138,6 +1138,29 @@ object QueriesExt {
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
     }))
 
+  /** Graded decontamination-report gate ([[Dedup.decontaminationReport]]):
+    * the distinct-n-gram overlap SHARE per document against the benchmark
+    * slice — rankable contamination instead of the binary flag (which
+    * keeps its own gate above).
+    */
+  private lazy val decontaminateReport: Q = "x_decontaminate_report" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      Dedup.decontaminationReport(d, "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+    }, {
+      val gram = (0 until 5).map(j => s"ws[i+$j]").mkString("||' '||")
+      s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, $gram AS s FROM toks, UNNEST(range(1, len(ws)-3)) t(i)),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+         |st AS (SELECT sh.doc_id, count(*)::BIGINT AS n_grams, count(b.s)::BIGINT AS n_hit_grams
+         |  FROM sh LEFT JOIN bench b USING (s) GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(n_hit_grams, 0)::BIGINT AS n_hit_grams,
+         |  round(coalesce(n_hit_grams, 0)::DOUBLE / greatest(coalesce(n_grams, 0), 1), 6) AS overlap_share
+         |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+    }))
+
   /** Gopher-style repetition metrics gate: per-row facets + the relational
     * top-bigram plan, replayed by DuckDB list/group math.
     */
@@ -3008,7 +3031,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
-    dedupExactSpansIncr, dedupSelfRemoval,
+    dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,

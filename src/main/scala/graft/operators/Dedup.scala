@@ -1493,6 +1493,41 @@ object Dedup {
       .withColumn("contaminated", when(col("n_hits") >= minHits, 1).otherwise(0))
   }
 
+  /** GRADED decontamination report — the eval-rigor companion of
+    * [[decontaminate]]'s binary flag: per document, the DISTINCT n-gram
+    * overlap share against the benchmark set (`n_hit_grams /
+    * n_doc_grams`), so borderline contamination (one shared idiom vs a
+    * verbatim leaked question) is rankable instead of thresholded blind.
+    * Same scale shape as the flag: benchmark grams broadcast, one corpus
+    * shingle expansion, no corpus shuffle beyond the id-keyed aggregate.
+    * Documents shorter than `n` tokens report zero grams and zero share.
+    */
+  def decontaminationReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val benchGrams = shingleTable(bench, benchIdCol, benchTextCol, n)
+      .select(col("shingle")).distinct()
+    val docGrams = shingleTable(df, idCol, textCol, n)
+      .distinct() // DISTINCT grams per doc: the share is set overlap, not occurrence count
+    val stats = docGrams
+      .join(broadcast(benchGrams).withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit_grams"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        round(coalesce(col("n_hit_grams"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 6).as("overlap_share"))
+  }
+
   /** C4-style GLOBAL span dedup: each document is cut into consecutive
     * `spanWords`-word segments, only the corpus-wide FIRST occurrence of
     * each distinct segment survives (first = lowest (id, position) — content

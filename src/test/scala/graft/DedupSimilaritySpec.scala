@@ -558,6 +558,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 0L, 0L, 0L), (2L, 6L, 3L, 0L, 1L), (3L, 2L, 9L, 1L, 1L)))
   }
 
+  test("decontaminationReport: distinct-gram share arithmetic, short docs report zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // full overlap: 2 grams, both hit
+      (2L, "alpha beta gamma delta epsilon nothing else here"), // 4 grams, 1 hit
+      (3L, "totally unrelated words fill this document body"),  // 0 hits
+      (4L, "too short")                                      // < n tokens -> 0 grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminationReport(d, "doc_id", "text", bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Long, Double)].collect().toMap2
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  implicit private class Tup4Ops[A, B, C, E](rows: Array[(A, B, C, E)]) {
+    def toMap2: Map[A, (B, C, E)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
   test("decontaminate flags docs sharing n-grams with the benchmark set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // contains the bench 5-gram
