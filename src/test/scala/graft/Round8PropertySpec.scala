@@ -99,6 +99,30 @@ class Round8PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental == cross-side slice of batch exactDupSpans (below every cap, seeded corpora)") {
+    val minLen = 20; val w = 4
+    // index ids < 100 < new ids, so batch's id_a<id_b orientation puts the
+    // index doc on the a-side of every cross pair — swap to compare.
+    val blocks = (1 to 4).map(i => s"XBLOCK${i}_" + randText(25))
+    def mk(id: Long) = (id, Seq(
+      randText(15), blocks(rnd.nextInt(blocks.length)), randText(15),
+      if (rnd.nextBoolean()) blocks(rnd.nextInt(blocks.length)) else randText(20)
+    ).mkString(s"(${id}s)", s"(${id}m)", s"(${id}e)"))
+    val index = (1L to 8L).map(mk).toDF("doc_id", "text")
+    val fresh = (101L to 106L).map(mk).toDF("doc_id", "text")
+    val incr = Dedup.exactDupSpansIncremental(fresh, index, "doc_id", "text", minLen, w)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    val batchCross = Dedup.exactDupSpans(
+        index.unionByName(fresh), "doc_id", "text", minLen, w)
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+      .filter { case (a, b, _, _, _) => a < 100 && b > 100 } // index-side a, new-side b
+      .map { case (a, b, sa, sb, len) => (b, a, sb, sa, len) } // normalize to (new, index)
+      .toSet
+    assert(incr.nonEmpty, "shared blocks must produce cross-side spans")
+    assert(incr == batchCross,
+      s"incremental and batch cross-side spans diverge: only-incr=${incr -- batchCross}, only-batch=${batchCross -- incr}")
+  }
+
   test("mp4 fixture round-trip property across the parameter grid") {
     for (ts <- Seq(600, 1000, 90000); dur <- Seq(0, 1, 119); n <- Seq(1, 2, 3)) {
       val wpx = 16 + ts % 640; val hpx = 16 + dur % 480 + 1
