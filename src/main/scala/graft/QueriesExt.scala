@@ -3052,7 +3052,7 @@ object QueriesExt {
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
-    sftPairs)
+    sftPairs, qualityClassifier, classifierEval)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3527,4 +3527,65 @@ object QueriesExt {
       |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
       |  FROM (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
       |  GROUP BY tok) WHERE rk <= 20""".stripMargin))
+
+  /** Shared oracle body for the NB classifier gates: fit multinomial NB
+    * (add-one smoothing, 4096-token vocab cap — a declared no-op on the
+    * 31-token gate corpus) on the `trainWhere` slice, score every doc with
+    * the sorted-token ordered fold [[graft.operators.Classifier]] uses, so
+    * the double reduction is bit-identical across engines.
+    */
+  private def nbOracleCtes(trainWhere: String): String =
+    s"""WITH tr AS (SELECT doc_id,
+       |    (('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000) AS bkt FROM documents),
+       |d AS (SELECT doc_id, text, CASE WHEN lang='en' THEN 1 ELSE 0 END AS y FROM documents),
+       |tok AS (SELECT doc_id, y, t FROM d,
+       |        UNNEST(string_split(trim(text),' ')) u(t) WHERE t <> ''),
+       |dt AS (SELECT doc_id, y, t, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2, 3),
+       |tc AS (SELECT t, sum(CASE WHEN y=1 THEN tf ELSE 0 END)::BIGINT AS c1,
+       |              sum(CASE WHEN y=0 THEN tf ELSE 0 END)::BIGINT AS c0
+       |       FROM dt JOIN tr USING (doc_id) $trainWhere GROUP BY t),
+       |v AS (SELECT t, c1, c0 FROM tc ORDER BY (c1+c0) DESC, t LIMIT 4096),
+       |tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0,
+       |               count(*)::BIGINT AS vv FROM v),
+       |pri AS (SELECT ln(sum(y)::DOUBLE / sum(1-y)::DOUBLE) AS bias
+       |        FROM d JOIN tr USING (doc_id) $trainWhere),
+       |w AS (SELECT t, ln((c1+1)::DOUBLE/(n1+vv)::DOUBLE)
+       |             - ln((c0+1)::DOUBLE/(n0+vv)::DOUBLE) AS w FROM v, tot),
+       |l AS (SELECT doc_id, any_value(y) AS y,
+       |        list(struct_pack(t := dt.t, tf := dt.tf, w := w.w) ORDER BY dt.t) AS lst
+       |      FROM dt JOIN w USING (t) GROUP BY doc_id),
+       |sc AS (SELECT doc_id, y, bias + list_reduce(list_prepend(0.0,
+       |         list_transform(lst, x -> x.tf::DOUBLE * x.w)), (a, b) -> a + b) AS s
+       |       FROM l, pri)""".stripMargin
+
+  /** NB bootstrap classifier gate: seed = the corpus' own `lang='en'`
+    * metadata, fit on everything, per-doc log-odds score + prediction.
+    * The learned-classifier complement of the heuristic `x_text_langid`.
+    */
+  private lazy val qualityClassifier: Q = "x_quality_classifier" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Classifier.nbTrainScore(
+        docs(s, dir), "doc_id", "text", col("lang") === "en"),
+    nbOracleCtes("") +
+      """
+        |SELECT doc_id, y, round(s, 6) AS nb_score,
+        |  CASE WHEN s > 0 THEN 1 ELSE 0 END AS pred FROM sc""".stripMargin))
+
+  /** Held-out confusion contract for the NB classifier: fit on the 80%
+    * content-hash bucket slice, reduce the unseen 20% to one exact-integer
+    * confusion row — the accuracy gate that keeps the classifier honest the
+    * way `x_dedup_lsh_recall` keeps the LSH band parameters honest.
+    */
+  private lazy val classifierEval: Q = "x_classifier_eval" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Classifier.nbHoldoutConfusion(
+        docs(s, dir), "doc_id", "text", col("lang") === "en"),
+    nbOracleCtes("WHERE bkt < 8000") +
+      """
+        |SELECT count(*)::BIGINT AS n_test,
+        |  sum(CASE WHEN s > 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |  sum(CASE WHEN s <= 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+        |  sum(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |  sum(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+        |FROM sc JOIN tr USING (doc_id) WHERE bkt >= 8000""".stripMargin))
 }
