@@ -3052,7 +3052,7 @@ object QueriesExt {
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
-    sftPairs, qualityClassifier, classifierEval)
+    sftPairs, qualityClassifier, classifierEval, sampleDsir)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3588,4 +3588,41 @@ object QueriesExt {
         |  sum(CASE WHEN s > 0 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
         |  sum(CASE WHEN s <= 0 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
         |FROM sc JOIN tr USING (doc_id) WHERE bkt >= 8000""".stripMargin))
+
+  /** DSIR importance-resampling gate: hashed-unigram importance weights
+    * toward the `lang='en'` slice as the target domain, Gumbel-top-50
+    * selection with the content-hash uniform — full fit, fold, noise, and
+    * top-k replayed by the oracle.
+    */
+  private lazy val sampleDsir: Q = "x_sample_dsir" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Dsir.gumbelTopK(
+        graft.operators.Dsir.importanceWeights(
+          docs(s, dir), "doc_id", "text", col("lang") === "en"),
+        "doc_id", k = 50),
+    """WITH tok AS (SELECT doc_id, t FROM documents,
+      |        UNNEST(string_split(trim(text),' ')) u(t) WHERE t <> ''),
+      |db AS (SELECT doc_id, ('0x'||substr(md5(t),1,8))::BIGINT % 4096 AS bk,
+      |               count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+      |cr AS (SELECT bk, sum(tf)::BIGINT AS cr FROM db GROUP BY bk),
+      |ct AS (SELECT bk, sum(tf)::BIGINT AS ct FROM db
+      |       JOIN documents USING (doc_id) WHERE lang='en' GROUP BY bk),
+      |tot AS (SELECT (SELECT sum(cr)::BIGINT FROM cr) AS nr,
+      |               (SELECT sum(ct)::BIGINT FROM ct) AS nt),
+      |w AS (SELECT cr.bk,
+      |        ln((coalesce(ct.ct, 0)+1)::DOUBLE/(nt+4096)::DOUBLE)
+      |      - ln((cr.cr+1)::DOUBLE/(nr+4096)::DOUBLE) AS w
+      |      FROM cr LEFT JOIN ct USING (bk), tot),
+      |l AS (SELECT doc_id,
+      |        list(struct_pack(bk := db.bk, tf := db.tf, w := w.w) ORDER BY db.bk) AS lst
+      |      FROM db JOIN w USING (bk) GROUP BY doc_id),
+      |sc AS (SELECT doc_id, list_reduce(list_prepend(0.0,
+      |         list_transform(lst, x -> x.tf::DOUBLE * x.w)), (a, b) -> a + b) AS logw
+      |       FROM l),
+      |g AS (SELECT doc_id, logw, logw + (-ln(-ln(
+      |        (('0x'||substr(md5(doc_id::VARCHAR||'|dsir'),1,8))::BIGINT + 0.5)
+      |        / 4294967296.0))) AS gk FROM sc)
+      |SELECT doc_id, round(logw, 6) AS logw FROM (
+      |  SELECT doc_id, logw, row_number() OVER (ORDER BY gk DESC, doc_id) AS rk FROM g)
+      |WHERE rk <= 50""".stripMargin))
 }
