@@ -3052,7 +3052,7 @@ object QueriesExt {
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
-    sftPairs, qualityClassifier, classifierEval, sampleDsir)
+    sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3625,4 +3625,23 @@ object QueriesExt {
       |SELECT doc_id, round(logw, 6) AS logw FROM (
       |  SELECT doc_id, logw, row_number() OVER (ORDER BY gk DESC, doc_id) AS rk FROM g)
       |WHERE rk <= 50""".stripMargin))
+
+  /** Asymmetric containment pairs: |A∩B|/|A| over the jaccard gate's
+    * df-capped shingle space — the quote-inclusion/doc-inside-doc detector
+    * symmetric Jaccard structurally misses. Both directions emitted.
+    */
+  private lazy val dedupContainment: Q = "x_dedup_containment" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.5),
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000),
+      |sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+      |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_inter
+      |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT id_a, id_b, n_inter::DOUBLE/ca.n AS c_ab, n_inter::DOUBLE/cb.n AS c_ba
+      |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE greatest(n_inter::DOUBLE/ca.n, n_inter::DOUBLE/cb.n) >= 0.5""".stripMargin))
 }

@@ -853,6 +853,29 @@ object Dedup {
     // groupBy(id) — re-executes the posting join for the second aggregate
     // and benches ~0.7 s slower at sf0.1; the base re-read below rides the
     // ReuseExchange'd tokenize, so it is the cheaper second consumer.)
+    val (inter, cnt) = shinglePairCounts(df, idCol, textCol, n, maxDf)
+    inter
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") > threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared pair machinery for [[jaccardPairs]]/[[containmentPairs]]:
+    * returns (per-pair intersection counts `(id_a, id_b, n_inter)`, per-doc
+    * kept-shingle counts `(id, n_sh)`) over the df-capped distinct-shingle
+    * space. All the design notes above (inverted index, singleton drop,
+    * keyed — never broadcast — stop-shingle join, size-minus-stop-hits doc
+    * counts) live here.
+    */
+  private def shinglePairCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
     val base = shingleArrays(df, idCol, textCol, n)
     val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull) // see shingleTable: InferFiltersFromGenerate trap
@@ -870,13 +893,38 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    (inter, cnt)
+  }
+
+  /** ASYMMETRIC containment near-dup pairs: `c(A→B) = |A∩B| / |A|` over the
+    * same df-capped distinct-shingle space as [[jaccardPairs]]. Containment
+    * is the quote-inclusion detector Jaccard structurally misses: a short
+    * document fully embedded in a long one has jaccard ≈ |A|/|B| (tiny) but
+    * c(A→B) = 1. Emits both directions for every pair whose LARGER
+    * containment clears `threshold`, so downstream policy can distinguish
+    * "A is inside B" from "B is inside A" (keep the superset, cut the
+    * fragment — the de-facto containment-dedup rule).
+    *
+    * Scale shape: identical to [[jaccardPairs]] — the pair expansion and
+    * doc counts come from the one shared [[shinglePairCounts]] subplan; the
+    * containment math is a codegen'd projection on top. Same caps, same
+    * bounded-memory guarantees.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.7,
+      maxDf: Int = 1000): DataFrame = {
+    val (inter, cnt) = shinglePairCounts(df, idCol, textCol, n, maxDf)
     inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") > threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn("c_ab", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("c_ba", col("n_inter").cast("double") / col("n_b"))
+      .where(greatest(col("c_ab"), col("c_ba")) >= threshold)
+      .select("id_a", "id_b", "c_ab", "c_ba")
   }
 
   /** Deterministic systematic sample: keep rows whose content-hash bucket

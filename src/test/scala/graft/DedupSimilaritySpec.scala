@@ -65,6 +65,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!capped.contains((10L, 12L)) && !capped.contains((11L, 12L)))
   }
 
+  test("containment catches doc-inside-doc where jaccard structurally cannot") {
+    // Doc 20 is fully embedded in doc 21 (a 9-token fragment in a 39-token
+    // host): every fragment shingle appears in the host, so c(A→B) = 1,
+    // while jaccard ≈ |A|/|B| stays small. Doc 22 is unrelated.
+    val host = "a b c d e f g h i " + (1 to 30).map(j => s"w$j").mkString(" ")
+    val d = Seq(
+      (20L, "a b c d e f g h i"),
+      (21L, host),
+      (22L, "p q r s t u v")).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(jac.count() == 0, "jaccard at 0.5 must miss the embedded fragment")
+    val cont = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.99)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (a, b, cab, cba) = cont.head
+    assert((a, b) == (20L, 21L))
+    assert(cab == 1.0, s"fragment→host containment must be exactly 1, got $cab")
+    assert(cba < 0.3, s"host→fragment containment must stay small, got $cba")
+  }
+
+  test("containment respects the df cap through the shared pair machinery") {
+    // Same fixture as the jaccard maxDf test: capping df at 2 removes the
+    // hot prefix — the only witnesses between 12 and the twins — while the
+    // twins' mutual containment stays exactly 1 in the filtered space.
+    val d = Seq(
+      (10L, "a b c d e f x1 y1 z1"),
+      (11L, "a b c d e f x1 y1 z1"),
+      (12L, "a b c d e f q r s t u v w")).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(d, "doc_id", "text", n = 3, threshold = 0.5, maxDf = 2)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(capped.map(t => (t._1, t._2)).toSet == Set((10L, 11L)))
+    assert(capped.head._3 == 1.0 && capped.head._4 == 1.0)
+  }
+
   test("winnowing: shared-substring guarantee, disjoint docs share nothing, pair threshold") {
     val shared = "zqvxjwkpmbyfgthcdnrsl" // 21 chars >= w + k - 1 = 8 for (k=5,w=4)
     val d = Seq(
