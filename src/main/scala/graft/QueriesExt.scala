@@ -3052,7 +3052,8 @@ object QueriesExt {
     urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
-    sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment)
+    sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
+    splitLeakage)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3644,4 +3645,23 @@ object QueriesExt {
       |SELECT id_a, id_b, n_inter::DOUBLE/ca.n AS c_ab, n_inter::DOUBLE/cb.n AS c_ba
       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
       |WHERE greatest(n_inter::DOUBLE/ca.n, n_inter::DOUBLE/cb.n) >= 0.5""".stripMargin))
+
+  /** Split-leakage audit gate: MinHash-LSH near-dup pairs whose members
+    * fall in different 80/10/10 content-hash splits — train/test
+    * contamination the corpus inherits when the near-dup tail survives the
+    * split. Oracle = the minhash pair replay joined against the split
+    * bucket replay.
+    */
+  private lazy val splitLeakage: Q = "x_split_leakage" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.splitLeakage(docs(s, dir), "doc_id", "text",
+        Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0)),
+    s"""WITH pr AS ($minhashOracle),
+       |spl AS (SELECT doc_id,
+       |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 10000 AS b FROM documents))
+       |SELECT pr.id_a, pr.id_b, sa.split AS split_a, sb.split AS split_b
+       |FROM pr JOIN spl sa ON sa.doc_id = pr.id_a JOIN spl sb ON sb.doc_id = pr.id_b
+       |WHERE sa.split <> sb.split""".stripMargin))
 }

@@ -1006,6 +1006,39 @@ object Dedup {
     df.withColumn(outCol, assign)
   }
 
+  /** Train/test split LEAKAGE audit: near-dup pairs (MinHash-LSH candidate
+    * generation, [[minHashLshPairs]]) whose two members landed in DIFFERENT
+    * splits of [[splitAssign]] — the in-corpus contamination a held-out
+    * evaluation silently inherits when dedup runs before splitting but the
+    * near-dup tail survives (or dedup never ran). Deduplicating and
+    * splitting are both declared operators here; this is the audit that
+    * keeps their COMPOSITION honest. Emits (id_a, id_b, split_a, split_b)
+    * for every crossing pair.
+    *
+    * Scale shape: the candidate pairs are the expensive part and reuse the
+    * banded LSH machinery unchanged (bucket caps and all); the split labels
+    * are a shuffle-free hash projection of the id, so the audit adds only
+    * two id-keyed joins of the (pair-sized, ≪ corpus) candidate set against
+    * that projection — AQE turns them into broadcasts whenever the pair set
+    * is small, which is the healthy-corpus common case.
+    */
+  def splitLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splits: Seq[(String, Double)],
+      n: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, n = n, numHashes = numHashes, bands = bands)
+    val asg = splitAssign(df, col(idCol), splits).select(col(idCol), col("split"))
+    pairs
+      .join(asg.select(col(idCol).as("id_a"), col("split").as("split_a")), "id_a")
+      .join(asg.select(col(idCol).as("id_b"), col("split").as("split_b")), "id_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b")
+  }
+
   /** Per-group document cap — the CommonCrawl "per-host cap" primitive: at
     * most `maxPerGroup` rows survive per group (host, source, license…),
     * chosen deterministically by content-hash order (md5 of the id, id

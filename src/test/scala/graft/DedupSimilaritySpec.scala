@@ -99,6 +99,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.head._3 == 1.0 && capped.head._4 == 1.0)
   }
 
+  test("splitLeakage reports exactly the cross-split identical-text pairs") {
+    // 40 twin pairs (i, i+1000) with per-pair unique text: LSH must bucket
+    // each twin pair together and nothing else; leakage = twins whose hash
+    // buckets land in different splits.
+    val twins = (0L until 40L).flatMap { i =>
+      val t = s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      Seq((i, t), (i + 1000L, t))
+    }.toDF("doc_id", "text")
+    val splits = Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0)
+    val reported = Dedup.splitLeakage(twins, "doc_id", "text", splits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val assign = Dedup.splitAssign(twins, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val expected = (0L until 40L)
+      .filter(i => assign(i) != assign(i + 1000L)).map(i => (i, i + 1000L)).toSet
+    assert(expected.nonEmpty, "fixture must straddle splits for the test to bite")
+    assert(reported == expected,
+      s"missing=${expected -- reported} spurious=${reported -- expected}")
+  }
+
   test("winnowing: shared-substring guarantee, disjoint docs share nothing, pair threshold") {
     val shared = "zqvxjwkpmbyfgthcdnrsl" // 21 chars >= w + k - 1 = 8 for (k=5,w=4)
     val d = Seq(
