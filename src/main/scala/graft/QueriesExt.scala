@@ -3053,7 +3053,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage)
+    splitLeakage, stClassifierScore)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3664,4 +3664,34 @@ object QueriesExt {
        |SELECT pr.id_a, pr.id_b, sa.split AS split_a, sb.split AS split_b
        |FROM pr JOIN spl sa ON sa.doc_id = pr.id_a JOIN spl sb ON sb.doc_id = pr.id_b
        |WHERE sa.split <> sb.split""".stripMargin))
+
+  /** STREAMING frozen-model scoring gate: fit NB offline ([[Classifier
+    * .nbWeights]], vocab-bounded driver transfer), freeze the weights into
+    * the streaming plan as a map literal, and score micro-batches with a
+    * shuffle-free per-row fold — the production "classifier in the ingest
+    * path" shape (stateless projection: no watermark, no state store; a
+    * batch and a stream produce identical rows by construction, which is
+    * exactly what the oracle checks). The fold runs in token-stream order,
+    * so the oracle replays it BY POSITION, not by sorted token.
+    */
+  private lazy val stClassifierScore: Q = "st_classifier_score" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val (w, b) = graft.operators.Classifier.nbWeights(
+        d, "doc_id", "text", col("lang") === "en")
+      streamedGate(s, "stcls", d.select("doc_id", "text"))(
+        plan = mk => mk().select(col("doc_id"),
+          round(graft.operators.Classifier.nbScoreRow(col("text"), w, b), 6)
+            .as("nb_score")))
+    },
+    nbOracleCtes("") +
+      """,
+        |pos AS (SELECT doc_id, i, ws[i] AS t
+        |        FROM (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+        |             UNNEST(range(1, len(ws)+1)) r(i) WHERE ws[i] <> ''),
+        |l2 AS (SELECT doc_id, list(coalesce(w.w, 0.0) ORDER BY pos.i) AS lst
+        |       FROM pos LEFT JOIN w ON pos.t = w.t GROUP BY doc_id)
+        |SELECT d2.doc_id, round(pri.bias + coalesce(
+        |    list_reduce(list_prepend(0.0, l2.lst), (a, b) -> a + b), 0.0), 6) AS nb_score
+        |FROM documents d2 LEFT JOIN l2 ON l2.doc_id = d2.doc_id, pri""".stripMargin))
 }

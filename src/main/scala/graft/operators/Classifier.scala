@@ -46,6 +46,10 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
+  /** The fitted-model frames: the shared token-keyed exchange, the
+    * ≤ vocabSize-row weight table, and the one-row prior. */
+  private case class NbFit(byTok: DataFrame, model: DataFrame, bias: DataFrame)
+
   /** Fit NB on `trainFilter` rows seeded by `seedLabel`, score ALL rows.
     * Returns (idCol, y, nb_score, pred): the seed label, the log-odds score
     * rounded to 6 dp, and the hard prediction (score > 0).
@@ -57,6 +61,24 @@ object Classifier {
       seedLabel: Column,
       vocabSize: Int = 4096,
       trainFilter: Column = lit(true)): DataFrame = {
+    val f = fit(df, idCol, textCol, seedLabel, vocabSize, trainFilter)
+    val perDoc = f.byTok.join(broadcast(f.model), Seq("tok"))
+      .groupBy(col(idCol), col("y"))
+      .agg(array_sort(collect_list(struct(col("tok").as("t"), col("tf"), col("w")))).as("_l"))
+    val evidence = aggregate(col("_l"), lit(0.0),
+      (acc, x) => acc + x.getField("tf").cast("double") * x.getField("w"))
+    perDoc.crossJoin(f.bias).select(col(idCol), col("y"),
+      round(col("_bias") + evidence, 6).as("nb_score"),
+      ((col("_bias") + evidence) > 0).cast("int").as("pred"))
+  }
+
+  private def fit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seedLabel: Column,
+      vocabSize: Int,
+      trainFilter: Column): NbFit = {
     require(vocabSize > 0, "vocabSize must be positive")
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df
@@ -102,14 +124,40 @@ object Classifier {
     val model = vocab.crossJoin(tot).select(col("tok"),
       (log((col("c1") + lit(1)).cast("double") / (col("_n1") + col("_v")).cast("double")) -
         log((col("c0") + lit(1)).cast("double") / (col("_n0") + col("_v")).cast("double"))).as("w"))
-    val perDoc = byTok.join(broadcast(model), Seq("tok"))
-      .groupBy(col(idCol), col("y"))
-      .agg(array_sort(collect_list(struct(col("tok").as("t"), col("tf"), col("w")))).as("_l"))
-    val evidence = aggregate(col("_l"), lit(0.0),
-      (acc, x) => acc + x.getField("tf").cast("double") * x.getField("w"))
-    perDoc.crossJoin(bias).select(col(idCol), col("y"),
-      round(col("_bias") + evidence, 6).as("nb_score"),
-      ((col("_bias") + evidence) > 0).cast("int").as("pred"))
+    NbFit(byTok, model, bias)
+  }
+
+  /** Materialize the fitted model as plain Scala values for FROZEN-model
+    * application (streaming scorers, cross-job reuse): the per-token
+    * weights and the prior log-odds. The collect is bounded by `vocabSize`
+    * — the same O(k) driver-transfer class as [[BpeTrain]]'s merge table,
+    * not a corpus collect.
+    */
+  def nbWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seedLabel: Column,
+      vocabSize: Int = 4096,
+      trainFilter: Column = lit(true)): (Map[String, Double], Double) = {
+    val f = fit(df, idCol, textCol, seedLabel, vocabSize, trainFilter)
+    val w = f.model.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (w, f.bias.collect().head.getDouble(0))
+  }
+
+  /** Per-ROW frozen-model scorer: the production streaming shape — fit
+    * offline, freeze the (bounded) weight table into the plan as a map
+    * literal, score each row with a shuffle-free codegen'd fold. Unlike
+    * [[nbTrainScore]]'s sorted-token reduction, this folds in TOKEN-STREAM
+    * order (per occurrence) — a deliberately stateless per-row definition
+    * any engine can replay by position; out-of-vocabulary tokens carry no
+    * evidence. Returns the UNROUNDED log-odds score column.
+    */
+  def nbScoreRow(textCol: Column, weights: Map[String, Double], bias: Double): Column = {
+    val wlit = typedLit(weights)
+    val toks = filter(Dedup.tokens(textCol), t => t.isNotNull && t =!= "")
+    lit(bias) + aggregate(toks, lit(0.0),
+      (acc, t) => acc + coalesce(element_at(wlit, t), lit(0.0)))
   }
 
   /** Held-out confusion contract: fit on the `trainBp`‱ content-hash bucket

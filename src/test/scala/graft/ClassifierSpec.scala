@@ -84,6 +84,33 @@ class ClassifierSpec extends SparkSpec {
     assert(fp == 0 && fn == 0, s"planted separation must yield zero errors, got fp=$fp fn=$fn")
   }
 
+  test("nbScoreRow with frozen nbWeights agrees with the batch scorer") {
+    val (w, b) = Classifier.nbWeights(corpus, "doc_id", "text", col("label") === 1)
+    assert(w.keySet == Set("apple", "pear", "plum", "cherry", "spam", "junk", "casino", "pills"))
+    val frozen = corpus.select(col("doc_id"),
+        Classifier.nbScoreRow(col("text"), w, b).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Classifier.nbTrainScore(corpus, "doc_id", "text", col("label") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    batch.foreach { case (id, s) =>
+      // Different fold order (sorted-token tf·w vs per-occurrence stream),
+      // and the batch side rounds to 6 dp: agreement to the rounding
+      // half-step, not bit-equality.
+      assert(math.abs(frozen(id) - s) < 5e-7, s"doc $id: frozen ${frozen(id)} vs batch $s")
+    }
+  }
+
+  test("nbScoreRow: out-of-vocabulary tokens carry no evidence") {
+    val (w, b) = Classifier.nbWeights(corpus, "doc_id", "text", col("label") === 1)
+    val df = Seq((1L, "apple"), (2L, "apple neverseen zzz")).toDF("doc_id", "text")
+    val s = df.select(col("doc_id"), Classifier.nbScoreRow(col("text"), w, b).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) == s(2L), "OOV tokens must not move the score")
+    val empty = Seq((3L, "")).toDF("doc_id", "text")
+      .select(Classifier.nbScoreRow(col("text"), w, b)).collect().head.getDouble(0)
+    assert(empty == b, "no tokens -> score is exactly the prior")
+  }
+
   test("single-class seed labels fail loudly") {
     val df = Seq((1L, "a b", 1), (2L, "b c", 1)).toDF("doc_id", "text", "label")
     val e = intercept[Exception] {
