@@ -3053,7 +3053,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore)
+    splitLeakage, stClassifierScore, mineBitext)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3694,4 +3694,42 @@ object QueriesExt {
         |SELECT d2.doc_id, round(pri.bias + coalesce(
         |    list_reduce(list_prepend(0.0, l2.lst), (a, b) -> a + b), 0.0), 6) AS nb_score
         |FROM documents d2 LEFT JOIN l2 ON l2.doc_id = d2.doc_id, pri""".stripMargin))
+
+  /** Ratio-margin cross-domain pair mining gate (Artetxe & Schwenk / the
+    * CCMatrix criterion): even labels are the source side, odd the target;
+    * per source vector the best margin-scored partner above 1.0 — cosine
+    * relative to both sides' k-NN neighborhood density, the hubness-immune
+    * mining score. Oracle replays shortlists, rank-ordered neighborhood
+    * folds, and the argmax.
+    */
+  private lazy val mineBitext: Q = "x_mine_bitext" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.marginMine(
+        e.where(col("label") % 2 === 0), e.where(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0)
+    },
+    """WITH n AS (SELECT vec_id, label, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings),
+      |cx AS (SELECT a.vec_id qa, b.vec_id qb,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(a.embedding,b.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(a.nrm*b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.label % 2 = 0 AND b.label % 2 = 1),
+      |fk AS (SELECT * FROM (SELECT qa, qb, cos,
+      |         row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) rk FROM cx)
+      |       WHERE rk <= 4),
+      |bk AS (SELECT * FROM (SELECT qa, qb, cos,
+      |         row_number() OVER (PARTITION BY qb ORDER BY cos DESC, qa) rk FROM cx)
+      |       WHERE rk <= 4),
+      |af AS (SELECT qa, list_reduce(list_prepend(0.0, list(cos ORDER BY rk)),
+      |         (x,y)->x+y) / count(*) AS avg_l FROM fk GROUP BY qa),
+      |ab AS (SELECT qb, list_reduce(list_prepend(0.0, list(cos ORDER BY rk)),
+      |         (x,y)->x+y) / count(*) AS avg_r FROM bk GROUP BY qb),
+      |m AS (SELECT fk.qa, fk.qb, fk.cos / ((af.avg_l + ab.avg_r) / 2) AS margin
+      |      FROM fk JOIN af USING (qa) JOIN ab USING (qb))
+      |SELECT qa AS src_id, qb AS tgt_id, round(margin, 6) AS margin FROM (
+      |  SELECT qa, qb, margin,
+      |    row_number() OVER (PARTITION BY qa ORDER BY margin DESC, qb) AS rk FROM m)
+      |WHERE rk = 1 AND margin >= 1.0""".stripMargin))
 }

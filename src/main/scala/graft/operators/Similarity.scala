@@ -97,6 +97,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Margin-based cross-domain pair mining — the ratio-margin scorer of
+    * Artetxe & Schwenk 2019 (the LASER/CCMatrix bitext-mining criterion):
+    * a candidate pair (a, b) scores `cos(a,b) / ((avgK(a) + avgK(b)) / 2)`,
+    * the cosine RELATIVE to each side's own k-NN neighborhood density.
+    * Absolute-cosine thresholds fail on hubness (dense regions where
+    * everything is cosine-0.8 to everything); the margin cancels that out,
+    * which is why the published crawls mine with it. Emits, per left-side
+    * vector, its best right-side partner with `margin ≥ threshold`.
+    *
+    * Scale shape: both directions ride [[topK]] unchanged (queries
+    * broadcast, corpus scanned once, WindowGroupLimit-pruned rank window) —
+    * at corpus scale substitute the IVF-probed shortlist ([[topKIvf]])
+    * for the full scan, the margin rerank on top is identical. The
+    * neighborhood averages fold over the rank-sorted k-list (k-bounded
+    * arrays, exactly replayable — a bare `avg()` over doubles would not
+    * be), and the final joins are id-keyed against shortlist-sized frames.
+    */
+  def marginMine(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 4,
+      threshold: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    def avgOverK(shortlist: DataFrame, keyCol: String, outCol: String): DataFrame =
+      shortlist.groupBy(col(keyCol))
+        .agg(array_sort(collect_list(struct(col("rank"), col("cosine")))).as("_l"))
+        .select(col(keyCol),
+          (aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("cosine"))
+            / size(col("_l")).cast("double")).as(outCol))
+    val fwd = topK(left, right, idCol, vecCol, k)
+    val bwd = topK(right, left, idCol, vecCol, k)
+    val avgL = avgOverK(fwd, "query_id", "avg_l")
+    val avgR = avgOverK(bwd, "query_id", "avg_r")
+    val scored = fwd
+      .join(avgL, Seq("query_id"))
+      .join(avgR.withColumnRenamed("query_id", "neighbor_id"), Seq("neighbor_id"))
+      .withColumn("margin", col("cosine") / ((col("avg_l") + col("avg_r")) / 2))
+    val w = Window.partitionBy("query_id").orderBy(col("margin").desc, col("neighbor_id"))
+    scored.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1 && col("margin") >= threshold)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        round(col("margin"), 6).as("margin"))
+  }
+
   /** Bind `v` once as a lambda variable for `body` — the let-binding trick
     * over a 1-element array transform. HOF lambdas are interpreted with NO
     * common-subexpression elimination, so any outer Column referenced

@@ -99,6 +99,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.head._3 == 1.0 && capped.head._4 == 1.0)
   }
 
+  test("marginMine: ratio margin picks the exclusive partner a raw-cosine argmax loses to a hub") {
+    // Right-side vector 11 is a HUB: cosine 0.8 to left-1 but also 0.42 to
+    // every other left vector. Vector 12 is left-1's exclusive partner:
+    // raw cosine only 0.75, but orthogonal to everyone else. The ratio
+    // margin divides by neighborhood density, so 12 must win for left-1
+    // even though the plain top-1 picks the hub.
+    val left = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val right = Seq(
+      (11L, Array(0.8f, 0.424f, 0.424f, 0f)), // hub
+      (12L, Array(0.75f, 0f, 0f, 0.661f)), // exclusive partner of 1
+      (13L, Array(0f, 0.9f, 0.436f, 0f))).toDF("vec_id", "embedding")
+    val rawTop1 = Similarity.topK(left, right, "vec_id", "embedding", k = 1)
+      .where(col("query_id") === 1L).collect().head.getLong(1)
+    assert(rawTop1 == 11L, "fixture must make the raw argmax pick the hub")
+    val mined = Similarity.marginMine(left, right, "vec_id", "embedding", k = 2, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mined(1L)._1 == 12L,
+      s"margin must re-rank the exclusive partner above the hub, got ${mined(1L)}")
+    assert(mined(1L)._2 > 1.0)
+  }
+
   test("splitLeakage reports exactly the cross-split identical-text pairs") {
     // 40 twin pairs (i, i+1000) with per-pair unique text: LSH must bucket
     // each twin pair together and nothing else; leakage = twins whose hash
