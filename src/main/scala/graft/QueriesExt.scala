@@ -3053,7 +3053,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore, mineBitext)
+    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3732,4 +3732,43 @@ object QueriesExt {
       |  SELECT qa, qb, margin,
       |    row_number() OVER (PARTITION BY qa ORDER BY margin DESC, qb) AS rk FROM m)
       |WHERE rk = 1 AND margin >= 1.0""".stripMargin))
+
+  /** Two-stage int8 retrieval gate: shortlist on the quantized corpus
+    * (×4 shortlist), exact fp32 rescore to top-10 — the memory-bounded
+    * retrieval shape. Oracle replays quantization, asymmetric coarse
+    * scoring, shortlist cut, and exact re-rank.
+    */
+  private lazy val annInt8Rescore: Q = "x_ann_int8_rescore" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      Similarity.topKInt8Rescore(e.where(col("vec_id") < 20), e,
+        "vec_id", "embedding", k = 10, shortlistFactor = 4)
+    },
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) vd FROM embeddings),
+      |n AS (SELECT vec_id, vd,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(vd, x -> x*x)), (a,b)->a+b)) nrm
+      |  FROM v),
+      |p AS (SELECT vec_id, vd, list_min(vd) mn,
+      |        (list_max(vd) - list_min(vd)) / 255.0 AS scale FROM v),
+      |dq AS (SELECT vec_id, list_transform(
+      |         list_transform(vd, x -> (CASE WHEN scale = 0 THEN 0
+      |           ELSE floor((x - mn) / scale + 0.5) END)::INT),
+      |         c -> mn + c::DOUBLE * scale) AS v8 FROM p),
+      |n8 AS (SELECT vec_id, v8,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(v8, x -> x*x)), (a,b)->a+b)) nrm8
+      |  FROM dq),
+      |coarse AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.vd, c.v8),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,w)->acc+w)/(q.nrm*c.nrm8) AS cos8
+      |  FROM n q JOIN n8 c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+      |short AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos8 DESC, neighbor_id) rk
+      |  FROM coarse) WHERE rk <= 40),
+      |exact AS (SELECT s.query_id, s.neighbor_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.vd, c.vd),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,w)->acc+w)/(q.nrm*c.nrm) AS cosine
+      |  FROM short s JOIN n q ON q.vec_id = s.query_id JOIN n c ON c.vec_id = s.neighbor_id)
+      |SELECT query_id, neighbor_id, rank, cosine FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM exact) WHERE rank <= 10""".stripMargin))
 }

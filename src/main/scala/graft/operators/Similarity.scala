@@ -97,6 +97,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** TWO-STAGE int8 retrieval — the production memory-saving shape: stage 1
+    * shortlists against the QUANTIZED corpus (1 byte/dim instead of 4 — at
+    * 100 TB of embeddings that is the difference between in-memory and
+    * not), stage 2 re-reads ONLY the shortlist's fp32 vectors through an
+    * id-keyed join and re-ranks exactly. Asymmetric scoring (fp32 queries
+    * vs dequantized corpus codes — the ADC convention) keeps the coarse
+    * stage's error at one quantization step, so a `shortlistFactor` of a
+    * few absorbs coarse-stage rank inversions; with the shortlist spanning
+    * the corpus the result is exactly [[topK]] (asserted in spec).
+    *
+    * Scale shape: stage 1 is [[topK]]'s plan over the codes frame (queries
+    * broadcast, one scan, WindowGroupLimit-pruned rank window); stage 2
+    * touches `|queries| · k · shortlistFactor` rows — shortlist-sized, not
+    * corpus-sized — via keyed joins the optimizer broadcasts when small.
+    */
+  def topKInt8Rescore(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlistFactor: Int = 4): DataFrame = {
+    require(k > 0 && shortlistFactor > 0, "k and shortlistFactor must be positive")
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      norm(col(vecCol)).as("q_norm")))
+    // The coarse frame carries ONLY the codes struct — at scale this is the
+    // compact index artifact; the fp32 vectors stay in the base table.
+    val codes = corpus.select(col(idCol).as("neighbor_id"), quantizeInt8(col(vecCol)).as("_q8"))
+    val coarse = codes.select(col("neighbor_id"), dequantizeInt8(col("_q8")).as("_v8"))
+      .select(col("neighbor_id"), col("_v8"), norm(col("_v8")).as("_n8"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos8", cosine(col("q_vec"), col("_v8"), col("q_norm"), col("_n8")))
+    val w1 = Window.partitionBy("query_id").orderBy(col("cos8").desc, col("neighbor_id"))
+    val shortlist = coarse.withColumn("_rk", row_number().over(w1))
+      .where(col("_rk") <= k * shortlistFactor)
+      .select("query_id", "neighbor_id")
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        norm(col(vecCol)).as("c_norm")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Margin-based cross-domain pair mining — the ratio-margin scorer of
     * Artetxe & Schwenk 2019 (the LASER/CCMatrix bitext-mining criterion):
     * a candidate pair (a, b) scores `cos(a,b) / ((avgK(a) + avgK(b)) / 2)`,

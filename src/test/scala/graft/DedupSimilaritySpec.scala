@@ -99,6 +99,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.head._3 == 1.0 && capped.head._4 == 1.0)
   }
 
+  test("topKInt8Rescore with a corpus-wide shortlist equals exact topK") {
+    // Quantization can reorder the COARSE stage, but when the shortlist
+    // spans the whole corpus the fp32 rescore must reproduce exact topK
+    // bit-for-bit (ranks, ids, cosines).
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7.3 + d * 1.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    val exact = Similarity.topK(queries, vecs, "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val staged = Similarity.topKInt8Rescore(queries, vecs, "vec_id", "embedding",
+        k = 6, shortlistFactor = 5) // 6*5 = 30 >= corpus
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(staged == exact)
+  }
+
+  test("topKInt8Rescore coarse stage really scores on dequantized codes") {
+    // A narrow shortlist (factor 1) must still return k rows per query and
+    // every returned cosine must be an EXACT fp32 cosine (the rescore), not
+    // a quantized one: recompute independently and compare.
+    val vecs = (0L until 20L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 13 + d * 5) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.topKInt8Rescore(vecs.where(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", k = 4, shortlistFactor = 1).collect()
+    assert(out.groupBy(_.getLong(0)).forall(_._2.length == 4))
+    val raw = vecs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+      def n(v: Array[Float]) = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      dot / (n(a) * n(b))
+    }
+    out.foreach { r =>
+      val expect = cos(raw(r.getLong(0)), raw(r.getLong(1)))
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12,
+        s"rescored cosine must be fp32-exact: ${r.getDouble(3)} vs $expect")
+    }
+  }
+
   test("marginMine: ratio margin picks the exclusive partner a raw-cosine argmax loses to a hub") {
     // Right-side vector 11 is a HUB: cosine 0.8 to left-1 but also 0.42 to
     // every other left vector. Vector 12 is left-1's exclusive partner:
