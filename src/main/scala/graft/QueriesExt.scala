@@ -3053,7 +3053,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore)
+    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3771,4 +3771,43 @@ object QueriesExt {
       |SELECT query_id, neighbor_id, rank, cosine FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM exact) WHERE rank <= 10""".stripMargin))
+
+  /** Perceptual image-hash gate: REAL pixel decode of the PNG fixtures →
+    * all-integer aHash/dHash bit assembly, every-11th corrupt channel. The
+    * oracle knows only the fixture's pixel FORMULA — every one of the 128
+    * bits is replayed through integer math, so a single mis-sampled pixel
+    * or bit-order slip hash-mismatches.
+    */
+  private lazy val mmPhash: Q = "x_multimodal_phash" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.perceptualHashes(
+        Multimodal.syntheticPngs(docs(s, dir), "doc_id")
+          .withColumn("blob",
+            when(col("doc_id") % 11 === 0, lit("not an image").cast("binary"))
+              .otherwise(col("blob"))),
+        "doc_id", "blob"),
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h FROM documents),
+      |a AS (SELECT doc_id, (j*8+i)::INT AS k,
+      |        ((doc_id + 31*(((2*i+1)*w)//16) + 17*(((2*j+1)*h)//16)) % 256) AS g
+      |      FROM d, UNNEST(range(0,8)) t1(i), UNNEST(range(0,8)) t2(j)),
+      |s AS (SELECT doc_id, sum(g) AS s64 FROM a GROUP BY doc_id),
+      |ah AS (SELECT a.doc_id,
+      |        sum(CASE WHEN g*64 > s64 AND k < 32 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS ahash_lo,
+      |        sum(CASE WHEN g*64 > s64 AND k >= 32 THEN (1::BIGINT << (k-32)) ELSE 0 END)::BIGINT AS ahash_hi
+      |      FROM a JOIN s USING (doc_id) GROUP BY a.doc_id),
+      |d0 AS (SELECT doc_id, (j*8+i)::INT AS k,
+      |        ((doc_id + 31*(((2*(i+1)+1)*w)//18) + 17*(((2*j+1)*h)//16)) % 256) AS ga,
+      |        ((doc_id + 31*(((2*i+1)*w)//18) + 17*(((2*j+1)*h)//16)) % 256) AS gb
+      |      FROM d, UNNEST(range(0,8)) t1(i), UNNEST(range(0,8)) t2(j)),
+      |dh AS (SELECT doc_id,
+      |        sum(CASE WHEN ga > gb AND k < 32 THEN (1::BIGINT << k) ELSE 0 END)::BIGINT AS dhash_lo,
+      |        sum(CASE WHEN ga > gb AND k >= 32 THEN (1::BIGINT << (k-32)) ELSE 0 END)::BIGINT AS dhash_hi
+      |      FROM d0 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 11 = 0 THEN NULL ELSE ah.ahash_lo END AS ahash_lo,
+      |  CASE WHEN d.doc_id % 11 = 0 THEN NULL ELSE ah.ahash_hi END AS ahash_hi,
+      |  CASE WHEN d.doc_id % 11 = 0 THEN NULL ELSE dh.dhash_lo END AS dhash_lo,
+      |  CASE WHEN d.doc_id % 11 = 0 THEN NULL ELSE dh.dhash_hi END AS dhash_hi,
+      |  d.doc_id % 11 <> 0 AS decoded
+      |FROM d JOIN ah USING (doc_id) JOIN dh USING (doc_id)""".stripMargin))
 }

@@ -261,6 +261,109 @@ object Multimodal {
     }(RowEncoder.encoderFor(schema))
   }
 
+  val phashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("ahash_lo", LongType, nullable = true),
+    StructField("ahash_hi", LongType, nullable = true),
+    StructField("dhash_lo", LongType, nullable = true),
+    StructField("dhash_hi", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** PERCEPTUAL image hashes from a REAL pixel decode — the image-dedup
+    * primitive (aHash: 8×8 nearest-sample grid, bit = cell above the grid
+    * mean; dHash: 9×8 grid, bit = horizontal gradient sign). Both are
+    * invariant under uniform brightness shift — `(g+c)·64 > S+64c ⟺ g·64 >
+    * S`, gradients unchanged — which is the property that makes them
+    * near-dup detectors rather than byte hashes (re-encoded or
+    * re-brightened copies collide; `content_sha` does not). All-integer
+    * math: the sample grid is `x_i = ⌊(2i+1)·w/16⌋` (dHash columns /18) and
+    * the mean test multiplies through by 64, so a SQL oracle replays every
+    * bit exactly — no floating point anywhere.
+    *
+    * Each 64-bit hash ships as two 32-bit halves in BIGINTs (`*_lo` bits
+    * 0–31, `*_hi` bits 32–63): ANSI engines overflow on `1 << 63` sums, and
+    * the split is what the banded pair join wants anyway. Band 0 of the
+    * raster is hashed (the fixtures are grayscale; a production color path
+    * would luma-convert first — same plan, one more per-pixel multiply).
+    * Undecodable blobs degrade to `decoded = false`, never fail.
+    */
+  def perceptualHashRow(id: Long, blob: Array[Byte]): Row = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      if (img == null) return Row(id, null, null, null, null, false)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      def g(x: Int, y: Int): Int = raster.getSample(x, y, 0)
+      val ax = Array.tabulate(8)(i => (2 * i + 1) * w / 16)
+      val ay = Array.tabulate(8)(j => (2 * j + 1) * h / 16)
+      val ag = Array.tabulate(64)(k => g(ax(k % 8), ay(k / 8)))
+      val s = ag.sum
+      val abits = ag.map(v => v * 64 > s)
+      val dx = Array.tabulate(9)(i => (2 * i + 1) * w / 18)
+      val dbits = Array.tabulate(64)(k => g(dx(k % 8 + 1), ay(k / 8)) > g(dx(k % 8), ay(k / 8)))
+      def pack(bits: Array[Boolean], from: Int): Long =
+        (0 until 32).foldLeft(0L)((acc, k) => if (bits(from + k)) acc | (1L << k) else acc)
+      Row(id, pack(abits, 0), pack(abits, 32), pack(dbits, 0), pack(dbits, 32), true)
+    } catch {
+      case scala.util.control.NonFatal(_) => Row(id, null, null, null, null, false)
+    }
+  }
+
+  /** [[perceptualHashRow]] over a frame — same partition-preserving
+    * `mapPartitions` shape as [[decodeImages]], blob dropped at the decode.
+    */
+  def perceptualHashes(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => perceptualHashRow(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(RowEncoder.encoderFor(phashSchema))
+  }
+
+  /** Near-duplicate IMAGE pairs by aHash Hamming distance, banded: the four
+    * 16-bit words of the hash are LSH bands — two hashes within Hamming
+    * `maxHamming ≤ 3` MUST agree on at least one word (pigeonhole), so the
+    * word-keyed equi-join finds every such pair with zero false negatives,
+    * and `bit_count(xor)` verifies the exact distance. The SimHash banding
+    * argument, applied to images.
+    *
+    * Scale shape: four word-keyed self-join branches over the hash frame
+    * (each a keyed shuffle; hot words — e.g. the all-zero word of flat
+    * images — are capped loudly at `maxBucket` like every banded join
+    * here), distinct-merged, then the O(1)-per-pair popcount verify.
+    */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantee only holds for maxHamming <= 3")
+    val h = hashes.where(col("decoded"))
+      .select(col(idCol), col("ahash_lo"), col("ahash_hi"))
+    val words = h.select(col(idCol), explode(array(
+      struct(lit(0).as("band"), (col("ahash_lo") % 65536).as("w")),
+      struct(lit(1).as("band"), (col("ahash_lo") / 65536).cast("long").as("w")),
+      struct(lit(2).as("band"), (col("ahash_hi") % 65536).as("w")),
+      struct(lit(3).as("band"), (col("ahash_hi") / 65536).cast("long").as("w")))).as("bw"))
+      .select(col(idCol), col("bw.band").as("band"), col("bw.w").as("w"))
+    val ok = words.groupBy("band", "w").agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBucket).select("band", "w")
+    val kept = words.join(ok, Seq("band", "w"))
+    val cand = kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.w") === col("b.w") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
+    val ha = h.select(col(idCol).as("id_a"), col("ahash_lo").as("_alo"), col("ahash_hi").as("_ahi"))
+    val hb = h.select(col(idCol).as("id_b"), col("ahash_lo").as("_blo"), col("ahash_hi").as("_bhi"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming",
+        bit_count(col("_alo").bitwiseXOR(col("_blo"))) +
+          bit_count(col("_ahi").bitwiseXOR(col("_bhi"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling over a "video" blob: every `step`-th frame index of
     * `n_frames = floor(n_bytes / frameBytes)` frames, exploded to one row per
     * sampled frame. The real pipeline would then `mapPartitions`-decode each

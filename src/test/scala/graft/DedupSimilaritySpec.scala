@@ -99,6 +99,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.head._3 == 1.0 && capped.head._4 == 1.0)
   }
 
+  test("perceptual hashes are brightness-shift invariant; unrelated images differ; corrupt degrades") {
+    def png(w: Int, h: Int, shift: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        // keep raw values in [0, 200] so +shift never clamps at 255
+        img.getRaster.setSample(x, y, 0, ((seed + 31 * x + 17 * y) % 200 + shift).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(24, 16, 0, 7L)),
+      (2L, png(24, 16, 40, 7L)), // same image, 40 gray levels brighter
+      (3L, png(24, 16, 0, 12345L)), // different content
+      (4L, "garbage".getBytes)
+    ).toDF("doc_id", "blob")
+    val h = Multimodal.perceptualHashes(rows, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def quad(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(h(2L).getBoolean(5) && quad(h(1L)) == quad(h(2L)),
+      "uniform brightness shift must not change a single hash bit")
+    assert(quad(h(1L)) != quad(h(3L)), "different content must hash differently")
+    assert(!h(4L).getBoolean(5) && h(4L).isNullAt(1), "corrupt blob degrades, never fails")
+  }
+
+  test("imageNearDupPairs: 4-band pigeonhole catches hamming<=3 even when all flips share a band") {
+    def hrow(id: Long, alo: Long, ahi: Long) = (id, alo, ahi, 0L, 0L, true)
+    val base = (0xABCD1234L, 0x0F0F7777L)
+    val hashes = Seq(
+      hrow(1L, base._1, base._2),
+      hrow(2L, base._1 ^ 0x7L, base._2), // 3 flips, ALL in band 0
+      hrow(3L, base._1 ^ 0xF00L, base._2 ^ 0x30000L), // 6 flips spread over two bands
+      hrow(4L, ~base._1 & 0xFFFFFFFFL, base._2) // far away
+    ).toDF("vec_id", "ahash_lo", "ahash_hi", "dhash_lo", "dhash_hi", "decoded")
+    val pairs = Multimodal.imageNearDupPairs(hashes, "vec_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"only the hamming-3 pair survives, got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 3)
+  }
+
   test("topKInt8Rescore with a corpus-wide shortlist equals exact topK") {
     // Quantization can reorder the COARSE stage, but when the shortlist
     // spans the whole corpus the fp32 rescore must reproduce exact topK
