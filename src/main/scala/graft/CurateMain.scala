@@ -13,9 +13,10 @@ import graft.operators.Dedup
 /** Production entry point for the CORPUS-CURATION surface — what
   * [[GraftMain]] is to the reference-parity pipeline, this is to the
   * training-data extensions: one YAML config declares the run
-  * (filters → exact dedup → near-dup clusters → decontaminate → stratified
-  * sample → split), and the output is a curated parquet corpus plus a
-  * machine-readable stage report.
+  * (filters → NB-classifier filter → segment-LM prune → self-dedup → exact
+  * dedup → near-dup clusters → decontaminate → DSIR selection → stratified
+  * sample → mixture → split), and the output is a curated parquet corpus
+  * plus a machine-readable stage report.
   *
   * `runMain graft.CurateMain <config.yaml>` (or `CURATE_CONFIG` /
   * `CURATE_CONFIG_FILE` env). Report JSON goes to `<output>/report.json`
@@ -154,20 +155,38 @@ object CurateMain {
     val survivors0 = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_filters" -> survivors0.count()
 
+    // Bootstrap-classifier filter (the fastText-filter slot of the CCNet/
+    // LLaMA recipes): fit NB on THIS corpus with the configured seed
+    // column/value, keep docs scoring at least `min-score`. Runs right
+    // after the cheap bounds so the (one-aggregation) fit trains on
+    // already-sane documents; docs with no vocabulary evidence drop —
+    // nothing argues for keeping them.
+    val afterClassifier = cfg.classifierSeedColumn match {
+      case Some(seedCol) =>
+        val kept = graft.operators.Classifier.nbTrainScore(
+            survivors0, cfg.idColumn, cfg.textColumn,
+            col(seedCol) === cfg.classifierSeedValue, cfg.classifierVocab)
+          .where(col("nb_score") >= cfg.classifierMinScore)
+          .select(id)
+        survivors0.join(kept, cfg.idColumn).persist(StorageLevel.MEMORY_AND_DISK)
+      case None => survivors0
+    }
+    stages += "after_classifier" -> afterClassifier.count()
+
     // CCNet-order sub-document pruning BEFORE dedup: dedup keys must see the
     // cleaned text (a doc whose boilerplate window died is a different
     // document). Docs whose every window fails drop out (n_kept = 0).
     val afterSegLm = cfg.segmentLmTokens match {
       case Some(n) =>
         val seg = graft.operators.UnigramLm.segmentFilter(
-            survivors0, cfg.idColumn, cfg.textColumn, n, cfg.segmentLmMinScore)
+            afterClassifier, cfg.idColumn, cfg.textColumn, n, cfg.segmentLmMinScore)
           .where(col("n_kept") > 0)
           .select(id, col("text_clean"))
-        survivors0.drop(cfg.textColumn)
+        afterClassifier.drop(cfg.textColumn)
           .join(seg, cfg.idColumn)
           .withColumnRenamed("text_clean", cfg.textColumn)
           .persist(StorageLevel.MEMORY_AND_DISK)
-      case None => survivors0
+      case None => afterClassifier
     }
     stages += "after_segment_lm" -> afterSegLm.count()
 
@@ -228,11 +247,28 @@ object CurateMain {
     }
     stages += "after_decontaminate" -> afterDecon.count()
 
+    // DSIR selection (importance resampling toward the configured target
+    // slice): runs on the decontaminated corpus so weights are fit on what
+    // could actually ship; the Gumbel noise is a content hash, so the kept
+    // set is append-stable and retry-safe like every selection here.
+    val afterDsir = cfg.dsirTargetColumn match {
+      case Some(tc) =>
+        val w = graft.operators.Dsir.importanceWeights(
+          afterDecon, cfg.idColumn, cfg.textColumn,
+          col(tc) === cfg.dsirTargetValue, cfg.dsirBuckets)
+        graft.operators.Dsir.gumbelTopK(w, cfg.idColumn, cfg.dsirKeep)
+          .select(id)
+          .join(afterDecon, cfg.idColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => afterDecon
+    }
+    stages += "after_dsir" -> afterDsir.count()
+
     val afterSample = cfg.sampleStratum match {
       case Some(stratum) =>
-        Dedup.stratifiedSample(afterDecon, id, col(stratum),
+        Dedup.stratifiedSample(afterDsir, id, col(stratum),
           cfg.sampleRates, cfg.sampleDefault)
-      case None => afterDecon
+      case None => afterDsir
     }
     stages += "after_sample" -> afterSample.count()
 

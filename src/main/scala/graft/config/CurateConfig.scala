@@ -42,7 +42,15 @@ final case class CurateConfig(
     dqNotNull: Seq[String] = Nil,
     dqUnique: Seq[String] = Nil,
     dqAccepted: Map[String, Seq[String]] = Map.empty,
-    dqFailOnViolation: Boolean = false) {
+    dqFailOnViolation: Boolean = false,
+    classifierSeedColumn: Option[String] = None,
+    classifierSeedValue: String = "",
+    classifierMinScore: Double = 0.0,
+    classifierVocab: Int = 4096,
+    dsirTargetColumn: Option[String] = None,
+    dsirTargetValue: String = "",
+    dsirKeep: Int = 0,
+    dsirBuckets: Int = 4096) {
 
   def dqConfigured: Boolean =
     dqNotNull.nonEmpty || dqUnique.nonEmpty || dqAccepted.nonEmpty
@@ -56,6 +64,10 @@ final case class CurateConfig(
     exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
     require(exampleEod.nonEmpty, "examples.eod must be non-empty")
     segmentLmTokens.foreach(n => require(n > 0, "segment-lm.tokens must be positive"))
+    require(classifierVocab > 0, "classifier.vocab must be positive")
+    if (dsirTargetColumn.isDefined)
+      require(dsirKeep > 0, "dsir.keep must be positive")
+    require(dsirBuckets > 0, "dsir.buckets must be positive")
     selfDedupMinLen.foreach(l => require(l > 8, "dedup.self-minlen must exceed the winnowing window (8)"))
     // Allow-list values must be panel members: the dominant-script label
     // can only ever be a panel script, so an off-panel value (or a typo —
@@ -88,7 +100,7 @@ object CurateConfig {
     val tree = ConfigYaml.parseTree(src)
     val known = Set("input", "output", "id-column", "text-column",
       "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq",
-      "mixture", "examples", "segment-lm")
+      "mixture", "examples", "segment-lm", "classifier", "dsir")
     val unknown = tree.keySet -- known
     require(unknown.isEmpty, s"unknown curate config keys: ${unknown.mkString(", ")}")
 
@@ -138,6 +150,20 @@ object CurateConfig {
     val dq = sub(tree, "dq")
     val unknownQ = dq.keySet -- Set("not-null", "unique", "accepted", "fail-on-violation")
     require(unknownQ.isEmpty, s"unknown dq keys: ${unknownQ.mkString(", ")}")
+    val classifier = sub(tree, "classifier")
+    val unknownCl = classifier.keySet -- Set("seed-column", "seed-value", "min-score", "vocab")
+    require(unknownCl.isEmpty, s"unknown classifier keys: ${unknownCl.mkString(", ")}")
+    // Same half-specified-stage guard: a seed value/threshold without the
+    // seed column keys no stage; a column without a value seeds nothing.
+    require(classifier.isEmpty ||
+      (classifier.contains("seed-column") && classifier.contains("seed-value")),
+      "classifier: requires seed-column and seed-value")
+    val dsir = sub(tree, "dsir")
+    val unknownDs = dsir.keySet -- Set("target-column", "target-value", "keep", "buckets")
+    require(unknownDs.isEmpty, s"unknown dsir keys: ${unknownDs.mkString(", ")}")
+    require(dsir.isEmpty || (dsir.contains("target-column") &&
+      dsir.contains("target-value") && dsir.contains("keep")),
+      "dsir: requires target-column, target-value and keep")
     def csv(s: String): Seq[String] = s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     // A half-specified stage must fail loudly, not silently skip: CurateMain
     // keys the sample stage off `stratum-column` and the decontaminate stage
@@ -201,6 +227,14 @@ object CurateConfig {
       dqNotNull = str(dq, "not-null").map(csv).getOrElse(Nil),
       dqUnique = str(dq, "unique").map(csv).getOrElse(Nil),
       dqAccepted = sub(dq, "accepted").map { case (k, v) => k -> csv(v.toString) },
-      dqFailOnViolation = str(dq, "fail-on-violation").exists(_.toBoolean)).validated
+      dqFailOnViolation = str(dq, "fail-on-violation").exists(_.toBoolean),
+      classifierSeedColumn = str(classifier, "seed-column"),
+      classifierSeedValue = str(classifier, "seed-value").getOrElse(""),
+      classifierMinScore = str(classifier, "min-score").map(_.toDouble).getOrElse(0.0),
+      classifierVocab = str(classifier, "vocab").map(_.toInt).getOrElse(4096),
+      dsirTargetColumn = str(dsir, "target-column"),
+      dsirTargetValue = str(dsir, "target-value").getOrElse(""),
+      dsirKeep = str(dsir, "keep").map(_.toInt).getOrElse(0),
+      dsirBuckets = str(dsir, "buckets").map(_.toInt).getOrElse(4096)).validated
   }
 }

@@ -334,6 +334,68 @@ class CurateMainSpec extends SparkSpec {
     assert(kept.contains(4L))
   }
 
+  test("CurateMain.run: classifier and dsir stages filter and select as configured") {
+    val tmp = java.nio.file.Files.createTempDirectory("curate-cls").toString
+    // Good docs (lang=en) speak fruit; junk docs speak spam. Two UNLABELED
+    // rows (lang=xx) carry one vocabulary each: the classifier must keep
+    // the fruit-speaking one and drop the spam-speaking one; DSIR then
+    // keeps the 4 most-target-like of the survivors.
+    val fruit = "apple pear plum cherry grape melon"
+    val spamT = "spam junk casino pills scam popup"
+    (Seq(
+      (100L, fruit + " one", "en"), (101L, fruit + " two", "en"),
+      (102L, fruit + " three", "en"), (103L, spamT + " one", "de"),
+      (104L, spamT + " two", "de"), (105L, fruit + " mixed", "xx"),
+      (106L, spamT + " mixed", "xx")))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$tmp/in")
+    val cfg = CurateConfig.fromYaml(
+      s"""input: $tmp/in
+         |output: $tmp/out
+         |classifier:
+         |  seed-column: lang
+         |  seed-value: en
+         |dsir:
+         |  target-column: lang
+         |  target-value: en
+         |  keep: 3
+         |""".stripMargin)
+    val report = CurateMain.run(spark, cfg).stages.toMap
+    assert(report("after_filters") == 7L)
+    assert(report("after_classifier") == 4L, "classifier drops the three spam-speaking rows")
+    assert(report("after_dsir") == 3L)
+    val kept = spark.read.parquet(s"$tmp/out/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(Set(100L, 101L, 102L, 105L)),
+      s"dsir must select among the fruit-speaking survivors, got $kept")
+    assert(kept.size == 3)
+  }
+
+  test("CurateConfig.fromYaml: classifier/dsir blocks parse and guard") {
+    val cfg = CurateConfig.fromYaml(
+      """input: a
+        |output: b
+        |classifier:
+        |  seed-column: lang
+        |  seed-value: en
+        |  min-score: -1.5
+        |dsir:
+        |  target-column: source
+        |  target-value: wiki
+        |  keep: 250
+        |  buckets: 1024
+        |""".stripMargin)
+    assert(cfg.classifierSeedColumn.contains("lang") && cfg.classifierMinScore == -1.5)
+    assert(cfg.dsirTargetColumn.contains("source") && cfg.dsirKeep == 250 && cfg.dsirBuckets == 1024)
+    // half-specified stages fail loudly
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nclassifier:\n  min-score: 1")
+    }
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\ndsir:\n  target-column: lang\n  target-value: en")
+    }
+  }
+
   test("CurateMain.run: gopher honors configured min-words, not the published 50-word floor") {
     val tmp = java.nio.file.Files.createTempDirectory("curate-gmin").toString
     // 30 words, stopword-rich, alpha, mean length in range: passes every
