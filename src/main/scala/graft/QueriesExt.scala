@@ -3053,7 +3053,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash)
+    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3771,6 +3771,28 @@ object QueriesExt {
       |SELECT query_id, neighbor_id, rank, cosine FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM exact) WHERE rank <= 10""".stripMargin))
+
+  /** Incremental-IVF gate: the index is built from the first 400 vectors,
+    * the last 100 arrive as a batch through [[Similarity.ivfAppend]] (batch
+    * assignment only — no corpus rescan), and the probe runs over the
+    * appended index. Assignment is a pure per-row argmax against fixed
+    * centroids, so append-then-search ≡ rebuild-then-search — the gate
+    * shares the full-rebuild oracle VERBATIM, which is the strongest
+    * equivalence statement available.
+    */
+  private lazy val annIvfIncr: Q = "x_ann_ivf_incr" -> ((
+    (s: SparkSession, dir: String) => {
+      val e = emb(s, dir)
+      val cents = e.where(col("vec_id") < 16)
+      val index = Similarity.assignCells(
+        e.where(col("vec_id") < 400), cents, "vec_id", "embedding")
+      Similarity.topKIvfPrebuilt(
+        queries = e.where(col("vec_id") >= 100 && col("vec_id") < 120),
+        assigned = Similarity.ivfAppend(index, e.where(col("vec_id") >= 400),
+          cents, "vec_id", "embedding"),
+        centroids = cents, "vec_id", "embedding", k = 5, nProbe = 2)
+    },
+    annIvfOracle))
 
   /** Perceptual image-hash gate: REAL pixel decode of the PNG fixtures →
     * all-integer aHash/dHash bit assembly, every-11th corrupt channel. The

@@ -297,6 +297,24 @@ object Similarity {
         col("_m._avec").as(vecCol), col("_m._anrm").as("_nrm"))
   }
 
+  /** INCREMENTAL IVF index maintenance: assign ONLY the new batch to the
+    * existing centroids and append to the stored cell assignment — the
+    * daily-ingest shape (with the `partitionBy("cid")` layout this is an
+    * append of the batch's cells, touching no existing file). Because the
+    * cell assignment is a pure per-row argmax against fixed centroids,
+    * append-then-search is EXACTLY rebuild-then-search (asserted in spec
+    * and by the gate sharing the full-rebuild oracle) — until centroid
+    * drift warrants retraining, which is a measured decision
+    * ([[trainCentroids]]), not a forced rebuild per batch.
+    */
+  def ivfAppend(
+      index: DataFrame,
+      batch: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    index.unionByName(assignCells(batch, centroids, idCol, vecCol))
+
   /** IVF probe over a PREBUILT cell assignment (from [[assignCells]], fresh
     * or read back from a `partitionBy("cid")` layout): queries rank their
     * `nProbe` nearest cells and score only those cells' members — with the

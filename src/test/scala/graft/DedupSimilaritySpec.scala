@@ -142,6 +142,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 3)
   }
 
+  test("ivfAppend: append-then-search equals rebuild-then-search exactly") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(6)(d => math.cos(i * 3.7 + d * 0.9).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.where(col("vec_id") < 4)
+    val queries = vecs.where(col("vec_id") >= 10 && col("vec_id") < 14)
+    val rebuilt = Similarity.topKIvf(queries, vecs, cents, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val index = Similarity.assignCells(vecs.where(col("vec_id") < 30), cents, "vec_id", "embedding")
+    val appended = Similarity.topKIvfPrebuilt(queries,
+      Similarity.ivfAppend(index, vecs.where(col("vec_id") >= 30), cents, "vec_id", "embedding"),
+      cents, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(appended == rebuilt)
+    // the appended rows really landed in their argmax cell
+    val cells = Similarity.ivfAppend(index, vecs.where(col("vec_id") >= 30),
+        cents, "vec_id", "embedding")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val full = Similarity.assignCells(vecs, cents, "vec_id", "embedding")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(cells == full)
+  }
+
   test("topKInt8Rescore with a corpus-wide shortlist equals exact topK") {
     // Quantization can reorder the COARSE stage, but when the shortlist
     // spans the whole corpus the fp32 rescore must reproduce exact topK
