@@ -43,7 +43,9 @@ object Bench {
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passed":${passed.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    writeArtifact(line)
+    // Subset runs (positional args) are local iteration aids — they must
+    // never overwrite the full-board artifact-of-record.
+    if (only.isEmpty) writeArtifact(line)
     spark.stop()
   }
 

@@ -3053,7 +3053,8 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr)
+    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
+    topkPerKey)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3301,6 +3302,27 @@ object QueriesExt {
       |       count(*) FILTER (WHERE event_type IS NOT NULL
       |                        AND event_type NOT IN ('click','view','purchase','signup'))
       |FROM events""".stripMargin))
+
+  /** Bounded top-k-per-key gate over the native [[graft.expressions.TopKAgg]]
+    * aggregate: top-3 events per event_type by (value DESC, event_id DESC) —
+    * the shortlist shape (per-domain best docs, per-query rescore cut) that
+    * at 100 TB must NOT shuffle N rows. The aggregate's capped partial
+    * buffers keep the exchange at O(keys × k × partitions); TopKSpec proves
+    * the bound from executed shuffle metrics. Oracle is the plain
+    * `row_number() <= k` window — same rows, naive plan.
+    */
+  private lazy val topkPerKey: Q = "x_topk_per_key" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir).where(col("value").isNotNull)
+      operators.TopK.topKPerKey(ev, Seq("event_type"),
+          struct(col("value"), col("event_id"), col("user_id")), k = 3)
+        .select("event_type", "value", "event_id", "user_id")
+    },
+    """SELECT event_type, value, event_id, user_id FROM (
+      |  SELECT event_type, value, event_id, user_id,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id DESC) AS rn
+      |  FROM events WHERE value IS NOT NULL) WHERE rn <= 3""".stripMargin))
 
   /** Event-rate anomaly gate: per (user, hour) event counts flagged beyond
     * 3σ of that user's own hourly mean — composition of event-time

@@ -37,6 +37,27 @@ object Shim {
     scans(qe.executedPlan).distinct.map(_.metrics("numFiles").value)
   }
 
+  /** Execute `df` and return total records written into EVERY shuffle
+    * exchange of the executed plan (AQE stages and exchange reuse included).
+    * Shuffle-VOLUME claims ("the bounded agg moves O(k·P) rows, not O(N)")
+    * are asserted on this — an executed-metric fact, not a plan-string grep.
+    */
+  def shuffleRecordsWritten(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def exchanges(p: SparkPlan): Seq[exchange.ShuffleExchangeExec] = p match {
+      case s: exchange.ShuffleExchangeExec => s +: s.children.flatMap(exchanges)
+      case a: AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+      case q: QueryStageExec => exchanges(q.plan)
+      case r: exchange.ReusedExchangeExec => exchanges(r.child)
+      case other => other.children.flatMap(exchanges) ++ other.subqueries.flatMap(exchanges)
+    }
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    exchanges(qe.executedPlan).distinct
+      .map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
+  }
+
   /** Register a named SQL function backed by a `Column => Column` composition
     * of built-in (codegen'd) expressions — unlike `spark.udf.register` this
     * adds no black-box UDF call: the function inlines into the caller's plan
