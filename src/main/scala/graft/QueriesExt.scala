@@ -3054,7 +3054,7 @@ object QueriesExt {
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
     splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
-    topkPerKey)
+    topkPerKey, retrieveHybrid)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3323,6 +3323,59 @@ object QueriesExt {
       |         row_number() OVER (PARTITION BY event_type
       |                            ORDER BY value DESC, event_id DESC) AS rn
       |  FROM events WHERE value IS NOT NULL) WHERE rn <= 3""".stripMargin))
+
+  /** Hybrid-retrieval gate: BM25 lexical top-30 and dense cosine top-30
+    * (query = vector 0) fused by reciprocal rank (c=60) into a top-20 —
+    * the standard sparse+dense first stage of a RAG retrieval pipeline.
+    * Both shortlists reuse gated rankers ([[graft.operators.TfIdf.bm25]],
+    * [[graft.operators.Similarity.topK]]); the oracle replays both plus the
+    * same coalesced two-term fusion sum. `n_lists` counts rankers that
+    * surfaced the doc.
+    */
+  private lazy val retrieveHybrid: Q = "x_retrieve_hybrid" -> ((
+    (s: SparkSession, dir: String) => {
+      val sparse = graft.operators.TfIdf.bm25(docs(s, dir), "doc_id", "text",
+        queryTerms = Seq("hash", "join", "spark", "vector"), k1 = 1.2, b = 0.75, topK = 30)
+        .select("doc_id", "rank")
+      val dense = Similarity.topK(emb(s, dir).where(col("vec_id") === 0), emb(s, dir),
+          "vec_id", "embedding", k = 30)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank", c = 60, k = 20)
+    },
+    """WITH ws AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n, sum(len(ws))::DOUBLE / count(*) AS avgdl FROM ws),
+      |post AS (SELECT doc_id, len(ws)::DOUBLE AS dl, unnest(ws) AS term FROM ws),
+      |fp AS (SELECT * FROM post WHERE term IN ('hash','join','spark','vector')),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, any_value(dl) AS dl
+      |  FROM fp GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM fp GROUP BY term),
+      |per AS (SELECT tf.doc_id, tf.term,
+      |    ln((n - df + 0.5)/(df + 0.5) + 1) * (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+      |  FROM tf JOIN dfq USING (term), stats),
+      |sc AS (SELECT doc_id,
+      |    round(list_reduce(list_prepend(0.0, list(s ORDER BY term)), (a,b)->a+b), 4) AS score
+      |  FROM per GROUP BY doc_id),
+      |sparse AS (SELECT doc_id, rank FROM
+      |  (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank FROM sc)
+      |  WHERE rank <= 30),
+      |nv AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+      |       (a,b)->a+b)) nrm FROM embeddings),
+      |scored AS (SELECT c.vec_id AS doc_id,
+      |  list_reduce(list_prepend(0.0, list_transform(list_zip(q.embedding,c.embedding),
+      |    x -> x[1]::DOUBLE * x[2]::DOUBLE)), (acc,v)->acc+v)/(q.nrm*c.nrm) AS cosine
+      |  FROM nv q JOIN nv c ON q.vec_id <> c.vec_id WHERE q.vec_id = 0),
+      |dense AS (SELECT doc_id, rank FROM
+      |  (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)::INT AS rank
+      |   FROM scored) WHERE rank <= 30)
+      |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+      |  round(COALESCE(1.0/(60.0 + s.rank::DOUBLE), 0.0)
+      |      + COALESCE(1.0/(60.0 + d.rank::DOUBLE), 0.0), 6) AS rrf_score,
+      |  (CASE WHEN s.rank IS NOT NULL THEN 1 ELSE 0 END
+      |   + CASE WHEN d.rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_lists
+      |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+      |ORDER BY rrf_score DESC, 1 LIMIT 20""".stripMargin))
 
   /** Event-rate anomaly gate: per (user, hour) event counts flagged beyond
     * 3σ of that user's own hourly mean — composition of event-time
