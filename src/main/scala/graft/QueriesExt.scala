@@ -3054,7 +3054,7 @@ object QueriesExt {
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
     splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
-    topkPerKey, retrieveHybrid)
+    topkPerKey, retrieveHybrid, qualityCompress)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3376,6 +3376,30 @@ object QueriesExt {
       |   + CASE WHEN d.rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_lists
       |FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
       |ORDER BY rrf_score DESC, 1 LIMIT 20""".stripMargin))
+
+  /** Compression-ratio quality gate (sketch-gate pattern, like the HLL/CMS
+    * gates): zlib lengths aren't SQL-portable, so the gated claims are the
+    * oracle-checkable count plus two booleans that are TRUE BY CONSTRUCTION
+    * of DEFLATE — every doc within the stored-block bound (compressed ≤
+    * bytes + 64) and doubling subadditive (defl(t‖t) < 2·defl(t) + 64, the
+    * LZ77 back-reference guarantee) — so an implementation regression (e.g.
+    * a codec swap that inflates short docs) hash-mismatches. The RATIO
+    * itself is the training-filter signal ([[graft.operators.Quality
+    * .compressionRatio]]); its spec pins known-compressibility fixtures.
+    */
+  private lazy val qualityCompress: Q = "x_quality_compress" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir).select(col("source"),
+        octet_length(col("text")).cast("long").as("bl"),
+        Quality.deflateLen(col("text")).as("c1"),
+        Quality.deflateLen(concat(col("text"), col("text"))).as("c2"))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        bool_and(col("c1") <= col("bl") + lit(64L)).as("within_stored_bound"),
+        bool_and(col("c2") < lit(2L) * col("c1") + lit(64L)).as("doubling_subadditive"))
+    },
+    """SELECT source, count(*) AS n_docs, true AS within_stored_bound,
+      |  true AS doubling_subadditive FROM documents GROUP BY source""".stripMargin))
 
   /** Event-rate anomaly gate: per (user, hour) event counts flagged beyond
     * 3σ of that user's own hourly mean — composition of event-time

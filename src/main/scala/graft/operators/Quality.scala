@@ -237,4 +237,46 @@ object Quality {
       .select(col("_g").as(groupCol), col("_t").as("token"),
         col("n_group"), col("n_corpus"), col("rank"))
   }
+
+  /** DEFLATE-compressed length of a string's UTF-8 bytes (level 6, raw
+    * deflate — no gzip header so the length is pure content signal).
+    *
+    * A scalar UDF — one of the few in the engine — because the JDK's
+    * zlib binding is the only implementation surface; the cost model is
+    * still right for 100 TB: pure per-row map work, no shuffle, and the
+    * Deflater is allocated per CALL (not cached across rows) because
+    * Spark may evaluate the UDF concurrently within a task via codegen
+    * batching; `end()` releases the native buffer eagerly.
+    */
+  val deflateLen: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) Option.empty[Long]
+      else {
+        val d = new java.util.zip.Deflater(6, /* nowrap = raw deflate */ true)
+        try {
+          d.setInput(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          Some(n)
+        } finally d.end()
+      }
+    }
+    c => f(c)
+  }
+
+  /** Compression-ratio quality signal (the CCNet/Gopher-style heuristic:
+    * natural prose lands in a mid band; boilerplate and template spam
+    * compress far below it, random/binary junk sits at ~1.0+overhead).
+    * Emits per-doc `comp_len`, `byte_len`, `comp_ratio` — filter on a band
+    * like [0.25, 1.1] upstream of training. Deterministic: zlib level-6
+    * output depends only on the input bytes.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("byte_len"),
+        deflateLen(col(textCol)).as("comp_len"))
+      .withColumn("comp_ratio",
+        round(col("comp_len").cast("double") / greatest(lit(1L), col("byte_len")), 6))
 }
