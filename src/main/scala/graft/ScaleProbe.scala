@@ -72,12 +72,63 @@ object ScaleProbe {
       val p = Dedup.winnowingPairs(big, "doc_id", "text", k = 12, w = 8, minShared = 40)
       println(s"[probe] winnowing pairs = ${p.count()}")
     }
+    stage("topk agg vs window") {
+      // Three plans for the same per-key top-3 answer: the bounded TopKAgg
+      // (heap partials, no sort), Spark's WindowGroupLimit rewrite (same
+      // shuffle bound, two full sorts), and the naive window (full-data
+      // shuffle + sort — what every engine without the rewrite pays). Two
+      // key shapes: low cardinality (event_type, ~5 keys — huge groups,
+      // worst case for reduce-side sorting) and high cardinality (user_id).
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_type"), col("user_id"), col("value"), col("event_id"))
+        .where(col("value").isNotNull)
+      val nEv = ev.count()
+      val bigEv = (0 until factor).map { i =>
+        ev.select(col("event_type"), col("user_id"), col("value"),
+          (col("event_id") + lit(i.toLong * 10 * nEv)).as("event_id"))
+      }.reduce(_ union _).localCheckpoint(true)
+      println(s"[probe] events = ${bigEv.count()}")
+      def windowTopK(keys: Seq[String], k: Int) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(col("value").desc, col("event_id").desc)
+        bigEv.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      }
+      val glKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+      val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+      for ((keys, label) <- Seq(Seq("event_type") -> "low-card key",
+                                Seq("user_id") -> "high-card key")) {
+        timed(s"topk agg ($label)") {
+          println(s"[probe] rows = ${operators.TopK.topKPerKey(bigEv, keys,
+            struct(col("value"), col("event_id"), col("user_id")), 3).count()}")
+        }
+        // Above the 128-distinct-key default, ObjectHashAggregate abandons
+        // the hash map and SORTS the input by key — exactly the work the
+        // bounded agg exists to avoid. Bounded k-item buffers make a high
+        // threshold safe; measure the difference explicitly.
+        spark.conf.set(fbKey, (1 << 22).toString)
+        timed(s"topk agg, raised fallback ($label)") {
+          println(s"[probe] rows = ${operators.TopK.topKPerKey(bigEv, keys,
+            struct(col("value"), col("event_id"), col("user_id")), 3).count()}")
+        }
+        spark.conf.set(fbKey, "128")
+        timed(s"window group-limit ($label)") {
+          println(s"[probe] rows = ${windowTopK(keys, 3).count()}")
+        }
+        spark.conf.set(glKey, "-1")
+        timed(s"window naive ($label)") {
+          println(s"[probe] rows = ${windowTopK(keys, 3).count()}")
+        }
+        spark.conf.set(glKey, "1000")
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
       if (stagesMatched == 0)
         println(s"[probe] WARNING: no filterable stage label contains " +
-          s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only')")
+          s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
+          "'topk agg vs window')")
       spark.stop(); return
     }
 

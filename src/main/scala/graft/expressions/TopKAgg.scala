@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Bounded top-k buffer: a size-capped min-heap (when keeping the largest k)
   * over any Catalyst-orderable value. The cap is the whole point — it is what
@@ -25,6 +25,16 @@ final class TopKBuffer(val k: Int, ord: Ordering[Any]) {
   def insert(v: Any): Unit =
     if (heap.size < k) heap.enqueue(v)
     else if (ord.compare(v, heap.head) > 0) { heap.dequeue(); heap.enqueue(v) }
+
+  /** Hot-path insert: compare the REUSED input value against the current
+    * worst first and deep-copy only when it actually enters the heap. Once
+    * the buffer is warm, almost every row fails the single head comparison
+    * — the copy (the dominant per-row allocation for string/struct
+    * payloads) happens O(k + improvements) times, not O(n).
+    */
+  def insertWithCopy(v: Any, copy: Any => Any): Unit =
+    if (heap.size < k) heap.enqueue(copy(v))
+    else if (ord.compare(v, heap.head) > 0) { heap.dequeue(); heap.enqueue(copy(v)) }
 
   def mergeFrom(other: TopKBuffer): Unit = other.heap.foreach(insert)
 
@@ -81,10 +91,43 @@ case class TopKAgg(
 
   /** "Largest k" is the canonical direction; `largest = false` flips the
     * ordering so the same heap keeps the smallest k and emits ascending.
+    *
+    * For struct children with a primitive first field (the `struct(score,
+    * tiebreak, …)` calling convention) the comparator reads field 0
+    * directly and falls back to the full interpreted ordering only on
+    * first-field ties — the interpreted per-field loop is the dominant
+    * comparison cost and almost every comparison resolves on the score.
+    * Null handling matches InterpretedOrdering exactly (nulls first).
     */
   private lazy val ord: Ordering[Any] = {
-    val natural = TypeUtils.getInterpretedOrdering(child.dataType)
+    val natural = child.dataType match {
+      case st: StructType if st.nonEmpty => firstFieldFast(st)
+      case dt => TypeUtils.getInterpretedOrdering(dt)
+    }
     if (largest) natural else natural.reverse
+  }
+
+  private def firstFieldFast(st: StructType): Ordering[Any] = {
+    val full = TypeUtils.getInterpretedOrdering(st)
+    def fast(cmp0: (InternalRow, InternalRow) => Int): Ordering[Any] = new Ordering[Any] {
+      override def compare(x: Any, y: Any): Int = {
+        val rx = x.asInstanceOf[InternalRow]
+        val ry = y.asInstanceOf[InternalRow]
+        val nx = rx.isNullAt(0); val ny = ry.isNullAt(0)
+        if (nx || ny) { if (nx && ny) full.compare(x, y) else if (nx) -1 else 1 }
+        else {
+          val c = cmp0(rx, ry)
+          if (c != 0) c else full.compare(x, y)
+        }
+      }
+    }
+    st.head.dataType match {
+      case DoubleType  => fast((a, b) => java.lang.Double.compare(a.getDouble(0), b.getDouble(0)))
+      case FloatType   => fast((a, b) => java.lang.Float.compare(a.getFloat(0), b.getFloat(0)))
+      case LongType    => fast((a, b) => java.lang.Long.compare(a.getLong(0), b.getLong(0)))
+      case IntegerType => fast((a, b) => java.lang.Integer.compare(a.getInt(0), b.getInt(0)))
+      case _ => full
+    }
   }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, ord)
@@ -92,8 +135,9 @@ case class TopKAgg(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
     // Catalyst reuses the underlying row/value objects across input rows —
-    // anything retained across calls must be deep-copied.
-    if (v != null) buf.insert(InternalRow.copyValue(v))
+    // anything RETAINED must be deep-copied; insertWithCopy defers the copy
+    // until the value actually survives the head comparison.
+    if (v != null) buf.insertWithCopy(v, InternalRow.copyValue)
     buf
   }
 

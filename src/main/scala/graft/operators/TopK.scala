@@ -33,6 +33,14 @@ object TopK {
     * `ordered` is the named struct whose lexicographic order ranks rows —
     * put the score first, a unique tie-break second, carried payload after;
     * every struct field comes back as a column alongside the keys.
+    *
+    * Tuning: above ~128 distinct keys per task, ObjectHashAggregate's
+    * default sort-based fallback kicks in and sorts the input by key —
+    * re-introducing the very sort this operator avoids. The buffers here
+    * are bounded (k items per key), so raising
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` is safe
+    * and measured 5.9× on a high-cardinality probe (BASELINE.md "bounded
+    * top-k A/B").
     */
   def topKPerKey(df: DataFrame, keys: Seq[String], ordered: Column, k: Int,
       largest: Boolean = true): DataFrame = {
