@@ -55,10 +55,13 @@ object Similarity {
       norm(col(vecCol)).as("c_norm"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Bounded top-k aggregate, NOT a rank window: the window formulation
+    // shuffles and sorts every (query, corpus) scored pair — O(Q×C) rows
+    // through the exchange — while TopKAgg's k-capped partial buffers move
+    // only O(Q × k × partitions). Tie order (cosine DESC, neighbor_id ASC)
+    // is encoded as lexicographic-largest over (cosine, -neighbor_id).
+    TopK.topKPerKeyRanked(scored, Seq("query_id"),
+        struct(col("cosine"), (-col("neighbor_id")).as("_negid"), col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
@@ -90,10 +93,10 @@ object Similarity {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("q_vec"), col("c_vec"), col("q_norm"), col("c_norm")))
       .where(col("cosine") < dupCeiling)
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    // Same bounded-agg shape as [[topK]]: the anchors×corpus scored stream
+    // never reaches an exchange un-truncated.
+    TopK.topKPerKeyRanked(scored, Seq("query_id"),
+        struct(col("cosine"), (-col("neighbor_id")).as("_negid"), col("neighbor_id")), k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 

@@ -50,4 +50,18 @@ object TopK {
     agged.select(keys.map(col) :+ explode(col("_topk")).as("_e"): _*)
       .select(keys.map(col) :+ col("_e.*"): _*)
   }
+
+  /** [[topKPerKey]] plus a 1-based `rank` column — the drop-in replacement
+    * for `row_number().over(Window.partitionBy(keys).orderBy(…)) <= k`:
+    * the aggregate's output arrays are already best-first, so rank is just
+    * the array position, computed on keys × ≤k rows. Keys must not be
+    * named `pos`/`col` (posexplode's intermediate names).
+    */
+  def topKPerKeyRanked(df: DataFrame, keys: Seq[String], ordered: Column, k: Int,
+      largest: Boolean = true): DataFrame = {
+    val agged = df.groupBy(keys.map(col): _*)
+      .agg(topK(ordered, k, largest).as("_topk"))
+    agged.select(keys.map(col) :+ posexplode(col("_topk")): _*)
+      .select((keys.map(col) :+ (col("pos") + 1).cast("int").as("rank")) :+ col("col.*"): _*)
+  }
 }
