@@ -44,17 +44,34 @@ object QueriesExt {
     val bands = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2}) AS bv FROM mh")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
+    s"""WITH $minhashCtes
+       |$minhashPairsSelect$extraWhere""".stripMargin
+  }
+
+  /** The minhash-LSH CTE chain and pair select, exposed separately so other
+    * oracles (e.g. the PageRank gate's edge list) can compose the SAME pair
+    * semantics instead of re-deriving them.
+    */
+  private def minhashCtes: String = {
+    val mh = Dedup.minHashParams(12).zipWithIndex
+      .map { case ((a, b), j) => s"min(($a*h+$b)%4294967296) AS m$j" }
+      .mkString(", ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(m${3 * b}||'|'||m${3 * b + 1}||'|'||m${3 * b + 2}) AS bv FROM mh")
+      .mkString(" UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split(trim(text), ' ') ws FROM documents),
        |sh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
        |       FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
        |hs AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h FROM sh),
        |mh AS (SELECT doc_id, $mh FROM hs GROUP BY doc_id),
        |bands AS ($bands),
-       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) <= 1000)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id
-       |JOIN ok ON ok.band=a.band AND ok.bv=a.bv$extraWhere""".stripMargin
+       |ok AS (SELECT band, bv FROM bands GROUP BY band, bv HAVING count(*) <= 1000)""".stripMargin
   }
+
+  private def minhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b ON a.band=b.band AND a.bv=b.bv AND a.doc_id < b.doc_id
+      |JOIN ok ON ok.band=a.band AND ok.bv=a.bv""".stripMargin
   private val dedupMinhash: Q = "x_dedup_minhash_lsh" -> ((
     (s: SparkSession, dir: String) =>
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text", n = 3, numHashes = 12, bands = 4),
@@ -3054,7 +3071,7 @@ object QueriesExt {
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
     splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
-    topkPerKey, retrieveHybrid, qualityCompress)
+    topkPerKey, retrieveHybrid, qualityCompress, graphPagerank)
 
   /** Operators whose results would be sketch-based and engine-specific.
     * Empty since round 5: the HLL and CMS surfaces are gated through their
@@ -3400,6 +3417,42 @@ object QueriesExt {
     },
     """SELECT source, count(*) AS n_docs, true AS within_stored_bound,
       |  true AS doubling_subadditive FROM documents GROUP BY source""".stripMargin))
+
+  /** PageRank-over-near-dup-graph gate: the minhash-LSH pair list (same
+    * semantics as `x_dedup_minhash_lsh`, CTEs shared verbatim) symmetrized
+    * into a directed edge list, 5 damped power iterations — the
+    * boilerplate-hub curation signal. The oracle unrolls the iterations
+    * with the same sorted-source contribution folds and double-forced
+    * constants, so ranks are bit-identical before the final round(6).
+    */
+  private lazy val graphPagerank: Q = {
+    val iterCtes = (1 to 5).map { t =>
+      s"""i$t AS (SELECT e.dst AS id,
+         |  list_reduce(list_prepend(0.0, list(r.r/d.deg ORDER BY e.src)), (a,b)->a+b) AS v
+         |  FROM edges e JOIN degq d ON d.src=e.src JOIN r${t - 1} r ON r.id=e.src GROUP BY e.dst),
+         |r$t AS (SELECT n0.id,
+         |  (1.0::DOUBLE - 0.85::DOUBLE)/nn.n + 0.85::DOUBLE*coalesce(i$t.v, 0.0::DOUBLE) AS r
+         |  FROM nodesq n0 CROSS JOIN nn LEFT JOIN i$t ON i$t.id=n0.id)""".stripMargin
+    }.mkString(",\n")
+    "x_graph_pagerank" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, numHashes = 12, bands = 4)
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        operators.Graph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85)
+      },
+      s"""WITH $minhashCtes,
+         |pairs AS ($minhashPairsSelect),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |degq AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+         |nodesq AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodesq),
+         |r0 AS (SELECT id, 1.0::DOUBLE/nn.n AS r FROM nodesq CROSS JOIN nn),
+         |$iterCtes
+         |SELECT id AS node_id, round(r, 6) AS pagerank FROM r5""".stripMargin))
+  }
 
   /** Event-rate anomaly gate: per (user, hour) event counts flagged beyond
     * 3σ of that user's own hourly mean — composition of event-time
