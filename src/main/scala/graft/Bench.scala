@@ -44,8 +44,12 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passed":${passed.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Subset runs (positional args) are local iteration aids — they must
-    // never overwrite the full-board artifact-of-record.
-    if (only.isEmpty) writeArtifact(line)
+    // never overwrite the full-board artifact-of-record. Guard on the
+    // registry size too, not just `only`: an env-override invocation that
+    // somehow measured fewer queries than the registry holds is a partial
+    // board and has no business becoming the record (this exact failure
+    // shipped once: a 9-query subset landed as BENCH_local_r08.json).
+    if (only.isEmpty && results.size == SparkEntry.queries.size) writeArtifact(line)
     spark.stop()
   }
 

@@ -3046,7 +3046,91 @@ object QueriesExt {
         |  LEFT JOIN clean USING (doc_id)""".stripMargin))
   }
 
+  // ------------------------------------------------ event-stream analytics
+
+  /** Strict-order funnel (view → click → purchase): stage counts where each
+    * stage must happen strictly after the user's qualifying previous-stage
+    * time — see [[operators.EventAnalytics.funnel]] for the keyed
+    * conditional-min plan and why it beats the collect_list fold at scale.
+    */
+  private val eventsFunnel: Q = "x_events_funnel" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.EventAnalytics.funnel(sources.EventsTable.load(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+    """WITH f AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events
+      |           WHERE event_type IN ('view','click','purchase')),
+      |s0 AS (SELECT u, min(t) AS ft FROM f WHERE et='view' GROUP BY u),
+      |s1 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s0 USING(u)
+      |       WHERE f.et='click' AND f.t > s0.ft GROUP BY f.u),
+      |s2 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s1 USING(u)
+      |       WHERE f.et='purchase' AND f.t > s1.ft GROUP BY f.u)
+      |SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS users
+      |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
+      |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
+
+  /** Day-granularity cohort retention matrix —
+    * [[operators.EventAnalytics.retention]]: two user-keyed exchanges,
+    * O(days²) output regardless of event volume.
+    */
+  private val eventsRetention: Q = "x_events_retention" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .withColumn("ts", graft.functions.Conversions.nanosToTimestamp(col("ts")))
+      operators.EventAnalytics.retention(ev, "user_id", "ts")
+    },
+    """WITH active AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      |firstd AS (SELECT u, min(d) AS cohort FROM active GROUP BY u)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |  (d - cohort) AS day_offset, count(DISTINCT a.u) AS users
+      |FROM active a JOIN firstd USING(u) GROUP BY cohort, (d - cohort)""".stripMargin))
+
+  // ------------------------------------------------- corpus token statistics
+
+  /** Per-document token Shannon entropy (nats, 6 dp) —
+    * [[operators.CorpusStats.tokenEntropy]]: two doc-keyed exchanges, state
+    * bounded by within-doc distinct tokens.
+    */
+  private val textEntropy: Q = "x_text_entropy" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.CorpusStats.tokenEntropy(docs(s, dir), "doc_id", "text"),
+    """WITH toks AS (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok FROM documents),
+      |wc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+      |SELECT doc_id, round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE*ln(c::DOUBLE))/sum(c)::DOUBLE, 6)
+      |  AS token_entropy
+      |FROM wc GROUP BY doc_id""".stripMargin))
+
+  /** Corpus-wide top-50 trigrams (count ≥ 5, lexicographic tie-break) —
+    * [[operators.CorpusStats.topNgrams]]: word-count shuffle + bounded
+    * [[operators.TopK]] cut, k rows to the driver.
+    */
+  private val corpusTrigrams: Q = "x_corpus_trigrams" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.CorpusStats.topNgrams(docs(s, dir), "text", n = 3, k = 50, minCount = 5),
+    """WITH toks AS (SELECT string_split(trim(text),' ') AS ws FROM documents),
+      |grams AS (SELECT ws[i]||' '||ws[i+1]||' '||ws[i+2] AS gram
+      |          FROM toks, UNNEST(range(1, len(ws)-1)) AS t(i)),
+      |counted AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram HAVING count(*) >= 5)
+      |SELECT cnt, gram FROM counted ORDER BY cnt DESC, gram LIMIT 50""".stripMargin))
+
+  /** Flesch reading ease (vowel-group syllable heuristic, 6 dp) — pure
+    * scan-riding scalar, [[graft.functions.TextAnalysis.fleschReadingEase]].
+    */
+  private val textReadability: Q = "x_text_readability" -> ((
+    (s: SparkSession, dir: String) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fleschReadingEase(col("text")).as("flesch")),
+    """SELECT doc_id, round(206.835
+      |  - 1.015 * (greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE
+      |             / greatest(len(regexp_extract_all(text,'[.!?]+')),1)::DOUBLE)
+      |  - 84.6 * (list_reduce(list_prepend(0::BIGINT,
+      |        list_transform(string_split(trim(lower(text)),' '),
+      |          w -> greatest(len(regexp_extract_all(w,'[aeiouy]+')),1)::BIGINT)),
+      |        (a,b) -> a+b)::DOUBLE
+      |      / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE), 6) AS flesch
+      |FROM documents""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -72,6 +72,25 @@ object TextAnalysis {
     round(lenScore * lit(0.5) + sw * lit(0.4) + (lit(1.0) - least(punct * lit(10.0), lit(1.0))) * lit(0.1), 6)
   }
 
+  /** Flesch reading ease, 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with the standard heuristics an engine can
+    * compute in one codegen'd pass: sentences = terminal-punctuation runs
+    * (`[.!?]+`, floored at 1), syllables per word = vowel-group count
+    * (`[aeiouy]+` on the lowercased word, floored at 1). Rounded to 6 dp at
+    * the boundary so the per-word fold order never surfaces in a gate hash.
+    * Shuffle-free scalar — at scale it rides the same scan as the other
+    * quality facets and pushes down as a filter bound.
+    */
+  def fleschReadingEase(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val nW = greatest(size(toks), lit(1)).cast("double")
+    val nS = greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("double")
+    val syl = aggregate(toks, lit(0L),
+      (acc, w) => acc + greatest(regexp_count(w, lit("[aeiouy]+")), lit(1)).cast("long"))
+      .cast("double")
+    round(lit(206.835) - lit(1.015) * (nW / nS) - lit(84.6) * (syl / nW), 6)
+  }
+
   /** Whitespace token count + a BPE-ish subword count (letter runs, digit
     * runs, and single punctuation marks each count as one token — the classic
     * pre-tokenizer regex).

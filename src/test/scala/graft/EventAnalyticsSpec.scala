@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, EventAnalytics}
+import graft.functions.TextAnalysis
+
+/** Hand-built fixtures with known answers for the event-analytics and
+  * corpus-statistics operators: funnel strict-order semantics, retention
+  * cohort arithmetic, entropy/readability closed-form values, trigram top-k
+  * determinism.
+  */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel enforces strict stage order per user") {
+    // u1 completes all three in order; u2 purchases BEFORE clicking (no
+    // conversion past click); u3 only views; u4's click precedes its view
+    // (click must not count).
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:10:00")),
+      (2L, "view", ts("2024-01-01 09:00:00")),
+      (2L, "purchase", ts("2024-01-01 09:30:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      (3L, "view", ts("2024-01-02 08:00:00")),
+      (4L, "click", ts("2024-01-03 07:00:00")),
+      (4L, "view", ts("2024-01-03 08:00:00")),
+      (5L, "error", ts("2024-01-03 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("funnel: equal timestamps do NOT advance the stage (strict >)") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0, "view", 1L), (1, "click", 0L)))
+  }
+
+  test("retention cohorts by first day; offset-0 row equals cohort size") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 23:59:59")), (2L, ts("2024-01-02 00:00:01")),
+      (3L, ts("2024-01-02 12:00:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.retention(ev, "user_id", "ts")
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0, 2L), // u1, u2 cohort Jan 1
+      ("2024-01-01", 1, 1L), // u2 active Jan 2
+      ("2024-01-01", 2, 1L), // u1 active Jan 3
+      ("2024-01-02", 0, 1L))) // u3 cohort Jan 2
+  }
+
+  test("tokenEntropy: closed-form values and degeneracy ordering") {
+    val docs = Seq(
+      (1L, "a a a a"), // H = 0
+      (2L, "a b c d"), // H = ln 4
+      (3L, "a a b b") // H = ln 2
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.tokenEntropy(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == math.rint(math.log(4) * 1e6) / 1e6)
+    assert(got(3L) == math.rint(math.log(2) * 1e6) / 1e6)
+  }
+
+  test("topNgrams: deterministic cut with count-then-lexicographic order") {
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // "x y z" ×3, "y z x" ×2, "z x y" ×2
+      (2L, "a b c a b c"), // "a b c" ×2, "b c a" ×1, "c a b" ×1
+      (3L, "q r") // too short: zero trigrams
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.topNgrams(docs, "text", n = 3, k = 3, minCount = 2)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((3L, "x y z"), (2L, "a b c"), (2L, "y z x")))
+  }
+
+  test("fleschReadingEase: closed-form check") {
+    // "The cat sat." — 3 words, 1 sentence, syllables: the=1, cat=1, sat.=1.
+    val df = Seq((1L, "The cat sat.")).toDF("doc_id", "text")
+    val got = df.select(TextAnalysis.fleschReadingEase(col("text"))).as[Double].head()
+    val want = math.rint((206.835 - 1.015 * 3.0 - 84.6 * (3.0 / 3.0)) * 1e6) / 1e6
+    assert(got == want)
+  }
+}
