@@ -3112,6 +3112,80 @@ object QueriesExt {
       |counted AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram HAVING count(*) >= 5)
       |SELECT cnt, gram FROM counted ORDER BY cnt DESC, gram LIMIT 50""".stripMargin))
 
+  /** Rolling DAU / trailing-7-day active users / stickiness per observed day
+    * — [[operators.EventAnalytics.rollingActive]]: contribution explosion
+    * over the deduplicated user-day frame (×7 that frame, never ×events),
+    * all exchanges keyed.
+    */
+  private val eventsRollingActive: Q = "x_events_rolling_active" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .withColumn("ts", graft.functions.Conversions.nanosToTimestamp(col("ts")))
+      operators.EventAnalytics.rollingActive(ev, "user_id", "ts", windowDays = 7)
+    },
+    """WITH active AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+      |dau AS (SELECT d, count(*) AS dau FROM active GROUP BY d),
+      |contrib AS (SELECT DISTINCT u, d + i::INT AS obs FROM active, UNNEST(range(0,7)) t(i)),
+      |tr AS (SELECT obs, count(*) AS trailing FROM contrib GROUP BY obs)
+      |SELECT strftime(dau.d,'%Y-%m-%d') AS day, dau.dau AS dau, tr.trailing AS trailing,
+      |  round(dau.dau::DOUBLE/tr.trailing::DOUBLE, 6) AS stickiness
+      |FROM dau JOIN tr ON tr.obs = dau.d""".stripMargin))
+
+  /** STREAMING strict-order funnel: [[operators.EventAnalytics.funnelStateful]]
+    * (flatMapGroupsWithState, O(users) state store, greedy fold ≡ the batch
+    * conditional-min chain) run through an AvailableNow file stream and
+    * gated against the SAME batch oracle as `x_events_funnel` — the
+    * batch/stream parity statement for custom-state operators.
+    */
+  private val stEventFunnel: Q = "st_event_funnel" -> {
+    val stages = Seq("view", "click", "purchase")
+    ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+        import s.implicits._
+        val slim = sources.EventsTable.load(s, dir)
+          .where(col("event_type").isin(stages.map(x => x: Any): _*))
+          .select(col("user_id").as("u"), col("event_type").as("et"), col("ts").as("t"))
+        streamedGate(s, "stfunnel", slim)(
+          plan = mk => operators.EventAnalytics.funnelStateful(mk(), stages),
+          post = out => {
+            val per = out.groupBy("u").agg(max("reached").as("reached"))
+            val counts = per.where(col("reached") >= 0)
+              .select(explode(sequence(lit(0), col("reached"))).as("stage_idx"))
+              .groupBy("stage_idx").agg(count(lit(1)).as("users"))
+            val stagesDf = stages.zipWithIndex
+              .map { case (st, i) => (i, st) }.toDF("stage_idx", "stage")
+            stagesDf.join(counts, Seq("stage_idx"), "left")
+              .select(col("stage_idx"), col("stage"),
+                coalesce(col("users"), lit(0L)).as("users"))
+          })
+      },
+      """WITH f AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events
+        |           WHERE event_type IN ('view','click','purchase')),
+        |s0 AS (SELECT u, min(t) AS ft FROM f WHERE et='view' GROUP BY u),
+        |s1 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s0 USING(u)
+        |       WHERE f.et='click' AND f.t > s0.ft GROUP BY f.u),
+        |s2 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s1 USING(u)
+        |       WHERE f.et='purchase' AND f.t > s1.ft GROUP BY f.u)
+        |SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS users
+        |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
+  }
+
+  /** Vocabulary coverage at frequency cutoffs —
+    * [[operators.CorpusStats.vocabCoverage]]: one word-count shuffle, head
+    * cut by the bounded top-k aggregate, never a global vocab sort.
+    */
+  private val vocabCoverage: Q = "x_vocab_coverage" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.CorpusStats.vocabCoverage(docs(s, dir), "text", Seq(5, 10, 50)),
+    """WITH toks AS (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents),
+      |wc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |total AS (SELECT sum(cnt) AS n FROM wc),
+      |ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM wc)
+      |SELECT c.cutoff, round(sum(CASE WHEN rk <= c.cutoff THEN cnt ELSE 0 END)::DOUBLE
+      |  / (SELECT n FROM total)::DOUBLE, 6) AS coverage
+      |FROM ranked, (VALUES (5),(10),(50)) c(cutoff) GROUP BY c.cutoff""".stripMargin))
+
   /** Flesch reading ease (vowel-group syllable heuristic, 6 dp) — pure
     * scan-riding scalar, [[graft.functions.TextAnalysis.fleschReadingEase]].
     */
@@ -3131,6 +3205,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
+    eventsRollingActive, stEventFunnel, vocabCoverage,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

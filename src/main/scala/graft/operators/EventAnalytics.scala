@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Classic event-stream analytics — ordered funnels and cohort retention —
   * expressed as keyed relational plans that hold up at 100 TB.
@@ -94,5 +95,90 @@ object EventAnalytics {
       .agg(countDistinct(col("u")).as("users"))
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("users"))
+  }
+
+  /** Rolling active-user metrics per observed day: DAU, trailing-`windowDays`
+    * active users (WAU for 7), and the DAU/WAU stickiness ratio.
+    *
+    * The trailing count is computed by CONTRIBUTION EXPLOSION, not a range
+    * window: each distinct (user, day) row fans out to the `windowDays`
+    * observation days it contributes to, then a distinct + count per
+    * observation day. That multiplies the *deduplicated* user-day frame by a
+    * small constant w — at 100 TB that frame is users × active-days, orders
+    * of magnitude below raw events — and every exchange stays keyed
+    * (user-day distinct, observation-day count). A `range between` window
+    * over days would need the per-day user SETS (not counts) to dedupe
+    * across the window, which no window frame expresses; the explode is the
+    * scalable encoding of exactly that set union. Output days are the
+    * OBSERVED days (≥ 1 active user that day) — trailing counts for silent
+    * days are not emitted.
+    */
+  def rollingActive(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val active = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val dau = active.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val contrib = active
+      .select(col("u"), explode(transform(
+        sequence(lit(0), lit(windowDays - 1)),
+        i => date_add(col("d"), i))).as("obs"))
+      .distinct()
+    val trailing = contrib.groupBy(col("obs")).agg(count(lit(1)).as("trailing"))
+    dau.join(trailing, dau("d") === trailing("obs"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("trailing"),
+        round(col("dau").cast("double") / col("trailing").cast("double"), 6)
+          .as("stickiness"))
+  }
+
+  /** Streaming funnel state machine: the incremental counterpart of
+    * [[funnel]], as a `flatMapGroupsWithState` over a user-keyed stream.
+    *
+    * Per-user state is two scalars — the furthest stage index reached and
+    * the timestamp of its qualifying event — so the state store stays
+    * O(users) whatever the event volume; each micro-batch sorts only ITS
+    * OWN events for the user (the standard sessionizer bound: per-user
+    * per-batch, not per-user total) and replays the same greedy fold the
+    * batch operator's conditional-min chain computes. The greedy scan in
+    * event-time order is equivalent to the min-chain: at stage k−1 with
+    * qualifying time t, the first stage-k event with ts > t IS
+    * min(stage-k ts > t). Late events inside a batch are handled by the
+    * sort; cross-batch event-time regressions (an earlier event arriving a
+    * batch later) can only under-advance, never mis-advance, the stage —
+    * the same monotone guarantee the reference's at-least-once pipeline
+    * gives its consumers.
+    *
+    * Input: a STREAMING frame with columns `(u: long, et: string,
+    * t: long)` pre-filtered to funnel stages. Output: `(u, reached)`
+    * appended each batch the user has activity; downstream takes
+    * `max(reached)` per user.
+    */
+  def funnelStateful(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val order = stages.zipWithIndex.toMap
+    events.select(col("u").cast("long"), col("et").cast("string"), col("t").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (u, it, state) =>
+          var (si, ts) = state.getOption.getOrElse((-1, Long.MinValue))
+          // Tie-break the sort by stage order for determinism; qualification
+          // itself compares timestamps only, so the tie-break never changes
+          // the reached stage (strict > means an equal-ts event of the next
+          // stage cannot qualify regardless of scan position).
+          it.toArray.sortBy(e => (e._3, order(e._2))).foreach { case (_, et, t) =>
+            if (si + 1 < stages.length && et == stages(si + 1) && (si == -1 || t > ts)) {
+              si += 1; ts = t
+            }
+          }
+          state.update((si, ts))
+          Iterator.single((u, si))
+      }.toDF("u", "reached")
   }
 }
