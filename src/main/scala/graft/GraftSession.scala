@@ -49,8 +49,18 @@ object GraftSession {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
+    registerPlanExtensions(spark)
     spark
   }
+
+  /** graft's planner extensions: the native as-of join strategy. Registered
+    * through `experimental.extraStrategies` (idempotent) because the driver
+    * owns session construction — a session built WITH
+    * `SparkSessionExtensions` would inject the same strategy object at
+    * build time.
+    */
+  def registerPlanExtensions(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.Shim.registerStrategy(spark, plans.AsOfJoinStrategy)
 
   /** Apply graft settings to an externally-built session (Verify/Bench).
     * Pins session TZ to UTC: the Conversions timestamp semantics
@@ -66,6 +76,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
     functions.GraftFunctions.register(spark)
+    registerPlanExtensions(spark)
     spark
   }
 

@@ -197,6 +197,62 @@ object Joins {
       .select(factCols.map(col) ++ dimCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
   }
 
+  /** [[asOf]] through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): identical semantics and output schema,
+    * but planned as a first-class as-of merge — each side shuffled and
+    * sorted separately, then a forward-only two-pointer pass with O(1)
+    * state — instead of the union+window encoding. See the plan node's
+    * scaladoc for the cost comparison; AsOfJoinSpec pins the row-for-row
+    * equivalence of the two.
+    *
+    * Duplicate (key, time) dim rows collapse by `max(struct(dimCols))`
+    * exactly as in [[asOf]] — same tie-break contract.
+    */
+  def asOfNative(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTime: String,
+      dimTime: String,
+      dimCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "asOfNative requires at least one key column")
+    require(dimCols.nonEmpty, "asOfNative requires at least one dim payload column")
+    import org.apache.spark.sql.graft.Shim
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = facts.sparkSession
+    val dval = struct(dimCols.map(dim(_)): _*)
+    val dimPrep = dim.groupBy((keys.map(dim(_)) :+ dim(dimTime).as("_t")): _*)
+      .agg(max(dval).as("_dval"))
+      .select(keys.map(col) ++ Seq(col("_t")) ++
+        dimCols.map(c => col("_dval").getField(c).as(prefix + c)): _*)
+    // Wrap each side in a fresh-alias Project: when both sides derive from
+    // the SAME base relation, the analyzer's DeduplicateRelations remaps the
+    // conflicting subtree's exprIds — it rewrites the Project's child refs
+    // (a standard node) but cannot rewrite the attributes a CUSTOM node
+    // stores, so the node must anchor on alias ids that survive the remap.
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def fresh(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      Project(plan.output.map(a => Alias(a, a.name)()), plan)
+    val lp = fresh(Shim.logicalPlan(facts))
+    val rp = fresh(Shim.logicalPlan(dimPrep))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfNative: no column `$name` in ${plan.output.map(_.name)}"))
+    val payload = dimCols.map(c => attr(rp, prefix + c))
+    val outAttrs = payload.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    Shim.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lp, rp,
+      leftKeys = keys.map(attr(lp, _)),
+      rightKeys = keys.map(attr(rp, _)),
+      leftTime = attr(lp, factTime),
+      rightTime = attr(rp, "_t"),
+      payload = payload,
+      outAttrs = outAttrs))
+  }
+
   /** Range (interval-containment) join: every (fact, dim) pair where the
     * fact's time falls in the dim row's half-open interval `[lo, hi)`,
     * optionally also matching on equality `keys`.

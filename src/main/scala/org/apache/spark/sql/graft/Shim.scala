@@ -14,6 +14,34 @@ object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a custom logical plan as a DataFrame (`Dataset.ofRows` went
+    * `private[sql]` with the connect split) — the construction path for
+    * graft's own logical nodes ([[graft.plans.AsOfJoinPlan]]).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The ANALYZED logical plan of a DataFrame — child material for custom
+    * logical nodes; analyzed (not the raw parsed plan) so attribute
+    * references resolved here stay valid inside the new parent.
+    */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Idempotently register a planner strategy on a LIVE session.
+    * `SparkSessionExtensions.injectPlannerStrategy` only works at session
+    * build time, which the driver owns — `experimental.extraStrategies` is
+    * the equivalent public hook for an already-running session.
+    */
+  def registerStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(strategy))
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+  }
+
   /** Execute `df` and return the `numFiles` metric of every parquet scan in
     * the EXECUTED plan — descending through AQE stages, exchange reuse and
     * (dynamic-partition-pruning) subqueries, which is why this needs the

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shim
+
+import graft.operators.Joins
+
+/** The native as-of physical operator ([[graft.plans.AsOfJoinExec]]) against
+  * the composed union+window operator: row-for-row equivalence on dense,
+  * sparse, duplicate-timestamp, null-key and empty-side fixtures, plus the
+  * physical-shape facts (two keyed exchanges, merge output partitioned by
+  * key).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftSession.registerPlanExtensions(spark)
+  }
+
+  private def facts = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"),
+    (2L, 15L, "d"), (3L, 100L, "e")
+  ).toDF("k", "t", "f")
+
+  private def dim = Seq(
+    (1L, 10L, "x10"), (1L, 15L, "x15"), (2L, 20L, "y20"), (4L, 1L, "z1")
+  ).toDF("k", "t", "v")
+
+  private def runBoth(f: org.apache.spark.sql.DataFrame, d: org.apache.spark.sql.DataFrame) = {
+    val composed = Joins.asOf(f, d, Seq("k"), "t", "t", Seq("v", "t"))
+    val native = Joins.asOfNative(f, d, Seq("k"), "t", "t", Seq("v", "t"))
+    (composed, native)
+  }
+
+  test("native == composed on the hand fixture (incl. at-or-before equality and no-match nulls)") {
+    val (c, n) = runBoth(facts, dim)
+    assert(n.columns.toSeq == c.columns.toSeq)
+    assert(n.collect().toSet == c.collect().toSet)
+    // Spot-check semantics directly: fact (1, 10) sees dim (1, 10) — equal
+    // timestamp IS visible; fact (1, 5) predates every dim row → nulls.
+    val byFact = n.as[(Long, Long, String, Option[String], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+    assert(byFact((1L, 10L)) == (Some("x10"), Some(10L)))
+    assert(byFact((1L, 20L)) == (Some("x15"), Some(15L)))
+    assert(byFact((1L, 5L)) == (None, None))
+    assert(byFact((3L, 100L)) == (None, None))
+  }
+
+  test("native == composed under duplicate (key,time) dim rows (max-struct tie-break)") {
+    val dupDim = dim.unionByName(Seq((1L, 10L, "x10-later"), (1L, 10L, "a-first")).toDF("k", "t", "v"))
+    val (c, n) = runBoth(facts, dupDim)
+    assert(n.collect().toSet == c.collect().toSet)
+  }
+
+  test("native == composed with null keys (null-safe grouping)") {
+    val f = Seq((Some(1L), 10L, "a"), (None, 10L, "n1"), (None, 3L, "n2"))
+      .toDF("k", "t", "f")
+    val d = Seq((Some(1L), 5L, "x"), (None, 7L, "nullgrp"))
+      .toDF("k", "t", "v")
+    val (c, n) = runBoth(f, d)
+    assert(n.collect().toSet == c.collect().toSet)
+    val got = n.where(col("k").isNull && col("t") === 10L)
+      .select("asof_v").as[String].collect().toSeq
+    assert(got == Seq("nullgrp"))
+  }
+
+  test("empty dim side yields all-null payload; empty fact side yields nothing") {
+    val emptyDim = dim.where(lit(false))
+    val n1 = Joins.asOfNative(facts, emptyDim, Seq("k"), "t", "t", Seq("v"))
+    assert(n1.count() == facts.count())
+    assert(n1.where(col("asof_v").isNotNull).count() == 0)
+    val n2 = Joins.asOfNative(facts.where(lit(false)), dim, Seq("k"), "t", "t", Seq("v"))
+    assert(n2.count() == 0)
+  }
+
+  test("randomized equivalence sweep") {
+    val rnd = new scala.util.Random(42)
+    val f = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toString))
+      .toDF("k", "t", "f")
+    val d = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toString))
+      .toDF("k", "t", "v")
+    val (c, n) = runBoth(f, d)
+    // Multiset compare (duplicate fact rows are legitimate).
+    val cm = c.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val nm = n.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(nm == cm)
+  }
+
+  test("physical shape: only the SMJ-style keyed exchanges, output stays key-partitioned") {
+    val n = Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v"))
+    // Exactly three exchanges: facts → merge (5 rows), dim → its (k,t)
+    // dedup aggregation (4 distinct groups after map-side partials), and the
+    // deduped dim → merge (HashPartitioning(k,_t) does NOT satisfy
+    // ClusteredDistribution(k), so EnsureRequirements re-keys it on k — 4
+    // rows). The merge itself adds nothing.
+    val nFacts = facts.count()
+    val nDimGroups = dim.groupBy("k", "t").count().count()
+    val base = nFacts + 2 * nDimGroups
+    val shuffled = Shim.shuffleRecordsWritten(n)
+    assert(shuffled == base, s"expected $base exchange records, got $shuffled")
+    // Reusing the merge output in a same-key aggregation must not re-shuffle:
+    // outputPartitioning is the left child's HashPartitioning(k), which
+    // satisfies the aggregation's ClusteredDistribution(k) — record count
+    // stays exactly `base`.
+    val agg = n.groupBy("k").agg(count(lit(1)))
+    val reShuffled = Shim.shuffleRecordsWritten(agg)
+    assert(reShuffled == base,
+      s"aggregation on the as-of key re-shuffled (records=$reShuffled, base=$base)")
+  }
+}
