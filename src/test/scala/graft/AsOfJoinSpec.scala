@@ -75,20 +75,73 @@ class AsOfJoinSpec extends SparkSpec {
     assert(n2.count() == 0)
   }
 
-  test("randomized equivalence sweep") {
+  test("randomized equivalence sweep — BOTH physical variants") {
     val rnd = new scala.util.Random(42)
     val f = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toString))
       .toDF("k", "t", "f")
     val d = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100).toString))
       .toDF("k", "t", "v")
-    val (c, n) = runBoth(f, d)
     // Multiset compare (duplicate fact rows are legitimate).
-    val cm = c.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
-    val nm = n.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
-    assert(nm == cm)
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val cm = multiset(Joins.asOf(f, d, Seq("k"), "t", "t", Seq("v", "t")))
+    Seq("10MB", "-1").foreach { th =>
+      withThreshold(th) {
+        assert(multiset(Joins.asOfNative(f, d, Seq("k"), "t", "t", Seq("v", "t"))) == cm,
+          s"variant under threshold=$th diverged")
+      }
+    }
+  }
+
+  private def withThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, old)
+  }
+
+  test("strategy picks the BROADCAST variant under the threshold and the merge above it") {
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    withThreshold("10MB") {
+      val p = physical(Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v")))
+      assert(p.contains("BroadcastAsOfJoin"), s"expected broadcast variant:\n$p")
+    }
+    withThreshold("-1") {
+      val p = physical(Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v")))
+      assert(p.contains("AsOfJoin") && !p.contains("BroadcastAsOfJoin"),
+        s"expected shuffled merge variant:\n$p")
+    }
+  }
+
+  test("broadcast variant: equivalent results, ZERO fact-side shuffle") {
+    withThreshold("10MB") {
+      val (c, n) = runBoth(facts, dim)
+      assert(n.collect().toSet == c.collect().toSet)
+      // Only the dim-prep (k,t) dedup aggregation exchanges rows; the fact
+      // stream reaches the lookup without a single shuffled record.
+      val shuffled = Shim.shuffleRecordsWritten(
+        Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v")))
+      val nDimGroups = dim.groupBy("k", "t").count().count()
+      assert(shuffled == nDimGroups,
+        s"expected only the $nDimGroups dim-agg records shuffled, got $shuffled")
+    }
+  }
+
+  test("broadcast variant: null keys and empty dim behave like the merge variant") {
+    withThreshold("10MB") {
+      val f = Seq((Some(1L), 10L, "a"), (None, 10L, "n1")).toDF("k", "t", "f")
+      val d = Seq((Some(1L), 5L, "x"), (None, 7L, "nullgrp")).toDF("k", "t", "v")
+      val (c, n) = runBoth(f, d)
+      assert(n.collect().toSet == c.collect().toSet)
+      val n1 = Joins.asOfNative(facts, dim.where(lit(false)), Seq("k"), "t", "t", Seq("v"))
+      assert(n1.count() == facts.count())
+      assert(n1.where(col("asof_v").isNotNull).count() == 0)
+    }
   }
 
   test("physical shape: only the SMJ-style keyed exchanges, output stays key-partitioned") {
+    withThreshold("-1") {
     val n = Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v"))
     // Exactly three exchanges: facts → merge (5 rows), dim → its (k,t)
     // dedup aggregation (4 distinct groups after map-side partials), and the
@@ -108,5 +161,6 @@ class AsOfJoinSpec extends SparkSpec {
     val reShuffled = Shim.shuffleRecordsWritten(agg)
     assert(reShuffled == base,
       s"aggregation on the as-of key re-shuffled (records=$reShuffled, base=$base)")
+    }
   }
 }
