@@ -3198,6 +3198,69 @@ object QueriesExt {
         |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
   }
 
+  /** STREAMING SLIDING-window aggregation (2 h window, 1 h slide): each
+    * event lands in two overlapping windows — the windowed-agg family's
+    * third shape next to tumbling (`st_windowed_counts`) and session
+    * (`st_sessionize`). Same sentinel/watermark discipline as the tumbling
+    * gate; the oracle replays the two-starts-per-event expansion.
+    */
+  private val stSlidingCounts: Q = "st_sliding_counts" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val ev = sources.EventsTable.load(s, dir)
+        .select(graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
+          col("event_type"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val sentinel = Seq((new java.sql.Timestamp(maxTs.getTime + 4 * 3600 * 1000L), "___wm"))
+        .toDF("ts", "event_type")
+      streamedGate(s, "stslide", ev, Some(sentinel))(
+        plan = mk => mk().withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n")),
+        post = _.where(col("event_type") =!= "___wm"))
+    },
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+      |FROM (SELECT event_type,
+      |        unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws
+      |      FROM events)
+      |GROUP BY ws, event_type""".stripMargin))
+
+  /** Per-user daily resample with forward fill: the time-series
+    * regularization every feature pipeline needs — calendar days between a
+    * user's first and last activity, carrying the last observed value
+    * across silent days.
+    *
+    * Plan shape: deterministic latest-per-day value via
+    * `max(struct(event_id, value))` (argmax by the unique event id — no
+    * window sort), per-user day spans
+    * exploded from ONE bounds aggregation (fan-out = user-day span, keyed),
+    * and the fill is `last(value, ignoreNulls)` over a per-user
+    * day-ordered frame — partitioned by user, so the window sort is
+    * per-user-span, never global.
+    */
+  private val eventsResample: Q = "x_events_resample" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          to_date(graft.functions.Conversions.nanosToTimestamp(col("ts"))).as("d"))
+      operators.EventAnalytics.resampleDaily(ev, "user_id", "event_id", "value", "d")
+    },
+    """WITH pd AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, arg_max(value, event_id) AS v
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM pd GROUP BY 1),
+      |alldays AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM bounds),
+      |j AS (SELECT a.user_id, a.d, pd.v FROM alldays a
+      |  LEFT JOIN pd ON pd.user_id = a.user_id AND pd.d = a.d)
+      |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+      |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+      |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+      |FROM j""".stripMargin))
+
   /** Vocabulary coverage at frequency cutoffs —
     * [[operators.CorpusStats.vocabCoverage]]: one word-count shuffle, head
     * cut by the bounded top-k aggregate, never a global vocab sort.
@@ -3233,6 +3296,7 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
+    stSlidingCounts, eventsResample,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -135,6 +135,39 @@ object EventAnalytics {
           .as("stickiness"))
   }
 
+  /** Per-entity daily resample with forward fill: calendar days between an
+    * entity's first and last observation, carrying the last observed value
+    * across silent days — time-series regularization for feature pipelines.
+    *
+    * Deterministic latest-per-day via `max(struct(idCol, valueCol))`
+    * (argmax by the unique id — no window sort); day spans exploded from
+    * one bounds aggregation (fan-out = entity-day span, keyed on the
+    * entity); the fill is `last(_, ignoreNulls)` over a per-entity
+    * day-ordered frame — the window sort is per-entity-span, never global.
+    * Output: (entity, day, value, was_gap).
+    */
+  def resampleDaily(
+      events: DataFrame,
+      entityCol: String,
+      idCol: String,
+      valueCol: String,
+      dayCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDay = events.groupBy(col(entityCol), col(dayCol).as("d"))
+      .agg(max(struct(col(idCol), col(valueCol))).as("m"))
+      .select(col(entityCol), col("d"), col(s"m.$valueCol").as("v"))
+    val bounds = perDay.groupBy(col(entityCol))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val allDays = bounds.select(col(entityCol),
+      explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allDays.join(perDay, Seq(entityCol, "d"), "left")
+      .select(col(entityCol), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(last(col("v"), ignoreNulls = true).over(w).cast("double"), 6).as("value"),
+        col("v").isNull.cast("int").as("was_gap"))
+  }
+
   /** Streaming funnel state machine: the incremental counterpart of
     * [[funnel]], as a `flatMapGroupsWithState` over a user-keyed stream.
     *

@@ -88,6 +88,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((3L, "x y z"), (2L, "a b c"), (2L, "y z x")))
   }
 
+  test("resampleDaily: gaps filled forward, latest id wins within a day, spans per entity") {
+    val ev = Seq(
+      // user 1: Jan 1 has two events — id 11 (v=5.0) then id 12 (v=7.5)
+      // must win; Jan 2-3 silent; Jan 4 observed.
+      (1L, 11L, 5.0, java.sql.Date.valueOf("2024-01-01")),
+      (1L, 12L, 7.5, java.sql.Date.valueOf("2024-01-01")),
+      (1L, 13L, 1.0, java.sql.Date.valueOf("2024-01-04")),
+      // user 2: single day — one output row, no gaps.
+      (2L, 21L, 3.0, java.sql.Date.valueOf("2024-01-10"))
+    ).toDF("user_id", "event_id", "value", "d")
+    val got = EventAnalytics.resampleDaily(ev, "user_id", "event_id", "value", "d")
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", 7.5, 0),
+      (1L, "2024-01-02", 7.5, 1),
+      (1L, "2024-01-03", 7.5, 1),
+      (1L, "2024-01-04", 1.0, 0),
+      (2L, "2024-01-10", 3.0, 0)))
+  }
+
   test("fleschReadingEase: closed-form check") {
     // "The cat sat." — 3 words, 1 sentence, syllables: the=1, cat=1, sat.=1.
     val df = Seq((1L, "The cat sat.")).toDF("doc_id", "text")
