@@ -2274,6 +2274,40 @@ object QueriesExt {
       |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
       |FROM changes""".stripMargin))
 
+  /** INCREMENTAL SCD-2 gate: build the dimension from the first half of the
+    * event log, apply the second half as a batch through
+    * [[Dimension.scd2Apply]], and gate against the full-rebuild oracle OF
+    * `x_scd2_build` VERBATIM — the apply-then-read ≡ rebuild-then-read
+    * equivalence stated as strongly as the harness allows (the ivfAppend
+    * pattern). The global ts split guarantees the no-late-data
+    * precondition per key.
+    */
+  private val scd2Incr: Q = "x_scd2_incr" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ts_ms"),
+          col("event_id"), col("event_type"))
+      val splitMs = 1705363200000L // 2024-01-16T00:00:00Z, mid-corpus
+      val dim = Dimension.scd2Build(ev.where(col("ts_ms") < splitMs),
+        keys = Seq("user_id"), orderCols = Seq("ts_ms", "event_id"),
+        trackedCols = Seq("event_type"))
+      Dimension.scd2Apply(dim, ev.where(col("ts_ms") >= splitMs),
+        keys = Seq("user_id"), orderCols = Seq("ts_ms", "event_id"),
+        trackedCols = Seq("event_type"))
+    },
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_ms(ts), event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, ts_ms, event_id, event_type FROM ordered
+      |  WHERE prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts_ms AS valid_from,
+      |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS valid_to
+      |FROM changes""".stripMargin))
+
   /** CDC current-view gate: op derived deterministically from the data
     * (error rows are tombstones), latest version per user wins, users whose
     * latest row is a delete vanish. Oracle is the row_number replay with the
@@ -3310,7 +3344,7 @@ object QueriesExt {
     textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
-    scd2Build, cdcApply, dqChecks, annPq, embProject, textCollocations,
+    scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
     dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,

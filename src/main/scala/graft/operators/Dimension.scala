@@ -65,6 +65,53 @@ object Dimension {
         Seq(stamp.as("valid_from"), col("valid_to")): _*)
   }
 
+  /** INCREMENTAL SCD-2 maintenance: apply a new event batch to an existing
+    * [[scd2Build]] dimension without rebuilding history — the daily-merge
+    * shape (close changed open rows, append new versions) that a 100 TB
+    * dimension cannot afford to re-derive from the full event log.
+    *
+    * Contract: apply-then-read ≡ rebuild-then-read —
+    * `scd2Apply(scd2Build(old), batch) == scd2Build(old ∪ batch)` whenever
+    * the batch carries no late data (every batch stamp per key strictly
+    * after that key's open-row `valid_from`; the standard watermark-gated
+    * ingest precondition). The equivalence is BY CONSTRUCTION, not by
+    * re-derivation: SCD-2 change detection is Markov in the previous
+    * tracked value, so each affected key's OPEN row — re-expressed as a
+    * pseudo-event stamped `valid_from` — seeds the exact fold the full
+    * rebuild would run from that point, and [[scd2Build]] itself runs over
+    * (pseudo ∪ batch). Closed history and untouched keys' open rows pass
+    * through untouched.
+    *
+    * Scale shape: the event-sized work is `scd2Build` over (open rows of
+    * AFFECTED keys + the batch) — batch-sized, not history-sized; the
+    * dimension contributes one key-keyed semi/anti join pair to split
+    * affected from untouched. Tie-break order columns beyond the stamp are
+    * null-filled on pseudo-events (nulls sort first; the no-late-data
+    * precondition keeps them from ever tying with a batch row).
+    */
+  def scd2Apply(
+      dim: DataFrame,
+      batch: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      trackedCols: Seq[String]): DataFrame = {
+    val stamp = orderCols.head
+    val open = dim.where(col("valid_to").isNull)
+    val closed = dim.where(col("valid_to").isNotNull)
+    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    val openAffected = open.join(batchKeys, keys, "left_semi")
+    val openUntouched = open.join(batchKeys, keys, "left_anti")
+    val pseudo = openAffected.select(
+      keys.map(col) ++
+        (col("valid_from").as(stamp) +:
+          orderCols.tail.map(c => lit(null).cast(batch.schema(c).dataType).as(c))) ++
+        trackedCols.map(col): _*)
+    val rebuilt = scd2Build(
+      pseudo.unionByName(batch.select((keys ++ orderCols ++ trackedCols).map(col): _*)),
+      keys, orderCols, trackedCols)
+    closed.unionByName(openUntouched).unionByName(rebuilt)
+  }
+
   /** Tombstone-aware current view of a CDC feed (SCD-1 + deletes): the
     * latest version per key wins; keys whose latest version is a delete
     * vanish from the view. Upsert/delete `op` semantics follow the common

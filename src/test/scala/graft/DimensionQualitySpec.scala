@@ -31,6 +31,31 @@ class DimensionQualitySpec extends SparkSpec {
       (3L, None, 30L, None)))
   }
 
+  test("scd2Apply: apply-then-read == rebuild-then-read at every split point") {
+    // Split the fixture feed at every stamp boundary; incremental apply of
+    // the tail onto the head's dimension must equal the full rebuild —
+    // including splits where the batch's first value repeats the open row's
+    // (no spurious version) and splits introducing brand-new keys.
+    val full = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
+      .collect().toSet
+    Seq(15L, 25L, 35L, 45L).foreach { split =>
+      val dim = Dimension.scd2Build(feed.where(col("ts") < split), Seq("k"), Seq("ts"), Seq("v"))
+      val got = Dimension.scd2Apply(dim, feed.where(col("ts") >= split),
+        Seq("k"), Seq("ts"), Seq("v")).collect().toSet
+      assert(got == full, s"split=$split diverged from the full rebuild")
+    }
+  }
+
+  test("scd2Apply: a batch repeating every open value changes nothing") {
+    val dim = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
+    // Echo each key's current value with a later stamp — no versions may
+    // appear, no open row may close.
+    val echo = Seq((1L, 100L, Some("A")), (2L, 100L, Some("Z")), (3L, 100L, None))
+      .toDF("k", "ts", "v")
+    val got = Dimension.scd2Apply(dim, echo, Seq("k"), Seq("ts"), Seq("v"))
+    assert(got.collect().toSet == dim.collect().toSet)
+  }
+
   test("scd2Build: intervals tile the key's history — each valid_to equals the next valid_from") {
     val out = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
     val chained = out.withColumn("next_from",
