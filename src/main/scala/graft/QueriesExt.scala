@@ -854,6 +854,36 @@ object QueriesExt {
       |  d.event_id AS asof_event_id, d.t AS asof_t
       |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_ms >= d.t""".stripMargin))
 
+  /** STREAMING as-of enrichment: the native as-of operator inside a
+    * Structured Streaming micro-batch — purchase facts stream through,
+    * the signup dim is a STATIC broadcast lookup, so each micro-batch is a
+    * stateless shuffle-free enrichment and batch ≡ stream by construction
+    * (no state store, no watermark). Gated against the same DuckDB ASOF
+    * JOIN oracle as the batch gates — custom physical operators compose
+    * with the incremental planner because the strategy registry is shared.
+    */
+  private val stJoinAsof: Q = "st_join_asof" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t").as("ts_ms"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("t"), col("event_id"))
+      streamedGate(s, "stasof", facts)(
+        plan = mk => graft.operators.Joins.asOfNative(mk(), dim,
+          keys = Seq("user_id"), factTime = "ts_ms", dimTime = "t",
+          dimCols = Seq("event_id", "t")))
+    },
+    """WITH f AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |           WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, epoch_ms(ts) AS t, max(event_id) AS event_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT f.event_id, f.user_id, f.ts_ms,
+      |  d.event_id AS asof_event_id, d.t AS asof_t
+      |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_ms >= d.t""".stripMargin))
+
   /** Range-join gate: every view event falling inside a 5-minute window
     * opened by any error event (no key — a pure interval-containment join).
     * The Spark side runs the bucketized equi-join plan; the oracle is
@@ -3330,7 +3360,7 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
-    stSlidingCounts, eventsResample,
+    stSlidingCounts, eventsResample, stJoinAsof,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -131,6 +132,10 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "facts with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val keySchema = StructType(leftKeys.map(e => StructField("k", e.dataType, e.nullable)))
     val timeSchema = StructType(Seq(StructField("t", leftTime.dataType, nullable = true)))
@@ -141,6 +146,8 @@ case class AsOfJoinExec(
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
     val payloadAttrs = payload
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, leftOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rightOut)
@@ -186,6 +193,8 @@ case class AsOfJoinExec(
             }
           }
           val matched = cand != null && keyOrd.compare(candKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           outProj(joined(l, if (matched) cand else nullPayload))
         }
       }
@@ -231,6 +240,10 @@ case class BroadcastAsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "facts with an as-of match"))
+
   protected override def doExecute(): RDD[InternalRow] = {
     val keySchema = StructType(leftKeys.map(e => StructField("k", e.dataType, e.nullable)))
     val timeSchema = StructType(Seq(StructField("t", leftTime.dataType, nullable = true)))
@@ -242,6 +255,8 @@ case class BroadcastAsOfJoinExec(
     val rTimeExpr = rightTime
     val payloadAttrs = payload
     val broadcastRelation = right.executeBroadcast[Array[InternalRow]]()
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().mapPartitions { li =>
       val timeOrd = GenerateOrdering.create(timeSchema)
       // One index build per EXECUTOR, not per task: with 32+ tasks sharing a
@@ -288,6 +303,8 @@ case class BroadcastAsOfJoinExec(
           }
           if (ans >= 0) group(ans)._2 else nullPayload
         }
+        numOutputRows += 1
+        if (payloadRow ne nullPayload) numMatched += 1
         outProj(joined(l, payloadRow))
       }
     }
