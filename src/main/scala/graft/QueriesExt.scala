@@ -3325,6 +3325,38 @@ object QueriesExt {
       |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
       |FROM j""".stripMargin))
 
+  /** k-anonymity suppression gate — [[operators.Privacy.kAnonymize]] on the
+    * (event_type, user_id) quasi space at k=6 (the reference's own k6
+    * discipline): only rows whose combination has ≥ 6 peers survive.
+    */
+  private val privacyKanon: Q = "x_privacy_kanon" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      operators.Privacy.kAnonymize(ev, Seq("event_type", "user_id"), k = 6)
+        .select("event_id", "user_id", "event_type")
+    },
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE (event_type, user_id) IN (
+      |  SELECT (event_type, user_id) FROM events
+      |  GROUP BY event_type, user_id HAVING count(*) >= 6)""".stripMargin))
+
+  /** ε-DP noisy counts with engine-replayable Laplace noise —
+    * [[operators.Privacy.dpNoisyCounts]]; the oracle replays every noisy
+    * count bit-for-bit from the hash-uniform inverse CDF.
+    */
+  private val privacyDpCounts: Q = "x_privacy_dp_counts" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.Privacy.dpNoisyCounts(sources.EventsTable.load(s, dir),
+        Seq("event_type"), epsilon = 0.5),
+    """WITH g AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |u AS (SELECT event_type, n,
+      |  (('0x'||substr(md5(event_type||'|dp'),1,8))::BIGINT::DOUBLE + 0.5)/4294967296.0 AS u
+      |  FROM g)
+      |SELECT event_type, n,
+      |  round(n + (-2.0) * sign(u-0.5) * ln(1 - 2*abs(u-0.5)), 6) AS noisy_n
+      |FROM u""".stripMargin))
+
   /** Vocabulary coverage at frequency cutoffs —
     * [[operators.CorpusStats.vocabCoverage]]: one word-count shuffle, head
     * cut by the bounded top-k aggregate, never a global vocab sort.
@@ -3360,7 +3392,7 @@ object QueriesExt {
   val all: Seq[Q] = Seq(
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
-    stSlidingCounts, eventsResample, stJoinAsof,
+    stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
