@@ -3159,6 +3159,28 @@ object QueriesExt {
       |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
       |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
 
+  /** Conversion-window funnel: same strict-order chain with each stage
+    * additionally required within 24 h of the previous stage's first-touch
+    * time — [[operators.EventAnalytics.funnel]] with `maxDelay`.
+    */
+  private val eventsFunnelWindow: Q = "x_events_funnel_window" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.EventAnalytics.funnel(sources.EventsTable.load(s, dir),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        maxDelay = Some(24L * 3600 * 1000 * 1000 * 1000)),
+    """WITH f AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events
+      |           WHERE event_type IN ('view','click','purchase')),
+      |s0 AS (SELECT u, min(t) AS ft FROM f WHERE et='view' GROUP BY u),
+      |s1 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s0 USING(u)
+      |       WHERE f.et='click' AND f.t > s0.ft AND f.t <= s0.ft + INTERVAL 24 HOURS
+      |       GROUP BY f.u),
+      |s2 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s1 USING(u)
+      |       WHERE f.et='purchase' AND f.t > s1.ft AND f.t <= s1.ft + INTERVAL 24 HOURS
+      |       GROUP BY f.u)
+      |SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS users
+      |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
+      |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
+
   /** Day-granularity cohort retention matrix —
     * [[operators.EventAnalytics.retention]]: two user-keyed exchanges,
     * O(days²) output regardless of event volume.
@@ -3393,6 +3415,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
+    eventsFunnelWindow,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -37,13 +37,20 @@ object EventAnalytics {
     *
     * Output: `(stage_idx, stage, users)` with `users` non-increasing in
     * `stage_idx` by construction.
+    *
+    * `maxDelay` uses FIRST-TOUCH attribution: the window anchors on the
+    * earliest qualifying previous-stage time (the min chain). A later
+    * previous-stage instance whose window would admit an otherwise-late
+    * event does NOT resurrect the conversion — the documented, replayable
+    * choice among the standard funnel-attribution variants.
     */
   def funnel(
       events: DataFrame,
       userCol: String,
       typeCol: String,
       tsCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxDelay: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
@@ -55,13 +62,18 @@ object EventAnalytics {
 
     // frontier: one row per user who has completed stages 0..k, carrying the
     // earliest completion time of stage k under the strict-order constraint.
+    // With `maxDelay` (same unit as tsCol), stage k also has to land within
+    // maxDelay of the stage k-1 time — the conversion-window semantics
+    // ("click within 7 days of the view").
+    val within = (t: Column, ft: Column) =>
+      maxDelay.map(d => t <= ft + lit(d)).getOrElse(lit(true))
     var frontier = slim.where(col("et") === stages.head)
       .groupBy(col("u")).agg(min(col("t")).as("ft"))
     var counts = Vector(frontier.count())
     stages.tail.foreach { st =>
       frontier = slim.where(col("et") === st)
         .join(frontier, "u")
-        .where(col("t") > col("ft"))
+        .where(col("t") > col("ft") && within(col("t"), col("ft")))
         .groupBy(col("u")).agg(min(col("t")).as("ft"))
       counts :+= frontier.count()
     }

@@ -49,6 +49,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0, "view", 1L), (1, "click", 0L)))
   }
 
+  test("funnel maxDelay: conversion window anchors on first touch") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:30:00")), // within 1h of view ✓
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (2L, "click", ts("2024-01-02 12:00:00")), // 2h after view — outside
+      // first-touch attribution: u3's SECOND view would admit the click,
+      // but the window anchors on the first view.
+      (3L, "view", ts("2024-01-03 08:00:00")),
+      (3L, "view", ts("2024-01-03 11:00:00")),
+      (3L, "click", ts("2024-01-03 11:30:00"))
+    ).toDF("user_id", "event_type", "ts")
+    // maxDelay is numeric arithmetic on the time column — feed epoch ms.
+    val evMs = ev.select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("tms"))
+    val res = EventAnalytics.funnel(evMs, "user_id", "event_type", "tms",
+      Seq("view", "click"), maxDelay = Some(3600L * 1000))
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(res.toSeq == Seq((0, "view", 3L), (1, "click", 1L)))
+  }
+
   test("retention cohorts by first day; offset-0 row equals cohort size") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-03 10:00:00")),
