@@ -59,8 +59,11 @@ object GraftSession {
     * `SparkSessionExtensions` would inject the same strategy object at
     * build time.
     */
-  def registerPlanExtensions(spark: SparkSession): Unit =
+  def registerPlanExtensions(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.Shim.registerStrategy(spark, plans.AsOfJoinStrategy)
+    org.apache.spark.sql.graft.Shim.registerOptimizerRule(
+      spark, plans.PushFilterThroughAsOfJoin)
+  }
 
   /** Apply graft settings to an externally-built session (Verify/Bench).
     * Pins session TZ to UTC: the Conversions timestamp semantics

@@ -337,3 +337,35 @@ object BroadcastAsOfJoinExec {
     }
   }
 }
+
+/** Optimizer rule restoring fact-side filter pushdown through the custom
+  * node: Catalyst's `PushPredicateThroughNonJoin`/`PushDownPredicates`
+  * only know the built-in operators, so ANY custom logical node is a
+  * pushdown barrier by default — a `WHERE` on fact columns above an as-of
+  * join would otherwise run after the merge instead of reaching the
+  * parquet scan. Deterministic (fact-only) conjuncts move below the left
+  * child; predicates touching the as-of payload stay put (they depend on
+  * the join's result). Registered through `experimental.extraOptimizations`
+  * next to the strategy — together with the native expressions
+  * ([[graft.expressions.StrCode]] et al.) and [[graft.expressions.TopKAgg]]
+  * this completes the Expression / Rule / Strategy / SparkPlan extension
+  * quartet.
+  */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond).partition { p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet)
+      }
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}

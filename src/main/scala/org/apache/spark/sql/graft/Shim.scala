@@ -42,6 +42,18 @@ object Shim {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Idempotently register an optimizer rule on a LIVE session — the
+    * `experimental.extraOptimizations` counterpart of [[registerStrategy]]
+    * (`injectOptimizerRule` is build-time-only the same way).
+    */
+  def registerOptimizerRule(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
   /** Execute `df` and return the `numFiles` metric of every parquet scan in
     * the EXECUTED plan — descending through AQE stages, exchange reuse and
     * (dynamic-partition-pruning) subqueries, which is why this needs the

@@ -140,6 +140,32 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule pushes fact-side filters through the custom node; payload filters stay") {
+    def optimized(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+    val n = Joins.asOfNative(facts, dim, Seq("k"), "t", "t", Seq("v"))
+    // Fact-only predicate: must sink below AsOfJoinPlan (no Filter above it).
+    val factFiltered = n.where(col("f") =!= "zzz")
+    val plan1 = optimized(factFiltered)
+    plan1.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      assert(!f.child.isInstanceOf[graft.plans.AsOfJoinPlan],
+        s"fact-side filter stayed above the as-of node:\n$plan1")
+    }
+    assert(plan1.collectFirst { case a: graft.plans.AsOfJoinPlan => a }.nonEmpty)
+    // Payload predicate: must NOT be pushed (depends on the join result).
+    val payloadFiltered = n.where(col("asof_v").isNotNull)
+    val plan2 = optimized(payloadFiltered)
+    val above = plan2.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.AsOfJoinPlan] => f
+    }
+    assert(above.nonEmpty, s"payload filter must remain above the node:\n$plan2")
+    // Results unchanged by the rewrite.
+    val expect = Joins.asOf(facts, dim, Seq("k"), "t", "t", Seq("v"))
+      .where(col("f") =!= "zzz").collect().toSet
+    assert(factFiltered.collect().toSet == expect)
+  }
+
   test("bucketed layout feeds the merge with ZERO exchanges") {
     withThreshold("-1") {
       try {
