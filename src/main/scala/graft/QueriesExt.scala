@@ -3181,6 +3181,35 @@ object QueriesExt {
       |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
       |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
 
+  /** Market-basket association rules over (user, day) baskets with the
+    * props-JSON `k` as the item — [[operators.Basket.pairRules]]: support /
+    * confidence / lift at minSupport, loud quadratic-basket guard.
+    */
+  private val eventsBasket: Q = "x_events_basket" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+      val baskets = ev.select(
+        concat_ws("|", col("user_id"),
+          date_format(to_date(graft.functions.Conversions.nanosToTimestamp(col("ts"))),
+            "yyyy-MM-dd")).as("basket"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      operators.Basket.pairRules(baskets, "basket", "item", minSupport = 3)
+    },
+    """WITH items AS (
+      |  SELECT DISTINCT user_id::VARCHAR || '|' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS b,
+      |    CAST(json_extract_string(props, '$.k') AS INT) AS i
+      |  FROM events),
+      |nb AS (SELECT count(DISTINCT b) AS n FROM items),
+      |ic AS (SELECT i, count(*) AS cnt FROM items GROUP BY i),
+      |p AS (SELECT l.i AS item_a, r.i AS item_b, count(*) AS support
+      |      FROM items l JOIN items r ON l.b = r.b AND l.i < r.i
+      |      GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, support,
+      |  round(support::DOUBLE / ca.cnt::DOUBLE, 6) AS conf_a_b,
+      |  round(support::DOUBLE * (SELECT n FROM nb)::DOUBLE
+      |        / (ca.cnt::DOUBLE * cb.cnt::DOUBLE), 6) AS lift
+      |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b""".stripMargin))
+
   /** Day-granularity cohort retention matrix —
     * [[operators.EventAnalytics.retention]]: two user-keyed exchanges,
     * O(days²) output regardless of event volume.
@@ -3415,7 +3444,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow,
+    eventsFunnelWindow, eventsBasket,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

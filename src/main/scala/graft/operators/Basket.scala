@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket association mining: support / confidence / lift for item
+  * pairs co-occurring in a basket (a user-session, a user-day, an order).
+  * The A-priori first rung, expressed relationally.
+  */
+object Basket {
+
+  /** Pair rules at `minSupport`: for every unordered item pair {a < b}
+    * co-occurring in ≥ minSupport baskets, the pair support, directional
+    * confidence P(b|a), and lift.
+    *
+    * Scale shape: the basket-item incidence is deduplicated FIRST (one
+    * keyed exchange — multiset baskets collapse before any pairing), the
+    * pair expansion is a basket-keyed self-join whose per-basket cost is
+    * C(size, 2), GUARDED by `maxBasket` — a basket wider than the cap
+    * raises loudly instead of silently detonating a quadratic hot key (the
+    * repo's maxBlock discipline); item and pair counts are plain keyed
+    * aggregations, and the basket total rides in as a broadcast scalar —
+    * no driver-side collect anywhere. Output is pair-space-sized.
+    */
+  def pairRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      maxBasket: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && maxBasket >= 2, "minSupport >= 1, maxBasket >= 2")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    val sizes = items.groupBy(col("b")).agg(count(lit(1)).as("sz"))
+    // The guard must be LOAD-BEARING (a filter predicate), not a projected
+    // column — an unreferenced raise_error column gets pruned by Catalyst
+    // and the quadratic hot basket runs silently.
+    val guarded = items.join(sizes, "b")
+      .where(when(col("sz") > maxBasket,
+        raise_error(concat(
+          lit(s"Basket.pairRules: basket wider than $maxBasket items: "),
+          col("b").cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+    val nBaskets = sizes.agg(count(lit(1)).as("nb"))
+    val l = guarded.select(col("b"), col("i").as("ia"))
+    val r = guarded.select(col("b"), col("i").as("ib"))
+    val pairs = l.join(r, Seq("b")).where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+    val itemCounts = items.groupBy(col("i")).agg(count(lit(1)).as("cnt"))
+    pairs
+      .join(itemCounts.select(col("i").as("ia"), col("cnt").as("cnt_a")), "ia")
+      .join(itemCounts.select(col("i").as("ib"), col("cnt").as("cnt_b")), "ib")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ia").as("item_a"), col("ib").as("item_b"), col("support"),
+        round(col("support").cast("double") / col("cnt_a").cast("double"), 6)
+          .as("conf_a_b"),
+        round(col("support").cast("double") * col("nb").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 6)
+          .as("lift"))
+  }
+}

@@ -129,6 +129,30 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, "2024-01-10", 3.0, 0)))
   }
 
+  test("Basket.pairRules: hand-computed support/confidence/lift; multiset collapse; loud guard") {
+    // Baskets: b1={1,2,3}, b2={1,2}, b3={1,3} (with a duplicate 3), b4={2}.
+    val df = Seq(
+      ("b1", 1), ("b1", 2), ("b1", 3),
+      ("b2", 1), ("b2", 2),
+      ("b3", 1), ("b3", 3), ("b3", 3),
+      ("b4", 2)
+    ).toDF("b", "i")
+    val got = graft.operators.Basket.pairRules(df, "b", "i", minSupport = 2)
+      .as[(Int, Int, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // {1,2}: support 2 (b1,b2); cnt(1)=3, cnt(2)=3, n=4 → conf 2/3, lift 2*4/9.
+    // {1,3}: support 2 (b1,b3) — the duplicate 3 in b3 collapses first.
+    assert(got.keySet == Set((1, 2), (1, 3)))
+    assert(got((1, 2)) == (2L, math.rint(2.0 / 3 * 1e6) / 1e6, math.rint(8.0 / 9 * 1e6) / 1e6))
+    assert(got((1, 3)) == (2L, math.rint(2.0 / 3 * 1e6) / 1e6, math.rint(8.0 / 6 * 1e6) / 1e6))
+    // A basket wider than the cap must raise, not run the quadratic join.
+    val wide = (1 to 12).map(i => ("hot", i)).toDF("b", "i")
+    val e = intercept[Exception] {
+      graft.operators.Basket.pairRules(wide, "b", "i", 1, maxBasket = 10).collect()
+    }
+    assert(e.getMessage.contains("basket wider than 10"))
+  }
+
   test("fleschReadingEase: closed-form check") {
     // "The cat sat." — 3 words, 1 sentence, syllables: the=1, cat=1, sat.=1.
     val df = Seq((1L, "The cat sat.")).toDF("doc_id", "text")
