@@ -3210,6 +3210,55 @@ object QueriesExt {
       |        / (ca.cnt::DOUBLE * cb.cnt::DOUBLE), 6) AS lift
       |FROM p JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b""".stripMargin))
 
+  /** Kaplan–Meier time-to-conversion (signup → first later purchase, day
+    * buckets, censored at corpus max ts) — [[operators.Survival]]: subjects
+    * collapse to the duration-bucket frame in one keyed exchange, the curve
+    * math is a window over days-not-subjects.
+    */
+  private val eventsSurvival: Q = "x_events_survival" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      val maxTs = ev.agg(max("t")).head().getLong(0)
+      val subj = operators.Survival.durations(ev, "user_id", "event_type", "t",
+        startType = "signup", endType = "purchase",
+        bucketMs = 86400000L, censorTs = maxTs)
+      operators.Survival.kaplanMeier(subj, "duration", "converted")
+    },
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS t FROM events),
+      |mx AS (SELECT max(t) AS m FROM ev),
+      |s AS (SELECT user_id, min(t) AS t0 FROM ev WHERE event_type='signup' GROUP BY 1),
+      |e AS (SELECT s.user_id, s.t0, min(ev.t) AS t1 FROM s
+      |      LEFT JOIN ev ON ev.user_id = s.user_id AND ev.event_type='purchase'
+      |                   AND ev.t > s.t0
+      |      GROUP BY 1, 2),
+      |subj AS (SELECT user_id,
+      |    CASE WHEN t1 IS NOT NULL THEN (t1 - t0) // 86400000
+      |         ELSE ((SELECT m FROM mx) - t0) // 86400000 END AS dur,
+      |    CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS conv
+      |  FROM e),
+      |byday AS (SELECT dur AS t,
+      |    sum(CASE WHEN conv = 1 THEN 1 ELSE 0 END) AS d,
+      |    sum(CASE WHEN conv = 1 THEN 0 ELSE 1 END) AS c
+      |  FROM subj GROUP BY 1),
+      |risk AS (SELECT t, d, c,
+      |    (SELECT count(*) FROM subj)
+      |      - coalesce(sum(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM byday),
+      |km AS (SELECT t, d, n_risk,
+      |    CASE WHEN max(CASE WHEN d >= n_risk AND d > 0 THEN 1 ELSE 0 END)
+      |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |      THEN 0.0
+      |      ELSE round(exp(sum(CASE WHEN d > 0 AND d < n_risk
+      |          THEN ln(1 - d::DOUBLE / n_risk::DOUBLE) ELSE 0.0 END)
+      |        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |      END AS survival
+      |  FROM risk)
+      |SELECT t, n_risk::BIGINT AS n_risk, d::BIGINT AS n_events, survival
+      |FROM km WHERE d > 0""".stripMargin))
+
   /** Day-granularity cohort retention matrix —
     * [[operators.EventAnalytics.retention]]: two user-keyed exchanges,
     * O(days²) output regardless of event volume.
@@ -3444,7 +3493,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow, eventsBasket,
+    eventsFunnelWindow, eventsBasket, eventsSurvival,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
