@@ -29,7 +29,13 @@ object Basket {
       minSupport: Long,
       maxBasket: Int = 1000): DataFrame = {
     require(minSupport >= 1 && maxBasket >= 2, "minSupport >= 1, maxBasket >= 2")
-    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+    // The deduplicated incidence feeds FOUR consumers (both self-join
+    // sides, the size guard, the item counts) — materialize it once, or
+    // the upstream projection (JSON extraction, typically) re-executes per
+    // consumer (measured 1.7× on the 30× probe). At warehouse scale this
+    // boundary is a parquet write between stages.
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().localCheckpoint(true)
     val sizes = items.groupBy(col("b")).agg(count(lit(1)).as("sz"))
     // The guard must be LOAD-BEARING (a filter predicate), not a projected
     // column — an unreferenced raise_error column gets pruned by Catalyst
