@@ -3457,6 +3457,53 @@ object QueriesExt {
       |  round(n + (-2.0) * sign(u-0.5) * ln(1 - 2*abs(u-0.5)), 6) AS noisy_n
       |FROM u""".stripMargin))
 
+  /** The SAME streaming funnel on the `transformWithState` API
+    * ([[graft.streaming.FunnelTws]]) under the ROCKSDB state-store
+    * provider (TWS requires it), gated against the SAME batch oracle as
+    * `x_events_funnel` / `st_event_funnel` — the three-way equivalence
+    * that makes the flatMapGroupsWithState → TWS migration a proven
+    * one-line swap.
+    */
+  private val stFunnelTws: Q = "st_funnel_tws" -> {
+    val stages = Seq("view", "click", "purchase")
+    ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.get(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          import s.implicits._
+          val slim = sources.EventsTable.load(s, dir)
+            .where(col("event_type").isin(stages.map(x => x: Any): _*))
+            .select(col("user_id").as("u"), col("event_type").as("et"), col("ts").as("t"))
+          streamedGate(s, "stfunneltws", slim)(
+            plan = mk => graft.streaming.FunnelTws.funnel(mk(), stages),
+            post = out => {
+              val per = out.groupBy("u").agg(max("reached").as("reached"))
+              val counts = per.where(col("reached") >= 0)
+                .select(explode(sequence(lit(0), col("reached"))).as("stage_idx"))
+                .groupBy("stage_idx").agg(count(lit(1)).as("users"))
+              val stagesDf = stages.zipWithIndex
+                .map { case (st, i) => (i, st) }.toDF("stage_idx", "stage")
+              stagesDf.join(counts, Seq("stage_idx"), "left")
+                .select(col("stage_idx"), col("stage"),
+                  coalesce(col("users"), lit(0L)).as("users"))
+            })
+        } finally s.conf.set(key, prev)
+      },
+      """WITH f AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events
+        |           WHERE event_type IN ('view','click','purchase')),
+        |s0 AS (SELECT u, min(t) AS ft FROM f WHERE et='view' GROUP BY u),
+        |s1 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s0 USING(u)
+        |       WHERE f.et='click' AND f.t > s0.ft GROUP BY f.u),
+        |s2 AS (SELECT f.u, min(f.t) AS ft FROM f JOIN s1 USING(u)
+        |       WHERE f.et='purchase' AND f.t > s1.ft GROUP BY f.u)
+        |SELECT 0 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s0) AS users
+        |UNION ALL SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2 AS stage_idx, 'purchase' AS stage, (SELECT count(*) FROM s2) AS users""".stripMargin))
+  }
+
   /** Vocabulary coverage at frequency cutoffs —
     * [[operators.CorpusStats.vocabCoverage]]: one word-count shuffle, head
     * cut by the bounded top-k aggregate, never a global vocab sort.
@@ -3493,7 +3540,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow, eventsBasket, eventsSurvival,
+    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
