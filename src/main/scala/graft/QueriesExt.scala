@@ -3259,6 +3259,30 @@ object QueriesExt {
       |SELECT t, n_risk::BIGINT AS n_risk, d::BIGINT AS n_events, survival
       |FROM km WHERE d > 0""".stripMargin))
 
+  /** Markov transition matrix over per-user event paths —
+    * [[operators.EventAnalytics.transitionMatrix]]: one user-keyed window,
+    * everything downstream type-vocabulary-sized.
+    */
+  private val eventsTransitions: Q = "x_events_transitions" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"), col("event_id"))
+      operators.EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+        orderCols = Seq("t", "event_id"))
+    },
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_ms(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  round(c.n::DOUBLE / t.total::DOUBLE, 6) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin))
+
   /** Day-granularity cohort retention matrix —
     * [[operators.EventAnalytics.retention]]: two user-keyed exchanges,
     * O(days²) output regardless of event volume.
@@ -3540,7 +3564,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws,
+    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -147,6 +147,35 @@ object EventAnalytics {
           .as("stickiness"))
   }
 
+  /** First-order Markov transition matrix over per-user event paths: for
+    * every ordered pair of CONSECUTIVE events of one user, the transition
+    * count and conditional probability P(next = b | current = a) — the
+    * user-path analysis behind "what do users do after an error".
+    *
+    * One user-keyed window (ordered by time with the unique id as
+    * tie-break — the scd2Build ordering discipline) produces the
+    * consecutive pairs; counts and row-normalization are aggregations on
+    * the TYPE×TYPE frame, which is vocabulary-sized, not event-sized.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols.map(col): _*)
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("total"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6).as("p"))
+  }
+
   /** Per-entity daily resample with forward fill: calendar days between an
     * entity's first and last observation, carrying the last observed value
     * across silent days — time-series regularization for feature pipelines.

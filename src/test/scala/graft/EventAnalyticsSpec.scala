@@ -109,6 +109,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == Seq((3L, "x y z"), (2L, "a b c"), (2L, "y z x")))
   }
 
+  test("transitionMatrix: consecutive pairs per user, rows normalize to 1") {
+    val ev = Seq(
+      (1L, "a", 1L, 10L), (1L, "b", 2L, 11L), (1L, "a", 3L, 12L), // a→b, b→a
+      (2L, "a", 1L, 20L), (2L, "a", 2L, 21L), // a→a
+      (3L, "c", 1L, 30L) // single event: no pair
+    ).toDF("user_id", "event_type", "t", "event_id")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "event_type", Seq("t", "event_id"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 0.5), ("a", "a") -> (1L, 0.5),
+      ("b", "a") -> (1L, 1.0)))
+  }
+
   test("resampleDaily: gaps filled forward, latest id wins within a day, spans per entity") {
     val ev = Seq(
       // user 1: Jan 1 has two events — id 11 (v=5.0) then id 12 (v=7.5)
