@@ -3543,6 +3543,30 @@ object QueriesExt {
       |  / (SELECT n FROM total)::DOUBLE, 6) AS coverage
       |FROM ranked, (VALUES (5),(10),(50)) c(cutoff) GROUP BY c.cutoff""".stripMargin))
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — [[operators.CorpusStats.sourceDivergence]]: two
+    * token-keyed one-sided joins instead of a pairs×vocabulary grid.
+    */
+  private val textJsdSources: Q = "x_text_jsd_sources" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.CorpusStats.sourceDivergence(docs(s, dir), "source", "text"),
+    """WITH tok AS (SELECT source AS s, unnest(string_split(trim(text),' ')) AS tok
+      |             FROM documents),
+      |c AS (SELECT s, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |n AS (SELECT s, sum(c) AS n FROM c GROUP BY 1),
+      |p AS (SELECT c.s, c.tok, c.c::DOUBLE / n.n::DOUBLE AS p FROM c JOIN n USING (s)),
+      |pr AS (SELECT a.s AS src_a, b.s AS src_b FROM n a JOIN n b ON a.s < b.s),
+      |sa AS (SELECT pr.src_a, pr.src_b,
+      |    pa.p/2 * ln(pa.p / ((pa.p + coalesce(pb.p, 0))/2)) AS term
+      |  FROM pr JOIN p pa ON pa.s = pr.src_a
+      |  LEFT JOIN p pb ON pb.s = pr.src_b AND pb.tok = pa.tok),
+      |sb AS (SELECT pr.src_a, pr.src_b,
+      |    pb.p/2 * ln(pb.p / ((pb.p + coalesce(pa.p, 0))/2)) AS term
+      |  FROM pr JOIN p pb ON pb.s = pr.src_b
+      |  LEFT JOIN p pa ON pa.s = pr.src_a AND pa.tok = pb.tok)
+      |SELECT src_a, src_b, round(sum(term), 6) AS jsd
+      |FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb) GROUP BY 1, 2""".stripMargin))
+
   /** Flesch reading ease (vowel-group syllable heuristic, 6 dp) — pure
     * scan-riding scalar, [[graft.functions.TextAnalysis.fleschReadingEase]].
     */
@@ -3564,7 +3588,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions,
+    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

@@ -82,6 +82,45 @@ object CorpusStats {
       .select((-col("t.nc")).as("cnt"), col("t.gram").as("gram"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions (nats, 6 dp) — the corpus-similarity matrix that
+    * informs mixture design: near-zero pairs are redundant sources,
+    * high-JSD pairs add coverage.
+    *
+    * Shape: one (source, token) count aggregation; each source pair gets
+    * its two one-sided sums through TWO token-keyed joins (the a-side join
+    * contributes `p/2·ln(p/m)` for every token of a — including tokens b
+    * lacks, where `m = p/2` — and the b-side join the symmetric term), so
+    * tokens present in only one source are covered WITHOUT a full-outer
+    * grid and nothing ever materializes pairs × vocabulary beyond the
+    * matched rows. Source-pair list is broadcast (sources are few);
+    * everything else is vocabulary-sized.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(srcCol).as("s"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy(col("s"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("s")).agg(sum(col("c")).as("n"))
+    val p = counts.join(totals, "s")
+      .select(col("s"), col("tok"), (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val srcs = totals.select(col("s"))
+    val pairsOfSrc = broadcast(
+      srcs.select(col("s").as("src_a"))
+        .crossJoin(srcs.select(col("s").as("src_b")))
+        .where(col("src_a") < col("src_b")))
+    def side(anchor: String, other: String): DataFrame =
+      pairsOfSrc
+        .join(p.select(col("s").as(anchor), col("tok"), col("p").as("pa")), anchor)
+        .join(p.select(col("s").as(other), col("tok"), col("p").as("pb")),
+          Seq(other, "tok"), "left")
+        .select(col("src_a"), col("src_b"),
+          (col("pa") / 2.0 * log(col("pa") / ((col("pa") + coalesce(col("pb"), lit(0.0))) / 2.0)))
+            .as("term"))
+    side("src_a", "src_b").unionByName(side("src_b", "src_a"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(col("term")), 6).as("jsd"))
+  }
+
   /** Vocabulary coverage curve: for each cutoff k, the share of all token
     * occurrences covered by the k most frequent tokens (count-desc,
     * lexicographic tie-break) — the number that sizes a tokenizer vocab or

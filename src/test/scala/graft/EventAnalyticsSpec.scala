@@ -143,6 +143,25 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, "2024-01-10", 3.0, 0)))
   }
 
+  test("sourceDivergence: identical sources → 0, disjoint vocabularies → ln 2, asymmetric overlap by hand") {
+    val docs = Seq(
+      ("s1", "a b"), ("s2", "a b"), // identical distributions
+      ("s3", "x y"), // disjoint from s1/s2
+      ("s4", "a a b b x x y y") // uniform over union
+    ).toDF("source", "text")
+    val got = graft.operators.CorpusStats.sourceDivergence(docs, "source", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 0.0)
+    assert(got(("s1", "s3")) == math.rint(math.log(2) * 1e6) / 1e6)
+    // s1 = {a:.5, b:.5}; s4 = uniform .25 over {a,b,x,y}.
+    // m(a)=m(b)=.375, m(x)=m(y)=.125.
+    val want = 2 * (0.25 * math.log(0.5 / 0.375)) +
+      2 * (0.125 * math.log(0.25 / 0.375)) + 2 * (0.125 * math.log(0.25 / 0.125))
+    assert(got(("s1", "s4")) == math.rint(want * 1e6) / 1e6)
+    assert(got.values.forall(_ >= 0.0))
+  }
+
   test("Basket.pairRules: hand-computed support/confidence/lift; multiset collapse; loud guard") {
     // Baskets: b1={1,2,3}, b2={1,2}, b3={1,3} (with a duplicate 3), b4={2}.
     val df = Seq(
