@@ -3543,6 +3543,24 @@ object QueriesExt {
       |  / (SELECT n FROM total)::DOUBLE, 6) AS coverage
       |FROM ranked, (VALUES (5),(10),(50)) c(cutoff) GROUP BY c.cutoff""".stripMargin))
 
+  /** Zipf-exponent fit over the top-50 frequency head —
+    * [[operators.CorpusStats.zipfFit]]: bounded top-k head + closed-form
+    * OLS moments on k rows.
+    */
+  private val textZipf: Q = "x_text_zipf" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.CorpusStats.zipfFit(docs(s, dir), "text", k = 50),
+    """WITH toks AS (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents),
+      |wc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM wc),
+      |h AS (SELECT ln(rk::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM r WHERE rk <= 50),
+      |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |      sum(x*y) AS sxy, sum(x*x) AS sxx FROM h)
+      |SELECT n AS k_used,
+      |  round((sxy - sx*sy/n)/(sxx - sx*sx/n), 6) AS slope,
+      |  round((sy - ((sxy - sx*sy/n)/(sxx - sx*sx/n))*sx)/n, 6) AS intercept
+      |FROM m""".stripMargin))
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions — [[operators.CorpusStats.sourceDivergence]]: two
     * token-keyed one-sided joins instead of a pairs×vocabulary grid.
@@ -3588,7 +3606,7 @@ object QueriesExt {
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
-    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources,
+    eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources, textZipf,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,

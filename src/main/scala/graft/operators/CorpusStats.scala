@@ -82,6 +82,37 @@ object CorpusStats {
       .select((-col("t.nc")).as("cnt"), col("t.gram").as("gram"))
   }
 
+  /** Zipf-law fit over the frequency head: ordinary least squares of
+    * `ln(freq)` on `ln(rank)` for the top-k tokens — the exponent (slope ≈
+    * −1 for natural language) is the one-number summary of how head-heavy
+    * a corpus is; synthetic or templated corpora show up as fits far from
+    * Zipf. Output: one row `(k_used, slope, intercept)`.
+    *
+    * The corpus-sized work is the word-count shuffle; the ranked head comes
+    * through [[TopK.topK]]'s bounded aggregate and the OLS moments are one
+    * aggregation over k rows — closed-form, no iteration.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 ranks to fit")
+    val wc = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = wc
+      .agg(TopK.topK(struct((-col("cnt")).as("nc"), col("tok")), k, largest = false).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(log((col("pos") + 1).cast("double")).as("x"),
+        log((-col("t.nc")).cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("k_used"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 6).as("slope"),
+        round((col("sy") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-source unigram
     * distributions (nats, 6 dp) — the corpus-similarity matrix that
     * informs mixture design: near-zero pairs are redundant sources,

@@ -52,6 +52,43 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("property: kAnonymize output NEVER contains a group smaller than k (random sweeps)") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 3) {
+      val df = Seq.fill(500)((rnd.nextInt(1000).toLong, rnd.nextInt(40).toString))
+        .toDF("id", "q")
+      val k = 2 + rnd.nextInt(8)
+      val out = Privacy.kAnonymize(df, Seq("q"), k)
+      val minGroup = out.groupBy("q").count().agg(min("count")).as[Long].collect().headOption
+      minGroup.foreach(m => assert(m >= k, s"trial $trial: group of $m under k=$k"))
+      // Suppression removes exactly the rows of the small groups.
+      val expected = df.groupBy("q").count().where(col("count") >= k)
+        .agg(sum("count")).as[Option[Long]].collect().head.getOrElse(0L)
+      assert(out.count() == expected)
+    }
+  }
+
+  test("zipfFit: recovers a planted exponent exactly on synthetic power-law counts") {
+    // Construct a corpus whose token counts are exactly c_i = round(1000 / i)
+    // for tokens w01..w20 — the OLS fit on the log-log head must be the
+    // same numbers an independent JVM least-squares computes.
+    val words = (1 to 20).flatMap(i => Seq.fill(math.round(1000.0 / i).toInt)(f"w$i%02d"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.operators.CorpusStats.zipfFit(docs, "text", k = 20)
+      .as[(Long, Double, Double)].collect().head
+    val xs = (1 to 20).map(i => math.log(i.toDouble))
+    val ys = (1 to 20).map(i => math.log(math.round(1000.0 / i).toDouble))
+    val n = 20.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    val intercept = (sy - slope * sx) / n
+    assert(got._1 == 20L)
+    assert(math.abs(got._2 - slope) < 2e-6 && math.abs(got._3 - intercept) < 2e-6)
+    assert(got._2 > -1.05 && got._2 < -0.95) // the planted exponent is ≈ −1
+  }
+
   test("dpNoisyCounts: scale tracks sensitivity/epsilon") {
     val e1 = Privacy.dpNoisyCounts(rows, Seq("q"), epsilon = 1.0)
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._3 - r._2)).toMap
