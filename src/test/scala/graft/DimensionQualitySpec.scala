@@ -46,6 +46,23 @@ class DimensionQualitySpec extends SparkSpec {
     }
   }
 
+  test("scd2Apply: randomized apply == rebuild sweep (many keys, repeated values, null tracked)") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 3) {
+      val feed = Seq.tabulate(300) { i =>
+        (rnd.nextInt(25).toLong, i.toLong * 2, // strictly increasing stamps
+          if (rnd.nextInt(5) == 0) None else Some(('A' + rnd.nextInt(3)).toChar.toString))
+      }.toDF("k", "ts", "v")
+      val full = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v")).collect().toSet
+      Seq(100L, 300L, 450L).foreach { split =>
+        val dim = Dimension.scd2Build(feed.where(col("ts") < split), Seq("k"), Seq("ts"), Seq("v"))
+        val got = Dimension.scd2Apply(dim, feed.where(col("ts") >= split),
+          Seq("k"), Seq("ts"), Seq("v")).collect().toSet
+        assert(got == full, s"trial=$trial split=$split diverged")
+      }
+    }
+  }
+
   test("scd2Apply: a batch repeating every open value changes nothing") {
     val dim = Dimension.scd2Build(feed, Seq("k"), Seq("ts"), Seq("v"))
     // Echo each key's current value with a later stamp — no versions may

@@ -46,6 +46,22 @@ class EventAnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("transitionMatrix: rows normalize to 1 and counts conserve pairs on random paths") {
+    val rnd = new scala.util.Random(23)
+    val ev = Seq.fill(500)((rnd.nextInt(30).toLong, stages(rnd.nextInt(3)),
+      rnd.nextInt(10000).toLong, rnd.nextLong())).toDF("u", "et", "t", "id")
+    val out = graft.operators.EventAnalytics.transitionMatrix(ev, "u", "et", Seq("t", "id"))
+    val rowSums = out.groupBy("from_type")
+      .agg(sum("p").as("s"), sum("n").as("cnt")).as[(String, Double, Long)].collect()
+    rowSums.foreach { case (ft, s, _) =>
+      assert(math.abs(s - 1.0) < 1e-4, s"row $ft sums to $s") // 6dp rounding per cell
+    }
+    // Total pair count = events − distinct users with ≥1 event (one fewer
+    // pair than events per user).
+    val users = ev.select("u").distinct().count()
+    assert(rowSums.map(_._3).sum == ev.count() - users)
+  }
+
   test("rollingActive == literal set counting on random user-days") {
     val rnd = new scala.util.Random(11)
     val w = 7
