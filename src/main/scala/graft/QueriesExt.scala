@@ -3602,7 +3602,134 @@ object QueriesExt {
       |      / greatest(len(string_split(trim(lower(text)),' ')),1)::DOUBLE), 6) AS flesch
       |FROM documents""".stripMargin))
 
+  /** Multi-touch attribution — [[operators.EventAnalytics.attribution]]:
+    * linear + U-shaped position credit for touches strictly before each
+    * user's first purchase; first/last are argmin/argmax aggregates (id
+    * tie-break), never a per-user window sort.
+    */
+  private val eventsAttribution: Q = "x_events_attribution" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      operators.EventAnalytics.attribution(ev, "user_id", "event_type", "t",
+        "event_id", conversionType = "purchase")
+    },
+    """WITH conv AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS tc FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1),
+      |tch AS (
+      |  SELECT e.user_id, e.event_id, e.event_type, epoch_ms(e.ts) AS t
+      |  FROM events e JOIN conv USING (user_id)
+      |  WHERE epoch_ms(e.ts) < tc AND e.event_type <> 'purchase'),
+      |st AS (
+      |  SELECT user_id, count(*) AS n,
+      |         min(struct_pack(t := t, event_id := event_id)) AS fst,
+      |         max(struct_pack(t := t, event_id := event_id)) AS lst
+      |  FROM tch GROUP BY 1),
+      |cr AS (
+      |  SELECT tch.event_type, 1.0/n AS lin,
+      |    CASE WHEN n = 1 THEN 1.0
+      |         WHEN n = 2 THEN 0.5
+      |         WHEN tch.event_id = fst.event_id THEN 0.4
+      |         WHEN tch.event_id = lst.event_id THEN 0.4
+      |         ELSE 0.2/(n-2) END AS pos
+      |  FROM tch JOIN st USING (user_id))
+      |SELECT event_type, count(*) AS touches,
+      |  round(sum(lin), 6) AS linear_credit,
+      |  round(sum(pos), 6) AS position_credit
+      |FROM cr GROUP BY 1""".stripMargin))
+
+  /** RFM segmentation — [[operators.EventAnalytics.rfm]]: user-keyed
+    * collapse to the users frame first, then three ntile(5) windows over
+    * that (users-sized) frame with the user id as tie-break.
+    */
+  private val eventsRfm: Q = "x_events_rfm" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          graft.functions.Conversions.nanosToTimestamp(col("ts")).as("t"))
+      operators.EventAnalytics.rfm(ev, "user_id", "event_type", "t", "value",
+        conversionType = "purchase")
+    },
+    """WITH conv AS (
+      |  SELECT user_id, ts::DATE AS d, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |pu AS (
+      |  SELECT user_id, max(d) AS last_day, count(*) AS frequency,
+      |         round(sum(value), 6) AS monetary
+      |  FROM conv GROUP BY 1),
+      |ref AS (SELECT max(d) AS ref FROM conv),
+      |sc AS (
+      |  SELECT user_id, datediff('day', last_day, ref) AS recency_days,
+      |         frequency, monetary
+      |  FROM pu CROSS JOIN ref)
+      |SELECT user_id, recency_days, frequency, monetary,
+      |  ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+      |  ntile(5) OVER (ORDER BY frequency, user_id) AS f,
+      |  ntile(5) OVER (ORDER BY monetary, user_id) AS m,
+      |  ntile(5) OVER (ORDER BY recency_days DESC, user_id)::VARCHAR ||
+      |  ntile(5) OVER (ORDER BY frequency, user_id)::VARCHAR ||
+      |  ntile(5) OVER (ORDER BY monetary, user_id)::VARCHAR AS segment
+      |FROM sc""".stripMargin))
+
+  /** Top-k entry paths — [[operators.EventAnalytics.topPaths]]: per-user
+    * head via a user-keyed row_number window, ordered concat bounded at
+    * `depth`, global cut by orderBy.limit (TakeOrdered, k rows per
+    * partition to the driver).
+    */
+  private val eventsPaths: Q = "x_events_paths" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      operators.EventAnalytics.topPaths(ev, "user_id", "event_type", "t",
+        "event_id", depth = 5, k = 20)
+    },
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS users FROM p GROUP BY path
+      |ORDER BY users DESC, path LIMIT 20""".stripMargin))
+
+  /** Peak interval concurrency — [[operators.EventAnalytics.peakConcurrency]]
+    * (hierarchical hour-bucketed sweep-line with exact carry-in). The
+    * oracle computes the DAY-LEVEL ground truth directly from the global
+    * step function — the engine's hourly decomposition must be invisible.
+    * Fixture durations (< 1 h) keep the observed-day sets identical.
+    */
+  private val eventsConcurrency: Q = "x_events_concurrency" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"),
+          col("value"))
+      operators.EventAnalytics.peakConcurrency(ev, "t",
+        floor(col("value") * 1000).cast("long"))
+    },
+    """WITH iv AS (
+      |  SELECT epoch_ms(ts) AS s, epoch_ms(ts) + floor(value*1000)::BIGINT AS e
+      |  FROM events WHERE floor(value*1000) > 0),
+      |pts AS (SELECT s AS t, 1 AS d FROM iv
+      |        UNION ALL SELECT e, -1 FROM iv),
+      |net AS (SELECT t, sum(d) AS net FROM pts GROUP BY t),
+      |run AS (SELECT t, sum(net) OVER (ORDER BY t) AS run FROM net),
+      |days AS (
+      |  SELECT t // 86400000 AS dk, max(run) AS peak_in,
+      |         max(CASE WHEN t % 86400000 = 0 THEN 1 ELSE 0 END) AS has0
+      |  FROM run GROUP BY 1)
+      |SELECT strftime(epoch_ms(dk * 86400000), '%Y-%m-%d') AS day,
+      |  (CASE WHEN has0 = 1 THEN peak_in
+      |        ELSE greatest(peak_in,
+      |          coalesce((SELECT sum(net) FROM net WHERE t < dk * 86400000), 0))
+      |   END)::BIGINT AS peak_concurrency
+      |FROM days""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

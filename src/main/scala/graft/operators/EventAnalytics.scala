@@ -209,6 +209,200 @@ object EventAnalytics {
         col("v").isNull.cast("int").as("was_gap"))
   }
 
+  /** Multi-touch conversion attribution: credit each user's pre-conversion
+    * touch events for their FIRST conversion, under two standard models at
+    * once — linear (1/n to each of the n touches) and position-based
+    * (U-shaped: 40% first touch, 40% last, 20% split across the middle;
+    * degenerate paths n=1 → 1.0, n=2 → 0.5/0.5). Rolled up per touch
+    * `event_type` — the "which channel drives purchases" report.
+    *
+    * Plan shape: conversion times are one user-keyed `min` aggregate; the
+    * touch frame is a user-keyed join of the (slim, projected) events scan
+    * against it; first/last touch are `min/max(struct(t, id))` argmin/argmax
+    * aggregates on the same user key — NO per-user window sort, no
+    * collect_list, O(1) aggregation state per user. The final rollup groups
+    * on the event-type vocabulary. Every exchange hashes on the user until
+    * the vocabulary-sized tail, so AQE coalesces the chain onto one
+    * partitioning — the same discipline as [[funnel]].
+    *
+    * Ties on (t) are broken by the unique event id, making first/last —
+    * and therefore the position credits — deterministic and replayable on
+    * any engine.
+    */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      conversionType: String): DataFrame = {
+    val slim = events.select(col(userCol).as("u"), col(typeCol).as("et"),
+      col(tsCol).as("t"), col(idCol).as("id"))
+    val conv = slim.where(col("et") === conversionType)
+      .groupBy(col("u")).agg(min(col("t")).as("tc"))
+    val touches = slim.join(conv, "u")
+      .where(col("t") < col("tc") && col("et") =!= conversionType)
+    val stats = touches.groupBy(col("u")).agg(
+      count(lit(1)).as("n"),
+      min(struct(col("t"), col("id"))).as("fst"),
+      max(struct(col("t"), col("id"))).as("lst"))
+    val pos = when(col("n") === 1, lit(1.0))
+      .when(col("n") === 2, lit(0.5))
+      .when(col("id") === col("fst.id"), lit(0.4))
+      .when(col("id") === col("lst.id"), lit(0.4))
+      .otherwise(lit(0.2) / (col("n") - 2).cast("double"))
+    touches.join(stats, "u")
+      .select(col("et"), (lit(1.0) / col("n").cast("double")).as("lin"), pos.as("pos"))
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("touches"),
+        round(sum(col("lin")), 6).as("linear_credit"),
+        round(sum(col("pos")), 6).as("position_credit"))
+  }
+
+  /** RFM segmentation over conversion events: per user, recency (days from
+    * the corpus's last observed day to the user's last conversion),
+    * frequency (conversion count), monetary (summed conversion value), each
+    * scored into quintiles 1–5 (5 = best: most recent / most frequent /
+    * highest value) — the classic marketing segmentation, replayable
+    * because every `ntile` ordering carries the user id as tie-break.
+    *
+    * Scale shape: events collapse to the USER frame in one user-keyed
+    * aggregate before any ranking; the three quintile windows sort that
+    * users-sized frame (orders of magnitude below event volume — the same
+    * bound the vocab/corpus-stat operators document). The reference day is
+    * one scalar aggregate joined in as a broadcast literal, not a
+    * cross-join of the full frame.
+    */
+  def rfm(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      valueCol: String,
+      conversionType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.where(col(typeCol) === conversionType)
+      .select(col(userCol).as("user_id"), col(tsCol).as("t"), col(valueCol).as("v"))
+    val perUser = conv.groupBy(col("user_id")).agg(
+      max(to_date(col("t"))).as("last_day"),
+      count(lit(1)).as("frequency"),
+      round(sum(col("v")), 6).as("monetary"))
+    val refDay = conv.agg(max(to_date(col("t"))).as("ref")).select(col("ref"))
+    val scored = perUser.join(broadcast(refDay))
+      .withColumn("recency_days", datediff(col("ref"), col("last_day")))
+    val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
+    scored.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), r.as("r"), f.as("f"), m.as("m"))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+  }
+
+  /** Top-k entry paths: each user's first `depth` events (by time, id
+    * tie-break) joined into a `a>b>c` path string, counted across users,
+    * global top-k cut by (users desc, path asc).
+    *
+    * The per-user head is a user-keyed `row_number` window (sorts each
+    * user's OWN events — the sessionizer bound) followed by a bounded
+    * `sort_array(collect_list(...))` whose buffer is capped at `depth`
+    * rows per user by construction. The global cut is `orderBy.limit` —
+    * a TakeOrdered that ships k rows per partition to the driver, never a
+    * full sort.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      depth: Int = 5,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && k >= 1, "depth and k must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val head = events
+      .select(col(userCol).as("u"), col(typeCol).as("et"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= depth)
+    val paths = head.groupBy(col("u"))
+      .agg(array_join(transform(sort_array(collect_list(struct(col("rn"), col("et")))),
+        e => e.getField("et")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path")).limit(k)
+  }
+
+  /** Peak interval concurrency per day via HIERARCHICAL sweep-line: events
+    * become half-open activity intervals `[t, t + durationMs(row))`, and the
+    * answer is, per calendar day, the maximum number of simultaneously open
+    * intervals — the "peak concurrent sessions" operational metric.
+    *
+    * The textbook sweep (sort ALL ±1 boundary points globally, running
+    * sum) is a single global window sort — the exact shape this codebase
+    * bans. Instead the sweep is bucketed by HOUR with an exact carry-in:
+    *
+    *   1. every interval emits its +1 at `t` (in `hour(t)`) and its −1 at
+    *      the end (in that end's hour) — two rows per event, no fan-out;
+    *   2. `carryIn(h)` = # intervals strictly covering instant h (start
+    *      < h < end) — computed by exploding each interval to the hour
+    *      STARTS it covers (fan-out = hours spanned, ~duration/1h) and one
+    *      hour-keyed count;
+    *   3. within each hour a window partitioned BY HOUR (keyed — each
+    *      sort touches one hour's points) orders by (t, delta) — ends
+    *      before starts at equal t, the half-open tie rule — and the
+    *      hour's peak is `carryIn + max(running sum, 0)`;
+    *   4. per-day peak = plain max over its 24 hour peaks.
+    *
+    * Correctness hinges on two boundary rules, both replayed by the
+    * oracle: (a) boundary points collapse to per-INSTANT net deltas before
+    * the running sum — concurrency is a step function whose value after
+    * instant t is `prev − ends(t) + starts(t)`, so no ±1 tie ordering
+    * exists to get wrong; (b) the hour's baseline `carryIn` (intervals
+    * active just before h: start < h, end ≥ h) is itself an attained value
+    * ONLY when no instant lands exactly on h — an interval ending exactly
+    * at the hour boundary is in the carry AND immediately subtracted by
+    * its own boundary instant.
+    *
+    * Every exchange is keyed (hour, then day); skew is bounded by the
+    * busiest single hour, and the hierarchy extends (minute buckets) if an
+    * hour is still too hot.
+    */
+  def peakConcurrency(
+      events: DataFrame,
+      tsCol: String,
+      durationMs: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HOUR = 3600L * 1000L
+    val iv = events.select(col(tsCol).as("s"),
+      (col(tsCol) + durationMs).as("e")).where(col("e") > col("s"))
+    // per-instant net delta, bucketed by hour — one keyed aggregate
+    val nets = iv.select(col("s").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("e").as("t"), lit(-1L).as("delta")))
+      .groupBy((floor(col("t") / HOUR) * HOUR).as("h"), col("t"))
+      .agg(sum(col("delta")).as("net"))
+    // hour starts covered while active-just-before: h in (hour(s), hour(e)];
+    // h <= hour(e) <= e makes the end >= h condition automatic.
+    val carry = iv
+      .where(floor(col("e") / HOUR) > floor(col("s") / HOUR)) // sequence needs start <= stop
+      .select(explode(sequence(floor(col("s") / HOUR) * HOUR + HOUR,
+        floor(col("e") / HOUR) * HOUR, lit(HOUR))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("carry_in"))
+    val w = Window.partitionBy(col("h")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = nets
+      .withColumn("run", sum(col("net")).over(w))
+      .groupBy(col("h")).agg(max(col("run")).as("peak0"),
+        max((col("t") === col("h")).cast("int")).as("has_h"))
+    val hourPeak = perHour.join(carry, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("carry_in"), lit(0L)) +
+          when(col("peak0").isNull, lit(0L))
+            .when(col("has_h") === 1, col("peak0"))
+            .otherwise(greatest(col("peak0"), lit(0L)))).as("hour_peak"))
+    hourPeak
+      .groupBy(date_format(timestamp_millis(col("h")), "yyyy-MM-dd").as("day"))
+      .agg(max(col("hour_peak")).as("peak_concurrency"))
+  }
+
   /** Streaming funnel state machine: the incremental counterpart of
     * [[funnel]], as a `flatMapGroupsWithState` over a user-keyed stream.
     *
