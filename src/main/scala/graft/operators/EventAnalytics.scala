@@ -375,16 +375,19 @@ object EventAnalytics {
     val iv = events.select(col(tsCol).as("s"),
       (col(tsCol) + durationMs).as("e")).where(col("e") > col("s"))
     // per-instant net delta, bucketed by hour — one keyed aggregate
+    // integer bucket arithmetic (t - t mod H), never double division — a
+    // boundary millisecond must not land in the wrong hour
+    def hourStart(c: Column) = c - pmod(c, lit(HOUR))
     val nets = iv.select(col("s").as("t"), lit(1L).as("delta"))
       .unionAll(iv.select(col("e").as("t"), lit(-1L).as("delta")))
-      .groupBy((floor(col("t") / HOUR) * HOUR).as("h"), col("t"))
+      .groupBy(hourStart(col("t")).as("h"), col("t"))
       .agg(sum(col("delta")).as("net"))
     // hour starts covered while active-just-before: h in (hour(s), hour(e)];
     // h <= hour(e) <= e makes the end >= h condition automatic.
     val carry = iv
-      .where(floor(col("e") / HOUR) > floor(col("s") / HOUR)) // sequence needs start <= stop
-      .select(explode(sequence(floor(col("s") / HOUR) * HOUR + HOUR,
-        floor(col("e") / HOUR) * HOUR, lit(HOUR))).as("h"))
+      .where(hourStart(col("e")) > hourStart(col("s"))) // sequence needs start <= stop
+      .select(explode(sequence(hourStart(col("s")) + HOUR,
+        hourStart(col("e")), lit(HOUR))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("carry_in"))
     val w = Window.partitionBy(col("h")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
