@@ -3728,8 +3728,119 @@ object QueriesExt {
       |   END)::BIGINT AS peak_concurrency
       |FROM days""".stripMargin))
 
+  /** Weighted (multiset) Jaccard near-dup pairs —
+    * [[Dedup.weightedJaccardPairs]]: occurrence-expanded elements
+    * `(tok, i ≤ cap)` run through the df-capped inverted-index machinery;
+    * the oracle replays the expansion, cap, df filter and pair counts.
+    */
+  private val dedupWeightedJaccard: Q = "x_dedup_weighted_jaccard" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
+        cap = 5, threshold = 0.65, maxDf = 1000),
+    """WITH tok AS (SELECT doc_id, tok, count(*) AS c FROM
+      |  (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |el AS (SELECT doc_id, tok || '#' || k::VARCHAR AS e
+      |       FROM tok, UNNEST(range(1, least(c, 5)+1)) AS r(k)),
+      |dfc AS (SELECT e, count(*) AS dfn FROM el GROUP BY e),
+      |kept AS (SELECT el.doc_id, el.e FROM el JOIN dfc USING (e) WHERE dfn <= 1000),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |          FROM kept a JOIN kept b ON a.e = b.e AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_inter::DOUBLE/(ca.n + cb.n - n_inter) AS wjaccard
+      |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.65""".stripMargin))
+
+  /** Corpus line-dedup gate — [[Dedup.lineDedup]]: the corpus has no
+    * newlines, so the fixture renders each doc as 10-token lines first (a
+    * deterministic transform the oracle replays); lines in ≥ 2 distinct
+    * docs are removed everywhere and docs reassemble in order.
+    */
+  private val dedupLines: Q = "x_dedup_lines" -> ((
+    (s: SparkSession, dir: String) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+      val lined = t.select(col("doc_id"), array_join(transform(
+        sequence(lit(0), ceil(size(col("ws")) / lit(10.0)).cast("int") - 1),
+        i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " ")), "\n")
+        .as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text", minDf = 2)
+    },
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |ln AS (SELECT doc_id, i AS pos,
+      |         array_to_string(ws[i*10+1 : i*10+10], ' ') AS line
+      |       FROM t, UNNEST(range(0, (len(ws)+9)//10)) r(i)),
+      |dfc AS (SELECT line, count(*) AS dfn FROM
+      |  (SELECT DISTINCT doc_id, line FROM ln WHERE trim(line) <> '')
+      |  GROUP BY line),
+      |v AS (SELECT ln.doc_id, ln.pos, ln.line,
+      |        coalesce(dfn, 0) >= 2 AS dup
+      |      FROM ln LEFT JOIN dfc USING (line))
+      |SELECT doc_id,
+      |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |             FILTER (WHERE NOT dup), '') AS text,
+      |  sum(CASE WHEN dup THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+      |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_removed
+      |FROM v GROUP BY doc_id""".stripMargin))
+
+  /** TextRank keyword gate — [[operators.CorpusStats.textRankKeywords]]:
+    * adjacent-token co-occurrence graph (directed counts ≥ 2, then
+    * symmetrized presence), 5 damped power iterations via the shared
+    * [[operators.Graph.pageRank]], top-20 words. The oracle unrolls the
+    * iterations with the same sorted-source folds and double-forced
+    * constants as the x_graph_pagerank oracle.
+    */
+  private lazy val textTextrank: Q = {
+    val iterCtes = (1 to 5).map { t =>
+      s"""i$t AS (SELECT e.dst AS id,
+         |  list_reduce(list_prepend(0.0, list(r.r/d.deg ORDER BY e.src)), (a,b)->a+b) AS v
+         |  FROM edges e JOIN degq d ON d.src=e.src JOIN r${t - 1} r ON r.id=e.src GROUP BY e.dst),
+         |r$t AS (SELECT n0.id,
+         |  (1.0::DOUBLE - 0.85::DOUBLE)/nn.n + 0.85::DOUBLE*coalesce(i$t.v, 0.0::DOUBLE) AS r
+         |  FROM nodesq n0 CROSS JOIN nn LEFT JOIN i$t ON i$t.id=n0.id)""".stripMargin
+    }.mkString(",\n")
+    "x_text_textrank" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.CorpusStats.textRankKeywords(docs(s, dir), "text",
+          minCount = 2, iters = 5, damping = 0.85, k = 20),
+      s"""WITH t AS (SELECT string_split(trim(text),' ') AS ws FROM documents),
+         |pr0 AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM t, UNNEST(range(1, len(ws))) r(i)),
+         |pc AS (SELECT w1, w2 FROM pr0 WHERE w1 <> w2 GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS (SELECT w1 AS src, w2 AS dst FROM pc UNION SELECT w2, w1 FROM pc),
+         |degq AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+         |nodesq AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodesq),
+         |r0 AS (SELECT id, 1.0::DOUBLE/nn.n AS r FROM nodesq CROSS JOIN nn),
+         |$iterCtes
+         |SELECT id AS word, round(r, 6) AS pagerank FROM r5
+         |ORDER BY round(r, 6) DESC, id LIMIT 20""".stripMargin))
+  }
+
+  /** Record-linkage gate — [[operators.Linkage.fuzzyPairs]] over distinct
+    * part names, first-byte blocking, native Jaro–Winkler verify at 0.8.
+    * The oracle uses DuckDB's own `jaro_winkler_similarity` — the
+    * strongest available independent check of the expression's pinned
+    * byte-level semantics.
+    */
+  private val linkJaroWinkler: Q = "x_link_jarowinkler" -> ((
+    (s: SparkSession, dir: String) => {
+      val names = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_name").as("name")).distinct()
+      operators.Linkage.fuzzyPairs(names, "name", "name",
+        substring(col("name"), 1, 1), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("jw"))
+    },
+    """WITH nm AS (SELECT DISTINCT p_name AS name FROM part),
+      |b AS (SELECT name, substr(name, 1, 1) AS bk FROM nm)
+      |SELECT a.name AS id_a, c.name AS id_b,
+      |  round(jaro_winkler_similarity(a.name, c.name), 6) AS jw
+      |FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name
+      |WHERE round(jaro_winkler_similarity(a.name, c.name), 6) >= 0.8""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
+    dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

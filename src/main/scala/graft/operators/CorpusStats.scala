@@ -40,6 +40,46 @@ object CorpusStats {
           .as("token_entropy"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, binary-weight
+    * variant): build the corpus co-occurrence graph over ADJACENT token
+    * pairs, PageRank it, return the top-k words by rank — the unsupervised
+    * keyword surface next to TF-IDF ([[TfIdf]]) and collocation PMI
+    * ([[Collocations]]).
+    *
+    * Graph construction: consecutive-token pairs per document (one
+    * shuffle-free zip-with-own-tail projection, the [[Collocations]]
+    * machinery's shape), self-loops dropped, pair count ≥ `minCount`
+    * (hapax-edge guard — also what keeps the edge list vocabulary², not
+    * corpus-sized), then symmetrized DISTINCT edges (the documented
+    * binary-weight TextRank variant: edge presence, not multiplicity,
+    * drives rank — the iterated state stays O(vocab) and the rank sums
+    * reuse [[Graph.pageRank]]'s sorted-fold determinism unchanged).
+    * The top-k cut is `orderBy.limit` (TakeOrdered) with the word as
+    * tie-break.
+    */
+  def textRankKeywords(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long = 2,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      k: Int = 20): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("ws"))
+    val pairs = toks
+      .select(explode(zip_with(col("ws"), slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .where(col("w2").isNotNull && col("w1") =!= col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val edges = pairs.select(col("w1").as("src"), col("w2").as("dst"))
+      .union(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+      .distinct()
+    Graph.pageRank(edges, "src", "dst", iters, damping)
+      .select(col("node_id").as("word"), col("pagerank"))
+      .orderBy(col("pagerank").desc, col("word")).limit(k)
+  }
+
   /** Corpus-wide top-k word n-grams by document-blind occurrence count,
     * minimum-count filtered; ties broken lexicographically so the cut is
     * deterministic.

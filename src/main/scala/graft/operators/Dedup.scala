@@ -1674,6 +1674,100 @@ object Dedup {
     * the same codegen'd md5 bucket as the sampling family — no shuffle
     * anywhere, output size = Σ weight_s × |source_s| by construction.
     */
+  /** WEIGHTED (multiset) Jaccard similarity pairs: `Σ min(cA, cB) /
+    * Σ max(cA, cB)` over per-token occurrence counts capped at `cap` —
+    * repetition-aware near-dup detection where set-Jaccard saturates (a doc
+    * that repeats a template's words ten times looks identical to the
+    * template under sets, but not under multisets).
+    *
+    * The reduction to the proven machinery: a token's i-th occurrence
+    * becomes the ELEMENT `(tok, i)` (i ≤ cap), and weighted Jaccard over
+    * capped counts IS set Jaccard over that occurrence-expanded element
+    * space (`Σ min = |A∩B|`, `Σ max = |A|+|B|−|A∩B|` — the multiset
+    * identity). So the plan is the [[jaccardPairs]] inverted index verbatim:
+    * df-capped elements (an element in > `maxDf` docs leaves intersection
+    * AND union), singleton-posting drop, keyed — never broadcast — stop
+    * joins, pair expansion bounded by C(maxDf, 2) per element.
+    *
+    * The occurrence cap bounds the per-doc expansion at `cap × |vocab(doc)|`
+    * rows and is itself the standard weighted-minhash practice (unbounded
+    * counts let one degenerate repeated-token doc dominate every bucket).
+    */
+  def weightedJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cap: Int = 5,
+      threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val counts = df
+      .select(col(idCol), explode(split(trim(col(textCol)), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val el = counts.select(col(idCol),
+      explode(transform(sequence(lit(1), least(col("c"), lit(cap)).cast("int")),
+        k => concat(col("tok"), lit("#"), k))).as("e"))
+    val dfCnt = el.groupBy(col("e")).agg(count(lit(1)).as("_df"))
+    val kept = el.join(dfCnt, Seq("e")).where(col("_df") <= maxDf)
+      .select(col(idCol), col("e"))
+    val cnt = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_el"))
+    val inter = kept.groupBy(col("e")).agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col(idCol).as("id_a"), col("n_el").as("n_a")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_el").as("n_b")), "id_b")
+      .withColumn("wjaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("wjaccard") > threshold)
+      .select("id_a", "id_b", "wjaccard")
+  }
+
+  /** Corpus-level LINE deduplication (the CCNet/FineWeb line-dedup shape):
+    * lines whose exact text appears in at least `minDf` DISTINCT documents
+    * are removed from every document (all occurrences — shared lines are
+    * navigation/boilerplate, not content), and each document is reassembled
+    * from its surviving lines in original order.
+    *
+    * Output: `(id, text, n_kept, n_removed)` — documents whose every line
+    * was removed stay present with empty text, so the operator never
+    * changes corpus membership.
+    *
+    * Scale shape: `posexplode` keeps the line's position so reassembly is
+    * an order-insensitive `max(struct(pos, line))`-style sorted aggregate
+    * (here `sort_array(collect_list(struct(pos, line)))` — per-doc state
+    * bounded by the doc's own line count, the sessionizer bound); the
+    * line-frequency table is a line-keyed DISTINCT-doc count (two keyed
+    * exchanges: dedup + count), and the verdict joins back on the line key.
+    * Empty lines are never counted as duplicates (blank separators would
+    * otherwise dedup the whole corpus's paragraph structure away).
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would remove every line")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lineDf = lines.where(trim(col("line")) =!= "")
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_df"))
+    val verdict = lines.join(lineDf, Seq("line"), "left")
+      .withColumn("_dup", coalesce(col("_df"), lit(0L)) >= minDf)
+    verdict.groupBy(col(idCol)).agg(
+      array_join(transform(
+        filter(sort_array(collect_list(struct(col("pos"), col("_dup"), col("line")))),
+          e => !e.getField("_dup")),
+        e => e.getField("line")), "\n").as("text"),
+      sum(when(col("_dup"), 0L).otherwise(1L)).as("n_kept"),
+      sum(when(col("_dup"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("text"), col("n_kept"), col("n_removed"))
+  }
+
   def mixEpochs(
       df: DataFrame,
       idCol: String,
