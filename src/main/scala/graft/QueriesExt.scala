@@ -3838,9 +3838,89 @@ object QueriesExt {
       |FROM b a JOIN b c ON a.bk = c.bk AND a.name < c.name
       |WHERE round(jaro_winkler_similarity(a.name, c.name), 6) >= 0.8""".stripMargin))
 
+  /** Z-order layout gate: the Morton interleave
+    * ([[graft.sinks.ParquetLayout.zValue]]) replayed bit-for-bit by the
+    * oracle — 8 bits per dimension over (user_id mod 256, minute mod 256).
+    * The LAYOUT claim (row-group skipping on either dimension) is an
+    * executed-metric assertion in ZOrderTriangleSpec; the gate pins the
+    * curve math any engine must reproduce to read the layout back.
+    */
+  private lazy val layoutZorder: Q = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"(((u >> $i) & 1) << ${2 * i})", s"(((m >> $i) & 1) << ${2 * i + 1})"))
+      .mkString(" + ")
+    "x_layout_zorder" -> ((
+      (s: SparkSession, dir: String) => {
+        val ev = sources.EventsTable.load(s, dir)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(256L)).as("u"),
+            pmod(graft.functions.Conversions.nanosToEpochMs(col("ts"))
+              .cast("long") / lit(60000L), lit(256L)).cast("long").as("m"))
+        ev.select(col("event_id"),
+          sinks.ParquetLayout.zValue(col("u"), col("m"), 8).as("z"))
+      },
+      s"""WITH e AS (SELECT event_id, user_id % 256 AS u,
+         |  (epoch_ms(ts) // 60000) % 256 AS m FROM events)
+         |SELECT event_id, ($terms)::BIGINT AS z FROM e""".stripMargin))
+  }
+
+  /** Triangle/clustering-coefficient gate over the minhash near-dup graph
+    * — [[operators.Graph.triangleStats]] (degree-oriented node-iterator).
+    * The oracle enumerates triangles by brute force from the SAME pair
+    * CTEs: the orientation optimization must be invisible.
+    */
+  private lazy val graphTriangles: Q = "x_graph_triangles" -> ((
+    (s: SparkSession, dir: String) => {
+      val pairs = Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4)
+      operators.Graph.triangleStats(pairs, "id_a", "id_b")
+    },
+    s"""WITH $minhashCtes,
+       |pairs AS ($minhashPairsSelect),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+       |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pn AS (SELECT v, count(*)::BIGINT AS t FROM (
+       |         SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+       |         UNION ALL SELECT z FROM tri) GROUP BY v),
+       |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+       |         SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v)
+       |SELECT deg.v AS node_id, deg.deg AS degree,
+       |  coalesce(pn.t, 0)::BIGINT AS triangles,
+       |  CASE WHEN deg.deg < 2 THEN 0.0
+       |       ELSE round(2.0 * coalesce(pn.t, 0) / (deg.deg * (deg.deg - 1)), 6)
+       |  END AS clustering_coeff
+       |FROM deg LEFT JOIN pn USING (v)""".stripMargin))
+
+  /** transformWithState MapState gate: per-(user, type) streaming counters
+    * ([[graft.streaming.CountsTws]]) under the RocksDB provider, final
+    * totals = `max` per key (monotone counters), gated against the plain
+    * batch `count(*)` — cross-batch MapState accumulation proven against
+    * an oracle that has never heard of state stores.
+    */
+  private val stTypeCountsTws: Q = "st_type_counts_tws" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.get(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val slim = sources.EventsTable.load(s, dir)
+          .select(col("user_id").as("u"), col("event_type").as("et"))
+        streamedGate(s, "sttypecounts", slim)(
+          plan = mk => graft.streaming.CountsTws.counts(mk()),
+          post = out => out.groupBy(col("u").as("user_id"), col("et").as("event_type"))
+            .agg(max(col("n")).as("n")))
+      } finally s.conf.set(key, prev)
+    },
+    """SELECT user_id, event_type, count(*)::BIGINT AS n
+      |FROM events GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
+    layoutZorder, graphTriangles, stTypeCountsTws,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

@@ -77,6 +77,30 @@ object Shim {
     scans(qe.executedPlan).distinct.map(_.metrics("numFiles").value)
   }
 
+  /** Execute `df` and return the summed `numOutputRows` of every parquet
+    * scan in the executed plan — rows SURVIVING parquet-level pruning
+    * (row-group/page statistics skipping under pushed filters). Layout
+    * claims ("z-ordered files skip row groups on either dimension") are
+    * asserted on this: fewer scan output rows for the same logical result
+    * is the executed-metric definition of a working clustering layout.
+    */
+  def scanOutputRows(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: exchange.ReusedExchangeExec => scans(r.child)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    scans(qe.executedPlan).distinct
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+  }
+
   /** Execute `df` and return total records written into EVERY shuffle
     * exchange of the executed plan (AQE stages and exchange reuse included).
     * Shuffle-VOLUME claims ("the bounded agg moves O(k·P) rows, not O(N)")
