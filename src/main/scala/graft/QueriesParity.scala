@@ -949,11 +949,62 @@ object QueriesParity {
       |EXCEPT
       |SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin))
 
+  /** RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`): walk each part up the
+    * deterministic binary hierarchy `p → p div 2` to the root, reporting
+    * depth and the ancestor-key sum — acyclic by construction so both
+    * engines' UNION ALL recursion terminates in ⌈log₂ max_key⌉ steps.
+    * Spark plans this as an iterative union-loop (the 4.x recursion
+    * operator); the oracle runs the identical SQL text in DuckDB.
+    */
+  private val qRecursiveCte: Q = {
+    // `idiv` = integer division, the one dialect split in otherwise
+    // identical SQL text (Spark `div`, DuckDB `//` — Spark's `/` on
+    // integers is DOUBLE division and DuckDB's double→int cast ROUNDS, so
+    // neither a shared `/` nor a cast is portable).
+    def sql(p: String, idiv: String) =
+      s"""WITH RECURSIVE walk(part, node, depth) AS (
+         |  SELECT p_partkey, p_partkey, 0 FROM $p WHERE p_partkey < 200
+         |  UNION ALL
+         |  SELECT part, node $idiv 2, depth + 1 FROM walk WHERE node > 0
+         |)
+         |SELECT part, max(depth) AS depth, CAST(sum(node) AS BIGINT) AS key_sum
+         |FROM walk GROUP BY part""".stripMargin
+    "q_recursive_cte" -> ((
+      (s: SparkSession, dir: String) => {
+        s.read.parquet(s"$dir/part.parquet").createOrReplaceTempView("part_v")
+        s.sql(sql("part_v", "div"))
+      },
+      sql("part", "//")))
+  }
+
+  /** LATERAL correlated subquery (top-2 customers per nation by account
+    * balance): Catalyst decorrelates the LATERAL ORDER BY/LIMIT into a
+    * per-nation window top-k — no per-row subquery execution survives in
+    * the plan. Deterministic via the custkey tie-break; identical SQL text
+    * on both engines.
+    */
+  private val qLateral: Q = {
+    def sql(n: String, c: String) =
+      s"""SELECT n.n_name, t.c_custkey, t.c_acctbal
+         |FROM $n n, LATERAL (
+         |  SELECT c_custkey, c_acctbal FROM $c c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+    "q_lateral" -> ((
+      (s: SparkSession, dir: String) => {
+        s.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("nation_v")
+        s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("customer_v")
+        s.sql(sql("nation_v", "customer_v"))
+      },
+      sql("nation", "customer")))
+  }
+
   val all: Seq[Q] = Seq(
     s2SubscribeSink, s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
-    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts, qCube, qUnpivot)
+    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts, qCube, qUnpivot,
+    qRecursiveCte, qLateral)
 }
