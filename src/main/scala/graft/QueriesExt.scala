@@ -3917,10 +3917,114 @@ object QueriesExt {
     """SELECT user_id, event_type, count(*)::BIGINT AS n
       |FROM events GROUP BY 1, 2""".stripMargin))
 
+  /** Length-bucket padding report — [[operators.Packing.lengthBucketStats]]:
+    * power-of-two buckets via an exact-integer when-chain (never
+    * `ceil(log2)`), per-bucket padding waste. The oracle replays the same
+    * CASE ladder.
+    */
+  private lazy val packLengthBuckets: Q = {
+    val maxBits = 8
+    val cases = (0 to maxBits)
+      .map(k => s"WHEN n <= ${1L << k} THEN ${1L << k}").mkString(" ")
+    "x_pack_length_buckets" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Packing.lengthBucketStats(
+          docs(s, dir).select(size(split(trim(col("text")), "\\s+")).as("n")),
+          col("n"), maxBits = maxBits),
+      s"""WITH d AS (SELECT len(string_split(trim(text), ' '))::BIGINT AS n FROM documents),
+         |b AS (SELECT CASE $cases ELSE ${1L << maxBits} END::BIGINT AS bucket,
+         |        least(n, ${1L << maxBits})::BIGINT AS t FROM d)
+         |SELECT bucket, count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS sum_tokens,
+         |  (count(*) * bucket)::BIGINT AS padded_tokens,
+         |  round((count(*) * bucket - sum(t))::DOUBLE / (count(*) * bucket)::DOUBLE, 6)
+         |    AS waste_pct
+         |FROM b GROUP BY bucket""".stripMargin))
+  }
+
+  /** Water-filling token-budget allocation — [[operators.Mixture.waterFill]]:
+    * the closed-form λ over the sources frame (sorted prefix/suffix window
+    * sums, first-valid-split selection), every division replayed in the
+    * same order by the oracle. Weights 4/2/1 with budget 60k against cap =
+    * 3 epochs exercises BOTH regimes (saturated prefix + λ-bound tail).
+    */
+  private lazy val mixWaterfill: Q = {
+    val w4 = (0 to 4).map(i => s"'src$i'").mkString(",")
+    val w2 = (5 to 9).map(i => s"'src$i'").mkString(",")
+    "x_mix_waterfill" -> ((
+      (s: SparkSession, dir: String) => {
+        val weights = ((0 to 4).map(i => s"src$i" -> 4.0) ++
+          (5 to 9).map(i => s"src$i" -> 2.0)).toMap
+        operators.Mixture.waterFill(
+          docs(s, dir).select(col("source"),
+            size(split(trim(col("text")), "\\s+")).as("n")),
+          "source", col("n"), weights, budget = 60000.0, maxEpochs = 3.0)
+      },
+      s"""WITH base AS (
+         |  SELECT source, sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens,
+         |    CASE WHEN source IN ($w4) THEN 4.0
+         |         WHEN source IN ($w2) THEN 2.0 ELSE 1.0 END AS weight
+         |  FROM documents GROUP BY source),
+         |st AS (SELECT *, n_tokens::DOUBLE * 3.0 AS cap FROM base),
+         |o AS (SELECT *,
+         |  coalesce(sum(cap) OVER (ORDER BY cap/weight, source
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pc,
+         |  sum(weight) OVER (ORDER BY cap/weight, source
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sw,
+         |  row_number() OVER (ORDER BY cap/weight, source) AS rn
+         |  FROM st),
+         |c AS (SELECT *, (60000.0 - pc)/sw AS cand FROM o),
+         |lam AS (SELECT min(struct_pack(r := rn, c := cand)) AS m FROM c
+         |        WHERE cap/weight >= cand)
+         |SELECT source, n_tokens, weight,
+         |  round(CASE WHEN (SELECT m FROM lam) IS NULL THEN cap
+         |             ELSE least(cap, (SELECT m.c FROM lam) * weight) END, 6) AS alloc_tokens,
+         |  round(CASE WHEN (SELECT m FROM lam) IS NULL THEN 3.0
+         |             ELSE least(cap, (SELECT m.c FROM lam) * weight) / n_tokens::DOUBLE
+         |        END, 6) AS epochs
+         |FROM c""".stripMargin))
+  }
+
+  /** Best-of-n rejection sampling — [[operators.ChatTemplate.bestOfN]]:
+    * prompt-keyed argmax (tie → lowest candidate id) + template render +
+    * loss span; candidates are doc quadruples with a content-hash "reward"
+    * both engines can replay.
+    */
+  private val sftBestOfN: Q = "x_sft_best_of_n" -> ((
+    (s: SparkSession, dir: String) => {
+      val cands = docs(s, dir).select(
+        (col("doc_id") / 4).cast("long").as("prompt_id"),
+        concat(lit("p"), (col("doc_id") / 4).cast("long")).as("prompt"),
+        substring(col("text"), 1, 50).as("resp"),
+        col("doc_id").as("cand_id"),
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("double").as("score"))
+      graft.operators.ChatTemplate.bestOfN(cands, "prompt_id", "prompt",
+        "resp", "cand_id", col("score"))
+    },
+    """WITH c AS (SELECT doc_id // 4 AS prompt_id,
+      |    'p' || (doc_id // 4)::VARCHAR AS prompt,
+      |    substr(text, 1, 50) AS resp, doc_id AS cand_id,
+      |    ('0x' || substr(md5(text), 1, 4))::INT::DOUBLE AS score
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY prompt_id
+      |        ORDER BY score DESC, cand_id) AS rn,
+      |      count(*) OVER (PARTITION BY prompt_id) AS n_candidates,
+      |      min(score) OVER (PARTITION BY prompt_id) AS worst
+      |      FROM c),
+      |b AS (SELECT *, '<|user|>' || prompt || '<|assistant|>' AS prefix
+      |      FROM r WHERE rn = 1)
+      |SELECT prompt_id, cand_id AS best_candidate,
+      |  round(score, 6) AS best_score, round(worst, 6) AS worst_score,
+      |  n_candidates::BIGINT AS n_candidates,
+      |  prefix || resp AS text,
+      |  length(prefix)::BIGINT AS span_start,
+      |  (length(prefix) + length(resp))::BIGINT AS span_end
+      |FROM b""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     layoutZorder, graphTriangles, stTypeCountsTws,
+    packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

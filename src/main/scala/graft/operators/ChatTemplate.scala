@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,5 +92,43 @@ object ChatTemplate {
       length(prefix).cast("long").as("span_start"),
       (length(prefix) + length(col(chosenCol))).cast("long").as("chosen_end"),
       (length(prefix) + length(col(rejectedCol))).cast("long").as("rejected_end"))
+  }
+
+  /** Best-of-n rejection sampling: per prompt, keep the highest-scoring
+    * candidate response (reward-model argmax; ties → lowest candidate id,
+    * so the selection replays on any engine) and render it under the same
+    * `<|user|>…<|assistant|>…` template as [[preferencePairs]], with the
+    * completion char-span for loss masking.
+    *
+    * One prompt-keyed `max(struct(score, −id))` argmax — no window sort,
+    * O(1) aggregation state per prompt however many candidates a prompt
+    * has; candidate stats (n, best/worst score) ride the same aggregate.
+    * The render is a shuffle-free projection after the argmax, so the
+    * response TEXT moves through the exchange once, inside the struct.
+    */
+  def bestOfN(
+      df: DataFrame,
+      promptIdCol: String,
+      promptCol: String,
+      responseCol: String,
+      candidateIdCol: String,
+      scoreCol: Column): DataFrame = {
+    val picked = df
+      .groupBy(col(promptIdCol))
+      .agg(
+        max(struct(scoreCol.as("s"), (-col(candidateIdCol)).as("negid"),
+          col(promptCol).as("p"), col(responseCol).as("r"))).as("best"),
+        count(lit(1)).as("n_candidates"),
+        min(scoreCol).as("worst_score"))
+    val prefix = concat(lit("<|user|>"), col("best.p"), lit("<|assistant|>"))
+    picked.select(
+      col(promptIdCol),
+      (-col("best.negid")).as("best_candidate"),
+      round(col("best.s"), 6).as("best_score"),
+      round(col("worst_score"), 6).as("worst_score"),
+      col("n_candidates"),
+      concat(prefix, col("best.r")).as("text"),
+      length(prefix).cast("long").as("span_start"),
+      (length(prefix) + length(col("best.r"))).cast("long").as("span_end"))
   }
 }

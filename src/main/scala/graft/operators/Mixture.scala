@@ -109,4 +109,67 @@ object Mixture {
       .select(col("_id").as(idCol), col("_src").as(sourceCol),
         col("_tok").as("n_tokens"))
   }
+
+  /** WATER-FILLING token-budget allocation — the closed-form "how many
+    * epochs of each source" planner behind published LLM data recipes:
+    * allocate `budget` tokens across sources proportionally to `weights`,
+    * except that no source may exceed `maxEpochs` passes over its own
+    * tokens (the repetition ceiling). Formally
+    * `alloc_s = min(cap_s, λ·w_s)` with `cap_s = tokens_s × maxEpochs`
+    * and λ chosen so Σ alloc = budget (or every source saturates when
+    * Σ cap ≤ budget).
+    *
+    * λ has a CLOSED FORM over the sources frame — no iteration: sort
+    * sources by `cap/w` ascending; the saturated set is a prefix; for
+    * each split k, the candidate `λ_k = (budget − Σ_{i<k} cap_i) /
+    * Σ_{i≥k} w_i`, and the valid split is the FIRST k whose own ratio
+    * `cap_k/w_k ≥ λ_k` (before it, the source's cap binds). All of it is
+    * window prefix-sums over the SOURCES frame (config-sized — the events
+    * corpus collapses to one row per source in the single keyed exchange),
+    * so the oracle replays every division in the same order.
+    *
+    * Output: `(source, n_tokens, weight, alloc_tokens, epochs)`, 6 dp —
+    * `epochs = alloc/tokens ≤ maxEpochs` with equality exactly for the
+    * saturated prefix.
+    */
+  def waterFill(
+      df: DataFrame,
+      sourceCol: String,
+      tokensCol: Column,
+      weights: Map[String, Double],
+      budget: Double,
+      maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val perSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol).as("n_tokens"))
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (s, wt)) =>
+      when(col("source") === s, lit(wt)).otherwise(acc)
+    }
+    val base = perSource.select(col("source"), col("n_tokens"), w.as("weight"),
+      (col("n_tokens").cast("double") * maxEpochs).as("cap"))
+    val byRatio = Window.orderBy(col("cap") / col("weight"), col("source"))
+    val staged = base
+      .withColumn("_prefix_cap",
+        coalesce(sum(col("cap")).over(byRatio.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("_suffix_w",
+        sum(col("weight")).over(byRatio.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("_cand", (lit(budget) - col("_prefix_cap")) / col("_suffix_w"))
+      .withColumn("_rn", row_number().over(byRatio))
+      .withColumn("_valid", col("cap") / col("weight") >= col("_cand"))
+    // λ = candidate at the FIRST valid split in (ratio, source) order —
+    // later valid candidates understate the remaining budget (their prefix
+    // subtracts caps of sources that do not saturate) and are wrong; if no
+    // split is valid, every cap binds (Σ cap <= budget).
+    val lambda = staged.where(col("_valid"))
+      .agg(min(struct(col("_rn").as("r"), col("_cand").as("c"))).as("m"))
+      .select(col("m.c").as("_lambda"))
+    staged.join(broadcast(lambda), joinExprs = lit(true), "left")
+      .select(col("source"), col("n_tokens"), col("weight"),
+        round(when(col("_lambda").isNull, col("cap"))
+          .otherwise(least(col("cap"), col("_lambda") * col("weight"))), 6).as("alloc_tokens"),
+        round(when(col("_lambda").isNull, lit(maxEpochs))
+          .otherwise(least(col("cap"), col("_lambda") * col("weight")) /
+            col("n_tokens").cast("double")), 6).as("epochs"))
+  }
 }

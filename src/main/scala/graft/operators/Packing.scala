@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,5 +131,39 @@ object Packing {
           transform(array_sort(collect_list(struct(col("_start"), col("_frag")))),
             t => t.getField("_frag")), " ").as("text"))
       .where(col("n_tokens") === exampleLen.toLong)
+  }
+
+  /** Length-bucket padding report: assign each document to the smallest
+    * power-of-two bucket ≥ its token count (capped at `2^maxBits` —
+    * longer docs truncate to the cap) and report, per bucket, the padding
+    * waste a bucketed batcher pays versus the tokens it carries — the
+    * standard length-bucketed batching analysis (buckets shrink padding
+    * from pad-to-global-max to pad-to-bucket-cap).
+    *
+    * The bucket boundary is an exact-integer `when` chain over the
+    * maxBits+1 literals — never `ceil(log2(n))`, whose double rounding at
+    * exact powers of two is engine-dependent. One vocabulary-sized
+    * aggregate after a shuffle-free per-row projection.
+    *
+    * Output per bucket: `(bucket, n_docs, sum_tokens, padded_tokens,
+    * waste_pct)` where `padded = n_docs × bucket`, tokens count
+    * `min(n, cap)`, and `waste_pct = (padded − tokens)/padded` (6 dp).
+    */
+  def lengthBucketStats(
+      df: DataFrame,
+      nTokens: Column,
+      maxBits: Int = 14): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 30, "maxBits in [1, 30]")
+    val cap = 1L << maxBits
+    val bucket = (0 to maxBits).foldRight(lit(cap): Column) { (k, acc) =>
+      when(nTokens <= (1L << k), lit(1L << k)).otherwise(acc)
+    }
+    df.select(bucket.as("bucket"), least(nTokens, lit(cap)).as("_t"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_t")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket")).as("padded_tokens"),
+        round((col("n_docs") * col("bucket") - col("sum_tokens")).cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"), 6).as("waste_pct"))
   }
 }
