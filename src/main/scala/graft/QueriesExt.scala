@@ -4020,11 +4020,150 @@ object QueriesExt {
       |  (length(prefix) + length(resp))::BIGINT AS span_end
       |FROM b""".stripMargin))
 
+  /** EWMA residual anomalies — [[operators.EventAnalytics.ewmaAnomaly]]:
+    * truncated (window-20) exponentially-weighted one-step-ahead
+    * prediction per user, flag at 3σ of the user's own values. The oracle
+    * replays the newest-first weighted fold with DuckDB's indexed
+    * list_transform (1-based index → pow(0.7, i-1)).
+    */
+  private val eventsEwma: Q = "x_events_ewma" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      operators.EventAnalytics.ewmaAnomaly(ev, "user_id", "event_id", "t",
+        "value", alpha = 0.3, window = 20, k = 3.0)
+    },
+    """WITH h AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS t, value,
+      |    list_reverse(list(value::DOUBLE) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts), event_id
+      |      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) AS hist
+      |  FROM events),
+      |st AS (SELECT user_id,
+      |    sum(value)::DOUBLE / count(*) AS mu,
+      |    sqrt(sum(value*value)::DOUBLE / count(*) -
+      |      (sum(value)::DOUBLE / count(*)) * (sum(value)::DOUBLE / count(*))) AS sigma
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT user_id, event_id, t, value,
+      |    list_reduce(list_prepend(0.0,
+      |      list_transform(hist, (v, i) -> v * pow(0.7, (i-1)::DOUBLE))),
+      |      (a, b) -> a + b)
+      |      / ((1.0 - pow(0.7, len(hist)::DOUBLE)) / 0.3) AS ewma
+      |  FROM h WHERE len(hist) > 0)
+      |SELECT e.user_id, e.event_id, e.t, e.value,
+      |  round(e.ewma, 6) AS ewma_prev,
+      |  round(e.value - e.ewma, 6) AS residual,
+      |  abs(e.value - e.ewma) > 3.0 * st.sigma AS is_anomaly
+      |FROM e JOIN st USING (user_id)""".stripMargin))
+
+  /** Funnel stage-latency percentiles —
+    * [[operators.EventAnalytics.stageLatency]]: conditional-min chain per
+    * user (the funnel machinery) + exact percentile per stage pair,
+    * replayed with quantile_cont.
+    */
+  private val eventsStageLatency: Q = "x_events_stage_latency" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      operators.EventAnalytics.stageLatency(ev, "user_id", "event_type", "t",
+        Seq("view", "click", "purchase"))
+    },
+    """WITH f AS (SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS t
+      |           FROM events WHERE event_type IN ('view','click','purchase')),
+      |s0 AS (SELECT u, min(t) AS ft FROM f WHERE et='view' GROUP BY u),
+      |s1 AS (SELECT f.u, min(f.t) AS nt, any_value(s0.ft) AS pt
+      |       FROM f JOIN s0 USING (u) WHERE f.et='click' AND f.t > s0.ft GROUP BY f.u),
+      |s2 AS (SELECT f.u, min(f.t) AS nt, any_value(s1.nt) AS pt
+      |       FROM f JOIN s1 USING (u) WHERE f.et='purchase' AND f.t > s1.nt GROUP BY f.u),
+      |l1 AS (SELECT nt - pt AS d FROM s1), l2 AS (SELECT nt - pt AS d FROM s2)
+      |SELECT 1 AS stage_idx, 'click' AS stage, (SELECT count(*) FROM l1) AS users,
+      |  round((SELECT quantile_cont(d, 0.25) FROM l1), 6) AS p25_ms,
+      |  round((SELECT quantile_cont(d, 0.5) FROM l1), 6) AS p50_ms,
+      |  round((SELECT quantile_cont(d, 0.9) FROM l1), 6) AS p90_ms,
+      |  (SELECT max(d) FROM l1) AS max_ms
+      |UNION ALL
+      |SELECT 2, 'purchase', (SELECT count(*) FROM l2),
+      |  round((SELECT quantile_cont(d, 0.25) FROM l2), 6),
+      |  round((SELECT quantile_cont(d, 0.5) FROM l2), 6),
+      |  round((SELECT quantile_cont(d, 0.9) FROM l2), 6),
+      |  (SELECT max(d) FROM l2)""".stripMargin))
+
+  /** Web link-graph extraction — [[graft.functions.UrlOps.extractHrefs]]
+    * over a deterministic HTML fixture (each doc links its first three
+    * tokens' domains), exploded to (doc, href, registrable domain) edges.
+    */
+  private val webLinkgraph: Q = "x_web_linkgraph" -> ((
+    (s: SparkSession, dir: String) => {
+      val html = docs(s, dir).select(col("doc_id"),
+        concat(lit("<html><body>"),
+          concat_ws("", transform(slice(split(trim(col("text")), "\\s+"), 1, 3),
+            w => concat(lit("<a href=\"https://"), w, lit(".example.com/p?x=1\">"), w, lit("</a>")))),
+          lit("</body></html>")).as("html"))
+      html.select(col("doc_id"),
+        posexplode(graft.functions.UrlOps.extractHrefs(col("html"))).as(Seq("pos", "href")))
+        .select(col("doc_id"), col("pos"), col("href"),
+          graft.functions.UrlOps.registrableDomain(
+            graft.functions.UrlOps.urlHost(col("href"))).as("domain"))
+    },
+    """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+      |h AS (SELECT doc_id,
+      |  '<html><body>' || array_to_string(list_transform(ws[1:3],
+      |     w -> '<a href="https://' || w || '.example.com/p?x=1">' || w || '</a>'), '')
+      |  || '</body></html>' AS html FROM t),
+      |x AS (SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href,
+      |        generate_subscripts(regexp_extract_all(html, 'href="([^"]*)"', 1), 1) - 1 AS pos
+      |      FROM h)
+      |SELECT doc_id, pos::INT AS pos, href,
+      |  regexp_extract(href, '^https://([^/]*)', 1)
+      |    .regexp_extract('([^.]+\.[^.]+)$', 1) AS domain
+      |FROM x""".stripMargin))
+
+  /** Decimal-exact correlation matrix — [[operators.Quality.corrPairs]]
+    * on lineitem money/quantity columns per return flag: moments summed
+    * as decimals (exact on any engine/partitioning), formula in doubles
+    * identically ordered.
+    */
+  private val profileCorr: Q = "x_profile_corr" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.Quality.corrPairs(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_returnflag", Seq("l_quantity", "l_extendedprice", "l_discount")),
+    """WITH m AS (SELECT l_returnflag,
+      |    count(*) AS n,
+      |    sum(l_quantity::DECIMAL(19,4)) AS sq,
+      |    sum(l_quantity::DECIMAL(19,4) * l_quantity::DECIMAL(19,4)) AS sqq,
+      |    sum(l_extendedprice::DECIMAL(19,4)) AS se,
+      |    sum(l_extendedprice::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4)) AS see,
+      |    sum(l_discount::DECIMAL(19,4)) AS sd,
+      |    sum(l_discount::DECIMAL(19,4) * l_discount::DECIMAL(19,4)) AS sdd,
+      |    sum(l_quantity::DECIMAL(19,4) * l_extendedprice::DECIMAL(19,4)) AS sqe,
+      |    sum(l_quantity::DECIMAL(19,4) * l_discount::DECIMAL(19,4)) AS sqd,
+      |    sum(l_extendedprice::DECIMAL(19,4) * l_discount::DECIMAL(19,4)) AS sed
+      |  FROM lineitem GROUP BY l_returnflag),
+      |p AS (
+      |  SELECT l_returnflag, 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+      |    n::DOUBLE AS nd, sq::DOUBLE AS sx, sqq::DOUBLE AS sxx,
+      |    se::DOUBLE AS sy, see::DOUBLE AS syy, sqe::DOUBLE AS sxy FROM m
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_quantity', 'l_discount', n,
+      |    n::DOUBLE, sq::DOUBLE, sqq::DOUBLE, sd::DOUBLE, sdd::DOUBLE, sqd::DOUBLE FROM m
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', 'l_discount', n,
+      |    n::DOUBLE, se::DOUBLE, see::DOUBLE, sd::DOUBLE, sdd::DOUBLE, sed::DOUBLE FROM m)
+      |SELECT l_returnflag, col_a, col_b, n,
+      |  CASE WHEN sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)) = 0.0 THEN NULL
+      |       ELSE round((nd*sxy - sx*sy) / sqrt((nd*sxx - sx*sx) * (nd*syy - sy*sy)), 6)
+      |  END AS corr
+      |FROM p""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     layoutZorder, graphTriangles, stTypeCountsTws,
     packLengthBuckets, mixWaterfill, sftBestOfN,
+    eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

@@ -114,4 +114,14 @@ object UrlOps {
     when(scheme.isNull || hostPort.startsWith("["), lit(null))
       .otherwise(concat(scheme, lit("://"), noDefault, path))
   }
+
+  /** All `href="…"` targets of an HTML document, in document order — the
+    * link-extraction half of a web-graph pipeline (outlinks → registrable
+    * domains → [[graft.operators.Graph]] analytics). One RE2-portable
+    * `regexp_extract_all` (group 1), codegen'd, shuffle-free; unquoted or
+    * single-quoted hrefs are out of contract (the crawl-normalization
+    * layer quotes attributes before this point).
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("href=\"([^\"]*)\""), lit(1))
 }

@@ -406,6 +406,118 @@ object EventAnalytics {
       .agg(max(col("hour_peak")).as("peak_concurrency"))
   }
 
+  /** One-step-ahead EWMA residual anomalies per entity: for each event,
+    * predict its value from the exponentially-weighted moving average of
+    * the entity's previous `window` values (α-decay, newest first) and
+    * flag events whose |residual| exceeds `k` × the entity's own global
+    * value std-dev — time-series change detection on the event stream,
+    * the drift-sensitive complement of [[graft.QueriesExt]]'s 3σ count
+    * anomaly.
+    *
+    * The EWMA is TRUNCATED at `window` terms so it is an exact finite
+    * fold both engines replay identically: per row, the previous `window`
+    * values arrive as an ordered window array (entity-keyed sort — the
+    * sessionizer bound) and the prediction is the α(1−α)^i-weighted fold
+    * over that array, newest first, normalized by the truncated weight
+    * mass (so early rows with short history are full-weight predictions,
+    * not biased toward zero). σ uses exact moment sums over integer-exact
+    * doubles. First event of an entity has no prediction and is never
+    * flagged.
+    *
+    * Output: one row per event with a prediction:
+    * `(entity, id, t, value, ewma_prev, residual, is_anomaly)`, 6 dp.
+    */
+  def ewmaAnomaly(
+      events: DataFrame,
+      entityCol: String,
+      idCol: String,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.3,
+      window: Int = 20,
+      k: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(window >= 1, "window must be positive")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    // newest-first weighted fold: weights αΣ(1−α)^i over the REVERSED
+    // history array; normalized by the same truncated mass.
+    val hist = reverse(collect_list(col(valueCol).cast("double")).over(w))
+    val decay = lit(1.0 - alpha)
+    val weighted = aggregate(
+      zip_with(col("_hist"), sequence(lit(0), size(col("_hist")) - 1),
+        (v, i) => v * pow(decay, i.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val mass = (lit(1.0) - pow(decay, size(col("_hist")).cast("double"))) / lit(alpha)
+    val stats = events.groupBy(col(entityCol)).agg(
+      (sum(col(valueCol)).cast("double") / count(lit(1))).as("_mu"),
+      sqrt(sum(col(valueCol) * col(valueCol)).cast("double") / count(lit(1)) -
+        (sum(col(valueCol)).cast("double") / count(lit(1))) *
+          (sum(col(valueCol)).cast("double") / count(lit(1)))).as("_sigma"))
+    events
+      .withColumn("_hist", hist)
+      .where(size(col("_hist")) > 0)
+      .withColumn("_ewma", weighted / mass)
+      .join(broadcast(stats), entityCol)
+      .select(col(entityCol), col(idCol), col(tsCol), col(valueCol),
+        round(col("_ewma"), 6).as("ewma_prev"),
+        round(col(valueCol) - col("_ewma"), 6).as("residual"),
+        (abs(col(valueCol) - col("_ewma")) > lit(k) * col("_sigma")).as("is_anomaly"))
+  }
+
+  /** Per-stage conversion-latency distribution: for users completing the
+    * strict-order funnel ([[funnel]] semantics — each stage's qualifying
+    * time is the earliest instance after the previous stage's), the exact
+    * percentiles of the stage-(k−1)→stage-k delay.
+    *
+    * The per-user qualifying times come from the same conditional-min
+    * join chain as [[funnel]] (O(1) state per user per stage, every
+    * exchange user-keyed); the percentile aggregate runs per stage PAIR —
+    * a stages-sized frame. Exact `percentile` (not approx) so the oracle
+    * replays it with `quantile_cont`.
+    *
+    * Output: `(stage_idx, stage, users, p25_ms, p50_ms, p90_ms, max_ms)`
+    * for stages 1..n−1 (stage k's row describes the k−1→k delay).
+    */
+  def stageLatency(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "stageLatency needs at least two stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val slim = events
+      .where(col(typeCol).isin(stages.map(s => s: Any): _*))
+      .select(col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
+      .persist()
+    var frontier = slim.where(col("et") === stages.head)
+      .groupBy(col("u")).agg(min(col("t")).as("ft"))
+    val out = stages.tail.zipWithIndex.map { case (st, i) =>
+      val next = slim.where(col("et") === st)
+        .join(frontier, "u")
+        .where(col("t") > col("ft"))
+        .groupBy(col("u")).agg(min(col("t")).as("nt"), first(col("ft")).as("pt"))
+      val lat = next.select(col("u"), (col("nt") - col("pt")).as("d"))
+      val row = lat.agg(
+        count(lit(1)).as("users"),
+        percentile(col("d"), lit(0.25)).as("p25_ms"),
+        percentile(col("d"), lit(0.5)).as("p50_ms"),
+        percentile(col("d"), lit(0.9)).as("p90_ms"),
+        max(col("d")).as("max_ms"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("users"),
+          round(col("p25_ms"), 6).as("p25_ms"), round(col("p50_ms"), 6).as("p50_ms"),
+          round(col("p90_ms"), 6).as("p90_ms"), col("max_ms"))
+      frontier = next.select(col("u"), col("nt").as("ft"))
+      row
+    }.reduce(_ unionAll _)
+    val materialized = out.localCheckpoint(true)
+    slim.unpersist()
+    materialized
+  }
+
   /** Streaming funnel state machine: the incremental counterpart of
     * [[funnel]], as a `flatMapGroupsWithState` over a user-keyed stream.
     *

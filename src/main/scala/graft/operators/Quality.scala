@@ -279,4 +279,47 @@ object Quality {
         deflateLen(col(textCol)).as("comp_len"))
       .withColumn("comp_ratio",
         round(col("comp_len").cast("double") / greatest(lit(1L), col("byte_len")), 6))
+
+  /** Pairwise Pearson correlation per group over DECIMAL-EXACT moment
+    * sums — the numeric-profiling matrix (feature redundancy screen,
+    * schema-drift canary). Grouped double sums are shuffle-order
+    * nondeterministic and 1e5-row money columns lose ~1e-3 absolute in a
+    * naive float fold, so every moment (Σx, Σy, Σxy, Σx², Σy²) is summed
+    * as `decimal(18,4)` terms (`decimal(37,8)` products) — EXACT integers
+    * in scaled space on any engine, any partitioning — and only the final
+    * correlation formula runs in doubles, identically ordered on both
+    * engines.
+    *
+    * One pass: all pairs' moments are columns of a SINGLE aggregation
+    * over the group key (column count is O(pairs), rows never duplicate).
+    * Output: `(group, col_a, col_b, n, corr)`, corr 6 dp, NULL when a
+    * side is constant (zero variance).
+    */
+  def corrPairs(
+      df: DataFrame,
+      groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrPairs needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j } yield (cols(i), cols(j))
+    def dec(c: String) = col(c).cast("decimal(18,4)")
+    val moments: Seq[Column] =
+      count(lit(1)).as("_n") +:
+        cols.flatMap(c => Seq(
+          sum(dec(c)).as(s"_s_$c"),
+          sum(dec(c) * dec(c)).as(s"_ss_$c"))) ++:
+        pairs.map { case (a, b) => sum(dec(a) * dec(b)).as(s"_sp_${a}_$b") }
+    val agged = df.groupBy(col(groupCol)).agg(moments.head, moments.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("_n").cast("double")
+      val sx = col(s"_s_$a").cast("double"); val sy = col(s"_s_$b").cast("double")
+      val sxx = col(s"_ss_$a").cast("double"); val syy = col(s"_ss_$b").cast("double")
+      val sxy = col(s"_sp_${a}_$b").cast("double")
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      agged.select(col(groupCol), lit(a).as("col_a"), lit(b).as("col_b"),
+        col("_n").as("n"),
+        when(den === 0.0, lit(null))
+          .otherwise(round((n * sxy - sx * sy) / den, 6)).as("corr"))
+    }
+    rows.reduce(_ unionAll _)
+  }
 }
