@@ -3736,11 +3736,12 @@ object QueriesExt {
   private val dedupWeightedJaccard: Q = "x_dedup_weighted_jaccard" -> ((
     (s: SparkSession, dir: String) =>
       Dedup.weightedJaccardPairs(docs(s, dir), "doc_id", "text",
-        cap = 5, threshold = 0.65, maxDf = 1000),
-    """WITH tok AS (SELECT doc_id, tok, count(*) AS c FROM
-      |  (SELECT doc_id, unnest(string_split(trim(text),' ')) AS tok FROM documents)
-      |  GROUP BY 1, 2),
-      |el AS (SELECT doc_id, tok || '#' || k::VARCHAR AS e
+        n = 3, cap = 5, threshold = 0.4, maxDf = 1000),
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS s
+      |       FROM t, UNNEST(range(1, len(ws)-1)) r(i)),
+      |tok AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+      |el AS (SELECT doc_id, s || '#' || k::VARCHAR AS e
       |       FROM tok, UNNEST(range(1, least(c, 5)+1)) AS r(k)),
       |dfc AS (SELECT e, count(*) AS dfn FROM el GROUP BY e),
       |kept AS (SELECT el.doc_id, el.e FROM el JOIN dfc USING (e) WHERE dfn <= 1000),
@@ -3750,7 +3751,7 @@ object QueriesExt {
       |          GROUP BY 1, 2)
       |SELECT id_a, id_b, n_inter::DOUBLE/(ca.n + cb.n - n_inter) AS wjaccard
       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.65""".stripMargin))
+      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.4""".stripMargin))
 
   /** Corpus line-dedup gate — [[Dedup.lineDedup]]: the corpus has no
     * newlines, so the fixture renders each doc as 10-token lines first (a

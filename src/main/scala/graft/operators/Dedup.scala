@@ -1680,8 +1680,8 @@ object Dedup {
     * that repeats a template's words ten times looks identical to the
     * template under sets, but not under multisets).
     *
-    * The reduction to the proven machinery: a token's i-th occurrence
-    * becomes the ELEMENT `(tok, i)` (i ≤ cap), and weighted Jaccard over
+    * The reduction to the proven machinery: an n-gram's i-th occurrence
+    * becomes the ELEMENT `(gram, i)` (i ≤ cap), and weighted Jaccard over
     * capped counts IS set Jaccard over that occurrence-expanded element
     * space (`Σ min = |A∩B|`, `Σ max = |A|+|B|−|A∩B|` — the multiset
     * identity). So the plan is the [[jaccardPairs]] inverted index verbatim:
@@ -1689,24 +1689,52 @@ object Dedup {
     * AND union), singleton-posting drop, keyed — never broadcast — stop
     * joins, pair expansion bounded by C(maxDf, 2) per element.
     *
-    * The occurrence cap bounds the per-doc expansion at `cap × |vocab(doc)|`
+    * `n` controls the shingle width. n = 1 (unigram multisets) is the
+    * textbook weighted Jaccard but DEGENERATE on small vocabularies —
+    * every occurrence-element's document frequency approaches the corpus
+    * size, so posting lists fatten toward the maxDf cap and the pair
+    * expansion goes quadratic (measured 9.2M pre-agg pair rows at sf0.1
+    * unigram vs 1.3M at n = 3 on the gate corpus). n ≥ 2 keeps element
+    * df Zipf-thin, which is what makes this operator 100 TB-shaped.
+    *
+    * The occurrence cap bounds the per-doc expansion at `cap × |grams(doc)|`
     * rows and is itself the standard weighted-minhash practice (unbounded
-    * counts let one degenerate repeated-token doc dominate every bucket).
+    * counts let one degenerate repeated-gram doc dominate every bucket).
     */
   def weightedJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
+      n: Int = 3,
       cap: Int = 5,
       threshold: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
+    require(n >= 1, "n must be >= 1")
+    // Materialize the token array as a COLUMN before the gram lambda —
+    // element_at over the raw split() expression re-embeds the split per
+    // gram position (the O(len²) re-tokenize trap topNgrams measured at
+    // 9×; reproduced here as most of an 10 s gate before the fix).
+    val ws = col("_ws")
+    val grams =
+      if (n == 1) ws
+      // sequence() rejects start > stop: short docs get an explicit empty
+      else when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
     val counts = df
-      .select(col(idCol), explode(split(trim(col(textCol)), " ")).as("tok"))
+      .withColumn("_ws", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), explode(grams).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    // The element table feeds THREE consumers (df-count, per-doc counts,
+    // posting expansion); without a materialization the gram tokenize +
+    // (id, gram) aggregate re-executes for each — measured 3× the gate's
+    // cost at sf0.1. localCheckpoint also truncates the lineage the way
+    // the CC/pageRank iteratives do.
     val el = counts.select(col(idCol),
       explode(transform(sequence(lit(1), least(col("c"), lit(cap)).cast("int")),
         k => concat(col("tok"), lit("#"), k))).as("e"))
+      .localCheckpoint(true)
     val dfCnt = el.groupBy(col("e")).agg(count(lit(1)).as("_df"))
     val kept = el.join(dfCnt, Seq("e")).where(col("_df") <= maxDf)
       .select(col(idCol), col("e"))

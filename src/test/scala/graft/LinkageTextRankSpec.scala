@@ -73,7 +73,7 @@ class LinkageTextRankSpec extends SparkSpec {
     // union = 4 + 3 - 2 = 5 -> wj = 0.4
     val docs = Seq((1L, "x x x y"), (2L, "x y y")).toDF("doc_id", "text")
     val got = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
-      cap = 5, threshold = 0.3, maxDf = 1000)
+      n = 1, cap = 5, threshold = 0.3, maxDf = 1000)
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 0.4)))
   }
@@ -82,12 +82,12 @@ class LinkageTextRankSpec extends SparkSpec {
     // identical under cap=2: both reduce to {x1,x2}; wj = 1.0
     val docs = Seq((1L, "x x x x x x"), (2L, "x x")).toDF("doc_id", "text")
     val capped = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
-      cap = 2, threshold = 0.9, maxDf = 100)
+      n = 1, cap = 2, threshold = 0.9, maxDf = 100)
       .as[(Long, Long, Double)].collect().toSeq
     assert(capped == Seq((1L, 2L, 1.0)))
     // uncapped-ish (cap 10): inter 2, union 6+2-2 -> 1/3 < 0.9
     assert(Dedup.weightedJaccardPairs(docs, "doc_id", "text",
-      cap = 10, threshold = 0.9, maxDf = 100).count() == 0L)
+      n = 1, cap = 10, threshold = 0.9, maxDf = 100).count() == 0L)
   }
 
   test("lineDedup: shared lines removed everywhere, order preserved, blanks immune") {
