@@ -4159,12 +4159,87 @@ object QueriesExt {
       |  END AS corr
       |FROM p""".stripMargin))
 
+  /** k-core gate — [[operators.Graph.kCore]] (peeling fixpoint) on the
+    * minhash near-dup graph at k = 2. The oracle unrolls six peel stages
+    * (the graph fixpoints in two; peeling is idempotent at the fixpoint,
+    * so over-unrolling is safe) — the engine's convergence-detected loop
+    * must land on the same core.
+    */
+  private lazy val graphKcore: Q = {
+    val stages = (1 to 6).map { t =>
+      s"""d$t AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+         |  SELECT a AS v FROM e${t - 1} UNION ALL SELECT b FROM e${t - 1}) GROUP BY v),
+         |e$t AS MATERIALIZED (SELECT a, b FROM e${t - 1}
+         |  WHERE a NOT IN (SELECT v FROM d$t WHERE c < 2)
+         |    AND b NOT IN (SELECT v FROM d$t WHERE c < 2))""".stripMargin
+    }.mkString(",\n")
+    "x_graph_kcore" -> ((
+      (s: SparkSession, dir: String) => {
+        val pairs = Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 3, numHashes = 12, bands = 4)
+        operators.Graph.kCore(pairs, "id_a", "id_b", k = 2)
+      },
+      s"""WITH $minhashCtes,
+         |pairs AS ($minhashPairsSelect),
+         |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+         |$stages
+         |SELECT v AS node_id, count(*)::BIGINT AS core_degree FROM (
+         |  SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6) GROUP BY v""".stripMargin))
+  }
+
+  /** FORWARD as-of gate — [[operators.Joins.asOfForward]]: each purchase
+    * gets the user's NEXT signup event at-or-after it; oracle = DuckDB's
+    * native ASOF LEFT JOIN with the `<=` inequality.
+    */
+  private val joinAsofForward: Q = "x_join_asof_forward" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t").as("ts_ms"))
+      val dim = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("t"), col("event_id"))
+      graft.operators.Joins.asOfForward(facts, dim,
+        keys = Seq("user_id"), factTime = "ts_ms", dimTime = "t",
+        dimCols = Seq("event_id", "t"))
+    },
+    """WITH f AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |           WHERE event_type = 'purchase'),
+      |d AS (SELECT user_id, epoch_ms(ts) AS t, max(event_id) AS event_id
+      |      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT f.event_id, f.user_id, f.ts_ms,
+      |  d.event_id AS asof_event_id, d.t AS asof_t
+      |FROM f ASOF LEFT JOIN d ON f.user_id = d.user_id AND f.ts_ms <= d.t""".stripMargin))
+
+  /** Decimal-exact embedding covariance matrix —
+    * [[operators.Similarity.covarianceMatrix]]: (i ≤ j) second moments via
+    * a row-keyed self-join of the exploded frame, every sum a
+    * decimal(15,8)-termed exact.
+    */
+  private val embCovariance: Q = "x_emb_covariance" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.Similarity.covarianceMatrix(emb(s, dir), "embedding"),
+    """WITH pos AS (SELECT vec_id AS r, generate_subscripts(embedding, 1) - 1 AS i,
+      |    unnest(embedding) AS x FROM embeddings),
+      |s AS (SELECT i, count(*) AS n, sum((x::DOUBLE)::DECIMAL(15,8)) AS sx
+      |      FROM pos GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j,
+      |        sum((a.x::DOUBLE)::DECIMAL(15,8) * (b.x::DOUBLE)::DECIMAL(15,8)) AS sxy
+      |      FROM pos a JOIN pos b ON a.r = b.r AND a.i <= b.i GROUP BY 1, 2)
+      |SELECT p.i, p.j, si.n,
+      |  round(si.sx::DOUBLE / si.n, 6) + 0.0 AS mean_i,
+      |  round(sj.sx::DOUBLE / sj.n, 6) + 0.0 AS mean_j,
+      |  round((p.sxy::DOUBLE - si.sx::DOUBLE * sj.sx::DOUBLE / si.n) / si.n, 6) + 0.0 AS cov
+      |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     layoutZorder, graphTriangles, stTypeCountsTws,
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
+    graphKcore, joinAsofForward, embCovariance,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

@@ -65,6 +65,59 @@ object Graph {
     ranks.select(col("_id").as("node_id"), round(col("_r"), 6).as("pagerank"))
   }
 
+  /** k-CORE decomposition membership: the maximal subgraph in which every
+    * node has degree ≥ k, computed by the standard peeling fixpoint —
+    * repeatedly delete nodes of degree < k (deleting a node lowers its
+    * neighbors' degrees, so the loop re-checks) until stable. Cores
+    * separate the DENSE near-dup families (template farms survive high k)
+    * from incidental pair noise that triangles alone can't rank.
+    *
+    * Per iteration: one degree aggregate + two keyed anti-joins pruning
+    * the edge list; the edge list shrinks monotonically and lineage is
+    * truncated every other round ([[pageRank]]'s discipline). The
+    * fixpoint is detected by the surviving-edge count going stable;
+    * `maxIter` is a LOUD guard — a graph that hasn't converged fails,
+    * never returns a half-peeled core.
+    *
+    * Output: `(node_id, core_degree)` for members of the k-core, with
+    * their degree inside the core.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIter: Int = 30): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var n = und.count()
+    var it = 0
+    var stable = false
+    while (!stable) {
+      it += 1
+      require(it <= maxIter, s"kCore did not converge within $maxIter iterations")
+      val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val bad = deg.where(col("deg") < k).select("v")
+      var pruned = und
+        .join(bad.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
+        .join(bad.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
+        .select("a", "b")
+      if (it % 2 == 0) pruned = pruned.localCheckpoint(true)
+      val n2 = pruned.count()
+      stable = n2 == n
+      n = n2
+      und = pruned
+    }
+    und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .select(col("v").as("node_id"), col("core_degree"))
+  }
+
   /** Per-node triangle count and local clustering coefficient over an
     * UNDIRECTED edge list — the community-density profile of the near-dup
     * graph (high-coefficient clusters = template families; low-coefficient

@@ -175,7 +175,36 @@ object Joins {
       factTime: String,
       dimTime: String,
       dimCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_"): DataFrame =
+    asOfWindowed(facts, dim, keys, factTime, dimTime, dimCols, prefix, forward = false)
+
+  /** FORWARD as-of join: each fact row gets the dimension row with the
+    * SMALLEST `dimTime` at-or-after its `factTime`, per key — "the next
+    * scheduled price change", "the first reading after the alarm". Same
+    * union+window plan as [[asOf]] with the scan direction reversed (sort
+    * descending, carry the nearest later dim value back), same
+    * `max(struct(dimCols))` collapse contract on duplicate (key, time) dim
+    * rows, same left semantics (no later dim row → NULLs).
+    */
+  def asOfForward(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTime: String,
+      dimTime: String,
+      dimCols: Seq[String],
+      prefix: String = "asof_"): DataFrame =
+    asOfWindowed(facts, dim, keys, factTime, dimTime, dimCols, prefix, forward = true)
+
+  private def asOfWindowed(
+      facts: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      factTime: String,
+      dimTime: String,
+      dimCols: Seq[String],
+      prefix: String,
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "asOf requires at least one key column")
     require(dimCols.nonEmpty, "asOf requires at least one dim payload column")
     import org.apache.spark.sql.expressions.Window
@@ -189,8 +218,11 @@ object Joins {
       .withColumn("_isdim", lit(0))
       .withColumn("_dval", lit(null).cast(dimPrep.schema("_dval").dataType))
     val unioned = factPrep.unionByName(dimPrep, allowMissingColumns = true)
+    // Backward: ascending time, dim-first at ties → last dim at-or-before.
+    // Forward: descending time, dim-first at ties → nearest dim at-or-after.
+    val order = if (forward) col("_t").desc else col("_t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_isdim").desc)
+      .orderBy(order, col("_isdim").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned.withColumn("_asof", last(col("_dval"), ignoreNulls = true).over(w))
       .where(col("_isdim") === 0)

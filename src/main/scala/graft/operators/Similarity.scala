@@ -757,4 +757,57 @@ object Similarity {
       dot(vec, signs) / scale
     }: _*)
   }
+
+  /** DECIMAL-EXACT covariance matrix of an embedding column — the
+    * second-moment profile under PCA/whitening/OPQ decisions, where a
+    * float-summed covariance is shuffle-order nondeterministic and a gate
+    * could never hash it. Every moment (Σxᵢ, Σxᵢxⱼ) is summed as
+    * `decimal(15,8)` terms of the float's EXACT double promotion — exact
+    * integers in scaled space on any engine, any partitioning — and only
+    * the final `cov = (Σxy − ΣxΣy/n)/n` runs in doubles, identically
+    * ordered.
+    *
+    * Plan: one `posexplode` to the (row, i, xᵢ) frame, a row-keyed
+    * self-join builds the (i ≤ j) pair stream, and ONE (i, j)-keyed
+    * aggregate reduces it — dims²-sized output however large the corpus;
+    * per-dim means ride a second (i)-keyed aggregate over the same
+    * exploded frame. Shuffle volume is rows × d²/2 pair terms — the
+    * relational encoding of the Gram matrix (the alternative, d² agg
+    * columns in one pass, breaks past ~50 dims).
+    *
+    * Output: `(i, j, n, mean_i, mean_j, cov)` for i ≤ j, 6 dp.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    // decimal(15,8): the product is decimal(31,16) — EXACT on both engines.
+    // (19,8) would make Spark clamp the product to (38,15) with rounding
+    // while DuckDB keeps (38,16), a silent cross-engine mismatch. Scale-8
+    // terms bound |x| < 10^7 — far above any embedding coordinate.
+    val dec = (c: Column) => c.cast("double").cast("decimal(15,8)")
+    // Row id BEFORE the explode (an id in the same select as the generator
+    // is evaluated per exploded element — unique per (row, i), which turns
+    // the self-join into an identity join); checkpoint pins the ids for
+    // the two consumers + the self-join.
+    val pos = df.select(monotonically_increasing_id().as("_r"), col(vecCol).as("_v"))
+      .localCheckpoint(true)
+      .select(col("_r"), posexplode(col("_v")).as(Seq("i", "x")))
+    val sums = pos.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("_sx"))
+    val prods = pos.select(col("_r"), col("i"), col("x"))
+      .join(pos.select(col("_r"), col("i").as("j"), col("x").as("y")), "_r")
+      .where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(dec(col("x")) * dec(col("y"))).as("_sxy"))
+    prods
+      .join(sums.select(col("i"), col("n"), col("_sx").as("_sxi")), "i")
+      .join(sums.select(col("i").as("j"), col("_sx").as("_sxj")), "j")
+      // `+ 0.0` normalizes IEEE negative zero — round() lands on -0.0 for
+      // tiny negatives on one engine and 0.0 on the other, and the gate
+      // hashes the sign.
+      .select(col("i"), col("j"), col("n"),
+        (round(col("_sxi").cast("double") / col("n"), 6) + lit(0.0)).as("mean_i"),
+        (round(col("_sxj").cast("double") / col("n"), 6) + lit(0.0)).as("mean_j"),
+        (round((col("_sxy").cast("double") -
+          col("_sxi").cast("double") * col("_sxj").cast("double") / col("n")) /
+          col("n"), 6) + lit(0.0)).as("cov"))
+  }
 }
