@@ -4233,6 +4233,61 @@ object QueriesExt {
       |  round((p.sxy::DOUBLE - si.sx::DOUBLE * sj.sx::DOUBLE / si.n) / si.n, 6) + 0.0 AS cov
       |FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j""".stripMargin))
 
+  /** Quantile normalization — [[operators.Quality.quantileNormalize]]:
+    * per-source percent_rank mapped onto the global exact-percentile grid
+    * by monotone linear interpolation; grid probs written as
+    * decimal-literal::DOUBLE on both engines so every interpolation input
+    * is the identical double.
+    */
+  private lazy val qualityQnorm: Q = {
+    val probs = (0 to 100).map(i => f"${i / 100.0}%.2f::DOUBLE").mkString(", ")
+    "x_quality_qnorm" -> ((
+      (s: SparkSession, dir: String) =>
+        operators.Quality.quantileNormalize(
+          docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+          "source", "doc_id", "n_chars", gridSize = 100),
+      s"""WITH g AS (SELECT quantile_cont(n_chars, [$probs]) AS grid FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |        percent_rank() OVER (PARTITION BY source
+         |                             ORDER BY n_chars, doc_id) AS pr
+         |      FROM documents)
+         |SELECT doc_id, source, n_chars, round(pr, 6) AS pct_rank,
+         |  round(CASE WHEN floor(pr * 100)::INT >= 100 THEN grid[101]
+         |    ELSE grid[floor(pr * 100)::INT + 1] * (1.0 - (pr * 100 - floor(pr * 100)))
+         |       + grid[floor(pr * 100)::INT + 2] * (pr * 100 - floor(pr * 100))
+         |  END, 6) AS norm_score
+         |FROM r, g""".stripMargin))
+  }
+
+  /** ViT patch extraction — [[operators.Multimodal.imagePatches]] over the
+    * REAL-decoded synthetic PNGs (every 11th corrupt): grid arithmetic,
+    * edge truncation and exact integer pixel sums replayed from the
+    * fixture's pixel formula.
+    */
+  private val mmPatches: Q = "x_multimodal_patches" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.imagePatches(
+        Multimodal.syntheticPngs(docs(s, dir), "doc_id")
+          .withColumn("blob",
+            when(col("doc_id") % 11 === 0, lit("not an image").cast("binary"))
+              .otherwise(col("blob"))),
+        "doc_id", "blob", patch = 4),
+    """WITH d AS (SELECT doc_id, 1 + doc_id % 37 AS w, 1 + doc_id % 23 AS h FROM documents),
+      |ok AS (SELECT * FROM d WHERE doc_id % 11 <> 0),
+      |g AS (SELECT doc_id, w, h, px::INT AS px, py::INT AS py
+      |      FROM ok, UNNEST(range(0, (w+3)//4)) t1(px), UNNEST(range(0, (h+3)//4)) t2(py)),
+      |p AS (SELECT doc_id, px, py, (px*4)::INT AS x0, (py*4)::INT AS y0,
+      |        least(4, w - px*4)::INT AS pw, least(4, h - py*4)::INT AS ph FROM g),
+      |s AS (SELECT doc_id, px, py, x0, y0, pw, ph,
+      |        sum((doc_id + 31*(x0+dx) + 17*(y0+dy)) % 256)::BIGINT AS pix_sum,
+      |        (pw*ph)::BIGINT AS n_pix
+      |      FROM p, UNNEST(range(0, pw)) a(dx), UNNEST(range(0, ph)) b(dy)
+      |      GROUP BY doc_id, px, py, x0, y0, pw, ph)
+      |SELECT doc_id AS id, px, py, x0, y0, pw, ph, pix_sum, n_pix, true AS decoded FROM s
+      |UNION ALL
+      |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false
+      |FROM d WHERE doc_id % 11 = 0""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
@@ -4240,6 +4295,7 @@ object QueriesExt {
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     graphKcore, joinAsofForward, embCovariance,
+    qualityQnorm, mmPatches,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

