@@ -122,13 +122,64 @@ object ScaleProbe {
         spark.conf.set(glKey, "1000")
       }
     }
+    stage("weighted jaccard") {
+      // Replicas are near-identical, so every occurrence-element's posting
+      // list grows with the factor and the C(df,2) pair expansion per
+      // element is the hostile axis; maxDf caps the lists and the claim is
+      // wall ∝ kept-pair volume, per-task state flat.
+      val p = Dedup.weightedJaccardPairs(big, "doc_id", "text",
+        n = 3, cap = 5, threshold = 0.4, maxDf = 1000)
+      println(s"[probe] weighted-jaccard pairs = ${p.count()}")
+    }
+    stage("triangles kcore") {
+      // Each base doc's replicas form a factor-clique in the near-dup
+      // graph: triangles grow C(factor,3) per base doc and wedge fan-out is
+      // the quadratic axis the low-degree orientation bounds (out-degree ≤
+      // clique size after orientation). k-core must converge in O(1) peel
+      // rounds (cliques never peel; pendant noise goes in round one).
+      val pairs = Dedup.minHashLshPairs(big, "doc_id", "text",
+        n = 3, numHashes = 12, bands = 4).localCheckpoint(true)
+      val tri = graft.operators.Graph.triangleStats(pairs, "id_a", "id_b")
+      println(s"[probe] triangle rows = ${tri.count()}")
+      val core = graft.operators.Graph.kCore(pairs, "id_a", "id_b", k = 2)
+      println(s"[probe] 2-core nodes = ${core.count()}")
+    }
+    stage("peak concurrency") {
+      // Events replicated with the SAME timestamps: every hour bucket gets
+      // factor× hotter (the skew axis for the hour-keyed sweep windows)
+      // while the day output stays constant — wall must track the keyed
+      // sort volume, not blow up on one partition.
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      val ev = (0 until factor).map { i =>
+        graft.sources.EventsTable.load(spark, sfDir)
+          .select(graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"),
+            col("value"))
+      }.reduce(_ union _)
+      val peaks = graft.operators.EventAnalytics.peakConcurrency(
+        ev, "t", floor(col("value") * 1000).cast("long"))
+      println(s"[probe] concurrency days = ${peaks.count()} (events = ${ev0.count() * factor})")
+    }
+    stage("attribution") {
+      // Disjoint user spaces per replica: users grow linearly, per-user
+      // work constant — the control row (linear scan shape, keyed aggs).
+      val ev = (0 until factor).map { i =>
+        graft.sources.EventsTable.load(spark, sfDir)
+          .select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+            col("event_type"), col("event_id"),
+            graft.functions.Conversions.nanosToEpochMs(col("ts")).as("t"))
+      }.reduce(_ union _)
+      val att = graft.operators.EventAnalytics.attribution(
+        ev, "user_id", "event_type", "t", "event_id", "purchase")
+      println(s"[probe] attribution rows = ${att.count()}")
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
       if (stagesMatched == 0)
         println(s"[probe] WARNING: no filterable stage label contains " +
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
-          "'topk agg vs window')")
+          "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
+          "'peak concurrency', 'attribution')")
       spark.stop(); return
     }
 
