@@ -89,9 +89,13 @@ object QueriesExt {
       |SELECT doc_id, sum(bitv * (1::BIGINT << b))::BIGINT AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin))
 
-  private val dedupJaccard: Q = "x_dedup_ngram_jaccard" -> ((
-    (s: SparkSession, dir: String) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3),
+  /** Shared by `x_dedup_ngram_jaccard` and `x_dedup_jaccard_prefix` —
+    * the prefix-filtered operator is output-IDENTICAL by the AllPairs
+    * completeness theorem, so both gates run this one oracle verbatim
+    * (the strongest equivalence statement available, the ivfAppend
+    * pattern).
+    */
+  private val jaccardOracle: String =
     // Stop-shingle df cap at 1000 mirrors Dedup.jaccardPairs(maxDf = 1000):
     // shingles in >1000 docs leave the shingle space entirely (intersection
     // AND union). No-op at test SF; declared operator semantics.
@@ -105,7 +109,21 @@ object QueriesExt {
       |          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
       |SELECT id_a, id_b, n_inter::DOUBLE/(ca.n + cb.n - n_inter) AS jaccard
       |FROM inter JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
-      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3""".stripMargin))
+      |WHERE n_inter::DOUBLE/(ca.n + cb.n - n_inter) > 0.3""".stripMargin
+
+  private val dedupJaccard: Q = "x_dedup_ngram_jaccard" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3),
+    jaccardOracle))
+
+  /** AllPairs/PPJoin prefix-filtered Jaccard — [[Dedup.jaccardPairsPrefix]]:
+    * rare-first canonical order, prefix-only inverted index, full verify
+    * on candidates; SAME oracle as the plain inverted index.
+    */
+  private val dedupJaccardPrefix: Q = "x_dedup_jaccard_prefix" -> ((
+    (s: SparkSession, dir: String) =>
+      Dedup.jaccardPairsPrefix(docs(s, dir), "doc_id", "text", n = 3, threshold = 0.3),
+    jaccardOracle))
 
   // Exact all-pairs within the label block (maxBlock guard is a no-op at
   // test SF; declared operator semantics — oversized blocks raise).
@@ -4288,6 +4306,38 @@ object QueriesExt {
       |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false
       |FROM d WHERE doc_id % 11 = 0""".stripMargin))
 
+  /** Trained Cavnar–Trenkle language-ID —
+    * [[operators.LangProfile.ctLangId]]: top-k trigram rank profiles per
+    * language, out-of-place distance, argmin with lang tie-break; the
+    * oracle replays profiles, distances and the argmin (accuracy on the
+    * synthetic shared-vocabulary corpus is meaningless by construction —
+    * the gate pins the MECHANICS; the spec plants separable languages).
+    */
+  private val textLangidTrained: Q = "x_text_langid_trained" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.LangProfile.ctLangId(docs(s, dir), "doc_id", "text", "lang", k = 50),
+    """WITH g AS (SELECT doc_id, lang, substr(text, i, 3) AS g
+      |           FROM documents, UNNEST(range(1, len(text) - 1)) r(i)),
+      |lc AS (SELECT lang, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |lp AS (SELECT lang, g, lr FROM (
+      |         SELECT lang, g, row_number() OVER (PARTITION BY lang
+      |                  ORDER BY c DESC, g) AS lr FROM lc) WHERE lr <= 50),
+      |dc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |dp AS (SELECT doc_id, g, dr FROM (
+      |         SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+      |                  ORDER BY c DESC, g) AS dr FROM dc) WHERE dr <= 50),
+      |langs AS (SELECT DISTINCT lang FROM lp),
+      |dist AS (SELECT dp.doc_id, langs.lang,
+      |           sum(coalesce(abs(dp.dr - lp.lr), 50))::BIGINT AS dist
+      |         FROM dp CROSS JOIN langs
+      |         LEFT JOIN lp ON lp.lang = langs.lang AND lp.g = dp.g
+      |         GROUP BY 1, 2),
+      |best AS (SELECT doc_id, min(struct_pack(dist := dist, lang := lang)) AS b
+      |         FROM dist GROUP BY doc_id)
+      |SELECT d.doc_id, b.b.lang AS pred_lang, b.b.dist AS dist, d.lang,
+      |  b.b.lang = d.lang AS correct
+      |FROM best b JOIN documents d USING (doc_id)""".stripMargin))
+
   val all: Seq[Q] = Seq(
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
@@ -4295,14 +4345,14 @@ object QueriesExt {
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     graphKcore, joinAsofForward, embCovariance,
-    qualityQnorm, mmPatches,
+    qualityQnorm, mmPatches, textLangidTrained,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
     eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources, textZipf,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
-    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupEmbedding, dedupEmbeddingLsh,
+    dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupJaccardPrefix, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,

@@ -896,6 +896,75 @@ object Dedup {
     (inter, cnt)
   }
 
+  /** PREFIX-FILTERED n-gram Jaccard pairs (the AllPairs/PPJoin candidate
+    * bound, Bayardo et al. 2007 / Xiao et al. 2008): IDENTICAL output to
+    * [[jaccardPairs]] — the gate shares that operator's oracle verbatim —
+    * with candidate generation cut by the prefix-filtering theorem:
+    * `J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉`, so under a CANONICAL global element
+    * order two qualifying sets must collide inside their first
+    * `|A| − ⌈t·|A|⌉ + 1` elements. Only those PREFIX elements enter the
+    * inverted index — under rare-first ordering (ascending document
+    * frequency) the indexed postings concentrate on the rarest elements,
+    * and the quadratic C(df,2) expansion runs on prefix-only posting
+    * lists. Verification then counts FULL intersections for the surviving
+    * candidate pairs only (two id-keyed joins against the kept-shingle
+    * table, cost ∝ candidates × doc size, never corpus²).
+    *
+    * The df-capped shingle SPACE (stop shingles out of intersection AND
+    * union) is [[jaccardPairs]]'s, applied before the prefix math, so the
+    * equivalence is exact. The prefix length uses `size − floor(t·size)`
+    * — one longer than the tight bound when t·size is integral, so FP
+    * representation of `t` can never shorten a prefix below completeness.
+    */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.3,
+      maxDf: Int = 1000): DataFrame = {
+    val base = shingleArrays(df, idCol, textCol, n)
+    val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+      .where(col("shingle").isNotNull)
+    val dfCnt = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    val withDf = sh.join(dfCnt, Seq("shingle"))
+    val kept = withDf.where(col("_df") <= maxDf)
+      .select(col(idCol), col("shingle"), col("_df"))
+    val stopHits = withDf.where(col("_df") > maxDf)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_stop"))
+    val cnt = base.select(col(idCol), size(col("shingles")).as("_n_all"))
+      .join(stopHits, Seq(idCol), "left")
+      .select(col(idCol), (col("_n_all") - coalesce(col("_n_stop"), lit(0))).as("n_sh"))
+    // Canonical rare-first order per doc; keep only the prefix. The sorted
+    // per-doc array is bounded by the doc's own shingle count (the
+    // sessionizer bound) and exists only to cut the prefix — it never
+    // reaches an exchange.
+    val prefix = kept
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_lst"))
+      .select(col(idCol), explode(slice(col("_lst"), lit(1),
+        greatest(size(col("_lst")) - floor(lit(threshold) * size(col("_lst"))).cast("int"),
+          lit(1)))).as("_p"))
+      .select(col(idCol), col("_p.shingle").as("shingle"))
+    val cand = prefix.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(kept.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(kept.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") > threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** ASYMMETRIC containment near-dup pairs: `c(A→B) = |A∩B| / |A|` over the
     * same df-capped distinct-shingle space as [[jaccardPairs]]. Containment
     * is the quote-inclusion detector Jaccard structurally misses: a short
