@@ -4306,6 +4306,45 @@ object QueriesExt {
       |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, false
       |FROM d WHERE doc_id % 11 = 0""".stripMargin))
 
+  /** The SAME sessionizer on `transformWithState` with EVENT-TIME TIMERS
+    * ([[graft.streaming.SessionizeTws]]) under the RocksDB provider, gated
+    * against the SAME batch lag-window oracle as `st_sessionize` — the
+    * funnel-pair migration proof, now for the timer surface.
+    */
+  private val stSessionizeTws: Q = "st_sessionize_tws" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.get(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val gapMs = 21600000L
+        val ev = sources.EventsTable.load(s, dir)
+          .select(col("user_id"),
+            graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
+            col("value"))
+        val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+        val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + gapMs + 2 * 3600 * 1000L), 0.0))
+          .toDF("user_id", "ts", "value")
+        streamedGate(s, "stsesstws", ev, Some(sentinel))(
+          plan = mk => graft.streaming.SessionizeTws
+            .sessions(s, mk(), gapMs = gapMs, watermarkDelay = "10 minutes").toDF()
+            .select(col("userId").as("user_id"), col("startMs").as("start_ms"),
+              col("endMs").as("end_ms"), col("nEvents").as("n_events")),
+          post = _.where(col("user_id") >= 0))
+      } finally s.conf.set(key, prev)
+    },
+    """WITH e AS (SELECT user_id, epoch_ms(ts) t FROM events),
+      |m AS (SELECT user_id, t,
+      |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+      |         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 21600000
+      |       THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin))
+
   /** Trained Cavnar–Trenkle language-ID —
     * [[operators.LangProfile.ctLangId]]: top-k trigram rank profiles per
     * language, out-of-place distance, argmin with lang tie-break; the
@@ -4345,7 +4384,7 @@ object QueriesExt {
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     graphKcore, joinAsofForward, embCovariance,
-    qualityQnorm, mmPatches, textLangidTrained,
+    qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
