@@ -4345,6 +4345,57 @@ object QueriesExt {
       |SELECT user_id, min(t) AS start_ms, max(t) AS end_ms, count(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin))
 
+  /** Snapshot-CDC composition: two corpus snapshots (deterministic
+    * add/change/remove transform) → [[Dimension.snapshotDiff]] change
+    * records → [[Dimension.scd2Build]] over snapshot-1 seeds + diff-driven
+    * versions (removal = the `GONE` sentinel version — SCD-2 soft delete).
+    * The gate proves the snapshot→CDC→dimension PIPELINE, not just its
+    * stages: the oracle replays diff statuses and the lag/lead fold from
+    * the raw snapshots.
+    */
+  private val scd2FromSnapshots: Q = "x_scd2_from_snapshots" -> ((
+    (s: SparkSession, dir: String) => {
+      val snap1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val snap2 = snap1.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(snap1.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      val diff = Dimension.snapshotDiff(snap1, snap2, "doc_id", "text")
+      val ev1 = snap1.select(col("doc_id"), lit(1).as("t"), md5(col("text")).as("h"))
+      val ev2 = diff.join(snap2, Seq("doc_id"), "left")
+        .select(col("doc_id"), lit(2).as("t"),
+          when(col("status") === "removed", lit("GONE"))
+            .otherwise(md5(col("text"))).as("h"))
+      Dimension.scd2Build(ev1.unionAll(ev2), Seq("doc_id"), Seq("t"), Seq("h"))
+    },
+    """WITH s1 AS (SELECT doc_id, text FROM documents),
+      |s2 AS (SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+      |       FROM documents WHERE doc_id % 13 <> 0
+      |       UNION ALL
+      |       SELECT doc_id + 1000000, 'new ' || text FROM documents
+      |       WHERE doc_id % 17 = 0),
+      |d0 AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(a.text) <> md5(b.text) THEN 'changed' END AS status
+      |       FROM s1 a FULL OUTER JOIN s2 b ON a.doc_id = b.doc_id),
+      |d AS (SELECT * FROM d0 WHERE status IS NOT NULL),
+      |ev AS (SELECT doc_id, 1 AS t, md5(text) AS h FROM s1
+      |       UNION ALL
+      |       SELECT d.doc_id, 2,
+      |         CASE WHEN d.status = 'removed' THEN 'GONE' ELSE md5(s2.text) END
+      |       FROM d LEFT JOIN s2 ON s2.doc_id = d.doc_id),
+      |chg AS (SELECT *, CASE WHEN lag(h) OVER (PARTITION BY doc_id ORDER BY t)
+      |          IS DISTINCT FROM h THEN 1 ELSE 0 END AS c FROM ev),
+      |k AS (SELECT doc_id, h, t FROM chg WHERE c = 1)
+      |SELECT doc_id, h, t AS valid_from,
+      |  lead(t) OVER (PARTITION BY doc_id ORDER BY t) AS valid_to
+      |FROM k""".stripMargin))
+
   /** Trained Cavnar–Trenkle language-ID —
     * [[operators.LangProfile.ctLangId]]: top-k trigram rank profiles per
     * language, out-of-place distance, argmin with lang tie-break; the
@@ -4384,7 +4435,7 @@ object QueriesExt {
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     graphKcore, joinAsofForward, embCovariance,
-    qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws,
+    qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws, scd2FromSnapshots,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

@@ -212,6 +212,34 @@ class DimensionQualitySpec extends SparkSpec {
     assert(out(("a", "common")) == ((4L, 6L, 1)))
   }
 
+  test("snapshot-CDC composition: diff-driven versions build the right SCD-2 rows") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dimension
+    // snapshots: id 1 unchanged, id 2 changed, id 3 removed, id 4 added
+    val snap1 = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "text")
+    val snap2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("id", "text")
+    val diff = Dimension.snapshotDiff(snap1, snap2, "id", "text")
+    val ev1 = snap1.select(col("id"), lit(1).as("t"), md5(col("text")).as("h"))
+    val ev2 = diff.join(snap2, Seq("id"), "left")
+      .select(col("id"), lit(2).as("t"),
+        when(col("status") === "removed", lit("GONE"))
+          .otherwise(md5(col("text"))).as("h"))
+    val dim = Dimension.scd2Build(ev1.unionAll(ev2), Seq("id"), Seq("t"), Seq("h"))
+      .select("id", "h", "valid_from", "valid_to")
+      .as[(Long, String, Int, Option[Int])].collect().toSeq.sortBy(r => (r._1, r._3))
+    def h(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      d.map("%02x".format(_)).mkString
+    }
+    assert(dim == Seq(
+      (1L, h("same"), 1, None),          // unchanged: one open version
+      (2L, h("old"), 1, Some(2)),        // changed: closed at t=2
+      (2L, h("new"), 2, None),
+      (3L, h("gone"), 1, Some(2)),       // removed: soft-delete version
+      (3L, "GONE", 2, None),
+      (4L, h("fresh"), 2, None)))        // added: appears at t=2 only
+  }
+
   implicit private class Map2[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
     def toMap2: Map[(A, B), (C, D, E)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
