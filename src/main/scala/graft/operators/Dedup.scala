@@ -930,35 +930,43 @@ object Dedup {
     val withDf = sh.join(dfCnt, Seq("shingle"))
     val kept = withDf.where(col("_df") <= maxDf)
       .select(col(idCol), col("shingle"), col("_df"))
-    val stopHits = withDf.where(col("_df") > maxDf)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_stop"))
-    val cnt = base.select(col(idCol), size(col("shingles")).as("_n_all"))
-      .join(stopHits, Seq(idCol), "left")
-      .select(col(idCol), (col("_n_all") - coalesce(col("_n_stop"), lit(0))).as("n_sh"))
-    // Canonical rare-first order per doc; keep only the prefix. The sorted
-    // per-doc array is bounded by the doc's own shingle count (the
-    // sessionizer bound) and exists only to cut the prefix — it never
-    // reaches an exchange.
-    val prefix = kept
+    // Canonical rare-first order per doc. ONE doc-keyed aggregate carries
+    // both the prefix slice and the full kept-shingle array (the verify
+    // side) — the sorted per-doc list is bounded by the doc's own shingle
+    // count (the sessionizer bound).
+    val perDoc = kept
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("_df"), col("shingle")))).as("_lst"))
-      .select(col(idCol), explode(slice(col("_lst"), lit(1),
-        greatest(size(col("_lst")) - floor(lit(threshold) * size(col("_lst"))).cast("int"),
-          lit(1)))).as("_p"))
-      .select(col(idCol), col("_p.shingle").as("shingle"))
+      .select(col(idCol),
+        transform(col("_lst"), e => e.getField("shingle")).as("_arr"),
+        slice(col("_lst"), lit(1),
+          greatest(size(col("_lst")) - floor(lit(threshold) * size(col("_lst"))).cast("int"),
+            lit(1))).as("_pfx"))
+      .localCheckpoint(true) // three consumers: prefix index + both verify sides
+    val prefix = perDoc.select(col(idCol),
+      explode(col("_pfx")).as("_p")).select(col(idCol), col("_p.shingle").as("shingle"))
     val cand = prefix.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
+    // Verify by ARRAY intersection against the (docs-sized, broadcastable)
+    // per-doc kept arrays — on a degenerate low-vocab corpus the candidate
+    // set can rival the full pair expansion, and re-joining the exploded
+    // shingle table per candidate costs more than the filter saved
+    // (measured: 10.2 s vs plain's 3.9 at sf0.1). The docs-sized array
+    // frame joins by id (AQE broadcasts it when it fits) and the codegen'd
+    // array_intersect keeps verify at O(candidates × doc size).
+    val arrs = perDoc.select(col(idCol), col("_arr"), size(col("_arr")).as("_n"))
     val inter = cand
-      .join(kept.select(col(idCol).as("id_a"), col("shingle")), "id_a")
-      .join(kept.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+      .join(arrs.select(col(idCol).as("id_a"), col("_arr").as("_aa"),
+        col("_n").as("n_a")), "id_a")
+      .join(arrs.select(col(idCol).as("id_b"), col("_arr").as("_ab"),
+        col("_n").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("_aa"), col("_ab"))).as("n_inter"))
     inter
-      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .where(col("jaccard") > threshold)
