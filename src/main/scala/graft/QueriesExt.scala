@@ -4396,6 +4396,42 @@ object QueriesExt {
       |  lead(t) OVER (PARTITION BY doc_id ORDER BY t) AS valid_to
       |FROM k""".stripMargin))
 
+  /** Incremental line dedup — [[Dedup.lineDedupIncremental]]: the odd-id
+    * batch cleaned against the even-id corpus's [[Dedup.lineIndex]]; the
+    * oracle replays the FULL line-df over old∪batch and slices to the
+    * batch docs (the incremental-family equivalence shape).
+    */
+  private val dedupLinesIncr: Q = "x_dedup_lines_incr" -> ((
+    (s: SparkSession, dir: String) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        split(trim(col("text")), "\\s+").as("ws"))
+        .select(col("doc_id"), array_join(transform(
+          sequence(lit(0), ceil(size(col("ws")) / lit(10.0)).cast("int") - 1),
+          i => array_join(slice(col("ws"), i * 10 + 1, lit(10)), " ")), "\n")
+          .as("text"))
+      val old = lined.where(col("doc_id") % 2 === 0)
+      val batch = lined.where(col("doc_id") % 2 === 1)
+      Dedup.lineDedupIncremental(
+        Dedup.lineIndex(old, "doc_id", "text"), batch, "doc_id", "text", minDf = 2)
+    },
+    """WITH t AS (SELECT doc_id, string_split(trim(text),' ') AS ws FROM documents),
+      |ln AS (SELECT doc_id, i AS pos,
+      |         array_to_string(ws[i*10+1 : i*10+10], ' ') AS line
+      |       FROM t, UNNEST(range(0, (len(ws)+9)//10)) r(i)),
+      |dfc AS (SELECT line, count(*) AS dfn FROM
+      |  (SELECT DISTINCT doc_id, line FROM ln WHERE trim(line) <> '')
+      |  GROUP BY line),
+      |v AS (SELECT ln.doc_id, ln.pos, ln.line,
+      |        coalesce(dfn, 0) >= 2 AS dup
+      |      FROM ln LEFT JOIN dfc USING (line)
+      |      WHERE ln.doc_id % 2 = 1)
+      |SELECT doc_id,
+      |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |             FILTER (WHERE NOT dup), '') AS text,
+      |  sum(CASE WHEN dup THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+      |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_removed
+      |FROM v GROUP BY doc_id""".stripMargin))
+
   /** Trained Cavnar–Trenkle language-ID —
     * [[operators.LangProfile.ctLangId]]: top-k trigram rank profiles per
     * language, out-of-place distance, argmin with lang tie-break; the
@@ -4435,7 +4471,7 @@ object QueriesExt {
     packLengthBuckets, mixWaterfill, sftBestOfN,
     eventsEwma, eventsStageLatency, webLinkgraph, profileCorr,
     graphKcore, joinAsofForward, embCovariance,
-    qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws, scd2FromSnapshots,
+    qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws, scd2FromSnapshots, dedupLinesIncr,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,

@@ -1873,6 +1873,61 @@ object Dedup {
       .select(col(idCol), col("text"), col("n_kept"), col("n_removed"))
   }
 
+  /** Persistable line-frequency index for [[lineDedupIncremental]]:
+    * `(line, df)` distinct-doc counts over the corpus seen so far — the
+    * state a daily line-dedup ingest carries between runs.
+    */
+  def lineIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(split(col(textCol), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+
+  /** INCREMENTAL line dedup — the daily-ingest shape of [[lineDedup]]: the
+    * NEW batch is cleaned against the accumulated [[lineIndex]] PLUS its
+    * own lines, so a line crossing `minDf` across old∪batch is removed
+    * from the batch exactly as a full replay over old∪batch would remove
+    * it from those docs (old docs are immutable once written — the same
+    * already-ingested contract as [[lshPairsIncremental]] and
+    * [[exactDupSpansIncremental]]).
+    *
+    * Returns the cleaned batch in [[lineDedup]]'s output shape; callers
+    * advance the index with `lineIndex(batch) summed into the stored one`
+    * (a line-keyed union+sum — demonstrated in the gate and spec).
+    *
+    * Scale shape: per-batch work is batch-lines keyed against the index
+    * (one line-keyed join — the index never rescans old text), and the
+    * per-doc reassembly is [[lineDedup]]'s order-restoring bounded
+    * aggregate.
+    */
+  def lineDedupIncremental(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would remove every line")
+    val lines = batch.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val batchDf = lines.where(trim(col("line")) =!= "")
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("_bdf"))
+    val combined = batchDf
+      .join(index.select(col("line"), col("df").as("_idf")), Seq("line"), "left")
+      .select(col("line"), (col("_bdf") + coalesce(col("_idf"), lit(0L))).as("_df"))
+    val verdict = lines.join(combined, Seq("line"), "left")
+      .withColumn("_dup", coalesce(col("_df"), lit(0L)) >= minDf)
+    verdict.groupBy(col(idCol)).agg(
+      array_join(transform(
+        filter(sort_array(collect_list(struct(col("pos"), col("_dup"), col("line")))),
+          e => !e.getField("_dup")),
+        e => e.getField("line")), "\n").as("text"),
+      sum(when(col("_dup"), 0L).otherwise(1L)).as("n_kept"),
+      sum(when(col("_dup"), 1L).otherwise(0L)).as("n_removed"))
+      .select(col(idCol), col("text"), col("n_kept"), col("n_removed"))
+  }
+
   def mixEpochs(
       df: DataFrame,
       idCol: String,

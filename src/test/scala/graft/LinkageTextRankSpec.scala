@@ -106,6 +106,30 @@ class LinkageTextRankSpec extends SparkSpec {
     assert(got(3)._1 == 4L && got(3)._4 == 0L)
   }
 
+  test("lineDedupIncremental == full lineDedup sliced to the batch (randomized)") {
+    val rnd = new scala.util.Random(61)
+    val lines = (1 to 8).map(i => s"line $i")
+    val all = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(3))(lines(rnd.nextInt(lines.size))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val old = all.where(col("doc_id") % 2 === 0)
+    val batch = all.where(col("doc_id") % 2 === 1)
+    val incr = Dedup.lineDedupIncremental(
+      Dedup.lineIndex(old, "doc_id", "text"), batch, "doc_id", "text", minDf = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val full = Dedup.lineDedup(all, "doc_id", "text", minDf = 3)
+      .as[(Long, String, Long, Long)].collect().filter(_._1 % 2 == 1).toSet
+    assert(incr == full && incr.nonEmpty)
+    // index advance: old index + batch index sums to the full-corpus index
+    val advanced = Dedup.lineIndex(old, "doc_id", "text")
+      .unionByName(Dedup.lineIndex(batch, "doc_id", "text"))
+      .groupBy("line").agg(sum("df").as("df"))
+      .as[(String, Long)].collect().toMap
+    val fullIdx = Dedup.lineIndex(all, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(advanced == fullIdx)
+  }
+
   test("textRankKeywords: hub word outranks leaves; symmetric words tie") {
     // star graph: h adjacent to a, b, c (each pair twice to clear minCount);
     // h has degree 3, leaves degree 1 -> h must rank first, leaves tie.
