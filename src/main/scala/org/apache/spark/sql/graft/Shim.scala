@@ -122,6 +122,26 @@ object Shim {
       .map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)).sum
   }
 
+  /** What a [[org.apache.spark.sql.SparkSessionExtensions]] instance would
+    * inject at session build time — `buildPlannerStrategies` /
+    * `buildOptimizerRules` are `private[sql]`, hence these live in the
+    * shim. The extensions-injection spec asserts graft's
+    * `spark.sql.extensions` entry point wires exactly the objects the
+    * running-session path registers (one JVM = one live session in the
+    * test harness, so build-time injection itself is proven at this
+    * unit level rather than by constructing a second session).
+    */
+  def builtPlannerStrategies(
+      e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    e.buildPlannerStrategies(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
+  def builtOptimizerRules(
+      e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+
   /** Register a named SQL function backed by a `Column => Column` composition
     * of built-in (codegen'd) expressions — unlike `spark.udf.register` this
     * adds no black-box UDF call: the function inlines into the caller's plan
