@@ -51,6 +51,28 @@ class AttributionConcurrencySpec extends SparkSpec {
     assert(got.map(r => (r._1, r._4)) == Seq(("a", 0.4), ("b", 0.2), ("c", 0.4)))
   }
 
+  test("attribution: credit conservation — both models sum to the converted-with-touches user count") {
+    // every user's credits sum to exactly 1.0 under BOTH models, so the
+    // corpus totals must equal the number of users with >= 1 touch before
+    // their first conversion — on randomized event streams.
+    val rnd = new scala.util.Random(67)
+    val types = Seq("view", "click", "error", "purchase")
+    val ev = (0 until 600).map { i =>
+      (rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)),
+        rnd.nextInt(100000).toLong, i.toLong)
+    }.toDF("u", "et", "t", "id")
+    val got = EventAnalytics.attribution(ev, "u", "et", "t", "id", "purchase")
+      .agg(sum("linear_credit"), sum("position_credit")).as[(Double, Double)].head()
+    // brute-force the expected count
+    val rows = ev.as[(Long, String, Long, Long)].collect()
+    val expected = rows.groupBy(_._1).count { case (_, es) =>
+      val conv = es.filter(_._2 == "purchase").map(_._3)
+      conv.nonEmpty && es.exists(e => e._2 != "purchase" && e._3 < conv.min)
+    }
+    assert(math.abs(got._1 - expected) < 1e-6, s"linear ${got._1} vs $expected")
+    assert(math.abs(got._2 - expected) < 1e-6, s"position ${got._2} vs $expected")
+  }
+
   // -------------------------------------------------------------------- rfm
   test("rfm: quintile scores with deterministic tie-break") {
     // five users, one purchase each on consecutive days with rising value:
