@@ -56,20 +56,46 @@ object Bench {
   /** Artifact-of-record: persist the full per-query JSON in-repo so bench
     * totals never depend on a truncated stdout capture. Round number is
     * inferred from the driver's `CORRECTNESS_r{N}.json` files (current round
-    * = max on disk + 1); `SPARK_GRAFT_BENCH_OUT` overrides the path
-    * outright. Best-effort — a read-only cwd must not fail the bench.
+    * = max on disk + 1; `SPARK_GRAFT_ROUND` overrides the inference — the
+    * driver's post-correctness run of round N would otherwise infer N+1,
+    * which is exactly how round 9's official run landed misfiled as
+    * `BENCH_local_r10.json`); `SPARK_GRAFT_BENCH_OUT` overrides the path
+    * outright. The payload is stamped with the git HEAD sha and a
+    * working-tree-dirty flag so two artifacts with the same totals are
+    * distinguishable as distinct measurements of (possibly) distinct trees —
+    * a reviewer can rebind a misfiled artifact to its true round from the
+    * sha alone. Best-effort — a read-only cwd or missing git must not fail
+    * the bench.
     */
   private def writeArtifact(line: String): Unit = try {
     import java.nio.file.{Files, Paths}
-    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_)).getOrElse {
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
       val pat = "CORRECTNESS_r(\\d+)\\.json".r
       val rounds = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
         .collect { case pat(n) => n.toInt }
-      val maxRound = if (rounds.isEmpty) 0 else rounds.max
-      Paths.get(f"BENCH_local_r${maxRound + 1}%02d.json")
+      (if (rounds.isEmpty) 0 else rounds.max) + 1
     }
-    Files.writeString(out, line + "\n")
+    val (sha, dirty) = gitStamp()
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
+      .getOrElse(Paths.get(f"BENCH_local_r$round%02d.json"))
+    // Splice provenance fields into the (known-object-shaped) JSON line.
+    val stamped = s"""{"round":$round,"gitSha":"$sha","gitDirty":$dirty,""" + line.stripPrefix("{")
+    Files.writeString(out, stamped + "\n")
   } catch { case scala.util.control.NonFatal(e) =>
     System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")
   }
+
+  /** HEAD sha + dirty flag via git plumbing; ("unknown", false) when git is
+    * unavailable. Kept out of the measured path — runs once post-bench.
+    */
+  private def gitStamp(): (String, Boolean) = try {
+    def run(cmd: String*): String = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) out else ""
+    }
+    val sha = run("git", "rev-parse", "HEAD")
+    val dirty = run("git", "status", "--porcelain").nonEmpty
+    (if (sha.nonEmpty) sha else "unknown", dirty)
+  } catch { case scala.util.control.NonFatal(_) => ("unknown", false) }
 }

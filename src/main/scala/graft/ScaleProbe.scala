@@ -159,6 +159,25 @@ object ScaleProbe {
         ev, "t", floor(col("value") * 1000).cast("long"))
       println(s"[probe] concurrency days = ${peaks.count()} (events = ${ev0.count() * factor})")
     }
+    stage("bpe batch rounds") {
+      // Driver-loop economics, not data scale: learnMerges at batchSize=1
+      // is one Spark job group per merge; the batched rounds must learn
+      // the IDENTICAL rule list (equivalence proved in Round10PropertySpec)
+      // in far fewer rounds. Run on the base table — the bottleneck under
+      // test is job-launch count, which replication would not change.
+      // Warmup pass so the first measured config doesn't absorb codegen /
+      // scan warmup (both orderings below must be comparable).
+      graft.operators.BpeTrain.learnMerges(base, "text", 2, batchSize = 1).collect()
+      for (bs <- Seq(64, 1, 16, 64)) {
+        val t0 = System.nanoTime()
+        val rules = graft.operators.BpeTrain
+          .learnMerges(base, "text", 256, batchSize = bs).collect()
+        println(f"[probe] bpe merges=256 bs=$bs%-3d rounds=${graft.operators.BpeTrain.lastRounds.get()}%-3d " +
+          f"merges=${rules.length} wall=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          s"rulesHash=${rules.map(_.toString).mkString("|").hashCode}")
+      }
+    }
+
     stage("attribution") {
       // Disjoint user spaces per replica: users grow linearly, per-user
       // work constant — the control row (linear scan shape, keyed aggs).

@@ -58,9 +58,18 @@ object Collocations {
       // double product is bit-identical before the ln/round.
       .withColumn("pmi",
         round(log(col("c12") * col("n") * col("n") / (col("b") * col("c1") * col("c2"))), 4))
-    scored
-      .withColumn("rank", row_number().over(Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
-      .where(col("rank") <= topK)
-      .select("w1", "w2", "c12", "pmi", "rank")
+    // Bounded global top-k through the native TopKAgg (k-capped partial
+    // buffers, map-side combine — no unpartitioned WindowExec sorting the
+    // full bigram-vocab frame). Order (pmi desc, w1, w2) becomes the
+    // smallest-first struct (−pmi, w1, w2); rank is the array position of
+    // the already-best-first output. c12 rides as a carried payload field
+    // AFTER the ordering fields.
+    val picked = scored.agg(
+      TopK.topK(struct((-col("pmi")).as("np"), col("w1"), col("w2"), col("c12")),
+        topK, largest = false).as("top"))
+    picked.select(posexplode(col("top")))
+      .select(col("col.w1").as("w1"), col("col.w2").as("w2"),
+        col("col.c12").as("c12"), (-col("col.np")).as("pmi"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }

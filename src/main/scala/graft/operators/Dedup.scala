@@ -912,9 +912,17 @@ object Dedup {
     *
     * The df-capped shingle SPACE (stop shingles out of intersection AND
     * union) is [[jaccardPairs]]'s, applied before the prefix math, so the
-    * equivalence is exact. The prefix length uses `size − floor(t·size)`
-    * — one longer than the tight bound when t·size is integral, so FP
-    * representation of `t` can never shorten a prefix below completeness.
+    * equivalence is exact. Prefix-length derivation — tied to the STRICT
+    * final filter: `J(A,B) > t ⟹ |A∩B| > t·union ≥ t·|A|`, and the
+    * intersection is an integer, so the required overlap is
+    * `k = ⌊t·|A|⌋ + 1`; two sets sharing ≥ k elements under a canonical
+    * total order must collide within their first `|A| − k + 1 =
+    * |A| − ⌊t·|A|⌋` elements — EXACTLY the `size − floor(t·size)` used
+    * below. This bound is complete for `>` only: relaxing the final filter
+    * to `>=` (the ≥-style filter used elsewhere, e.g. Linkage) needs the
+    * longer `size − ceil(t·size) + 1` prefix when `t·size` is integral, so
+    * the filter's strictness and this slice length must change together —
+    * `DedupSpec` pins the pairing with a boundary-integral property.
     */
   def jaccardPairsPrefix(
       df: DataFrame,
@@ -1856,8 +1864,12 @@ object Dedup {
       textCol: String,
       minDf: Int = 2): DataFrame = {
     require(minDf >= 2, "minDf < 2 would remove every line")
+    // coalesce: split(NULL) is NULL and posexplode of NULL emits NO row —
+    // a NULL-text doc would silently vanish from the output, violating the
+    // never-changes-corpus-membership contract above (empty-string docs
+    // already survive as one empty line). NULL text ≡ empty text here.
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     val lineDf = lines.where(trim(col("line")) =!= "")
       .select(col(idCol), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("_df"))
@@ -1908,8 +1920,10 @@ object Dedup {
       textCol: String,
       minDf: Int = 2): DataFrame = {
     require(minDf >= 2, "minDf < 2 would remove every line")
+    // Same NULL-≡-empty coalesce as [[lineDedup]]: NULL-text batch docs
+    // must survive (as empty text), not vanish.
     val lines = batch.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
     val batchDf = lines.where(trim(col("line")) =!= "")
       .select(col(idCol), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("_bdf"))

@@ -267,11 +267,17 @@ object EventAnalytics {
     * because every `ntile` ordering carries the user id as tie-break.
     *
     * Scale shape: events collapse to the USER frame in one user-keyed
-    * aggregate before any ranking; the three quintile windows sort that
-    * users-sized frame (orders of magnitude below event volume — the same
-    * bound the vocab/corpus-stat operators document). The reference day is
-    * one scalar aggregate joined in as a broadcast literal, not a
-    * cross-join of the full frame.
+    * aggregate before any ranking; each quintile score is an EXACT
+    * distributed ntile ([[withExactNtile]]) — approx_percentile range
+    * boundaries (one scalar agg, inlined as plan literals) split the users
+    * frame into bounded buckets, exact per-bucket counts (an O(buckets)
+    * driver collect, the Sketches discipline) give each bucket its global
+    * rank offset, and a BUCKET-KEYED `row_number` window finishes the rank
+    * — hash-identical to `ntile(5) OVER (ORDER BY …)` with no
+    * unpartitioned WindowExec anywhere in the plan (the single-task global
+    * sort that formulation forces at 10⁹ users). The reference day is one
+    * scalar aggregate joined in as a broadcast literal, not a cross-join
+    * of the full frame.
     */
   def rfm(
       events: DataFrame,
@@ -280,7 +286,6 @@ object EventAnalytics {
       tsCol: String,
       valueCol: String,
       conversionType: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val conv = events.where(col(typeCol) === conversionType)
       .select(col(userCol).as("user_id"), col(tsCol).as("t"), col(valueCol).as("v"))
     val perUser = conv.groupBy(col("user_id")).agg(
@@ -288,14 +293,100 @@ object EventAnalytics {
       count(lit(1)).as("frequency"),
       round(sum(col("v")), 6).as("monetary"))
     val refDay = conv.agg(max(to_date(col("t"))).as("ref")).select(col("ref"))
+    // Materialize the users frame once (localCheckpoint — the repo's
+    // multi-consumer pattern, cf. jaccardPairsPrefix): the three ntile
+    // passes each run a boundary agg + a bucket-count job over it, plus
+    // the caller's final scan — seven consumers that would otherwise each
+    // rescan and re-aggregate the raw events.
     val scored = perUser.join(broadcast(refDay))
       .withColumn("recency_days", datediff(col("ref"), col("last_day")))
-    val r = ntile(5).over(Window.orderBy(col("recency_days").desc, col("user_id")))
-    val f = ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
-    val m = ntile(5).over(Window.orderBy(col("monetary"), col("user_id")))
-    scored.select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary"), r.as("r"), f.as("f"), m.as("m"))
+      .localCheckpoint(true)
+    Seq(
+      ("recency_days", true, "r"),
+      ("frequency", false, "f"),
+      ("monetary", false, "m"))
+      .foldLeft(scored) { case (df, (v, desc, o)) =>
+        withExactNtile(df, v, descending = desc, tieCol = "user_id",
+          outCol = o, n = 5)
+      }
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"))
       .withColumn("segment", concat(col("r"), col("f"), col("m")))
+  }
+
+  /** EXACT distributed `ntile(n) OVER (ORDER BY value [DESC], tie)` — adds
+    * `outCol` (IntegerType, 1..n) without an unpartitioned window.
+    *
+    * Plan: (1) `approx_percentile` range boundaries over the (sign-folded,
+    * double-cast) value — ONE scalar aggregate, collected once and inlined
+    * as literal array elements so re-computation can never produce a
+    * second, different bucketing; (2) each row's bucket = count of
+    * boundaries ≤ its value (a codegen'd `size(filter(...))` over the
+    * ≤`rangeBuckets`-element literal array); (3) exact per-bucket counts —
+    * an O(`rangeBuckets`) driver collect (bounded, the same justified-
+    * collect class as Sketches/Packing) — prefix-summed into per-bucket
+    * rank offsets joined back as a broadcast of ≤`rangeBuckets` rows;
+    * (4) `row_number` over a window PARTITIONED BY bucket (each bucket
+    * ≈ N/rangeBuckets rows) + the offset = the exact global rank;
+    * (5) SQL-standard ntile math on that rank (first `N mod n` tiles get
+    * `⌊N/n⌋+1` rows) — bit-identical to the single-sort formulation.
+    *
+    * Residual skew caveat: a tie PLATEAU (one value carrying p% of rows)
+    * bounds one bucket at p% of the frame, because rank inside the plateau
+    * must still be ordered by `tieCol` — inherent to exact rank under
+    * tie-break ordering (the global-sort ntile has the same plateau in ONE
+    * task plus everything else). Callers with degenerate plateaus should
+    * pre-discretize or score by value boundaries instead of exact ntile.
+    *
+    * Sign-folding `descending` through negation is exact for the integral/
+    * decimal-rounded doubles this file feeds it; NaN values would order
+    * differently under negation and are rejected by the non-null/non-NaN
+    * expectation of the RFM aggregates.
+    */
+  private[graft] def withExactNtile(
+      df: DataFrame,
+      valueCol: String,
+      descending: Boolean,
+      tieCol: String,
+      outCol: String,
+      n: Int,
+      rangeBuckets: Int = 32): DataFrame = {
+    require(n >= 1 && rangeBuckets >= 2, "n >= 1, rangeBuckets >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val vCol = (if (descending) -col(valueCol) else col(valueCol)).cast("double")
+    val tagged = df.withColumn("_v", vCol)
+    val probs = (1 until rangeBuckets).map(i => i.toDouble / rangeBuckets)
+    val boundaries: Seq[Double] = Option(
+      tagged.agg(expr(
+        s"approx_percentile(_v, array(${probs.mkString(",")}), 10000)").as("_bs"))
+        .head.getSeq[Double](0)).getOrElse(Seq.empty)
+    val bArr = array(boundaries.map(lit): _*)
+    val bucketed = tagged.withColumn("_bkt",
+      if (boundaries.isEmpty) lit(0)
+      else size(filter(bArr, b => col("_v") >= b)))
+    val counts = bucketed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets = counts.scanLeft((Int.MinValue, 0L, 0L)) {
+      case ((_, off, c), (bkt, cnt)) => (bkt, off + c, cnt)
+    }.drop(1).map { case (bkt, off, _) => (bkt, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_bkt", "_off")
+    val wB = Window.partitionBy(col("_bkt")).orderBy(col("_v"), col(tieCol))
+    val base = total / n
+    val rem = total % n
+    val cut = rem * (base + 1)
+    val rank = col("_off") + row_number().over(wB)
+    // max(base,1): base can be 0 only when total < n, in which case every
+    // rank is <= cut and the divisor is never evaluated — the guard just
+    // keeps ANSI division happy in the dead branch.
+    val nt = when(rank <= cut, floor((rank - 1) / (base + 1)) + 1)
+      .otherwise(lit(rem) + floor((rank - 1 - cut) / math.max(base, 1L)) + 1)
+      .cast("int")
+    bucketed.join(broadcast(offDf), "_bkt")
+      .withColumn(outCol, nt)
+      .drop("_v", "_bkt", "_off")
   }
 
   /** Top-k entry paths: each user's first `depth` events (by time, id
@@ -401,8 +492,18 @@ object EventAnalytics {
           when(col("peak0").isNull, lit(0L))
             .when(col("has_h") === 1, col("peak0"))
             .otherwise(greatest(col("peak0"), lit(0L)))).as("hour_peak"))
+    // Day label from the SAME integer epoch-ms math as the hour buckets
+    // (floor-to-day → days-since-epoch → DateType, which is timezone-free):
+    // `date_format(timestamp_millis(h), ...)` would label via the SESSION
+    // timezone, and under a non-hour-aligned zone (e.g. +05:30) a UTC hour
+    // bucket straddles local midnight — its peak lands on the wrong day.
+    // Identical output under UTC sessions (the gate), correct under all.
+    val DAY = 86400000L
     hourPeak
-      .groupBy(date_format(timestamp_millis(col("h")), "yyyy-MM-dd").as("day"))
+      .groupBy(date_format(
+        date_add(to_date(lit("1970-01-01"), "yyyy-MM-dd"),
+          ((col("h") - pmod(col("h"), lit(DAY))) / DAY).cast("int")),
+        "yyyy-MM-dd").as("day"))
       .agg(max(col("hour_peak")).as("peak_concurrency"))
   }
 
@@ -459,7 +560,12 @@ object EventAnalytics {
       .withColumn("_hist", hist)
       .where(size(col("_hist")) > 0)
       .withColumn("_ewma", weighted / mass)
-      .join(broadcast(stats), entityCol)
+      // Plain entity-keyed join: `stats` is one row PER ENTITY — an
+      // unbounded-cardinality frame, so a forced broadcast is a driver/
+      // executor OOM at production entity counts (the same never-broadcast-
+      // unbounded discipline as the jaccardPairs stop-join). AQE still
+      // broadcasts it at runtime when it actually fits.
+      .join(stats, entityCol)
       .select(col(entityCol), col(idCol), col(tsCol), col(valueCol),
         round(col("_ewma"), 6).as("ewma_prev"),
         round(col(valueCol) - col("_ewma"), 6).as("residual"),

@@ -109,13 +109,17 @@ object TfIdf {
       .agg(array_sort(collect_list(struct(col("term"), col("_s")))).as("_ts"))
       .select(col(idCol),
         round(aggregate(col("_ts"), lit(0.0), (acc, v) => acc + v.getField("_s")), 4).as("score"))
-    // Distributed top-k (TakeOrderedAndProject — each task keeps k rows,
-    // the driver merges k×tasks), NOT a global row_number window: an
+    // Bounded global top-k through the native TopKAgg (k-capped partial
+    // buffers, map-side combine), NOT a global row_number window: an
     // unpartitioned window would single-partition every scored document,
-    // and common query terms score a corpus-sized doc set. The rank window
-    // then runs over the k survivors only.
-    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col(idCol))).cast("int"))
+    // and common query terms score a corpus-sized doc set. The aggregate's
+    // output array is already best-first, so rank = array position — no
+    // rank window at all, not even over the k survivors.
+    val picked = scored.agg(
+      TopK.topK(struct((-col("score")).as("ns"), col(idCol)), topK,
+        largest = false).as("top"))
+    picked.select(posexplode(col("top")))
+      .select(col(s"col.$idCol").as(idCol), (-col("col.ns")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 }
