@@ -142,6 +142,17 @@ object Shim {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     e.buildOptimizerRules(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 
+  /** The exact parser `try_to_timestamp(col, lit(pattern))` uses under the
+    * session's (CORRECTED) time-parser policy — `TimestampFormatter` is
+    * `private[sql]`, hence the shim. Native expressions that replace a
+    * `try_to_timestamp` ladder ([[graft.expressions.LenientDate]]) parse
+    * through THIS, so their per-pattern semantics are identical to the
+    * builtin's by construction, not by re-implementation.
+    */
+  def timestampFormatter(pattern: String, zoneId: java.time.ZoneId)
+      : org.apache.spark.sql.catalyst.util.TimestampFormatter =
+    org.apache.spark.sql.catalyst.util.TimestampFormatter(pattern, zoneId, isParsing = true)
+
   /** Register a named SQL function backed by a `Column => Column` composition
     * of built-in (codegen'd) expressions — unlike `spark.udf.register` this
     * adds no black-box UDF call: the function inlines into the caller's plan

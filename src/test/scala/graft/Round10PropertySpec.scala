@@ -176,6 +176,68 @@ class Round10PropertySpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("native LenientDate ≡ builtin ladder: every rung + fuzz, with and without anchor") {
+    import graft.functions.Conversions
+    val rng = new scala.util.Random(77)
+    val months = Conversions.norwegianMonths
+    val days = Conversions.norwegianDays
+    val enDays = Conversions.englishDays
+    def pad(n: Int) = f"$n%02d"
+    val shaped = (0 until 400).flatMap { i =>
+      val y = 2020 + rng.nextInt(6); val mo = 1 + rng.nextInt(12); val d = 1 + rng.nextInt(28)
+      val hh = rng.nextInt(24); val mi = rng.nextInt(60); val ss = rng.nextInt(60)
+      val iso = s"$y-${pad(mo)}-${pad(d)}"
+      val tpart = s"${pad(hh)}:${pad(mi)}:${pad(ss)}"
+      Seq(
+        iso, s"${iso}T$tpart", s"$iso $tpart", s"${iso}T$tpart+02:00",
+        s"${iso}T$tpart.123Z", s"${iso}T$tpart.123456+05:30",
+        s"$iso $tpart.999", s"$y/${pad(mo)}/${pad(d)}",
+        s"${pad(d)}.${pad(mo)}.$y", s"${pad(d)}.${pad(mo)}.$y $tpart",
+        s"${pad(d)}/${pad(mo)}/$y", s"${pad(d)}/${pad(mo)}/$y $tpart",
+        s"${pad(d)}-${pad(mo)}-$y", s"${pad(d)}-${pad(mo)}-$y $tpart",
+        s"$iso ${pad(1 + rng.nextInt(12))}:${pad(mi)} ${if (rng.nextBoolean()) "AM" else "PM"}",
+        s"${pad(d)}/${pad(mo)}/$y ${pad(1 + rng.nextInt(12))}:${pad(mi)} PM",
+        s"Jan $d, $y ${pad(1 + rng.nextInt(12))}:${pad(mi)} AM",
+        s"$d Mar $y", s"$d March $y", s"Feb ${pad(d)} $y", s"February ${pad(d)}, $y",
+        s"$y${pad(mo)}${pad(d)}",
+        (1000000000L + rng.nextInt(1000000000)).toString, // 10-digit epoch s
+        (1500000000000L + rng.nextInt(1000000000)).toString, // 13-digit epoch ms
+        s"$d. ${months(mo - 1)} $y", s"$d ${months(mo - 1)} $y",
+        s"${days(rng.nextInt(7))} $d. ${months(mo - 1)} $y",
+        s"${days(rng.nextInt(7))}, $d. ${months(mo - 1)} $y",
+        "yesterday", "tomorrow", "now", "today", "i går", "i dag", "i morgen", "nå",
+        s"${1 + rng.nextInt(2000)} days ago", s"in ${1 + rng.nextInt(90)} hours",
+        s"${1 + rng.nextInt(50)} weeks ago", s"${1 + rng.nextInt(48)} months ago",
+        s"in ${1 + rng.nextInt(20)} years", "a week ago", "an hour ago",
+        "in a day", "in an hour", "1 second ago", "in 59 minutes",
+        s"for ${1 + rng.nextInt(100)} dager siden", s"om ${1 + rng.nextInt(10)} timer",
+        s"for ${1 + rng.nextInt(10)} måneder siden", s"om ${1 + rng.nextInt(5)} år",
+        s"for ${1 + rng.nextInt(9)} uker siden",
+        s"${1 + rng.nextInt(8)} weeks ago ${enDays(rng.nextInt(7))}",
+        s"${1 + rng.nextInt(14)} months ago ${enDays(rng.nextInt(7))}",
+        "June 15", "june 15", "15 june", "3 October", "October 3",
+        "absolutely not a date", "", "   ", "32. januar 2024", "99 foobars ago",
+        "2024-13-45", "junk 123", "11111111111", // 11-digit: deliberately unparsed
+        s"  $iso  ", s" ${iso}T$tpart ", "A June 15", "An hour ago xx"
+      )
+    } ++ Seq(null)
+    val df = shaped.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      .repartition(4).localCheckpoint(true)
+    // Anchors chosen to cross DST folds and month-end clamping.
+    val anchors = Seq("2024-06-01 12:00:00", "2024-03-31 01:30:00",
+      "2023-10-29 02:30:00", "2024-05-31 23:59:59")
+    for (anc <- anchors; withAnchor <- Seq(true, false)) {
+      val aOpt = if (withAnchor) Some(lit(java.sql.Timestamp.valueOf(anc))) else None
+      val got = df.select(col("id"), Conversions.lenientDateOslo(col("s"), aOpt).as("t"))
+      val want = df.select(col("id"), Conversions.lenientDateOsloBuiltins(col("s"), aOpt).as("t"))
+      val diff = got.join(want, "id")
+        .where(!(got("t") <=> want("t")))
+      val bad = diff.join(df, "id").select(col("s"), col("id")).limit(5).collect()
+      assert(bad.isEmpty,
+        s"anchor=$anc withAnchor=$withAnchor diverged on: ${bad.mkString("; ")}")
+    }
+  }
+
   test("peakConcurrency day labels are session-timezone independent") {
     // Interval crossing UTC midnight; under +05:30 the straddling hour
     // bucket used to be labeled with the LOCAL day.
