@@ -25,18 +25,40 @@ object Bench {
     // the driver invokes with no args and gets the full suite).
     val only = args.toSet
     val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(q => only(q._1))
+    // Execution order is SEEDED-RANDOM, not alphabetical: three consecutive
+    // official runs showed the same alphabetically-contiguous ANN/st/t
+    // stretch running 2-7x over quiet cost (adjudicated load artifacts —
+    // BASELINE.md rounds 9-10). Randomizing the order decorrelates machine
+    // load from gate identity, so a slow CLUSTER in one run can no longer
+    // masquerade as a slow GATE FAMILY. The seed defaults to the round
+    // number (deterministic within a round, varies across rounds) and is
+    // logged in the artifact so any run is exactly reproducible.
+    val round = inferRound()
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").flatMap(_.toLongOption)
+      .getOrElse(round.toLong)
+    val order = new scala.util.Random(seed).shuffle(selected.keys.toSeq.sorted)
     // Failure-honest accounting: a query that crashes records -1 (never its
     // crash latency) and lands in the `failed` list; the total covers ONLY
     // succeeding queries. A partial board can therefore never masquerade as
     // a full-run total — readers of the artifact alone see exactly which
-    // queries contributed.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // queries contributed. Each gate additionally records the 1-minute
+    // loadavg at start and the JVM GC-time delta across its run, so a
+    // per-gate outlier in an official run self-diagnoses (high la1 / gcMs
+    // = environment, not plan).
+    val results = order.map { name =>
+      val fn = selected(name)
+      val la1 = loadAvg1()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      (name, sec, la1, gcMillis() - gc0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.sortBy(_._1).map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val telemetry = results.sortBy(_._1)
+      .map { case (k, _, la, gc) => s"\"" + k + s"""\":{"la1":$la,"gcMs":$gc}""" }
       .mkString("{", ",", "}")
     val (passed, failed) = results.partition(_._2 >= 0)
     val total = passed.map(_._2).sum
@@ -49,37 +71,70 @@ object Bench {
     // somehow measured fewer queries than the registry holds is a partial
     // board and has no business becoming the record (this exact failure
     // shipped once: a 9-query subset landed as BENCH_local_r08.json).
-    if (only.isEmpty && results.size == SparkEntry.queries.size) writeArtifact(line)
+    if (only.isEmpty && results.size == SparkEntry.queries.size)
+      writeArtifact(line, round, seed, order, telemetry)
     spark.stop()
   }
 
-  /** Artifact-of-record: persist the full per-query JSON in-repo so bench
-    * totals never depend on a truncated stdout capture. Round number is
-    * inferred from the driver's `CORRECTNESS_r{N}.json` files (current round
-    * = max on disk + 1; `SPARK_GRAFT_ROUND` overrides the inference — the
-    * driver's post-correctness run of round N would otherwise infer N+1,
-    * which is exactly how round 9's official run landed misfiled as
-    * `BENCH_local_r10.json`); `SPARK_GRAFT_BENCH_OUT` overrides the path
-    * outright. The payload is stamped with the git HEAD sha and a
-    * working-tree-dirty flag so two artifacts with the same totals are
-    * distinguishable as distinct measurements of (possibly) distinct trees —
-    * a reviewer can rebind a misfiled artifact to its true round from the
-    * sha alone. Best-effort — a read-only cwd or missing git must not fail
-    * the bench.
+  /** Current round number. Priority: `SPARK_GRAFT_ROUND` env, then the
+    * VERDICT.md header (`# VERDICT — round N` is always one round behind the
+    * round being built/measured, so current = N + 1), then the old
+    * CORRECTNESS-file inference as a last resort. VERDICT-based inference is
+    * the fix for the round-10 off-by-one: the driver's bench runs AFTER it
+    * writes CORRECTNESS_r{N}.json, so `max(CORRECTNESS)+1` labeled round
+    * 10's official artifact `"round": 11`. The VERDICT header is stable
+    * across the whole round (the judge rewrites it only after the bench), so
+    * both mid-round builder runs and the driver's post-correctness run infer
+    * the same, correct number.
     */
-  private def writeArtifact(line: String): Unit = try {
-    import java.nio.file.{Files, Paths}
-    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+  private[graft] def inferRound(): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).orElse {
+      try {
+        val verdict = java.nio.file.Paths.get("VERDICT.md")
+        if (java.nio.file.Files.exists(verdict)) {
+          val head = java.nio.file.Files.readString(verdict).linesIterator
+            .take(3).mkString("\n")
+          "round\\s+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt + 1)
+        } else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse {
       val pat = "CORRECTNESS_r(\\d+)\\.json".r
       val rounds = Option(new java.io.File(".").list()).getOrElse(Array.empty[String])
         .collect { case pat(n) => n.toInt }
       (if (rounds.isEmpty) 0 else rounds.max) + 1
     }
+
+  /** 1-minute loadavg from /proc/loadavg; -1 when unreadable (non-Linux). */
+  private def loadAvg1(): Double = try {
+    java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+  } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Cumulative JVM GC wall time (ms) across all collectors. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Artifact-of-record: persist the full per-query JSON in-repo so bench
+    * totals never depend on a truncated stdout capture. `SPARK_GRAFT_BENCH_OUT`
+    * overrides the path. The payload is stamped with the round (see
+    * inferRound), git HEAD sha + working-tree-dirty flag, the shuffle seed
+    * and realized execution order (reproducibility), and per-gate
+    * {la1, gcMs} telemetry so outliers in official runs self-diagnose
+    * without a manual same-JVM A/B session. Best-effort — a read-only cwd
+    * or missing git must not fail the bench.
+    */
+  private def writeArtifact(line: String, round: Int, seed: Long,
+      order: Seq[String], telemetry: String): Unit = try {
+    import java.nio.file.{Files, Paths}
     val (sha, dirty) = gitStamp()
     val out = sys.env.get("SPARK_GRAFT_BENCH_OUT").map(Paths.get(_))
       .getOrElse(Paths.get(f"BENCH_local_r$round%02d.json"))
+    val orderArr = order.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Splice provenance fields into the (known-object-shaped) JSON line.
-    val stamped = s"""{"round":$round,"gitSha":"$sha","gitDirty":$dirty,""" + line.stripPrefix("{")
+    val stamped = s"""{"round":$round,"gitSha":"$sha","gitDirty":$dirty,"seed":$seed,"order":$orderArr,"telemetry":$telemetry,""" + line.stripPrefix("{")
     Files.writeString(out, stamped + "\n")
   } catch { case scala.util.control.NonFatal(e) =>
     System.err.println(s"[bench] artifact write skipped: ${e.getMessage}")

@@ -20,6 +20,11 @@ object BenchAB {
   private val defaultGates = Seq(
     "x_ann_bruteforce", "x_ann_ivf", "x_ann_ivf_incr", "x_ann_ivf_layout",
     "x_ann_ivfpq", "x_ann_int8_rescore",
+    // Round-10 driver-run outliers (6.9x / 2.5x vs their r9 quiet close)
+    // that sat in the same loaded alphabetical stretch as the six gates
+    // above but were not in the original A/B set — added per round-10
+    // verdict item 1 so their `weak` marks are adjudicable.
+    "x_ann_ivfpq_residual", "x_ann_kmeans",
     "st_curate_increment", "t7_datetime_no", "x_sample_dsir")
 
   def main(args: Array[String]): Unit = {

@@ -73,6 +73,63 @@ object QueriesParity {
       |  (props->>'k')::BIGINT AS k
       |FROM events""".stripMargin))
 
+  // ------------------------------------------------------- S4 canonical T14
+  /** Byte-exact `kafka_message` for struct payloads (round-10 verdict item 4,
+    * the last §2 behavioral divergence): JSON schema-mode with
+    * `canonicalMessage` re-emits the raw text as Python
+    * `json.dumps(filtered, ensure_ascii=False)` would —
+    * per-row insertion order, `", "` separators, Python float `repr`
+    * (`2.5e16` → `2.5e+16`, `1e-7` → `1e-07`), minimal `ensure_ascii=False`
+    * escapes (the 6-char `u0041` input escape decodes to a bare `A`, `æ`
+    * passes through raw) — with F1 drops and F2 flags applied
+    * in-pass (`/root/reference/src/kafka_source.py:85-118`). The oracle
+    * replays the EXACT byte layout by string concatenation, so any drift in
+    * separators, ordering, number formatting, or escape policy
+    * hash-mismatches.
+    */
+  private val s4EnvJsonCanonical: Q = {
+    // Physical `A` escape in the raw message text (Scala would
+    // pre-process a literal unicode escape, so splice the backslash in).
+    val u = "\\" + "u"
+    ("s4_env_json_canonical", (
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val dyadic = (col("user_id") % 1000) / lit(16.0) // exact dyadic: short repr in Spark, DuckDB, and Python alike
+        val rawJson = format_string(
+          s"""{"meta":{"type":"%s","secret":"drop-me"},"k":%s,"vals":[{"f":%s,"flagged":"x"},{"f":2.5e16}],"pi":1e-7,"nil":null,"uni":"r${u}00e6v ${u}0041"}""",
+          col("event_type"), get_json_object(col("props"), "$.k"), dyadic.cast(StringType))
+        val payloadSchema = StructType(Seq(
+          StructField("meta", StructType(Seq(
+            StructField("type", StringType), StructField("secret", StringType)))),
+          StructField("k", LongType),
+          StructField("vals", ArrayType(StructType(Seq(
+            StructField("f", DoubleType), StructField("flagged", StringType))))),
+          StructField("pi", DoubleType), StructField("nil", StringType),
+          StructField("uni", StringType)))
+        val raw = ev.select(
+          col("user_id").cast(StringType).cast(BinaryType).as("key"),
+          rawJson.cast(BinaryType).as("value"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+          col("event_id").as("offset"),
+          Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+        Envelope.json(raw, SourceConfig(topic = "events",
+            messageFieldsFilter = Seq("meta.secret"),
+            flagFieldConfig = Seq("vals.flagged", "nil"),
+            canonicalMessage = true), payloadSchema)
+          .select(col("kafka_offset"), col("kafka_message"),
+            col("payload.meta.type").as("meta_type"), col("payload.k").as("k"))
+      },
+      """SELECT event_id AS kafka_offset,
+        |  '{"meta": {"type": "' || event_type || '"}, "k": ' || (props->>'k')
+        |    || ', "vals": [{"f": ' || ((user_id % 1000) / 16.0)::VARCHAR
+        |    || ', "flagged": 1}, {"f": 2.5e+16}], "pi": 1e-07, "nil": 0, "uni": "ræv A"}'
+        |    AS kafka_message,
+        |  event_type AS meta_type,
+        |  (props->>'k')::BIGINT AS k
+        |FROM events""".stripMargin))
+  }
+
   // ---------------------------------------------------------------- S6
   private val s6EnvString: Q = "s6_env_string" -> ((
     (s: SparkSession, dir: String) => {
@@ -1000,7 +1057,8 @@ object QueriesParity {
   }
 
   val all: Seq[Q] = Seq(
-    s2SubscribeSink, s3KeyInt64, s4EnvJson, s6EnvString, s5AvroRoundtrip, s5AvroMultischema,
+    s2SubscribeSink, s3KeyInt64, s4EnvJson, s4EnvJsonCanonical, s6EnvString,
+    s5AvroRoundtrip, s5AvroMultischema,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,

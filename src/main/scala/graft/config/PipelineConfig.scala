@@ -86,7 +86,15 @@ final case class SourceConfig(
     messageFilters: Seq[MessageFilter] = Nil,
     pollTimeoutSec: Int = 10,
     /** Avro mode: schema-registry base URL (resolved & cached driver-side). */
-    schemaRegistryUrl: Option[String] = None)
+    schemaRegistryUrl: Option[String] = None,
+    /** Opt-in byte-exact `kafka_message` for JSON schema-mode: serialize via
+      * [[graft.expressions.PyJsonDumps]] over the raw text (Python
+      * `json.dumps(ensure_ascii=False)` parity — insertion order, `", "`
+      * separators, float `repr`) instead of schema-ordered `to_json`.
+      * Default off: `to_json` is cheaper when golden-byte parity with the
+      * reference's persisted messages is not required.
+      */
+    canonicalMessage: Boolean = false)
 
 final case class TargetConfig(
     table: String,

@@ -424,15 +424,32 @@ object Conversions {
     */
   def sha256Hex(c: Column): Column = sha2(c.cast("binary"), 256)
 
-  /** JSON-quote a bare string like Python `json.dumps(str)` — used by the
-    * string deserializer's `kafka_message`
-    * (`/root/reference/src/kafka_source.py:124`). `to_json(array(s))` gives
-    * `["..."]` with full escape handling; strip the brackets.
+  /** JSON-quote a bare string like Python `json.dumps(str, ensure_ascii=False)`
+    * — used by the string deserializer's `kafka_message`
+    * (`/root/reference/src/kafka_source.py:124`). Native
+    * [[graft.expressions.PyJsonQuote]]: byte-exact Python escaping (lowercase
+    * `\u00xx` control escapes, non-ASCII raw), unlike the earlier
+    * `to_json(array(s))` bracket-strip which rode on Jackson's uppercase-hex
+    * escapes.
     */
   def jsonQuote(c: Column): Column = {
-    val arr = to_json(array(c))
-    when(c.isNull, lit(null).cast("string"))
-      .otherwise(arr.substr(lit(2), length(arr) - 2))
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.PyJsonQuote(Shim.expression(c)))
+  }
+
+  /** Canonical `kafka_message` for struct payloads: re-emits the RAW JSON
+    * message text byte-exactly as the reference's
+    * `json.dumps(filtered_dict, ensure_ascii=False)` would
+    * (`/root/reference/src/kafka_source.py:107-118`) — per-row key insertion
+    * order, `", "`/`": "` separators, Python float `repr`, minimal escapes —
+    * with F1 drops / F2 presence flags applied in-pass by cleaned keypath.
+    * See [[graft.expressions.PyJsonDumps]]; opt-in via
+    * `SourceConfig.canonicalMessage`.
+    */
+  def pyJsonCanonical(c: Column, drop: Seq[String] = Nil, flag: Seq[String] = Nil,
+      sep: String = "."): Column = {
+    import org.apache.spark.sql.graft.Shim
+    Shim.column(graft.expressions.PyJsonDumps(Shim.expression(c), drop, flag, sep))
   }
 
   /** The conversion-registry lookup used by the transform compiler

@@ -23,6 +23,7 @@ object GraftFunctions {
     "graft_nanos_ms" -> Conversions.nanosToEpochMs,
     "graft_sha256" -> Conversions.sha256Hex,
     "graft_json_quote" -> Conversions.jsonQuote,
+    "graft_py_json" -> (c => Conversions.pyJsonCanonical(c)),
     "graft_key_int64" -> Conversions.bigEndianLongKey,
     "graft_schema_id" -> Conversions.schemaId,
     // text-analysis surface (see [[TextAnalysis]])

@@ -64,8 +64,18 @@ object Envelope {
       payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
     val payload = when(isCorrupt, lit(null).cast(resultSchema))
       .otherwise(PayloadOps(payloadClean, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator))
+    // `kafka_message` serialization: schema-ordered `to_json` by default;
+    // with `canonicalMessage` the raw text is re-emitted byte-exactly as
+    // Python `json.dumps(filtered, ensure_ascii=False)` (insertion order,
+    // `", "` separators, float repr) with the same F1/F2 mutations applied
+    // in-pass — the persisted view stays the filtered one either way.
+    val serialized =
+      if (cfg.canonicalMessage)
+        Conversions.pyJsonCanonical(col("value").cast(StringType),
+          cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+      else to_json(payload)
     val message = when(col("value").isNull || isCorrupt, lit(null).cast(StringType))
-      .otherwise(to_json(payload))
+      .otherwise(serialized)
     project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
       schemaId = None, error = Some(isCorrupt))
   }

@@ -54,11 +54,19 @@ final class JdbcSink(
     p
   }
 
+  /** The `createTableColumnTypes` option text — the declarative stand-in for
+    * the reference's eval'd `setinputsizes` bind coercions
+    * (`/root/reference/src/base.py:35-42`, e.g. a CLOB override for
+    * `kafka_message`). Golden-pinned by SourcesSinksSpec so dialect drift in
+    * the emitted DDL fragment is caught without a DB.
+    */
+  private[graft] def createTableTypesOption: Option[String] =
+    if (columnTypes.isEmpty) None
+    else Some(columnTypes.map(o => s"${o.column} ${o.sqlType}").mkString(", "))
+
   override def write(df: DataFrame): Unit = {
     val w = df.write.mode("append")
-    val withTypes =
-      if (columnTypes.isEmpty) w
-      else w.option("createTableColumnTypes", columnTypes.map(o => s"${o.column} ${o.sqlType}").mkString(", "))
+    val withTypes = createTableTypesOption.fold(w)(w.option("createTableColumnTypes", _))
     withTypes.jdbc(url, table, props)
   }
 
@@ -114,16 +122,7 @@ final class JdbcSink(
       write(df.limit(0))
     }
     ensureUniqueIndex(keys, q)
-    val overrides = columnTypes.map(o => o.column -> o.sqlType).toMap
-    val castType = schema.fields.map(f => f.name ->
-      overrides.getOrElse(f.name, JdbcSink.sqlCastType(f.dataType))).toMap
-    val cols = schema.fieldNames.toSeq
-    val binds = cols.map(c => s"CAST(? AS ${castType(c)})").mkString(", ")
-    val dupCheck = keys.map(k => s"x.${q(k)} = CAST(? AS ${castType(k)})").mkString(" AND ")
-    val sql =
-      s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
-         |SELECT $binds FROM ${JdbcSink.dualTable(url)}
-         |WHERE NOT EXISTS (SELECT 1 FROM $table x WHERE $dupCheck)""".stripMargin
+    val sql = mergeSql(schema, keys)
     // Locals only in the task closure — capturing fields would drag `this`
     // (and a non-serializable Properties) into every task.
     val (u, bs) = (url, batchSize)
@@ -193,6 +192,35 @@ final class JdbcSink(
       }
     }
     inserted.value
+  }
+
+  /** The exact dup-check INSERT text — the engine's rendering of the
+    * reference's `insert into t (cols) select :binds from dual where 1=1 and
+    * not exists ( select null from t where k=:k and ... )`
+    * (`/root/reference/src/oracle_target.py:95-104`), with three deliberate
+    * deltas: bind markers are JDBC `?` with explicit `CAST`s (Derby rejects
+    * untyped parameters in a SELECT list; the casts also carry the
+    * [[ColumnTypeOverride]] coercions the reference routes through
+    * `setinputsizes`), identifiers are quoted case-exact (Spark's JDBC
+    * writer creates quoted columns), and the dual relation is
+    * dialect-dispatched (`dual` on Oracle, `SYSIBM.SYSDUMMY1` on
+    * Derby/DB2). Factored out so the spec can golden-pin the emitted text
+    * per dialect without a database. The reference's tuple-IN
+    * `(1,:n)`-list workaround for Oracle's 1000-item IN limit
+    * (`oracle_target.py:63-66`) has no analogue here by design: the k6
+    * mask is a distributed semi-join, never an IN list.
+    */
+  private[graft] def mergeSql(schema: org.apache.spark.sql.types.StructType, keys: Seq[String]): String = {
+    val q = (c: String) => "\"" + c + "\""
+    val overrides = columnTypes.map(o => o.column -> o.sqlType).toMap
+    val castType = schema.fields.map(f => f.name ->
+      overrides.getOrElse(f.name, JdbcSink.sqlCastType(f.dataType))).toMap
+    val cols = schema.fieldNames.toSeq
+    val binds = cols.map(c => s"CAST(? AS ${castType(c)})").mkString(", ")
+    val dupCheck = keys.map(k => s"x.${q(k)} = CAST(? AS ${castType(k)})").mkString(" AND ")
+    s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
+       |SELECT $binds FROM ${JdbcSink.dualTable(url)}
+       |WHERE NOT EXISTS (SELECT 1 FROM $table x WHERE $dupCheck)""".stripMargin
   }
 
   /** The unique key index is attempted on EVERY dup-check write, not only

@@ -31,23 +31,77 @@ object MessageSource {
     StructField("offset", LongType, nullable = false),
     StructField("timestamp", LongType, nullable = false)))
 
-  /** Reader options for the bounded interval. The `*ByTimestamp` options
-    * require an explicit per-partition map (no `-1` wildcard exists for
-    * them), so the bounds ride the global `startingTimestamp` /
-    * `endingTimestamp` options instead — the broker resolves them to
-    * per-partition offsets (`KafkaConsumer.offsetsForTimes`), exactly like
-    * the reference's `offsets_for_times` call. Factored out so the spec can
-    * assert the exact options without a broker.
+  /** Reader options for the bounded interval (subscribe form). The
+    * `*ByTimestamp` options require an explicit per-partition map (no `-1`
+    * wildcard exists for them), so the bounds ride the global
+    * `startingTimestamp` / `endingTimestamp` options instead — the broker
+    * resolves them to per-partition offsets (`KafkaConsumer.offsetsForTimes`),
+    * exactly like the reference's `offsets_for_times` call
+    * (`/root/reference/src/kafka_source.py:182-191`). Factored out so the
+    * spec can golden-pin the exact options without a broker.
+    *
+    * Reference-parity notes (`kafka_source.py:220-265,293-338`):
+    *  - a partition whose start timestamp exceeds its last message resolves
+    *    to offset `-1` and is SKIPPED with a warning (`:236-244`) — hence
+    *    `startingOffsetsByTimestampStrategy=latest`; Spark's default
+    *    (`error`) would fail the job where the reference logs and moves on.
+    *  - the reference's end bound is end-offset-INCLUSIVE: the first message
+    *    with ts >= DATA_INTERVAL_END is appended to the batch BEFORE its
+    *    partition is retired (`:327-333` appends, `:332` then unassigns on
+    *    `offset() >= end.offset`). Consecutive intervals therefore overlap
+    *    by exactly that one message per partition, which the Oracle sink's
+    *    NOT-EXISTS skip-duplicates absorbs. Spark's `endingTimestamp` is
+    *    end-EXCLUSIVE — [start, end) with no overlap — so SINK CONTENTS are
+    *    identical across a run sequence (each boundary message lands in the
+    *    next run instead of twice); only a single isolated run differs, by
+    *    that one in-flight boundary message per partition. Accepted mapping,
+    *    pinned by the spec.
     */
   def kafkaOptions(brokers: String, topic: String, startMs: Long, endMs: Long): Map[String, String] = Map(
     "kafka.bootstrap.servers" -> brokers,
     "subscribe" -> topic,
     "startingTimestamp" -> startMs.toString,
-    "endingTimestamp" -> endMs.toString)
+    "endingTimestamp" -> endMs.toString,
+    "startingOffsetsByTimestampStrategy" -> "latest")
 
-  /** Kafka relation for a bounded time interval (assign-strategy parity).
-    * `startMs`/`endMs` are the `DATA_INTERVAL_START/END` epoch-ms bounds; the
-    * end bound is exclusive like `endingTimestamp`.
+  /** Reader options, assign form (`ConsumerStrategy.Assign`): explicit
+    * partition list with per-partition timestamp maps — the literal shape of
+    * the reference's `offsets_for_times([TopicPartition(topic, k, ts), ...])`
+    * over `list_topics().partitions.keys()`
+    * (`/root/reference/src/kafka_source.py:183-190`). The reference learns
+    * the partition set from broker metadata; Spark's `assign` option needs
+    * it stated, so callers pass the same metadata-derived list.
+    */
+  def kafkaOptionsAssign(brokers: String, topic: String, partitions: Seq[Int],
+      startMs: Long, endMs: Long): Map[String, String] = {
+    val parts = partitions.sorted
+    def tsMap(ts: Long) =
+      s"""{"$topic":{${parts.map(p => s""""$p":$ts""").mkString(",")}}}"""
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "assign" -> s"""{"$topic":[${parts.mkString(",")}]}""",
+      "startingOffsetsByTimestamp" -> tsMap(startMs),
+      "endingOffsetsByTimestamp" -> tsMap(endMs),
+      "startingOffsetsByTimestampStrategy" -> "latest")
+  }
+
+  /** Envelope `kafka_timestamp` reconstruction: the connector surfaces the
+    * broker's `CreateTime` as a microsecond `TimestampType`; the reference
+    * persists the raw epoch-ms long (`msg.timestamp()[1]`,
+    * `/root/reference/src/kafka_source.py:200`). `cast(ts as long)` floors
+    * to epoch seconds (floorDiv — exact for pre-1970 instants too) and
+    * `extract(milliseconds ...)` carries the sub-second field; `% 1000`
+    * keeps only the millis-within-second, which is session-TZ-invariant for
+    * every whole-second UTC offset. Epoch-edge behavior is spec-pinned
+    * against literal timestamps (incl. negatives).
+    */
+  def msFromTimestamp(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ts.cast(LongType) * 1000 + extract(lit("milliseconds"), ts).cast(LongType) % 1000
+
+  /** Kafka relation for a bounded time interval. `startMs`/`endMs` are the
+    * `DATA_INTERVAL_START/END` epoch-ms bounds; the end bound is exclusive
+    * like `endingTimestamp` (see [[kafkaOptions]] for the documented
+    * one-boundary-message divergence from the reference's inclusive loop).
     */
   def kafka(spark: SparkSession, brokers: String, topic: String, startMs: Long, endMs: Long): DataFrame = {
     spark.read
@@ -60,7 +114,7 @@ object MessageSource {
         col("topic"),
         col("partition"),
         col("offset"),
-        (col("timestamp").cast(LongType) * 1000 + expr("extract(milliseconds from timestamp)").cast(LongType) % 1000).as("timestamp"))
+        msFromTimestamp(col("timestamp")).as("timestamp"))
   }
 
   /** File-backed topic: the driver's `events` table re-shaped into the
