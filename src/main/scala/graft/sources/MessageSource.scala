@@ -88,15 +88,18 @@ object MessageSource {
   /** Envelope `kafka_timestamp` reconstruction: the connector surfaces the
     * broker's `CreateTime` as a microsecond `TimestampType`; the reference
     * persists the raw epoch-ms long (`msg.timestamp()[1]`,
-    * `/root/reference/src/kafka_source.py:200`). `cast(ts as long)` floors
-    * to epoch seconds (floorDiv — exact for pre-1970 instants too) and
-    * `extract(milliseconds ...)` carries the sub-second field; `% 1000`
-    * keeps only the millis-within-second, which is session-TZ-invariant for
-    * every whole-second UTC offset. Epoch-edge behavior is spec-pinned
-    * against literal timestamps (incl. negatives).
+    * `/root/reference/src/kafka_source.py:200`). `unix_millis` floor-divides
+    * the internal epoch-micros by 1000 — exact for pre-1970 instants too,
+    * and session-TZ-invariant by construction (it reads the instant, not a
+    * wall rendering). Epoch-edge behavior is spec-pinned against literal
+    * timestamps (incl. negatives) in SourcesSinksSpec.
+    *
+    * (A previous formulation used `extract(milliseconds ...)`; Spark 4's
+    * `DatePart` has no MILLISECONDS field — it would fail at analysis on a
+    * real cluster. The spec pin is what caught it.)
     */
   def msFromTimestamp(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    ts.cast(LongType) * 1000 + extract(lit("milliseconds"), ts).cast(LongType) % 1000
+    unix_millis(ts)
 
   /** Kafka relation for a bounded time interval. `startMs`/`endMs` are the
     * `DATA_INTERVAL_START/END` epoch-ms bounds; the end bound is exclusive

@@ -21,10 +21,90 @@ class SourcesSinksSpec extends SparkSpec {
       "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
       "subscribe" -> "mytopic",
       "startingTimestamp" -> "1700000000000",
-      "endingTimestamp" -> "1700003600000"))
-    // The *ByTimestamp options (which require explicit per-partition maps and
-    // have no "-1" wildcard) must NOT appear.
-    assert(!opts.keys.exists(_.toLowerCase.contains("bytimestamp")))
+      "endingTimestamp" -> "1700003600000",
+      // empty-partition parity: offsets_for_times -> -1 is skip-with-warning
+      // in the reference (kafka_source.py:236-244), not a job failure.
+      "startingOffsetsByTimestampStrategy" -> "latest"))
+    // The *OffsetsByTimestamp OPTIONS (which require explicit per-partition
+    // maps and have no "-1" wildcard) must NOT appear in the subscribe form.
+    // The ...ByTimestampStrategy key is NOT one of them — it's a scalar
+    // policy knob, excluded from the property by exact name.
+    val perPartitionMapKeys =
+      opts.keys.filter(k => k.toLowerCase.contains("bytimestamp") &&
+        k != "startingOffsetsByTimestampStrategy")
+    assert(perPartitionMapKeys.isEmpty)
+  }
+
+  test("S1 kafka reader options, assign form: per-partition timestamp maps (kafka_source.py:183-190)") {
+    val opts = MessageSource.kafkaOptionsAssign(
+      "b1:9092", "t", Seq(2, 0, 1), 1700000000000L, 1700003600000L)
+    // Partitions sorted regardless of input order; maps are literal JSON in
+    // the shape Spark's Kafka source parses: {"topic":{"partition":ts}}.
+    assert(opts == Map(
+      "kafka.bootstrap.servers" -> "b1:9092",
+      "assign" -> """{"t":[0,1,2]}""",
+      "startingOffsetsByTimestamp" -> """{"t":{"0":1700000000000,"1":1700000000000,"2":1700000000000}}""",
+      "endingOffsetsByTimestamp" -> """{"t":{"0":1700003600000,"1":1700003600000,"2":1700003600000}}""",
+      "startingOffsetsByTimestampStrategy" -> "latest"))
+  }
+
+  test("S1 msFromTimestamp: epoch-edge reconstruction incl. negative instants and sub-second carry") {
+    import spark.implicits._
+    // Literal micros-precision timestamps (UTC) -> expected epoch-ms longs,
+    // the reference's msg.timestamp()[1] (kafka_source.py:200). Negative
+    // instants exercise the floorDiv path: -1 ms is 1969-12-31 23:59:59.999,
+    // whose cast-to-long floors to -1 s and whose millis-in-second is 999.
+    val cases = Seq(
+      ("1970-01-01 00:00:00.000", 0L),
+      ("1970-01-01 00:00:00.001", 1L),
+      ("1970-01-01 00:00:00.999", 999L),
+      ("1969-12-31 23:59:59.999", -1L),
+      ("1969-12-31 23:59:59.001", -999L),
+      ("1969-12-31 23:59:59.000", -1000L),
+      ("1969-12-30 00:00:00.500", -172799500L),
+      ("2023-11-14 22:13:20.123", 1700000000123L))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val got = cases.map(_._1).toDF("s")
+        .select(MessageSource.msFromTimestamp(col("s").cast("timestamp")).as("ms"))
+        .as[Long].collect().toSeq
+      assert(got == cases.map(_._2))
+      // Session-TZ invariance for whole-second offsets: Oslo (+01/+02).
+      spark.conf.set("spark.sql.session.timeZone", "Europe/Oslo")
+      val gotOslo = cases.map(_._1).toDF("s")
+        // re-anchor the literal to UTC so the instant is identical, then
+        // evaluate msFromTimestamp under the Oslo session TZ
+        .select(MessageSource.msFromTimestamp(
+          to_utc_timestamp(col("s").cast("timestamp"), "Europe/Oslo")).as("ms"))
+        .as[Long].collect().toSeq
+      // Oslo literals shifted to UTC differ by the zone offset (3600_000 or
+      // 7200_000 ms depending on DST) — but millis-in-second must be intact.
+      (gotOslo, cases.map(_._2)).zipped.foreach { (o, u) =>
+        assert((o - u) % 3600000L == 0, s"offset between $o and $u not whole-hour")
+        assert(math.floorMod(o, 1000L) == math.floorMod(u, 1000L), s"sub-second field lost: $o vs $u")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("ST1 end-exclusivity: Spark [start,end) vs the reference's inclusive boundary message (accepted mapping)") {
+    import spark.implicits._
+    // Messages at ts 100,200,300 in one partition; interval [100, 300).
+    val rows = Seq(100L, 200L, 300L).zipWithIndex.map { case (ts, i) =>
+      (Array[Byte](1), s"""{"v":$i}""".getBytes("UTF-8"), "t", 0, i.toLong, ts)
+    }
+    val df = MessageSource.fromRows(spark, rows)
+    val batch = df.filter(col("timestamp") >= 100L && col("timestamp") < 300L)
+    // Spark semantics (this engine): the ts=300 boundary message is NOT in
+    // this batch — it lands in the next interval exactly once.
+    assert(batch.select("offset").as[Long].collect().toSet == Set(0L, 1L))
+    // The reference's loop (kafka_source.py:327-333) would ALSO append the
+    // first message with ts >= end before retiring the partition, i.e.
+    // {0,1,2}, and the NOT-EXISTS sink absorbs the duplicate on the next
+    // run. Union of consecutive engine intervals equals the reference's
+    // distinct sink contents — pin that equivalence:
+    val next = df.filter(col("timestamp") >= 300L && col("timestamp") < 500L)
+    assert(batch.union(next).select("offset").as[Long].collect().toSet == Set(0L, 1L, 2L))
   }
 
   private def derbyUrl(): String = {
@@ -42,6 +122,38 @@ class SourcesSinksSpec extends SparkSpec {
     assert(ex.isDefined)
     assert(ex.get.count() == 7)
     assert(ex.get.columns.toSeq == Seq("k"))
+  }
+
+  test("S8 mergeSql golden: exact dup-check INSERT text per dialect (oracle_target.py:95-104)") {
+    import org.apache.spark.sql.types._
+    import graft.config.ColumnTypeOverride
+    val schema = StructType(Seq(
+      StructField("kafka_hash", StringType),
+      StructField("kafka_message", StringType),
+      StructField("lastet_dato", TimestampType)))
+    val overrides = Seq(ColumnTypeOverride("kafka_message", "CLOB"))
+    // Derby/embedded dialect: dual is SYSIBM.SYSDUMMY1.
+    val derby = new JdbcSink("jdbc:derby:memory:x", "events_t", columnTypes = overrides)
+    assert(derby.mergeSql(schema, Seq("kafka_hash")) ==
+      """INSERT INTO events_t ("kafka_hash", "kafka_message", "lastet_dato")
+        |SELECT CAST(? AS VARCHAR(4000)), CAST(? AS CLOB), CAST(? AS TIMESTAMP) FROM SYSIBM.SYSDUMMY1
+        |WHERE NOT EXISTS (SELECT 1 FROM events_t x WHERE x."kafka_hash" = CAST(? AS VARCHAR(4000)))""".stripMargin)
+    // Oracle dialect: dual relation; multi-key dup check ANDs each key.
+    val ora = new JdbcSink("jdbc:oracle:thin:@db:1521/svc", "DVH.EVENTS", columnTypes = overrides)
+    assert(ora.mergeSql(schema, Seq("kafka_hash", "lastet_dato")) ==
+      """INSERT INTO DVH.EVENTS ("kafka_hash", "kafka_message", "lastet_dato")
+        |SELECT CAST(? AS VARCHAR(4000)), CAST(? AS CLOB), CAST(? AS TIMESTAMP) FROM dual
+        |WHERE NOT EXISTS (SELECT 1 FROM DVH.EVENTS x WHERE x."kafka_hash" = CAST(? AS VARCHAR(4000)) AND x."lastet_dato" = CAST(? AS TIMESTAMP))""".stripMargin)
+  }
+
+  test("S8 createTableColumnTypes golden: the declarative stand-in for setinputsizes (base.py:35-42)") {
+    import graft.config.ColumnTypeOverride
+    val sink = new JdbcSink("jdbc:derby:memory:x", "t",
+      columnTypes = Seq(
+        ColumnTypeOverride("kafka_message", "CLOB"),
+        ColumnTypeOverride("big_note", "VARCHAR(32000)")))
+    assert(sink.createTableTypesOption.contains("kafka_message CLOB, big_note VARCHAR(32000)"))
+    assert(new JdbcSink("jdbc:derby:memory:x", "t").createTableTypesOption.isEmpty)
   }
 
   test("S8 JdbcSink.existing: missing table -> None (first run against fresh target)") {
