@@ -42,25 +42,33 @@ object Bench {
     // succeeding queries. A partial board can therefore never masquerade as
     // a full-run total — readers of the artifact alone see exactly which
     // queries contributed. Each gate additionally records the 1-minute
-    // loadavg at start and the JVM GC-time delta across its run, so a
-    // per-gate outlier in an official run self-diagnoses (high la1 / gcMs
-    // = environment, not plan).
+    // loadavg at start, the JVM GC-time delta, and — the load-invariant
+    // signals — executor CPU ms, task ms, shuffle read/write bytes, spill
+    // bytes and task count from a SparkListener, drained at both edges.
+    // A gate whose wall spikes while cpuMs/shufB stay at-band is external
+    // load BY CONSTRUCTION; one whose cpuMs or shuffle volume moved is a
+    // plan change. This makes official-run outliers adjudicable from the
+    // artifact alone, no same-JVM A/B session needed.
+    val snap = TaskMetricsCollector.install(spark.sparkContext)
     val results = order.map { name =>
       val fn = selected(name)
       val la1 = loadAvg1()
       val gc0 = gcMillis()
+      val m0 = snap()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      (name, sec, la1, gcMillis() - gc0)
+      (name, sec, la1, gcMillis() - gc0, snap() - m0)
     }
-    val qs = results.sortBy(_._1).map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.sortBy(_._1).map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val telemetry = results.sortBy(_._1)
-      .map { case (k, _, la, gc) => s"\"" + k + s"""\":{"la1":$la,"gcMs":$gc}""" }
+      .map { case (k, _, la, gc, m) =>
+        val mj = m.json.stripPrefix("{")
+        s"\"" + k + s"""\":{"la1":$la,"gcMs":$gc,""" + mj }
       .mkString("{", ",", "}")
-    val (passed, failed) = results.partition(_._2 >= 0)
+    val (passed, failed) = results.partition(_._2 >= 0.0)
     val total = passed.map(_._2).sum
     val failedArr = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","passed":${passed.size},"failed":$failedArr,"queries":$qs,"sf":"$sfDir"}"""

@@ -47,26 +47,29 @@ object BenchAB {
     val unknown = gates.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown gates: ${unknown.mkString(", ")}")
 
-    def once(name: String): Double = {
+    val snap = TaskMetricsCollector.install(spark.sparkContext)
+    def once(name: String): (Double, TaskMetricsCollector.Snap) = {
+      val m0 = snap()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, snap() - m0)
     }
     val passes = Seq("fwd" -> gates, "rev" -> gates.reverse,
       "fwd2" -> gates, "rev2" -> gates.reverse)
-    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val times = scala.collection.mutable.Map.empty[String, List[(Double, TaskMetricsCollector.Snap)]]
       .withDefaultValue(Nil)
     passes.foreach { case (label, order) =>
       order.foreach { g =>
-        val s = once(g)
-        times(g) = s :: times(g)
-        println(f"[ab] $label%-5s $g%-24s $s%7.2f s")
+        val (s, m) = once(g)
+        times(g) = (s, m) :: times(g)
+        println(f"[ab] $label%-5s $g%-24s $s%7.2f s   cpu ${m.cpuMs}%6d ms  shufR ${m.shufReadB}%10d B  shufW ${m.shufWriteB}%10d B")
       }
     }
-    println("[ab] ===== min-of-4 per gate (quiet cost) =====")
+    println("[ab] ===== min-of-4 per gate (quiet cost; cpu/shuffle of the min pass) =====")
     gates.foreach { g =>
       val ts = times(g)
-      println(f"[ab] MIN $g%-24s ${ts.min}%7.2f s   (all: ${ts.reverse.map(t => f"$t%.2f").mkString(", ")})")
+      val (minS, minM) = ts.minBy(_._1)
+      println(f"[ab] MIN $g%-24s $minS%7.2f s   cpu ${minM.cpuMs}%6d ms  shufR ${minM.shufReadB}%10d B  shufW ${minM.shufWriteB}%10d B   (all: ${ts.reverse.map(t => f"${t._1}%.2f").mkString(", ")})")
     }
     spark.stop()
   }

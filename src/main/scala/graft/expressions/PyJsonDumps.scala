@@ -43,7 +43,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * parser accepts) round-trip, and an overflowing float literal becomes
   * `Infinity` just as `float("1e999")` does. Malformed JSON yields NULL —
   * callers route that through the ST5 corrupt channel like
-  * [[graft.operators.Envelope.json]] does.
+  * [[graft.operators.Envelope.json]] does — and "malformed" is CPython's
+  * strict definition: number tokens must match `json.scanner.NUMBER_RE`
+  * (`007`, `+5`, `1-2`, `.5`, bare `-` all reject), raw C0 controls inside
+  * string tokens reject ("Invalid control character"). One deliberate
+  * conservative delta: duplicate keys within an object, which `json.loads`
+  * resolves keep-LAST, yield NULL here rather than an unreproducible-in-
+  * one-pass byte layout — refusal over silent divergence.
   *
   * `doGenCode` emits a direct static call (no UDF, no interpreted
   * fallback), so the operator stays inside whole-stage codegen; the
@@ -142,10 +148,16 @@ object PyJsonDumpsImpl {
     } catch { case _: MalformedJson => null }
   }
 
+  /** Shared no-op config for [[quote]] — the S6 hot path quotes one bare
+    * string per message; allocating a fresh Cfg (two HashSets) per row
+    * bought nothing.
+    */
+  private val emptyCfg = cfgOf(Nil, Nil, ".")
+
   /** `json.dumps(bare_string, ensure_ascii=False)` — quote + minimal escape. */
   def quote(input: UTF8String): UTF8String = {
     if (input == null) return null
-    val p = new Emitter("", cfgOf(Nil, Nil, "."))
+    val p = new Emitter("", emptyCfg)
     p.encodeString(input.toString)
     UTF8String.fromString(p.result)
   }
@@ -198,9 +210,26 @@ object PyJsonDumpsImpl {
       skipWs()
       var first = true
       if (peek == '}') { pos += 1; out.append('}'); return }
+      // Duplicate-key tracking: CPython's json.loads keeps only the LAST
+      // occurrence, so the reference's dumps emits one key where a streaming
+      // re-emitter would emit every duplicate — a silent byte divergence.
+      // Emitting keep-last in one pass is impossible without buffering, so
+      // duplicates fail() → NULL → the ST5 corrupt channel: conservative,
+      // never silently wrong. Lazy set allocation keeps the common
+      // small-object path allocation-light.
+      var firstKey: String = null
+      var seenKeys: java.util.HashSet[String] = null
       while (true) {
         if (peek != '"') fail()
         val key = decodeString()
+        if (firstKey == null && seenKeys == null) firstKey = key
+        else {
+          if (seenKeys == null) {
+            seenKeys = new java.util.HashSet[String]()
+            seenKeys.add(firstKey)
+          }
+          if (!seenKeys.add(key)) fail()
+        }
         skipWs()
         if (peek != ':') fail()
         pos += 1
@@ -292,25 +321,43 @@ object PyJsonDumpsImpl {
       case _ => skipNumber(); false
     }
 
-    private def skipNumber(): Unit = {
+    /** Scan one number token with CPython's exact grammar
+      * (`json.scanner.NUMBER_RE`: `-?(0|[1-9]\d*)(\.\d+)?([eE][-+]?\d+)?`,
+      * plus the `-Infinity` extension). Anything looser — `007`, `+5`,
+      * `1-2`, `.5`, `5.`, a bare `-` — fails, exactly as `json.loads`
+      * raises on it; the earlier digit-soup scan re-emitted those verbatim
+      * and silently produced invalid canonical bytes.
+      */
+    private def scanNumber(): String = {
       val start = pos
+      def digit = pos < s.length && { val c = s.charAt(pos); c >= '0' && c <= '9' }
       if (pos < s.length && s.charAt(pos) == '-') pos += 1
-      if (pos < s.length && s.charAt(pos) == 'I') { expect("Infinity"); return }
-      while (pos < s.length && {
-        val c = s.charAt(pos)
-        (c >= '0' && c <= '9') || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'
-      }) pos += 1
-      if (pos == start) fail()
+      if (pos < s.length && s.charAt(pos) == 'I') { expect("Infinity"); return s.substring(start, pos) }
+      if (!digit) fail()
+      if (s.charAt(pos) == '0') pos += 1
+      else while (digit) pos += 1
+      if (pos < s.length && s.charAt(pos) == '.') {
+        pos += 1
+        if (!digit) fail()
+        while (digit) pos += 1
+      }
+      if (pos < s.length && { val c = s.charAt(pos); c == 'e' || c == 'E' }) {
+        pos += 1
+        if (pos < s.length && { val c = s.charAt(pos); c == '+' || c == '-' }) pos += 1
+        if (!digit) fail()
+        while (digit) pos += 1
+      }
+      s.substring(start, pos)
     }
+
+    private def skipNumber(): Unit = { scanNumber(); () }
 
     /** Number token → canonical form. Integers (no `.`/exponent) pass
       * through at arbitrary precision like Python ints; anything else goes
       * through double parse + Python `repr`.
       */
     private def number(): Unit = {
-      val start = pos
-      skipNumber()
-      val tok = s.substring(start, pos)
+      val tok = scanNumber()
       if (tok == "-Infinity") { out.append(tok); return }
       var isFloat = false
       var i = 0
@@ -360,6 +407,11 @@ object PyJsonDumpsImpl {
             case _ => fail()
           }
           pos += 1
+        } else if (c < 0x20) {
+          // CPython json.loads default strict mode rejects raw C0 controls
+          // inside string tokens ("Invalid control character"); accepting
+          // them here would canonicalize rows the reference fails on.
+          fail()
         } else { sb.append(c); pos += 1 }
       }
       sb.toString

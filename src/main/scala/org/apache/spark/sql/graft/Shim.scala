@@ -142,6 +142,15 @@ object Shim {
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     e.buildOptimizerRules(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 
+  /** Block until every queued listener event is delivered — `listenerBus` is
+    * `private[spark]`, hence the shim. The bench's per-gate task-metric
+    * deltas are only exact if the bus is drained at both snapshot edges;
+    * without this, a slow listener thread bleeds one gate's task-end events
+    * into the next gate's window.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long = 10000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
+
   /** The exact parser `try_to_timestamp(col, lit(pattern))` uses under the
     * session's (CORRECTED) time-parser policy — `TimestampFormatter` is
     * `private[sql]`, hence the shim. Native expressions that replace a

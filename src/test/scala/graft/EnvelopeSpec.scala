@@ -74,6 +74,20 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getAs[String]("payload") == "hello \"you\"")
   }
 
+  test("S6 quoting is PyJsonQuote for ALL string-mode users: lowercase control hex, not Jackson uppercase") {
+    // Round 11 swapped the S6 path's quoting from Jackson (to_json-style) to
+    // the native PyJsonQuote — for every caller, not just canonicalMessage
+    // opt-ins. This golden makes the byte contract explicit: C0 controls
+    // escape as Python's lowercase \u00xx (json.dumps), where Jackson
+    // would emit uppercase ; non-ASCII and DEL stay raw.
+    val env = Envelope.string(
+      raw(("ctlandend ræv ", 1L)),
+      SourceConfig(topic = "t", schemaMode = SchemaMode.Str))
+    val msg = env.head().getAs[String]("kafka_message")
+    assert(msg == "\"ctl\\u0007and\\u001fend ræv \"")
+    assert(!msg.contains("\\u001F"), "uppercase hex would be Jackson, not Python")
+  }
+
   test("S5 corrupt Avro bytes are FATAL (strict schema mode), unlike JSON's count-and-continue") {
     val schemaJson =
       """{"type":"record","name":"ev","fields":[{"name":"id","type":"long"},{"name":"name","type":"string"}]}"""

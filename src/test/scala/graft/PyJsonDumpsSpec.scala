@@ -104,6 +104,41 @@ class PyJsonDumpsSpec extends SparkSpec {
     assert(PyJsonDumpsImpl.emit(null, PyJsonDumpsImpl.cfgOf(Nil, Nil, ".")) === null)
   }
 
+  test("number tokens validate against CPython's grammar — loose digit soup rejects") {
+    // All of these raise in json.loads; previously they were re-emitted
+    // verbatim as INVALID canonical bytes.
+    Seq("""{"a":1-2}""", "+5", "007", "00", "--1", "-", """{"a":.5}""",
+      """{"a":5.}""", "1.e5", "1e", "1e+", "1.2.3", "0x10", "-+1", "1e5-2")
+      .foreach(bad => assert(emit(bad) === null, s"should reject: $bad"))
+    // ...while every form the grammar does admit still round-trips,
+    // including optional exponent sign and zero int part with frac.
+    assert(emit("""{"a":0.5,"b":1e5,"c":1E-5,"d":-0.25e+2,"e":0}""")
+      === """{"a": 0.5, "b": 100000.0, "c": 1e-05, "d": -25.0, "e": 0}""")
+    // strict grammar also applies inside DROPPED subtrees (skipNumber path)
+    assert(emit("""{"d":{"x":007},"k":1}""", drop = Seq("d")) === null)
+  }
+
+  test("duplicate object keys yield null — keep-last is unreproducible in one pass") {
+    // json.loads({"a":1,"a":2}) == {"a": 2}: the reference emits ONE key.
+    // Streaming re-emission would emit both — refuse instead of diverge.
+    assert(emit("""{"a":1,"a":2}""") === null)
+    assert(emit("""{"a":1,"b":{"c":1,"c":2}}""") === null)
+    assert(emit("""[{"k":1},{"k":2},{"k":1,"k":1}]""") === null)
+    // same key at different depths / in sibling objects is NOT a duplicate
+    assert(emit("""{"a":{"a":1},"b":{"a":2}}""") === """{"a": {"a": 1}, "b": {"a": 2}}""")
+    // duplicate of a DROPPED key still refuses (conservative: the drop set
+    // can't re-create keep-last semantics either)
+    assert(emit("""{"s":1,"s":2,"k":3}""", drop = Seq("s")) === null)
+  }
+
+  test("raw C0 controls inside string tokens reject (CPython strict mode)") {
+    assert(emit("\"ab\"") === null)
+    assert(emit("{\"k\":\"x\ny\"}") === null) // literal newline inside token
+    // escaped forms of the same characters remain fine
+    assert(emit(s""""a${U}0001b"""") === "\"a" + U + "0001b\"")
+    assert(emit(s""""x${"\\"}ny"""") === s""""x${"\\"}ny"""")
+  }
+
   test("PyJsonQuote — json.dumps(bare_string) parity incl. lowercase control hex") {
     def q(s: String): String = PyJsonDumpsImpl.quote(UTF8String.fromString(s)).toString
     assert(q("hello") === "\"hello\"")
