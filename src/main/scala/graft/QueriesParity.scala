@@ -176,6 +176,68 @@ object QueriesParity {
       |  '{"id":' || event_id || ',"name":"' || event_type || '"}' AS kafka_message
       |FROM events""".stripMargin))
 
+  // ------------------------------------------------------- S5 canonical T14
+  /** Byte-exact `kafka_message` for AVRO-decoded payloads (round-11 verdict
+    * item 6): the reference `json.dumps`-serializes decoded Avro dicts
+    * exactly like JSON ones (`kafka_source.py:148`). Exercises both float
+    * routes — `w` decodes float→double at the DECODER (payload schema says
+    * double, like fastavro widening 32-bit to Python float: repr shows all
+    * 17 digits `0.10000000149011612`), `ratio` stays FloatType in the
+    * payload schema and is widened by `serializeStruct`'s cast (exact for
+    * the dyadic values used) — plus kept-null emission (`"note": null`,
+    * where default `to_json` drops the key), raw non-ASCII, and an F1 drop
+    * applied to the struct before serialization. The oracle replays the
+    * exact byte layout; any separator/repr/null-handling drift
+    * hash-mismatches.
+    */
+  private val s5AvroCanonical: Q = {
+    val avroCanonSchema =
+      """{"type":"record","name":"evc","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"},
+        |{"name":"secret","type":"string"},
+        |{"name":"ratio","type":"float"},{"name":"w","type":"float"},
+        |{"name":"uni","type":"string"},
+        |{"name":"note","type":["null","string"]}]}""".stripMargin
+    ("s5_avro_canonical", (
+      (s: SparkSession, dir: String) => {
+        val ev = events(s, dir)
+        val payloadSchema = StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType),
+          StructField("secret", StringType),
+          StructField("ratio", org.apache.spark.sql.types.FloatType),
+          StructField("w", DoubleType),
+          StructField("uni", StringType), StructField("note", StringType)))
+        val wire = ConfluentAvro.encode(struct(
+            col("event_id").as("id"), col("event_type").as("name"),
+            lit("drop-me").as("secret"),
+            ((col("user_id") % 1000) / lit(16.0)).cast("float").as("ratio"),
+            lit(0.1f).cast("float").as("w"),
+            lit("ræv").as("uni"),
+            lit(null).cast(StringType).as("note")),
+          avroCanonSchema, schemaId = 7)
+        val raw = ev.select(
+          col("user_id").cast(StringType).cast(BinaryType).as("key"),
+          wire.as("value"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(8)).cast(IntegerType).as("partition"),
+          col("event_id").as("offset"),
+          Conversions.nanosToEpochMs(col("ts")).as("timestamp"))
+        Envelope.avro(raw, SourceConfig(topic = "events", schemaMode = SchemaMode.Avro,
+            messageFieldsFilter = Seq("secret"), canonicalMessage = true),
+          avroCanonSchema, payloadSchema)
+          .select(col("kafka_offset"), col("kafka_schema_id"), col("kafka_message"),
+            col("payload.id").as("id"))
+      },
+      """SELECT event_id AS kafka_offset,
+        |  7 AS kafka_schema_id,
+        |  '{"id": ' || event_id || ', "name": "' || event_type
+        |    || '", "ratio": ' || ((user_id % 1000) / 16.0)::VARCHAR
+        |    || ', "w": 0.10000000149011612, "uni": "ræv", "note": null}'
+        |    AS kafka_message,
+        |  event_id AS id
+        |FROM events""".stripMargin))
+  }
+
   // ---------------------------------------------------------------- S2 + ST2
   /** Subscribe strategy end-to-end: the message frame is materialized as a
     * file topic, consumed with `Trigger.AvailableNow` through [[graft.streaming.StreamRunner]]
@@ -1058,7 +1120,7 @@ object QueriesParity {
 
   val all: Seq[Q] = Seq(
     s2SubscribeSink, s3KeyInt64, s4EnvJson, s4EnvJsonCanonical, s6EnvString,
-    s5AvroRoundtrip, s5AvroMultischema,
+    s5AvroRoundtrip, s5AvroMultischema, s5AvroCanonical,
     f1FieldsFilter, f2FlagFields, f3MessageFilters,
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,

@@ -87,12 +87,17 @@ final case class SourceConfig(
     pollTimeoutSec: Int = 10,
     /** Avro mode: schema-registry base URL (resolved & cached driver-side). */
     schemaRegistryUrl: Option[String] = None,
-    /** Opt-in byte-exact `kafka_message` for JSON schema-mode: serialize via
-      * [[graft.expressions.PyJsonDumps]] over the raw text (Python
-      * `json.dumps(ensure_ascii=False)` parity — insertion order, `", "`
-      * separators, float `repr`) instead of schema-ordered `to_json`.
-      * Default off: `to_json` is cheaper when golden-byte parity with the
-      * reference's persisted messages is not required.
+    /** Opt-in byte-exact `kafka_message` (Python
+      * `json.dumps(ensure_ascii=False)` parity). JSON schema-mode: the raw
+      * text is re-emitted via [[graft.expressions.PyJsonDumps]] (per-row
+      * insertion order, `", "` separators, float `repr`). Avro modes: the
+      * decoded struct serializes schema-ordered (= the dict insertion order
+      * fastavro produces) with nulls kept, floats widened to double first,
+      * then canonicalized the same way — see `Envelope.serializeStruct`;
+      * scope is the JSON-dumpable subset (the reference's `json.dumps`
+      * raises on datetime/Decimal/bytes logical types too). Default off:
+      * `to_json` is cheaper when golden-byte parity with the reference's
+      * persisted messages is not required.
       */
     canonicalMessage: Boolean = false)
 

@@ -100,7 +100,8 @@ object Envelope {
     val datum = expr("substring(value, 6, 2147483647)") // payload after magic byte + schema id
     val payloadRaw = graft.sources.ConfluentAvro.decode(datum, writerSchemaJson, payloadSchema)
     val payload = PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
-    val message = when(col("value").isNull, lit(null).cast(StringType)).otherwise(to_json(payload))
+    val message = when(col("value").isNull, lit(null).cast(StringType))
+      .otherwise(serializeStruct(payload, payloadSchema, cfg))
     val env = project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
       schemaId = Some(Conversions.schemaId(col("value"))),
       // Reference hashes the Avro *payload* bytes (after the 5-byte header),
@@ -126,11 +127,50 @@ object Envelope {
       payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
     val payload = when(isError, lit(null).cast(resultSchema))
       .otherwise(PayloadOps(payloadRaw, payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator))
-    val message = when(col("value").isNull || isError, lit(null).cast(StringType)).otherwise(to_json(payload))
+    val message = when(col("value").isNull || isError, lit(null).cast(StringType))
+      .otherwise(serializeStruct(payload, payloadSchema, cfg))
     project(raw, cfg, payload, applyMessageFilters(message, payload, cfg.messageFilters),
       schemaId = Some(Conversions.schemaId(col("value"))),
       hashOver = Some(datum),
       error = Some(isError))
+  }
+
+  /** T14 for STRUCT-decoded payloads (Avro modes): `kafka_message`
+    * serialization, schema-ordered `to_json` by default; with
+    * `canonicalMessage`, byte-exact Python `json.dumps(decoded,
+    * ensure_ascii=False)` — the reference serializes decoded Avro dicts
+    * through the same `json.dumps` as JSON payloads
+    * (`/root/reference/src/kafka_source.py:148`). For Avro the dict's
+    * insertion order IS the writer-schema field order, which `to_json`
+    * already emits, so canonicalization composes `to_json` (nulls KEPT —
+    * Python dumps `None` as `null`, Spark's default drops the key) with the
+    * [[graft.expressions.PyJsonDumps]] re-emitter fixing the remaining axes:
+    * `", "`/`": "` separators, Python float `repr`, lowercase minimal
+    * escapes. FloatType fields are widened to double FIRST — fastavro hands
+    * Python a float widened from the 32-bit value (repr shows all 17 digits
+    * of the widened double), while Jackson would print the short float form
+    * and re-parse to a DIFFERENT double. Scope: the JSON-dumpable subset
+    * (null/boolean/integral/float/string/array/struct) — the same subset the
+    * reference supports, since `json.dumps` raises on fastavro's
+    * datetime/Decimal/bytes logical-type values.
+    */
+  private def serializeStruct(payload: Column, payloadSchema: StructType, cfg: SourceConfig): Column =
+    if (cfg.canonicalMessage) {
+      val resultSchema = PayloadOps.resultSchema(
+        payloadSchema, cfg.messageFieldsFilter, cfg.flagFieldConfig, cfg.keypathSeparator)
+      val widened = widenFloats(resultSchema).asInstanceOf[StructType]
+      Conversions.pyJsonCanonical(
+        to_json(payload.cast(widened), Map("ignoreNullFields" -> "false")),
+        Nil, Nil, cfg.keypathSeparator) // F1/F2 already applied to the struct
+    } else to_json(payload)
+
+  private def widenFloats(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+    case org.apache.spark.sql.types.FloatType => org.apache.spark.sql.types.DoubleType
+    case s: StructType => StructType(s.fields.map(f => f.copy(dataType = widenFloats(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType => a.copy(elementType = widenFloats(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = widenFloats(m.keyType), valueType = widenFloats(m.valueType))
+    case other => other
   }
 
   /** F3 (`message-filters`): OR-list of top-level equality predicates; a
