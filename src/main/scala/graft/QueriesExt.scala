@@ -2540,6 +2540,69 @@ object QueriesExt {
     s"""SELECT DISTINCT sha256(text) AS sha FROM documents
        |WHERE $qualityLogitSql > ${math.log(0.5 / 0.5)}""".stripMargin))
 
+  /** STREAMING incremental MinHash-LSH dedup (round-11 verdict item 7): the
+    * one composition a daily 100 TB ingest runs that wasn't yet gated
+    * end-to-end in streaming form. Documents arrive in micro-batches
+    * (maxFilesPerTrigger=1 over a 4-file topic); each batch, inside
+    * `foreachBatch`:
+    *   1. probes the PERSISTED band index with
+    *      [[graft.operators.Dedup.lshPairsIncremental]] (new×old and
+    *      new×new candidates; the historical old×old cross product is never
+    *      generated — per-bucket work is |new|×|bucket|),
+    *   2. appends the candidate pairs to the pairs sink,
+    *   3. appends the batch's [[graft.operators.Dedup.minHashBands]] rows to
+    *      the index — the state is a plain parquet table bucketable by
+    *      `(band, band_val)`, not an opaque state store, so it is shared
+    *      with batch jobs, inspectable, and compactable.
+    * Each unordered pair is emitted exactly once — when its LATER member's
+    * batch arrives — so the accumulated sink replays the full-corpus batch
+    * answer (the closing distinct only collapses LSH's own multi-band
+    * duplicates, as in the batch operator). The oracle IS the batch
+    * minhash replay: batch ≡ incremental ≡ streaming, the same equivalence
+    * contract as `x_dedup_incremental`, now across real micro-batch
+    * boundaries with checkpointed progress. Bucket caps count over
+    * index ∪ batch at each step (converges to the batch cap; divergence
+    * possible only for buckets that CROSS maxBucket mid-stream — a
+    * documented property of the incremental operator, unreachable at gate
+    * SF).
+    */
+  private lazy val stLshDedupIncrement: Q = "st_lsh_dedup_increment" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = scratchDir("stlsh")
+      val tmp = tmpPath.toString
+      try {
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        d.repartition(4).write.parquet(s"$tmp/topic")
+        // Seed the index with its SCHEMA (zero rows): first-batch probes read
+        // the same table shape they'll append to — no exists-branch.
+        Dedup.minHashBands(d.limit(0), "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+          .write.parquet(s"$tmp/index")
+        val q = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val ss = batch.sparkSession
+            // Probe BEFORE appending this batch's bands: the incremental
+            // probe generates the new×new pairs itself, and an index
+            // already containing the batch would double-orient them. Bands
+            // are computed ONCE (shingle+minhash is the dominant cost) —
+            // the same materialized frame feeds the probe and the append.
+            val idx = ss.read.parquet(s"$tmp/index")
+            val nb = Dedup.minHashBands(batch.toDF(), "doc_id", "text",
+              n = 3, numHashes = 12, bands = 4).localCheckpoint(true)
+            Dedup.lshPairsIncrementalBands(nb, idx, "doc_id")
+              .write.mode("append").parquet(s"$tmp/pairs")
+            nb.write.mode("append").parquet(s"$tmp/index")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/pairs").distinct().localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    minhashOracleWhere("")))
+
   /** Keep-BEST cluster resolution gate: the Jaccard near-dup components
     * resolved by [[graft.operators.Dedup.resolveClustersBy]] with
     * preference = n_chars (keep the longest member, ties min id) — the
@@ -4495,7 +4558,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, textGopher, exportCurriculum, dedupWinnow,
+    urlBlocklist, stCurateIncrement, stLshDedupIncrement, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,

@@ -283,9 +283,25 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val keys = Seq("band", "band_val")
     val nb = minHashBands(newDocs, idCol, textCol, n, numHashes, bands)
       .localCheckpoint(true) // consumed by count, index probe and self probe — computed once
+    lshPairsIncrementalBands(nb, indexBands, idCol, maxBucket)
+  }
+
+  /** [[lshPairsIncremental]] over PRE-COMPUTED new-batch band rows — the
+    * entry point for callers that also persist the bands (the streaming
+    * increment appends them to the index table): shingle+minhash the batch
+    * ONCE, probe with one materialization, append the same frame. Pass a
+    * materialized frame (`localCheckpoint`) — the probe consumes it three
+    * times (bucket count, index probe, self probe).
+    */
+  def lshPairsIncrementalBands(
+      newBands: DataFrame,
+      indexBands: DataFrame,
+      idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val keys = Seq("band", "band_val")
+    val nb = newBands
     val idx = indexBands.select(col(idCol), col("band"), col("band_val"))
     // Bucket caps count over index ∪ new — SEPARATE aggregates merged with a
     // full-outer join, NOT a union: a grouped count over the bucketed index
