@@ -117,7 +117,15 @@ final class LenientDateParser(zoneIdStr: String) extends Serializable {
   @transient private lazy val zone: ZoneId = ZoneId.of(zoneIdStr)
 
   private type Guard = String => Boolean
-  @transient private lazy val formatRungs: Array[(Guard, org.apache.spark.sql.catalyst.util.TimestampFormatter)] = {
+  /** (guard, formatter, needsResolve). `needsResolve` marks AM/PM patterns:
+    * `parseOptional` goes through `parseUnresolved`, which does NOT combine
+    * ClockHourOfAmPm ('h') with the AM/PM marker — "01:30 PM" comes back as
+    * 12:30, silently wrong (caught by ConversionsSpec/Round10PropertySpec
+    * when the full suite ran in round 12). Those rungs use the throwing
+    * `parse` (the exact path `try_to_timestamp` takes) wrapped in a catch;
+    * the amPm guard keeps the exception cost off non-AM/PM rows.
+    */
+  @transient private lazy val formatRungs: Array[(Guard, org.apache.spark.sql.catalyst.util.TimestampFormatter, Boolean)] = {
     def f(p: String) = Shim.timestampFormatter(p, zone)
     // guards: char positions are 0-indexed here (the builtin ladder's
     // substring positions minus one).
@@ -156,7 +164,7 @@ final class LenientDateParser(zoneIdStr: String) extends Serializable {
       (s => alphaAt0(s), "MMM dd yyyy"),
       (s => alphaAt0(s), "MMMM dd, yyyy"),
       (s => allDigits(s) && s.length == 8, "yyyyMMdd")
-    ).map { case (g, p) => (g, f(p)) }
+    ).map { case (g, p) => (g, f(p), p.contains(" a")) }
   }
 
   @transient private lazy val fmtNoDate = Shim.timestampFormatter("yyyy-MM-dd", zone)
@@ -170,10 +178,17 @@ final class LenientDateParser(zoneIdStr: String) extends Serializable {
     // ---- format rungs (guards are necessary conditions; see class doc)
     var i = 0
     while (i < formatRungs.length) {
-      val (g, fmt) = formatRungs(i)
+      val (g, fmt, needsResolve) = formatRungs(i)
       if (g(s)) {
-        val r = fmt.parseOptional(s)
-        if (r.isDefined) return java.lang.Long.valueOf(r.get)
+        if (needsResolve) {
+          // parseOptional's parseUnresolved path drops the AM/PM+clock-hour
+          // resolution — use the throwing parse, like try_to_timestamp.
+          try return java.lang.Long.valueOf(fmt.parse(s))
+          catch { case scala.util.control.NonFatal(_) => () }
+        } else {
+          val r = fmt.parseOptional(s)
+          if (r.isDefined) return java.lang.Long.valueOf(r.get)
+        }
       }
       i += 1
     }

@@ -242,18 +242,26 @@ class Round10PropertySpec extends SparkSpec {
     // Interval crossing UTC midnight; under +05:30 the straddling hour
     // bucket used to be labeled with the LOCAL day.
     val DAY = 86400000L
-    val ev = Seq(
-      DAY * 100 + 23 * 3600000L + 1800000L, // 23:30 UTC day 100
-      DAY * 100 + 23 * 3600000L + 2400000L, // 23:40 UTC day 100
-      DAY * 101 + 600000L // 00:10 UTC day 101
-    ).toDF("t")
-    def run(): Seq[(String, Long)] =
+    // The IST leg runs on an ISOLATED newSession() (own SessionState/conf,
+    // shared SparkContext): mutating the shared session's TZ races every
+    // TZ-sensitive suite under sbt's parallel execution.
+    def run(s: org.apache.spark.sql.SparkSession): Seq[(String, Long)] = {
+      val sq = s.sqlContext
+      import sq.implicits._
+      val ev = Seq(
+        DAY * 100 + 23 * 3600000L + 1800000L, // 23:30 UTC day 100
+        DAY * 100 + 23 * 3600000L + 2400000L, // 23:40 UTC day 100
+        DAY * 101 + 600000L // 00:10 UTC day 101
+      ).toDF("t")
       EventAnalytics.peakConcurrency(ev, "t", lit(3600000L))
         .as[(String, Long)].collect().sortBy(_._1).toSeq
-    val utc = run()
-    val prev = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
-    val ist = try run() finally spark.conf.set("spark.sql.session.timeZone", prev)
+    }
+    val utc = run(spark)
+    val ist = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      run(s2)
+    }
     assert(utc == ist, s"day attribution drifted with session TZ: utc=$utc ist=$ist")
     assert(utc.map(_._1) == Seq("1970-04-11", "1970-04-12"))
   }

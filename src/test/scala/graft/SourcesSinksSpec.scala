@@ -50,41 +50,29 @@ class SourcesSinksSpec extends SparkSpec {
 
   test("S1 msFromTimestamp: epoch-edge reconstruction incl. negative instants and sub-second carry") {
     import spark.implicits._
-    // Literal micros-precision timestamps (UTC) -> expected epoch-ms longs,
-    // the reference's msg.timestamp()[1] (kafka_source.py:200). Negative
-    // instants exercise the floorDiv path: -1 ms is 1969-12-31 23:59:59.999,
-    // whose cast-to-long floors to -1 s and whose millis-in-second is 999.
+    // Instants built via timestamp_micros (session-TZ-independent by
+    // construction — no shared-session TZ mutation, which would race other
+    // suites under sbt's parallel execution) -> expected epoch-ms longs, the
+    // reference's msg.timestamp()[1] (kafka_source.py:200). Negative instants
+    // and sub-ms micros exercise the floorDiv path: -1 µs floors to -1 ms,
+    // never rounds to 0.
     val cases = Seq(
-      ("1970-01-01 00:00:00.000", 0L),
-      ("1970-01-01 00:00:00.001", 1L),
-      ("1970-01-01 00:00:00.999", 999L),
-      ("1969-12-31 23:59:59.999", -1L),
-      ("1969-12-31 23:59:59.001", -999L),
-      ("1969-12-31 23:59:59.000", -1000L),
-      ("1969-12-30 00:00:00.500", -172799500L),
-      ("2023-11-14 22:13:20.123", 1700000000123L))
-    val prevTz = spark.conf.get("spark.sql.session.timeZone")
-    try {
-      spark.conf.set("spark.sql.session.timeZone", "UTC")
-      val got = cases.map(_._1).toDF("s")
-        .select(MessageSource.msFromTimestamp(col("s").cast("timestamp")).as("ms"))
-        .as[Long].collect().toSeq
-      assert(got == cases.map(_._2))
-      // Session-TZ invariance for whole-second offsets: Oslo (+01/+02).
-      spark.conf.set("spark.sql.session.timeZone", "Europe/Oslo")
-      val gotOslo = cases.map(_._1).toDF("s")
-        // re-anchor the literal to UTC so the instant is identical, then
-        // evaluate msFromTimestamp under the Oslo session TZ
-        .select(MessageSource.msFromTimestamp(
-          to_utc_timestamp(col("s").cast("timestamp"), "Europe/Oslo")).as("ms"))
-        .as[Long].collect().toSeq
-      // Oslo literals shifted to UTC differ by the zone offset (3600_000 or
-      // 7200_000 ms depending on DST) — but millis-in-second must be intact.
-      (gotOslo, cases.map(_._2)).zipped.foreach { (o, u) =>
-        assert((o - u) % 3600000L == 0, s"offset between $o and $u not whole-hour")
-        assert(math.floorMod(o, 1000L) == math.floorMod(u, 1000L), s"sub-second field lost: $o vs $u")
-      }
-    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+      0L -> 0L,
+      1000L -> 1L,
+      999L -> 0L,            // sub-ms truncates toward -inf
+      -1L -> -1L,            // ...so -1 µs is already the previous ms
+      -999L -> -1L,
+      -1000L -> -1L,
+      -1001L -> -2L,
+      999000L -> 999L,
+      -999000L -> -999L,
+      -1000000L -> -1000L,
+      -172799500000L -> -172799500L,
+      1700000000123456L -> 1700000000123L)
+    val got = cases.map(_._1).toDF("us")
+      .select(MessageSource.msFromTimestamp(timestamp_micros(col("us"))).as("ms"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
   }
 
   test("ST1 end-exclusivity: Spark [start,end) vs the reference's inclusive boundary message (accepted mapping)") {
