@@ -191,6 +191,32 @@ object ScaleProbe {
         ev, "user_id", "event_type", "t", "event_id", "purchase")
       println(s"[probe] attribution rows = ${att.count()}")
     }
+    stage("streaming lsh increment") {
+      // The st_lsh_dedup_increment composition under hostile growth: each
+      // replica arrives as one micro-batch probing the accumulated band
+      // index. Near-identical replicas make every bucket grow by one member
+      // per batch, so batch k emits ~k× the cross pairs of batch 1 (total
+      // pair volume quadratic — the clique shape) while the BATCH itself is
+      // constant-size. Claims: per-batch wall tracks the emitted pair
+      // volume plus one exchange-free pass over the index (the index side
+      // of the bucket counts and the probe join never shuffles); per-task
+      // state stays maxBucket-bounded no matter how large the index grows.
+      var idx: org.apache.spark.sql.DataFrame = null
+      (0 until factor).foreach { i =>
+        val batch = base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text"))
+        val t0 = System.nanoTime()
+        val nb = Dedup.minHashBands(batch, "doc_id", "text").localCheckpoint(true)
+        val pairs = Dedup.lshPairsIncrementalBands(
+          nb, if (idx == null) nb.limit(0) else idx, "doc_id").count()
+        // localCheckpoint per round: the accumulated index is MATERIALIZED
+        // state (as the parquet table is in the streaming gate), not a
+        // union lineage that re-computes every prior batch's shingles.
+        idx = (if (idx == null) nb else idx.unionByName(nb)).localCheckpoint(true)
+        println(f"[probe] st-lsh batch $i: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+          s"pairs = $pairs, index rows = ${idx.count()}")
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -198,7 +224,7 @@ object ScaleProbe {
         println(s"[probe] WARNING: no filterable stage label contains " +
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
-          "'peak concurrency', 'attribution')")
+          "'peak concurrency', 'attribution', 'streaming lsh increment')")
       spark.stop(); return
     }
 
