@@ -1230,6 +1230,52 @@ object QueriesExt {
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin
     }))
 
+  /** Pairwise BLEU-4 + ROUGE-1/2 recall gate ([[graft.operators.TextEval.pairBleu]]):
+    * graded n-gram overlap metrics over an explicit pair set (consecutive
+    * doc ids, every fifth doc as candidate — the deterministic stand-in for
+    * an LSH candidate list). The oracle replays the full metric: per-order
+    * clipped counts, add-one smoothed precisions, the 4-term log-mean, the
+    * brevity penalty on token lengths, and both recalls — any drift in
+    * smoothing, clipping, or BP branches hash-mismatches at 6 dp.
+    */
+  private lazy val evalBleu: Q = "x_eval_bleu" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      val pairs = d.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(d.select(col("doc_id").as("id_b")), Seq("id_b")) // id_b must exist
+      graft.operators.TextEval.pairBleu(pairs, d, "doc_id", "text", maxN = 4)
+    },
+    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') ws FROM documents),
+      |lens AS (SELECT doc_id, len(ws) l FROM toks),
+      |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b FROM documents a
+      |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 5 = 0),
+      |g AS (SELECT doc_id, n, array_to_string(ws[i:i+n-1], ' ') gram, count(*)::BIGINT c
+      |  FROM toks, UNNEST([1,2,3,4]) tn(n), UNNEST(range(1, len(ws)-n+2)) ti(i)
+      |  GROUP BY 1,2,3),
+      |clip AS (SELECT p.id_a, p.id_b, ga.n, sum(least(ga.c, gb.c))::BIGINT cl
+      |  FROM pairs p JOIN g ga ON ga.doc_id = p.id_a
+      |  JOIN g gb ON gb.doc_id = p.id_b AND gb.n = ga.n AND gb.gram = ga.gram
+      |  GROUP BY 1,2,3),
+      |pn AS (SELECT p.id_a, p.id_b, tn.n, coalesce(cl.cl, 0) cl,
+      |    greatest(la.l - (tn.n-1), 0) ta, greatest(lb.l - (tn.n-1), 0) tb,
+      |    la.l la, lb.l lb
+      |  FROM pairs p CROSS JOIN UNNEST([1,2,3,4]) tn(n)
+      |  LEFT JOIN clip cl ON cl.id_a = p.id_a AND cl.id_b = p.id_b AND cl.n = tn.n
+      |  JOIN lens la ON la.doc_id = p.id_a
+      |  JOIN lens lb ON lb.doc_id = p.id_b),
+      |agg AS (SELECT id_a, id_b,
+      |    exp(sum(ln((cl + 1)::DOUBLE / (ta + 1)::DOUBLE)) / 4) geo,
+      |    max(la) la, max(lb) lb,
+      |    max(CASE WHEN n = 1 THEN cl::DOUBLE / greatest(tb, 1) END) r1,
+      |    max(CASE WHEN n = 2 THEN cl::DOUBLE / greatest(tb, 1) END) r2
+      |  FROM pn GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CASE WHEN la >= lb THEN 1.0
+      |        ELSE exp(1.0 - lb::DOUBLE / greatest(la, 1)) END * geo, 6) AS bleu,
+      |  round(r1, 6) AS rouge1_recall, round(r2, 6) AS rouge2_recall
+      |FROM agg""".stripMargin))
+
   /** Graded decontamination-report gate ([[Dedup.decontaminationReport]]):
     * the distinct-n-gram overlap SHARE per document against the benchmark
     * slice — rankable contamination instead of the binary flag (which
@@ -4540,7 +4586,7 @@ object QueriesExt {
     stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
     eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources, textZipf,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
-    dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport,
+    dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport, evalBleu,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupJaccardPrefix, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
