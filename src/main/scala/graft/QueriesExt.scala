@@ -2649,6 +2649,47 @@ object QueriesExt {
     },
     minhashOracleWhere("")))
 
+  /** STREAMING ANN serving: queries arrive in micro-batches and probe a
+    * FROZEN IVF index built offline — the online-serving twin of
+    * `x_ann_ivf`. The index is [[graft.operators.Similarity.assignCells]]
+    * persisted `partitionBy("cid")` (the 100 TB layout: probes prune to
+    * nProbe/nCells of the files via the static cell filter); each
+    * `foreachBatch` runs [[graft.operators.Similarity.topKIvfPrebuilt]] on
+    * just the batch's queries and appends the hits. Per-query results are
+    * independent of batching (deterministic probe, frozen index), so the
+    * accumulated sink replays the batch gate EXACTLY — the oracle IS
+    * `x_ann_ivf`'s, verbatim.
+    */
+  private lazy val stAnnServe: Q = "st_ann_serve" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = scratchDir("stann")
+      val tmp = tmpPath.toString
+      try {
+        val e = emb(s, dir)
+        val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 120)
+        queries.repartition(4).write.parquet(s"$tmp/topic")
+        val cents = e.where(col("vec_id") < 16)
+        // Offline index build, ONCE — per-batch work is probe-only.
+        Similarity.assignCells(e, cents, "vec_id", "embedding")
+          .write.partitionBy("cid").parquet(s"$tmp/index")
+        val q = s.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val assigned = batch.sparkSession.read.parquet(s"$tmp/index")
+            Similarity.topKIvfPrebuilt(batch.toDF(), assigned, cents,
+                "vec_id", "embedding", k = 5, nProbe = 2)
+              .write.mode("append").parquet(s"$tmp/out")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out").localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    annIvfOracle))
+
   /** Keep-BEST cluster resolution gate: the Jaccard near-dup components
     * resolved by [[graft.operators.Dedup.resolveClustersBy]] with
     * preference = n_chars (keep the longest member, ties min id) — the
@@ -4604,7 +4645,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, stLshDedupIncrement, textGopher, exportCurriculum, dedupWinnow,
+    urlBlocklist, stCurateIncrement, stLshDedupIncrement, stAnnServe, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
