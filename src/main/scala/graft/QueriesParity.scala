@@ -857,6 +857,64 @@ object QueriesParity {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
       |WHERE event_id % 50 = 0""".stripMargin))
 
+  /** GROUP BY ALL + ORDER BY ALL (SQL:2023 shorthand both engines ship):
+    * the grouping keys are inferred from the non-aggregate select items.
+    * IDENTICAL SQL text on both engines — the Spark side runs the oracle
+    * string verbatim against a same-named temp view.
+    */
+  private val qGroupByAll: Q = {
+    val sql =
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price, count(*) AS n
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+    ("q_group_by_all", (
+      (s: SparkSession, dir: String) => {
+        s.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("lineitem")
+        s.sql(sql)
+      },
+      sql))
+  }
+
+  /** listagg WITHIN GROUP (SQL:2023, Spark 4.0+) — ordered string
+    * aggregation. DuckDB spells it string_agg(expr, sep ORDER BY ...); the
+    * explicit order makes the concatenation deterministic on both engines.
+    */
+  private val qListagg: Q = "q_listagg" -> ((
+    (s: SparkSession, dir: String) => {
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("orders_la")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+          |  count(*) AS n
+          |FROM orders_la GROUP BY o_orderpriority""".stripMargin)
+    },
+    """SELECT o_orderpriority,
+      |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority""".stripMargin))
+
+  /** RANGE frame over a numeric ORDER BY key (epoch-ms): a 10-minute
+    * trailing window per user — RANGE is peer-inclusive, so the windowed
+    * sum is deterministic under timestamp ties where a ROWS frame would
+    * not be. The moving-sum-over-time shape every event pipeline runs.
+    */
+  private val qRangeFrame: Q = "q_range_frame" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = events(s, dir)
+      ev.select(col("user_id"), col("event_id"),
+          Conversions.nanosToEpochMs(col("ts")).as("ts_ms"), col("value"))
+        .withColumn("trail_10m", round(sum(col("value")).over(
+          Window.partitionBy("user_id").orderBy(col("ts_ms"))
+            .rangeBetween(-600000L, Window.currentRow)), 4))
+        .where(col("event_id") % 50 === 0)
+    },
+    """SELECT user_id, event_id, ts_ms, value, trail_10m FROM (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+      |    round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW), 4) AS trail_10m
+      |  FROM events)
+      |WHERE event_id % 50 = 0""".stripMargin))
+
   /** GROUPING SETS with grouping_id — the third grouping shape next to
     * q_rollup's ROLLUP: explicit set list including the grand total, with
     * the grouping-id bitmask distinguishing which NULL means "aggregated
@@ -1126,5 +1184,5 @@ object QueriesParity {
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
     qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts, qCube, qUnpivot,
-    qRecursiveCte, qLateral)
+    qRecursiveCte, qLateral, qGroupByAll, qListagg, qRangeFrame)
 }
