@@ -1660,6 +1660,23 @@ object QueriesExt {
       |    row_number() OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
       |  FROM documents) WHERE rk <= 10""".stripMargin))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * content-hash uniforms — [[graft.operators.Mixture.weightedSample]]):
+    * 20 docs per source with inclusion probability ∝ n_chars. The oracle
+    * replays the exact exponential-key arithmetic; both engines' IEEE
+    * doubles make the per-group order identical.
+    */
+  private val sampleWeighted: Q = "x_sample_weighted" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Mixture.weightedSample(docs(s, dir), "doc_id", col("n_chars"), "source", k = 20)
+        .select("doc_id", "source", "n_chars"),
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |      -ln((('0x'||substr(md5(doc_id::VARCHAR),1,13))::BIGINT + 1) / 4503599627370498.0)
+      |        / n_chars, doc_id) AS rk
+      |  FROM documents) WHERE rk <= 20""".stripMargin))
+
   /** SCD-1 latest-per-key gate: one argmax aggregate vs the oracle's
     * row_number-desc replay. (ts_ms, event_id) totally orders each user's
     * events, so the payload fields after the order prefix are never
@@ -4636,7 +4653,7 @@ object QueriesExt {
     mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
-    textUnigramLm, splitAssign, sourceCap, upsertLatest, stDedup, skewSaltedJoin,
+    textUnigramLm, splitAssign, sourceCap, sampleWeighted, upsertLatest, stDedup, skewSaltedJoin,
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,

@@ -172,4 +172,45 @@ object Mixture {
           .otherwise(least(col("cap"), col("_lambda") * col("weight")) /
             col("n_tokens").cast("double")), 6).as("epochs"))
   }
+
+  /** Weighted sampling WITHOUT replacement — k rows per stratum with
+    * inclusion probability ∝ `weightCol` — via Efraimidis–Spirakis A-ES in
+    * its exponential form: each row draws `key = -ln(u) / w` (an
+    * Exponential(w) variate) and the k SMALLEST keys per group win. The
+    * classic reservoir formulation is sequential; this keyed form is its
+    * distributed equivalent (same distribution, same proof), and Spark's
+    * rank-limit rewrite (WindowGroupLimit) keeps the per-group selection
+    * top-k-bounded through the shuffle rather than a full per-group sort.
+    *
+    * Determinism (the repo-wide sampling discipline — no RNG, no seed
+    * drift across retries): `u` is a content-hash uniform, the row id's
+    * first 13 md5 hex digits (52 bits, double-exact) mapped into (0,1) via
+    * `(v+1)/(2^52+2)` — strictly inside the open interval, so `ln` never
+    * sees 0 or 1. Identical arithmetic replays in any engine; appending
+    * new rows never changes an existing row's key (A-ES keys are per-row),
+    * so re-runs over a grown corpus keep their overlap exactly like the
+    * systematic sampler.
+    *
+    * @param weightCol strictly positive weights (enforced at runtime via
+    *                  raise_error — a zero/negative weight silently
+    *                  inverting the order is the failure mode to refuse)
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: Column,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10).cast("double")
+    val u = (v + 1.0) / (math.pow(2, 52) + 2.0)
+    val w = when(weightCol > 0, weightCol.cast("double"))
+      .otherwise(raise_error(concat(lit("weightedSample: non-positive weight for id "),
+        col(idCol).cast("string"))))
+    val key = -log(u) / w
+    val win = Window.partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("_wrk", row_number().over(win))
+      .where(col("_wrk") <= k)
+      .drop("_wrk")
+  }
 }
