@@ -264,11 +264,17 @@ object CurateMain {
     }
     stages += "after_dsir" -> afterDsir.count()
 
-    val afterSample = cfg.sampleStratum match {
-      case Some(stratum) =>
+    val afterSample = (cfg.sampleStratum, cfg.sampleKPerStratum) match {
+      case (Some(stratum), Some(k)) =>
+        // Weighted mode: k per stratum, inclusion probability ∝ the weight
+        // column (config validation guarantees weightColumn is set and the
+        // percent-mode keys are absent).
+        graft.operators.Mixture.weightedSample(
+          afterDsir, cfg.idColumn, col(cfg.sampleWeightColumn.get), stratum, k)
+      case (Some(stratum), None) =>
         Dedup.stratifiedSample(afterDsir, id, col(stratum),
           cfg.sampleRates, cfg.sampleDefault)
-      case None => afterDsir
+      case _ => afterDsir
     }
     stages += "after_sample" -> afterSample.count()
 

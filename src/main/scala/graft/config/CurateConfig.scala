@@ -32,6 +32,12 @@ final case class CurateConfig(
     sampleStratum: Option[String] = None,
     sampleRates: Map[String, Double] = Map.empty,
     sampleDefault: Double = 100.0,
+    /** Weighted mode (Efraimidis–Spirakis, [[graft.operators.Mixture.weightedSample]]):
+      * keep `k-per-stratum` rows per stratum with inclusion probability ∝
+      * `weight-column`. Mutually exclusive with percent `rates`.
+      */
+    sampleKPerStratum: Option[Int] = None,
+    sampleWeightColumn: Option[String] = None,
     mixtureTotalTokens: Option[Long] = None,
     mixtureWeights: Map[String, Double] = Map.empty,
     mixtureSourceColumn: String = "source",
@@ -123,8 +129,18 @@ object CurateConfig {
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
     val unknownC = decon.keySet -- Set("against", "n")
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
-    val unknownS = sample.keySet -- Set("stratum-column", "default-percent", "rates")
+    val unknownS = sample.keySet --
+      Set("stratum-column", "default-percent", "rates", "k-per-stratum", "weight-column")
     require(unknownS.isEmpty, s"unknown sample keys: ${unknownS.mkString(", ")}")
+    // Weighted and percent modes must not half-combine: k without a weight
+    // column (or with rates) silently sampling uniformly is the failure
+    // mode to refuse.
+    require(!sample.contains("k-per-stratum") ||
+      (sample.contains("weight-column") && sample.contains("stratum-column") &&
+        !sample.contains("rates") && !sample.contains("default-percent")),
+      "sample: k-per-stratum requires weight-column and stratum-column, and excludes rates/default-percent")
+    require(!sample.contains("weight-column") || sample.contains("k-per-stratum"),
+      "sample: weight-column without k-per-stratum does nothing")
     // dq block: input-contract checks before any curation stage. Column
     // lists are comma-separated scalars (the zero-dependency YAML subset has
     // no inline flow lists); `accepted` is a nested column -> csv map.
@@ -217,6 +233,8 @@ object CurateConfig {
       sampleStratum = str(sample, "stratum-column"),
       sampleRates = sub(sample, "rates").map { case (k, v) => k -> v.toString.toDouble },
       sampleDefault = str(sample, "default-percent").map(_.toDouble).getOrElse(100.0),
+      sampleKPerStratum = str(sample, "k-per-stratum").map(_.toInt),
+      sampleWeightColumn = str(sample, "weight-column"),
       mixtureTotalTokens = str(mixture, "total-tokens").map(_.toLong),
       mixtureWeights = sub(mixture, "weights").map { case (k, v) => k -> v.toString.toDouble },
       mixtureSourceColumn = str(mixture, "source-column").getOrElse("source"),

@@ -52,6 +52,44 @@ class CurateMainSpec extends SparkSpec {
     }
   }
 
+  test("CurateConfig: weighted-sample mode parses; half-specified/mixed modes refuse") {
+    val cfg = CurateConfig.fromYaml(
+      "input: a\noutput: b\nsample:\n  stratum-column: source\n  k-per-stratum: 20\n  weight-column: n_chars")
+    assert(cfg.sampleKPerStratum.contains(20) && cfg.sampleWeightColumn.contains("n_chars"))
+    // k without weight column -> silent uniform sampling, refused
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml(
+        "input: a\noutput: b\nsample:\n  stratum-column: source\n  k-per-stratum: 20")
+    }
+    // weighted and percent modes must not combine
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\nsample:\n  stratum-column: source\n" +
+        "  k-per-stratum: 20\n  weight-column: n_chars\n  default-percent: 10")
+    }
+    // weight column alone does nothing -> refused
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml(
+        "input: a\noutput: b\nsample:\n  stratum-column: source\n  weight-column: n_chars")
+    }
+  }
+
+  test("CurateMain.run: weighted sample stage keeps exactly k per stratum") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curate-w").toString
+    val cfg = CurateConfig.fromYaml(
+      s"""input: /root/testdata/sf0.001/documents.parquet
+         |output: $out
+         |sample:
+         |  stratum-column: source
+         |  k-per-stratum: 7
+         |  weight-column: n_chars
+         |""".stripMargin)
+    CurateMain.run(spark, cfg)
+    val got = spark.read.parquet(s"$out/corpus")
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(got.nonEmpty && got.forall(_ <= 7))
+    graft.QueriesExt.rmTree(new java.io.File(out))
+  }
+
   test("StageReport.json escapes quotes/backslashes in split names") {
     val r = CurateMain.StageReport(Seq("input" -> 1L), Map("""he"ld\x""" -> 1L))
     assert(r.json == """{"stages":{"input":1},"splits":{"he\"ld\\x":1},"dq":{}}""")
