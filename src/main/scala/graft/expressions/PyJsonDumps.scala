@@ -446,10 +446,18 @@ object PyJsonDumpsImpl {
   /** Python `repr(float)` (= what `json.dumps` emits for floats): shortest
     * decimal digits that round-trip, positional when the decimal exponent is
     * in [-4, 16), else scientific with a signed, >=2-digit exponent.
-    * The shortest digits are found by correctly-rounded formatting at
-    * increasing precision until the parse round-trips — the same decimal
-    * CPython's dtoa mode-0 picks (both emit the correctly-rounded shortest
-    * representation).
+    *
+    * The shortest digits come from CORRECTLY-ROUNDED decimal conversion of
+    * the EXACT binary value (`new BigDecimal(double)` is exact; HALF_EVEN
+    * matches dtoa's tie rule), binary-searched for the smallest precision
+    * whose parse round-trips — the same decimal CPython's dtoa mode-0
+    * picks. An earlier formulation formatted via Java's `%.{p}e`, which on
+    * JDK 17 double-rounds THROUGH `Double.toString`'s 17 digits (half-up on
+    * a decimal string): for values like 4.7356337844798495e18 the correctly
+    * rounded 16-digit form (…849) is never produced (…8495 → half-up →
+    * …850, which does not round-trip), so a 17-digit repr shipped where
+    * CPython prints 16. Found by the 500k-case differential fuzz
+    * (`PyJsonFuzz` seed 100 line 102951); the regression row is spec-pinned.
     */
   def pythonRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
@@ -457,29 +465,23 @@ object PyJsonDumpsImpl {
     val neg = (java.lang.Double.doubleToRawLongBits(d) >>> 63) == 1L
     val a = math.abs(d)
     if (a == 0.0) return if (neg) "-0.0" else "0.0"
-    var digits: String = null
-    var exp10 = 0
-    var p = 1
-    while (digits == null && p <= 17) {
-      val cand = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", java.lang.Double.valueOf(a))
-      if (java.lang.Double.parseDouble(cand) == a) {
-        val e = cand.indexOf('e')
-        exp10 = Integer.parseInt(cand.substring(e + 1))
-        val mant = cand.substring(0, e).replace(".", "")
-        // Trailing zeros in the correctly-rounded form do not change the
-        // value — strip to the true shortest digit string.
-        var last = mant.length
-        while (last > 1 && mant.charAt(last - 1) == '0') last -= 1
-        digits = mant.substring(0, last)
-      }
-      p += 1
+    val exact = new java.math.BigDecimal(a)
+    def candAt(p: Int): java.math.BigDecimal =
+      exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_EVEN))
+    // Smallest round-tripping precision; monotone (a longer correctly-
+    // rounded form is never farther from the value), 17 always suffices.
+    var lo = 1
+    var hi = 17
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (candAt(mid).doubleValue() == a) hi = mid else lo = mid + 1
     }
-    if (digits == null) { // defensive: %.16e always round-trips doubles
-      val cand = String.format(java.util.Locale.ROOT, "%.16e", java.lang.Double.valueOf(a))
-      val e = cand.indexOf('e')
-      exp10 = Integer.parseInt(cand.substring(e + 1))
-      digits = cand.substring(0, e).replace(".", "")
-    }
+    val cand = candAt(lo)
+    val unscaled = cand.unscaledValue().toString
+    val exp10 = (unscaled.length - 1) - cand.scale()
+    var last = unscaled.length
+    while (last > 1 && unscaled.charAt(last - 1) == '0') last -= 1
+    val digits = unscaled.substring(0, last)
     val sb = new java.lang.StringBuilder(24)
     if (neg) sb.append('-')
     if (exp10 >= -4 && exp10 < 16) {

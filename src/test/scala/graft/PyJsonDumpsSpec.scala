@@ -54,6 +54,11 @@ class PyJsonDumpsSpec extends SparkSpec {
       "5e-324" -> "5e-324", "-0.0" -> "-0.0",
       // float overflow behaves like Python float("1e999") -> inf
       "1e999" -> "Infinity", "-1e999" -> "-Infinity",
+      // regression (differential fuzz seed 100): JDK %.{p}e double-rounds
+      // through Double.toString's 17 digits, so the correctly rounded
+      // 16-digit form (…849) was never tried and 17 digits shipped.
+      "4.7356337844798495E18" -> "4.735633784479849e+18",
+      "4.735633784479849e+18" -> "4.735633784479849e+18",
       // non-finite literals CPython's parser accepts round-trip
       "NaN" -> "NaN", "Infinity" -> "Infinity", "-Infinity" -> "-Infinity")
     cases.foreach { case (in, out) => assert(emit(in) === out, s"for $in") }
