@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * `runMain graft.PyJsonFuzz [n] [seed] [outFile]` — defaults 20000, seed
   * 12, stdout (pass a file to avoid sbt log interleaving).
-  * Objects draw DISTINCT keys per level: duplicate keys are a DOCUMENTED
-  * deliberate divergence (CPython keeps last, graft refuses with NULL —
-  * PyJsonDumps scaladoc), so the generator leaves them to the unit spec.
+  * About a quarter of non-empty objects carry DUPLICATE keys (round 13):
+  * CPython resolves keep-LAST at the first occurrence's position, and
+  * graft's rewind-and-buffer fallback must byte-match — the one delta the
+  * earlier generator deliberately never produced.
   */
 object PyJsonFuzz {
   def main(args: Array[String]): Unit = {
@@ -61,12 +62,28 @@ object PyJsonFuzz {
       case 6 => // array
         val k = r.nextInt(5)
         (0 until k).map(_ => genValue(r, depth + 1)).mkString("[", sep(r), "]")
-      case _ => // object with DISTINCT keys
+      case _ => // object; ~1 in 4 non-empty ones carries DUPLICATE keys
         val k = r.nextInt(5)
         val keys = scala.collection.mutable.LinkedHashSet[String]()
         while (keys.size < k) keys += rawKey(r)
-        keys.map(key => quoteRaw(key, r) + colon(r) + genValue(r, depth + 1))
-          .mkString("{", sep(r), "}")
+        val entries = scala.collection.mutable.ArrayBuffer[String]()
+        keys.foreach(key => entries += quoteRaw(key, r) + colon(r) + genValue(r, depth + 1))
+        if (k > 0 && r.nextInt(4) == 0) {
+          // Duplicate-key occurrences at random positions: CPython's
+          // json.loads keeps the LAST value at the FIRST occurrence's dict
+          // position, and graft's rewind-and-buffer fallback must
+          // byte-match that (previously a refuse-with-NULL divergence the
+          // generator deliberately avoided — now fuzzed differentially).
+          val keyVec = keys.toVector
+          var j = 1 + r.nextInt(2)
+          while (j > 0) {
+            val key = keyVec(r.nextInt(keyVec.size))
+            entries.insert(r.nextInt(entries.size + 1),
+              quoteRaw(key, r) + colon(r) + genValue(r, depth + 1))
+            j -= 1
+          }
+        }
+        entries.mkString("{", sep(r), "}")
     }
   }
 

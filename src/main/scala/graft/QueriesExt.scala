@@ -1246,7 +1246,9 @@ object QueriesExt {
         .join(d.select(col("doc_id").as("id_b")), Seq("id_b")) // id_b must exist
       graft.operators.TextEval.pairBleu(pairs, d, "doc_id", "text", maxN = 4)
     },
-    """WITH toks AS (SELECT doc_id, string_split(trim(text),' ') ws FROM documents),
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') ws
+      |  FROM documents),
       |lens AS (SELECT doc_id, len(ws) l FROM toks),
       |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b FROM documents a
       |  JOIN documents b ON b.doc_id = a.doc_id + 1 WHERE a.doc_id % 5 = 0),
@@ -2612,11 +2614,16 @@ object QueriesExt {
     *      [[graft.operators.Dedup.lshPairsIncremental]] (new×old and
     *      new×new candidates; the historical old×old cross product is never
     *      generated — per-bucket work is |new|×|bucket|),
-    *   2. appends the candidate pairs to the pairs sink,
-    *   3. appends the batch's [[graft.operators.Dedup.minHashBands]] rows to
-    *      the index — the state is a plain parquet table bucketable by
-    *      `(band, band_val)`, not an opaque state store, so it is shared
-    *      with batch jobs, inspectable, and compactable.
+    *   2. writes the candidate pairs to the sink's `batch_id=<id>` partition
+    *      (OVERWRITE — a replayed batch replaces its own output),
+    *   3. writes the batch's [[graft.operators.Dedup.minHashBands]] rows to
+    *      the index's `batch_id=<id>` partition the same way — the state is
+    *      a plain parquet table bucketable by `(band, band_val)`, not an
+    *      opaque state store, so it is shared with batch jobs, inspectable,
+    *      and compactable; the per-batch partitions make the whole step
+    *      idempotent under foreachBatch's at-least-once crash replay
+    *      (probe excludes the current batch_id, so a crashed first
+    *      attempt's leftover bands never double-count toward maxBucket).
     * Each unordered pair is emitted exactly once — when its LATER member's
     * batch arrives — so the accumulated sink replays the full-corpus batch
     * answer (the closing distinct only collapses LSH's own multi-band
@@ -2636,32 +2643,27 @@ object QueriesExt {
       try {
         val d = docs(s, dir).select(col("doc_id"), col("text"))
         d.repartition(4).write.parquet(s"$tmp/topic")
-        // Seed the index with its SCHEMA (zero rows): first-batch probes read
-        // the same table shape they'll append to — no exists-branch.
+        // Seed the index with its SCHEMA (zero rows) at the batch_id=-1
+        // partition: first-batch probes read the same table shape they'll
+        // append to — no exists-branch.
         Dedup.minHashBands(d.limit(0), "doc_id", "text", n = 3, numHashes = 12, bands = 4)
-          .write.parquet(s"$tmp/index")
+          .write.parquet(s"$tmp/index/batch_id=-1")
         val q = s.readStream.schema(d.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val ss = batch.sparkSession
-            // Probe BEFORE appending this batch's bands: the incremental
-            // probe generates the new×new pairs itself, and an index
-            // already containing the batch would double-orient them. Bands
-            // are computed ONCE (shingle+minhash is the dominant cost) —
-            // the same materialized frame feeds the probe and the append.
-            val idx = ss.read.parquet(s"$tmp/index")
-            val nb = Dedup.minHashBands(batch.toDF(), "doc_id", "text",
-              n = 3, numHashes = 12, bands = 4).localCheckpoint(true)
-            Dedup.lshPairsIncrementalBands(nb, idx, "doc_id")
-              .write.mode("append").parquet(s"$tmp/pairs")
-            nb.write.mode("append").parquet(s"$tmp/index")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // Probe-then-persist, crash-idempotent under foreachBatch's
+            // at-least-once replay: per-batch OVERWRITE partitions plus a
+            // probe that excludes the current batch_id — see
+            // [[graft.operators.Dedup.lshIncrementStep]].
+            Dedup.lshIncrementStep(batch.toDF(), s"$tmp/index", s"$tmp/pairs",
+              batchId, "doc_id", "text", n = 3, numHashes = 12, bands = 4)
           }
           .start()
         q.awaitTermination()
-        s.read.parquet(s"$tmp/pairs").distinct().localCheckpoint(true)
+        s.read.parquet(s"$tmp/pairs").drop("batch_id").distinct().localCheckpoint(true)
       } finally rmTree(tmpPath.toFile)
     },
     minhashOracleWhere("")))

@@ -46,10 +46,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.operators.Envelope.json]] does — and "malformed" is CPython's
   * strict definition: number tokens must match `json.scanner.NUMBER_RE`
   * (`007`, `+5`, `1-2`, `.5`, bare `-` all reject), raw C0 controls inside
-  * string tokens reject ("Invalid control character"). One deliberate
-  * conservative delta: duplicate keys within an object, which `json.loads`
-  * resolves keep-LAST, yield NULL here rather than an unreproducible-in-
-  * one-pass byte layout — refusal over silent divergence.
+  * string tokens reject ("Invalid control character"). Duplicate keys
+  * within an object resolve exactly as `json.loads` does — LAST value at
+  * the FIRST occurrence's position — via a rewind-and-buffer fallback that
+  * re-parses only the offending object (duplicate-free payloads, the
+  * overwhelmingly common case, never leave the one-pass streaming path);
+  * a message the reference processes is therefore never routed to the
+  * corrupt channel over key duplication.
   *
   * `doGenCode` emits a direct static call (no UDF, no interpreted
   * fallback), so the operator stays inside whole-stage codegen; the
@@ -170,7 +173,9 @@ object PyJsonDumpsImpl {
     */
   private final class Emitter(s: String, cfg: Cfg) {
     private var pos = 0
-    private val out = new java.lang.StringBuilder(s.length + 16)
+    // var, not val: [[objBuffered]] temporarily redirects emission into a
+    // per-member buffer when an object turns out to contain duplicate keys.
+    private var out = new java.lang.StringBuilder(s.length + 16)
     def result: String = out.toString
     def atEnd: Boolean = pos >= s.length
 
@@ -205,18 +210,24 @@ object PyJsonDumpsImpl {
     }
 
     private def obj(path: java.lang.StringBuilder): Unit = {
+      val inStart = pos   // rewind point if a duplicate key surfaces
+      val outMark = out.length()
       pos += 1 // '{'
       out.append('{')
       skipWs()
       var first = true
       if (peek == '}') { pos += 1; out.append('}'); return }
       // Duplicate-key tracking: CPython's json.loads keeps only the LAST
-      // occurrence, so the reference's dumps emits one key where a streaming
-      // re-emitter would emit every duplicate — a silent byte divergence.
-      // Emitting keep-last in one pass is impossible without buffering, so
-      // duplicates fail() → NULL → the ST5 corrupt channel: conservative,
-      // never silently wrong. Lazy set allocation keeps the common
-      // small-object path allocation-light.
+      // occurrence (at the FIRST occurrence's dict position), so the
+      // reference's dumps emits one key where a naive streaming re-emitter
+      // would emit every duplicate — a silent byte divergence. Keep-last
+      // can't be emitted in one streaming pass, so on the first duplicate
+      // THIS object rewinds (input to its '{', output to its mark) and
+      // re-parses through [[objBuffered]], which buffers per-member output
+      // and replays CPython's exact dict semantics. Only the offending
+      // object pays the buffering cost; duplicate-free payloads (the
+      // overwhelmingly common case) stay on the allocation-light streaming
+      // path. Lazy set allocation keeps small objects cheap.
       var firstKey: String = null
       var seenKeys: java.util.HashSet[String] = null
       while (true) {
@@ -228,7 +239,12 @@ object PyJsonDumpsImpl {
             seenKeys = new java.util.HashSet[String]()
             seenKeys.add(firstKey)
           }
-          if (!seenKeys.add(key)) fail()
+          if (!seenKeys.add(key)) {
+            pos = inStart
+            out.setLength(outMark)
+            objBuffered(path)
+            return
+          }
         }
         skipWs()
         if (peek != ':') fail()
@@ -259,6 +275,70 @@ object PyJsonDumpsImpl {
           case _ => fail()
         }
       }
+    }
+
+    /** Keep-LAST re-parse of ONE object whose streaming pass hit a duplicate
+      * key. Replays CPython dict-build semantics exactly: repeated
+      * assignment keeps the FIRST occurrence's position and the LAST
+      * occurrence's value (`d[k] = v` never moves an existing key) — which
+      * `LinkedHashMap.put` reproduces verbatim. F1 drops remove the key
+      * regardless of occurrence (the reference drops AFTER loads, when only
+      * one survives); F2 flags are computed per occurrence and keep-last
+      * like any other value. Member values are rendered through the normal
+      * [[value]] machinery with `out` redirected into a per-member buffer,
+      * so nested objects (including further duplicate-key rewinds, whose
+      * marks are relative to the redirected buffer) behave identically to
+      * the streaming path.
+      */
+    private def objBuffered(path: java.lang.StringBuilder): Unit = {
+      pos += 1 // '{'
+      skipWs()
+      // Defensive: only reachable with >= 2 members, but keep the grammar total.
+      if (peek == '}') { pos += 1; out.append("{}"); return }
+      val members = new java.util.LinkedHashMap[String, String]()
+      var done = false
+      while (!done) {
+        if (peek != '"') fail()
+        val key = decodeString()
+        skipWs()
+        if (peek != ':') fail()
+        pos += 1
+        skipWs()
+        val mark = path.length()
+        if (mark > 0) path.append(cfg.sep)
+        path.append(key)
+        val cleaned = if (cfg.active) path.toString else null
+        if (cfg.active && cfg.drop.contains(cleaned)) {
+          skipValue()
+        } else if (cfg.active && cfg.flag.contains(cleaned)) {
+          members.put(key, if (skipValue()) "0" else "1")
+        } else {
+          val saved = out
+          out = new java.lang.StringBuilder
+          value(path)
+          members.put(key, out.toString)
+          out = saved
+        }
+        path.setLength(mark)
+        skipWs()
+        peek match {
+          case ',' => pos += 1; skipWs()
+          case '}' => pos += 1; done = true
+          case _ => fail()
+        }
+      }
+      out.append('{')
+      val it = members.entrySet().iterator()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) out.append(", ")
+        first = false
+        encodeString(e.getKey)
+        out.append(": ")
+        out.append(e.getValue)
+      }
+      out.append('}')
     }
 
     private def arr(path: java.lang.StringBuilder): Unit = {

@@ -334,6 +334,52 @@ object Dedup {
       .distinct()
   }
 
+  /** One CRASH-IDEMPOTENT micro-batch step of the streaming incremental
+    * LSH composition (`st_lsh_dedup_increment`'s `foreachBatch` body):
+    * probe the persisted band index with this batch, then persist the
+    * batch's pairs and bands.
+    *
+    * `foreachBatch` sinks are at-least-once: a crash after the index append
+    * but before the checkpoint commit replays the batch, and a plain
+    * `mode("append")` would then write its band rows a SECOND time —
+    * permanently inflating bucket counts toward `maxBucket` and potentially
+    * dropping candidate pairs relative to the batch oracle. This step is
+    * idempotent under replay by construction:
+    *  - pairs and bands land in per-batch partition directories
+    *    (`.../batch_id=<id>`) written with OVERWRITE — a replayed batch
+    *    replaces its own (possibly partial) output instead of appending a
+    *    duplicate copy;
+    *  - the probe reads the index EXCLUDING the current `batch_id`
+    *    partition, so band rows left behind by a crashed first attempt
+    *    never double-orient the batch's new×new pairs (the partition filter
+    *    also prunes the directory scan — no wasted IO).
+    * Seed the index before the first batch with a zero-row [[minHashBands]]
+    * frame at `indexDir/batch_id=-1` so first-batch probes read the table
+    * shape they append to. Readers of the accumulated tables get a
+    * `batch_id` partition column via discovery; drop it before use.
+    */
+  def lshIncrementStep(
+      batch: DataFrame,
+      indexDir: String,
+      pairsDir: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      maxBucket: Int = 1000): Unit = {
+    val ss = batch.sparkSession
+    // Bands are computed ONCE (shingle+minhash is the dominant cost) — the
+    // same materialized frame feeds the probe and the index write.
+    val nb = minHashBands(batch, idCol, textCol, n, numHashes, bands)
+      .localCheckpoint(true)
+    val idx = ss.read.parquet(indexDir).where(col("batch_id") =!= lit(batchId))
+    lshPairsIncrementalBands(nb, idx, idCol, maxBucket)
+      .write.mode("overwrite").parquet(s"$pairsDir/batch_id=$batchId")
+    nb.write.mode("overwrite").parquet(s"$indexDir/batch_id=$batchId")
+  }
+
   /** SimHash over distinct tokens: bit b of the signature is the majority
     * vote of bit b of `md5(token)[0:4]` (16-bit fingerprint) across tokens.
     * Pure per-row Column math — shuffle-free, codegen'd; near-dup docs land

@@ -44,7 +44,13 @@ object TextEval {
       textCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 2, "pairBleu needs maxN >= 2 (ROUGE-2 recall is emitted)")
-    val toks = docs.select(col(idCol).as("id"), split(trim(col(textCol)), " ").as("ws"))
+    // \s+ tokenization with empty-token removal: consecutive spaces, tabs
+    // and newlines never yield phantom "" grams, and an empty document
+    // tokenizes to zero tokens (not one) — matching the standard BLEU/ROUGE
+    // whitespace-tokenizer contract the scaladoc cites. The gate oracle
+    // replays the identical regex split + filter.
+    val toks = docs.select(col(idCol).as("id"),
+      filter(split(trim(col(textCol)), "\\s+"), t => t =!= "").as("ws"))
     val lens = toks.select(col("id"), size(col("ws")).as("len"))
 
     // One projection emits every n-gram order in one pass over the token

@@ -123,17 +123,32 @@ class PyJsonDumpsSpec extends SparkSpec {
     assert(emit("""{"d":{"x":007},"k":1}""", drop = Seq("d")) === null)
   }
 
-  test("duplicate object keys yield null — keep-last is unreproducible in one pass") {
-    // json.loads({"a":1,"a":2}) == {"a": 2}: the reference emits ONE key.
-    // Streaming re-emission would emit both — refuse instead of diverge.
-    assert(emit("""{"a":1,"a":2}""") === null)
-    assert(emit("""{"a":1,"b":{"c":1,"c":2}}""") === null)
-    assert(emit("""[{"k":1},{"k":2},{"k":1,"k":1}]""") === null)
+  test("duplicate object keys resolve keep-LAST at FIRST position — CPython dict semantics") {
+    // json.loads({"a":1,"a":2}) == {"a": 2}: last value, first position.
+    // The rewind-and-buffer fallback re-parses only the offending object.
+    assert(emit("""{"a":1,"a":2}""") === """{"a": 2}""")
+    assert(emit("""{"a":1,"b":0,"a":2}""") === """{"a": 2, "b": 0}""")
+    assert(emit("""{"a":1,"b":{"c":1,"c":2}}""") === """{"a": 1, "b": {"c": 2}}""")
+    assert(emit("""[{"k":1},{"k":2},{"k":1,"k":1}]""")
+      === """[{"k": 1}, {"k": 2}, {"k": 1}]""")
+    // triplicate: still one emission, the last value
+    assert(emit("""{"x":1,"x":2,"x":3}""") === """{"x": 3}""")
+    // container values buffer and replace wholesale, not merge
+    assert(emit("""{"a":{"p":1},"a":{"q":2}}""") === """{"a": {"q": 2}}""")
+    // duplicates INSIDE the replaced (earlier, discarded) value still parse
+    assert(emit("""{"a":{"d":1,"d":2},"a":7}""") === """{"a": 7}""")
     // same key at different depths / in sibling objects is NOT a duplicate
     assert(emit("""{"a":{"a":1},"b":{"a":2}}""") === """{"a": {"a": 1}, "b": {"a": 2}}""")
-    // duplicate of a DROPPED key still refuses (conservative: the drop set
-    // can't re-create keep-last semantics either)
-    assert(emit("""{"s":1,"s":2,"k":3}""", drop = Seq("s")) === null)
+    // F1 drop of a duplicated key removes it regardless of occurrence (the
+    // reference drops AFTER loads, when only the keep-last survivor exists)
+    assert(emit("""{"s":1,"s":2,"k":3}""", drop = Seq("s")) === """{"k": 3}""")
+    // F2 flag of a duplicated key: flag computed per occurrence, keep-last —
+    // {"f": null, "f": 5} loads to {"f": 5}, flagged as present (1)
+    assert(emit("""{"f":null,"f":5,"k":0}""", flag = Seq("f")) === """{"f": 1, "k": 0}""")
+    assert(emit("""{"f":5,"f":null,"k":0}""", flag = Seq("f")) === """{"f": 0, "k": 0}""")
+    // malformedness inside an object that triggered the rewind still rejects
+    assert(emit("""{"a":1,"a":2,}""") === null)
+    assert(emit("""{"a":1,"a":007}""") === null)
   }
 
   test("raw C0 controls inside string tokens reject (CPython strict mode)") {

@@ -14,22 +14,24 @@ each transition. So mismatches must land exclusively in (0, 2h] after a
 transition instant; a single mismatch elsewhere is a real bug. Exit 0 iff
 all mismatches are inside the documented window.
 """
-import re
+import os
 import sys
 import typing
 from datetime import datetime, timezone
 
 import pytz
 
-src = open("/root/reference/src/transform.py", encoding="utf-8").read()
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from refextract import extract_function  # noqa: E402 - single-block cut + pinned sha256
+
 ns = {"datetime": datetime, "timezone": timezone, "pytz": pytz,
       "Optional": typing.Optional, "Union": typing.Union, "Text": typing.Text}
-for fn in ("_adjust_timezone", "int_s_to_date", "int_ms_to_date"):
-    m = re.search(rf"^def {fn}\(.*?(?=^def |\Z)", src, re.S | re.M)
-    if not m:
-        print(f"could not locate {fn} in the reference")
-        sys.exit(2)
-    exec(m.group(0), ns)  # noqa: S102 - dev-time oracle extraction
+for fn, pin in (
+        ("_adjust_timezone", "899c1afe164118f8f2483350faeba857fa53f997af95a0f9e4206d07960bc41a"),
+        ("int_s_to_date", "791ddc1e3f0568ef8c40f6c7baf2fd12382a5218f25af06a6c9623746f9f8478"),
+        ("int_ms_to_date", "952e7cd5d3709566ba01fafe0d59f5b199608ff712db25ebc9ace2658e68489b")):
+    block = extract_function("/root/reference/src/transform.py", fn, pin)
+    exec(block, ns)  # noqa: S102 - dev-time oracle, hash-pinned at review time
 int_ms_to_date = ns["int_ms_to_date"]
 
 # Transition instants 1960-2030 for classification.

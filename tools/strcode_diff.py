@@ -8,19 +8,19 @@ Reads `base64(input)<TAB>base64(output)` lines (from
 `runMain graft.StrCodeFuzz`) on stdin; exit 0 iff zero mismatches.
 """
 import base64
-import re
+import os
 import sys
 
-src = open("/root/reference/src/transform.py", encoding="utf-8").read()
-m = re.search(r"^def str_to_code\(.*?(?=^def |\Z)", src, re.S | re.M)
-if not m:
-    print("could not locate str_to_code in the reference")
-    sys.exit(2)
-ns = {"Optional": None, "Text": str}
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from refextract import extract_function  # noqa: E402 - single-block cut + pinned sha256
+
+block = extract_function(
+    "/root/reference/src/transform.py", "str_to_code",
+    "369de7057fe3d97e0e53dac8a5251052680b38e0c819f73641452783bedd60c1")
 # The function's annotations reference typing names; provide them.
-import typing
-ns.update({"Optional": typing.Optional, "Text": typing.Text})
-exec(m.group(0), ns)  # noqa: S102 - dev-time oracle extraction
+import typing  # noqa: E402
+ns = {"Optional": typing.Optional, "Text": typing.Text}
+exec(block, ns)  # noqa: S102 - dev-time oracle, hash-pinned at review time
 str_to_code = ns["str_to_code"]
 
 ok = mism = 0
