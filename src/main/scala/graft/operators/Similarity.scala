@@ -619,8 +619,10 @@ object Similarity {
       // boundary (the residual table IS the thing you'd write out)
       .localCheckpoint(true)
     val cb = pqTrain(resid, idCol, "_rvec", m, subDim, pqK, pqIters)
+    // Corpus-sized × corpus-sized: pinned shuffle-merge for the same
+    // determinism + 100 TB rationale as [[topKIvfPq]]'s enc⋈assigned join.
     val enc = pqEncode(resid, cb, idCol, "_rvec", m, subDim)
-      .join(resid.select(col(idCol), col("cid")), idCol)
+      .join(resid.select(col(idCol), col("cid")).hint("merge"), idCol)
     val cent = centFrame(cents, idCol, vecCol)
     val probes = {
       val scored = queries
@@ -715,8 +717,16 @@ object Similarity {
     val assigned = assignCells(corpus, cents, idCol, vecCol)
       .select(col(idCol), col("cid"))
     val cb = pqTrain(corpus, idCol, vecCol, m, subDim, pqK, pqIters)
+    // The persisted artifact: (id, sub, code, cid). Both sides are
+    // corpus-sized, so pin the shuffle-merge strategy: at 100 TB neither
+    // side is broadcastable, and at gate SF an unpinned join let AQE
+    // runtime-convert SMJ→broadcast in SOME runs (stats-sensitive), making
+    // shuffle volume nondeterministic across JVMs — the one plan flip ever
+    // observed on the bench board (r12: 2.56M vs 2.79M shuffle bytes at the
+    // same seed). AQE honors explicit strategy hints, so this is the
+    // deterministic AND scale-correct shape.
     val enc = pqEncode(corpus, cb, idCol, vecCol, m, subDim)
-      .join(assigned, idCol) // the persisted artifact: (id, sub, code, cid)
+      .join(assigned.hint("merge"), idCol)
     val cent = centFrame(cents, idCol, vecCol)
     val probes = {
       val scored = queries

@@ -1,31 +1,39 @@
 #!/usr/bin/env python3
 """Adjudicate per-gate wall-clock spikes between two bench artifacts using
-the load-INVARIANT telemetry (executor cpuMs + shuffle bytes) added in
-round 12.
+the load-invariant telemetry (executor cpuMs + shuffle bytes, round 12),
+auto-launching the BenchAB min-of-4 protocol for anything the telemetry
+cannot clear alone (round 13).
 
-Usage: python3 tools/adjudicate.py BENCH_local_rNN.json BENCH_local_rMM.json
-       (older first, newer second)
+Usage: python3 tools/adjudicate.py OLD.json NEW.json [--auto-ab [--append-baseline]]
+       (older artifact first, newer second; run from the repo root)
+
+Rule (amended round 13 after the r12 four-pack proved cpuMs itself
+inflates 3-4x under SMT/frequency contention while shuffle bytes stay
+byte-identical): shuffle volume is deterministic for a fixed plan+data,
+so SHUFFLE is the trusted signal and cpuMs is only corroborating.
 
 Verdict per gate with wall ratio >= THRESH and absolute delta >= MIN_ABS:
-  - LOAD  : cpuMs and shuffle bytes within band of the older run -> the
-            spike is external machine load by construction.
-  - PLAN  : cpuMs or shuffle volume moved with the wall -> a real plan /
-            code change; investigate.
+  - LOAD     : shuffle bytes at band AND cpuMs at band -> external machine
+               load by construction; cleared, no further action.
+  - AB-NEEDED: shuffle bytes at band but cpuMs off-band -> load-pattern
+               but unproven (contention inflates cpuMs too); the round-11
+               protocol requires a same-JVM BenchAB min-of-4 row. With
+               --auto-ab this script RUNS it and prints the rows, so a
+               round closes with zero pending adjudications.
+  - PLAN     : shuffle bytes moved -> a real plan/code change;
+               investigate (auto-AB still measures the quiet cost).
   - NO-TELEMETRY: one side lacks cpu/shuffle fields (pre-round-12
-            artifact) -> fall back to the BenchAB min-of-4 protocol.
-
-Shuffle bytes are deterministic for a fixed plan+data (identical across
-all four BenchAB passes in every observed gate), so SHUF_BAND is tight;
-cpuMs varies with JIT/GC, so CPU_BAND is loose and only large movements
-count.
+               artifact) -> BenchAB fallback (included in --auto-ab).
 """
 import json
+import re
+import subprocess
 import sys
 
 THRESH = 2.0       # wall ratio considered a spike
 MIN_ABS = 1.0      # seconds; ignore sub-second jitter
-CPU_BAND = 1.8     # cpuMs ratio beyond which we call it a plan change
-SHUF_BAND = 1.2    # shuffle-bytes ratio beyond which we call it a plan change
+CPU_BAND = 1.8     # cpuMs ratio beyond which cpu is "off-band"
+SHUF_BAND = 1.2    # shuffle-bytes ratio beyond which the plan moved
 
 
 def load(path):
@@ -34,12 +42,33 @@ def load(path):
     return d.get("queries", {}), d.get("telemetry", {})
 
 
+def run_bench_ab(gates):
+    """Launch the same-JVM BenchAB min-of-4 for `gates`; return
+    {gate: (min_seconds, shuf_read_bytes)} parsed from the MIN lines."""
+    cmd = ["sbt", "-batch", "runMain graft.BenchAB " + " ".join(gates)]
+    print(f"\n[auto-ab] {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    out = proc.stdout + proc.stderr
+    mins = {}
+    for m in re.finditer(
+            r"MIN (\S+)\s+([0-9.]+) s\s+cpu\s+(\d+) ms\s+shufR\s+(\d+) B", out):
+        mins[m.group(1)] = (float(m.group(2)), int(m.group(4)))
+    missing = [g for g in gates if g not in mins]
+    if missing:
+        print(f"[auto-ab] WARNING: no MIN line for {missing}; BenchAB output tail:")
+        print("\n".join(out.splitlines()[-20:]))
+    return mins
+
+
 def main():
-    if len(sys.argv) != 3:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    auto_ab = "--auto-ab" in sys.argv
+    append_baseline = "--append-baseline" in sys.argv
+    if len(args) != 2:
         print(__doc__)
         sys.exit(2)
-    q0, t0 = load(sys.argv[1])
-    q1, t1 = load(sys.argv[2])
+    q0, t0 = load(args[0])
+    q1, t1 = load(args[1])
     spikes = []
     for g, w1 in sorted(q1.items()):
         w0 = q0.get(g)
@@ -49,21 +78,64 @@ def main():
             spikes.append((g, w0, w1))
     if not spikes:
         print(f"no spikes (ratio>={THRESH}, abs>={MIN_ABS}s) between "
-              f"{sys.argv[1]} and {sys.argv[2]}")
+              f"{args[0]} and {args[1]}")
         return
+    need_ab = []
+    rows = []
     print(f"{'gate':32s} {'wall':>14s} {'cpuMs':>16s} {'shufReadB':>22s}  verdict")
     for g, w0, w1 in spikes:
         a, b = t0.get(g, {}), t1.get(g, {})
         if "cpuMs" not in a or "cpuMs" not in b:
-            print(f"{g:32s} {w0:6.2f}->{w1:6.2f} {'':>16s} {'':>22s}  NO-TELEMETRY (use BenchAB)")
+            print(f"{g:32s} {w0:6.2f}->{w1:6.2f} {'':>16s} {'':>22s}  NO-TELEMETRY -> BenchAB")
+            need_ab.append((g, w0, w1))
+            rows.append([g, w0, w1, None, None, "no-telemetry"])
             continue
         cpu_r = (b["cpuMs"] + 1) / (a["cpuMs"] + 1)
         shuf_r = (b.get("shufReadB", 0) + 1) / (a.get("shufReadB", 0) + 1)
-        plan = cpu_r > CPU_BAND or shuf_r > SHUF_BAND or shuf_r < 1 / SHUF_BAND
-        verdict = "PLAN (cpu/shuffle moved)" if plan else "LOAD (cpu+shuffle at band)"
+        shuf_moved = shuf_r > SHUF_BAND or shuf_r < 1 / SHUF_BAND
+        cpu_off = cpu_r > CPU_BAND
+        if shuf_moved:
+            verdict = "PLAN (shuffle moved) -> investigate"
+            need_ab.append((g, w0, w1))
+            kind = "plan"
+        elif cpu_off:
+            verdict = "AB-NEEDED (shuffle at band, cpu off-band)"
+            need_ab.append((g, w0, w1))
+            kind = "ab-needed"
+        else:
+            verdict = "LOAD (cpu+shuffle at band) -> cleared"
+            kind = "load"
         print(f"{g:32s} {w0:6.2f}->{w1:6.2f} "
               f"{a['cpuMs']:>7d}->{b['cpuMs']:<7d} "
               f"{a.get('shufReadB', 0):>10d}->{b.get('shufReadB', 0):<10d}  {verdict}")
+        rows.append([g, w0, w1, a.get("shufReadB"), b.get("shufReadB"), kind])
+
+    if not need_ab:
+        print("\nall spikes cleared from telemetry alone; no BenchAB needed")
+        return
+    if not auto_ab:
+        print("\nBenchAB required for: " + " ".join(g for g, _, _ in need_ab))
+        print("re-run with --auto-ab to launch it and emit BASELINE.md rows")
+        return
+
+    mins = run_bench_ab([g for g, _, _ in need_ab])
+    lines = ["", "| gate | old board (s) | new board (s) | A/B min-of-4 (s) | shufR (B) | verdict |",
+             "|---|---|---|---|---|---|"]
+    for g, w0, w1 in need_ab:
+        if g not in mins:
+            lines.append(f"| {g} | {w0:.2f} | {w1:.2f} | ? | ? | BenchAB parse failed — run manually |")
+            continue
+        mn, shuf = mins[g]
+        verdict = ("load artifact — quiet at/below old board" if mn <= w0 * 1.3
+                   else "REGRESSION — quiet cost above old board; investigate")
+        lines.append(f"| {g} | {w0:.2f} | {w1:.2f} | {mn:.2f} | {shuf} | {verdict} |")
+    table = "\n".join(lines)
+    print(table)
+    if append_baseline:
+        with open("BASELINE.md", "a") as f:
+            f.write(f"\n## Auto-adjudication rows ({args[0]} -> {args[1]})\n")
+            f.write(table + "\n")
+        print("\n[auto-ab] rows appended to BASELINE.md")
 
 
 if __name__ == "__main__":
