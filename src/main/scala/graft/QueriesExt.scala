@@ -1401,7 +1401,17 @@ object QueriesExt {
     * query: 500 docs in, 418 curated docs out at sf0.01.
     */
   private val corpusPipeline: Q = "x_corpus_pipeline" -> ((
-    (s: SparkSession, dir: String) => {
+    // Partition sizing (round-13 creep diagnosis, BASELINE.md): the
+    // pipeline iterates through MANY eager stage boundaries (two persists,
+    // CC's per-iteration lineage truncation, the final localCheckpoint),
+    // and each boundary re-materializes map-side at the STATIC shuffle
+    // partition count — AQE coalesces only the reader side, so a 32-wide
+    // session setting turns every tiny post-filter frame into 32 near-empty
+    // tasks (~100 ms fixed cpu each; measured 1067 tasks / 106 s cpuMs at
+    // 32 partitions vs 178 tasks / 9.9 s cpuMs for the SAME logical work
+    // at 4). At production scale this knob is sized to stage data volume;
+    // at gate SF the honest size for corpus-derived frames is small.
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       val d = docs(s, dir)
       val rep = graft.operators.Repetition.metrics(d, "doc_id", "text")
       // Materialize BOTH stage boundaries: q1 feeds two consumers (the
