@@ -56,6 +56,9 @@ object ScaleProbe {
     var stagesMatched = 0
     def stage(label: String)(f: => Unit): Unit =
       if (onlyStage.forall(label.contains(_))) { stagesMatched += 1; timed(label)(f) }
+    def rmTreeLocal(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTreeLocal)); f.delete(): Unit
+    }
 
     stage("exact dup spans") {
       // Replicas share their ENTIRE text modulo the one suffix token:
@@ -217,6 +220,75 @@ object ScaleProbe {
           s"pairs = $pairs, index rows = ${idx.count()}")
       }
     }
+    stage("ann growth") {
+      // Round-12 verdict item 5: give the ANN family the same MEASURED
+      // growth table LSH dedup has (BASELINE.md). Two shapes per corpus
+      // step, fixed 20-query batch, 64 coarse cells, nProbe=2:
+      //  (a) SERVE (st_ann_serve shape) — a FROZEN partitionBy(cid) IVF
+      //      layout over the grown corpus probed by the fixed batch.
+      //      Claims: the static `cid IN (...)` filter prunes the scan to
+      //      the probed cells' files at ANY corpus size; probe wall and
+      //      shuffle track the probed-cell MEMBER volume (cells get
+      //      linearly denser as the corpus replicates), never total corpus.
+      //  (b) REBUILD (x_ann_ivfpq shape) — full coarse-Lloyd + PQ train +
+      //      encode + ADC probe from scratch. Claims: wall tracks corpus
+      //      volume ~linearly (every stage is a keyed agg or broadcast
+      //      join), no quadratic axis, shuffle rows stay O(corpus × m).
+      val snapA = TaskMetricsCollector.install(spark.sparkContext)
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val ne = e.count()
+      val queries = e.where(col("vec_id") >= 100 && col("vec_id") < 120).localCheckpoint(true)
+      val cents = e.where(col("vec_id") < 64).localCheckpoint(true)
+      val scratch = java.nio.file.Files.createTempDirectory("annprobe").toString
+      // Independent probe-cell ranking (the operator's own collect is
+      // internal): top-nProbe cells per query by cosine, for the candidate
+      // volume metric.
+      def probedCells(): Array[Any] = {
+        val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (s, x) => s + x)
+        val nrm = (a: org.apache.spark.sql.Column) => sqrt(aggregate(
+          transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (s, x) => s + x))
+        val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val c = cents.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy((dot(col("qv"), col("cv")) /
+            (nrm(col("qv")) * nrm(col("cv")))).desc, col("cid"))
+        q.crossJoin(broadcast(c)).withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2).select("cid").distinct().collect().map(_.get(0))
+      }
+      val cellsProbed = probedCells()
+      for (f <- Seq(1, math.max(2, factor / 3), factor).distinct) {
+        val bigE = (0 until f).map { i =>
+          e.select((col("vec_id") + lit(i.toLong * 10 * ne)).as("vec_id"), col("embedding"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val dir = s"$scratch/idx_f$f"
+        val tb = System.nanoTime()
+        Similarity.assignCells(bigE, cents, "vec_id", "embedding")
+          .write.partitionBy("cid").parquet(dir)
+        val buildS = (System.nanoTime() - tb) / 1e9
+        val assigned = spark.read.parquet(dir)
+        val candRows = assigned.where(col("cid").isin(cellsProbed: _*)).count()
+        val m0 = snapA(); val tp = System.nanoTime()
+        val hits = Similarity.topKIvfPrebuilt(queries, assigned, cents,
+          "vec_id", "embedding", k = 5, nProbe = 2).count()
+        val probeS = (System.nanoTime() - tp) / 1e9
+        val pm = snapA() - m0
+        println(f"[probe] ann serve f=$f%-3d corpus=${ne * f}%-7d build=$buildS%.1f s " +
+          f"probe=$probeS%.2f s hits=$hits cellsProbed=${cellsProbed.length}/64 " +
+          s"candRows=$candRows probeMetrics=${pm.json}")
+        val m1 = snapA(); val tr = System.nanoTime()
+        val top = Similarity.topKIvfPq(queries, bigE, "vec_id", "embedding",
+          k = 5, kCells = 4, lloydIters = 1, nProbe = 2,
+          m = 4, subDim = 16, pqK = 4, pqIters = 1).count()
+        val rebuildS = (System.nanoTime() - tr) / 1e9
+        val rm = snapA() - m1
+        println(f"[probe] ann rebuild f=$f%-3d corpus=${ne * f}%-7d wall=$rebuildS%.1f s " +
+          s"rows=$top rebuildMetrics=${rm.json}")
+      }
+      rmTreeLocal(new java.io.File(scratch))
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -224,7 +296,8 @@ object ScaleProbe {
         println(s"[probe] WARNING: no filterable stage label contains " +
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
-          "'peak concurrency', 'attribution', 'streaming lsh increment')")
+          "'peak concurrency', 'attribution', 'streaming lsh increment', " +
+          "'ann growth')")
       spark.stop(); return
     }
 
