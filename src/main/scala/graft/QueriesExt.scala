@@ -3612,6 +3612,112 @@ object QueriesExt {
       |      FROM events)
       |GROUP BY ws, event_type""".stripMargin))
 
+  /** STREAMING LATE-DATA gate (round-12 verdict item 6): the one streaming
+    * behavior class the board didn't yet pin — out-of-order arrivals ACROSS
+    * real micro-batch boundaries, both within the watermark (must merge
+    * into their still-open windows) and beyond it (must be dropped by the
+    * pre-aggregation watermark filter).
+    *
+    * Fixture (all deterministic, derived from the events table): with a
+    * 60% time cut and a 4 h "recent" band just before it, FIVE sequential
+    * micro-batches:
+    *   b0 on-time OLD rows (before the band, minus the `event_id % 7 == 3`
+    *      sample) — sets the late-filter watermark;
+    *   b1 on-time RECENT rows (the band, minus `event_id % 3 == 1`) — a
+    *      spacer batch, see the dual-watermark note below;
+    *   b2 the LATE arrivals: the held-back old %7 sample (windows long
+    *      finalized → must DROP) plus the held-back recent %3 sample
+    *      (windows still open → must MERGE with b1's state);
+    *   b3 the post-cut rows (never late: the filter watermark trails the
+    *      cut by > 4 h); b4 the far-future sentinel that flushes all.
+    *
+    * Dual-watermark subtlety (Spark 3.4+, verified against the progress
+    * telemetry while building this gate): the LATE-EVENT FILTER of batch N
+    * uses the watermark as of batch N−1's start (one batch behind the
+    * EVICTION watermark), so late rows dropped in b2 are judged against
+    * `max(b0 event time) − 10 min` — a two-batch structure (the round-12
+    * verdict's sketch) drops NOTHING because the filter watermark is still
+    * the epoch when the late rows arrive; b1 exists precisely to age b0's
+    * watermark into the filter. A held-back row is accepted iff its
+    * hour-window END is above that watermark (rows are filtered when
+    * `window_end <= wm`, i.e. once their window is finalized — NOT by raw
+    * event time). The oracle replays the batch assignment, the exact µs
+    * watermark arithmetic, and the drop predicate in DuckDB;
+    * `StreamingLateDataSpec` asserts the fixture really contains BOTH late
+    * classes (non-vacuity: 4 merge / 89 drop at sf0.001) and that the
+    * drops change the answer vs a naive all-rows aggregation. Micro-batch
+    * order is deterministic: one file per batch written sequentially
+    * (FileStreamSource processes oldest mtime first), `maxFilesPerTrigger=1`.
+    */
+  private lazy val stLateData: Q = "st_late_data" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      import s.implicits._
+      val ev = sources.EventsTable.load(s, dir)
+        .select(graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val (mnUs, mxUs) = (mm.getLong(0), mm.getLong(1))
+      val cutUs = mnUs + (mxUs - mnUs) * 6 / 10
+      val recentUs = cutUs - 14400000000L // the 4 h "recent" band start
+      val lab = ev.withColumn("_us", unix_micros(col("ts")))
+        .withColumn("_late",
+          (col("_us") < recentUs && col("event_id") % 7 === 3) ||
+          (col("_us") >= recentUs && col("_us") < cutUs && col("event_id") % 3 === 1))
+      val outCols = Seq(col("ts"), col("event_type"), col("value"))
+      val topicSchema = ev.select(outCols: _*).schema
+      val tmpPath = scratchDir("stlate")
+      val tmp = tmpPath.toString
+      try {
+        // Five sequential single-file batches; mtimes spaced by a sleep so
+        // FileStreamSource's oldest-first order is unambiguous.
+        def stageBatch(df: DataFrame, mode: String): Unit = {
+          df.select(outCols: _*).repartition(1).write.mode(mode).parquet(s"$tmp/topic")
+          Thread.sleep(1100)
+        }
+        stageBatch(lab.where(!col("_late") && col("_us") < recentUs), "errorifexists")
+        stageBatch(lab.where(!col("_late") && col("_us") >= recentUs && col("_us") < cutUs), "append")
+        stageBatch(lab.where(col("_late")), "append")
+        stageBatch(lab.where(col("_us") >= cutUs), "append")
+        Seq((new java.sql.Timestamp(mxUs / 1000L + 2 * 3600 * 1000L), "___wm", 0.0))
+          .toDF("ts", "event_type", "value")
+          .repartition(1).write.mode("append").parquet(s"$tmp/topic")
+        val q = s.readStream.schema(topicSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out").where(col("event_type") =!= "___wm")
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """WITH b AS (SELECT epoch_us(min(ts)) mn, epoch_us(max(ts)) mx FROM events),
+      |cut AS (SELECT mn + (mx - mn) * 6 // 10 AS cutus,
+      |               mn + (mx - mn) * 6 // 10 - 14400000000 AS recentus FROM b),
+      |lab AS (SELECT event_type, value, ts, epoch_us(ts) us,
+      |    ((epoch_us(ts) < (SELECT recentus FROM cut) AND event_id % 7 = 3)
+      |     OR (epoch_us(ts) >= (SELECT recentus FROM cut)
+      |         AND epoch_us(ts) < (SELECT cutus FROM cut)
+      |         AND event_id % 3 = 1)) AS late
+      |  FROM events),
+      |wm AS (SELECT max(us) - 600000000 AS wm1 FROM lab
+      |  WHERE us < (SELECT recentus FROM cut) AND NOT late),
+      |keep AS (SELECT * FROM lab WHERE NOT late
+      |  OR epoch_us(date_trunc('hour', ts)) + 3600000000 > (SELECT wm1 FROM wm))
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM keep GROUP BY 1, 2""".stripMargin))
+
   /** Per-user daily resample with forward fill: the time-series
     * regularization every feature pipeline needs — calendar days between a
     * user's first and last activity, carrying the last observed value
@@ -4653,7 +4759,7 @@ object QueriesExt {
     qualityQnorm, mmPatches, textLangidTrained, stSessionizeTws, scd2FromSnapshots, dedupLinesIncr,
     eventsFunnel, eventsRetention, textEntropy, corpusTrigrams, textReadability,
     eventsRollingActive, stEventFunnel, vocabCoverage, joinAsofNative,
-    stSlidingCounts, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
+    stSlidingCounts, stLateData, eventsResample, stJoinAsof, privacyKanon, privacyDpCounts,
     eventsFunnelWindow, eventsBasket, eventsSurvival, stFunnelTws, eventsTransitions, textJsdSources, textZipf,
     textSegmentLm, mmVideo, dedupExactSpans, jsonlIngest, textScript,
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport, evalBleu,
