@@ -63,15 +63,8 @@ object CurateMain {
     val spark = GraftSession.get()
     try {
       val report = run(spark, cfg)
-      val json = report.json
-      // Through the Hadoop FS API, not java.nio — `output` is a Spark path
-      // (hdfs://, s3a://, file:...), only incidentally a local directory.
-      val reportPath = new org.apache.hadoop.fs.Path(cfg.output, "report.json")
-      val fs = reportPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val os = fs.create(reportPath, true)
-      try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-      println(json)
+      writeReport(spark, cfg, report)
+      println(report.json)
     } catch {
       case ex: Throwable =>
         System.err.println(GraftMain.failureRecord(ex))
@@ -79,6 +72,19 @@ object CurateMain {
         throw ex
     }
     spark.stop()
+  }
+
+  /** Persist the stage report as `<output>/report.json`. Through the Hadoop
+    * FS API, not java.nio — `output` is a Spark path (hdfs://, s3a://,
+    * file:...), only incidentally a local directory. Shared by the
+    * standalone main and [[GraftMain]]'s embedded-curate step.
+    */
+  def writeReport(spark: SparkSession, cfg: CurateConfig, report: StageReport): Unit = {
+    val reportPath = new org.apache.hadoop.fs.Path(cfg.output, "report.json")
+    val fs = reportPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(reportPath, true)
+    try os.write(report.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
 
   /** Execute the configured curation; writes `<output>/corpus` (partitioned

@@ -78,7 +78,7 @@ object GraftMain {
     val sink = Sinks.forTarget(cfg.target, env("GRAFT_JDBC_URL"), cfg.source.batchSize)
     val k6Dim = loadK6Dim(spark, cfg, env)
 
-    cfg.source.strategy match {
+    val summary = cfg.source.strategy match {
       case ConsumerStrategy.Assign => runAssign(spark, cfg, pipeline, sink, k6Dim, env)
       case ConsumerStrategy.Subscribe =>
         val ckpt = env("GRAFT_CHECKPOINT_DIR")
@@ -88,6 +88,19 @@ object GraftMain {
         runner.runAvailableNow(spark, stream, k6Dim)
         runner.summary
     }
+
+    // Embedded curation (one-document lifecycle, round-12 verdict item 7):
+    // the stage chain runs over the LANDED table — after the sink commit,
+    // exactly where a production curation job sits — and its report lands
+    // next to the curated corpus like a standalone CurateMain run's. File
+    // mode only: with a JDBC sink the landed table is not a parquet path
+    // (run CurateMain against a warehouse export instead).
+    cfg.curate.foreach { c =>
+      require(env("GRAFT_JDBC_URL").isEmpty,
+        "embedded curate requires a file-mode (parquet path) sink")
+      CurateMain.writeReport(spark, c, CurateMain.run(spark, c))
+    }
+    summary
   }
 
   /** One JSON log line for a failed run: exception class, 12-hex fingerprint

@@ -1392,6 +1392,78 @@ object QueriesExt {
       |FROM c""".stripMargin))
   }
 
+  /** ONE-DOCUMENT LIFECYCLE gate (round-12 verdict item 7): a single YAML
+    * drives `source → envelope → transform → sink → curate` through the
+    * REAL production entry point — [[graft.GraftMain.execute]] with an
+    * injected env, not a hand-assembled plan. The consumer half lands the
+    * events topic (JSON envelope, identity + epoch-ms→Oslo transform
+    * rules) as a parquet table; the embedded `curate:` block then runs the
+    * stage chain over that landed table (exact dedup on the canonical
+    * `kafka_message`, hash-bucket train/val/test split) and writes the
+    * curated corpus + report. The oracle replays the WHOLE composition in
+    * DuckDB: envelope projection (the s4 shape), the Oslo wall-clock
+    * rendering (the t_transform_rules shape), keep-min-offset exact dedup,
+    * and the md5-bucket split arithmetic — so a drift in ANY stage of the
+    * one-document lifecycle hash-mismatches here even if every per-stage
+    * gate stays green.
+    */
+  private lazy val e2eYamlCurate: Q = "e2e_yaml_curate" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmpPath = scratchDir("e2eyaml")
+      val tmp = tmpPath.toString
+      try {
+        val yaml =
+          s"""source:
+             |  topic: events
+             |  schema: json
+             |  strategy: assign
+             |target:
+             |  table: $tmp/landed
+             |transform:
+             |  - src: kafka_offset
+             |    dst: kafka_offset
+             |  - src: kafka_message
+             |    dst: kafka_message
+             |  - src: kafka_timestamp
+             |    dst: ts_oslo
+             |    fun: int-unix-ms -> datetime-no
+             |curate:
+             |  output: $tmp/curated
+             |  id-column: kafka_offset
+             |  text-column: kafka_message
+             |  dedup:
+             |    exact: true
+             |  split:
+             |    - train: 80
+             |    - val: 10
+             |    - test: 10
+             |""".stripMargin
+        val env: GraftMain.Env = Map(
+          "CONSUMER_CONFIG" -> yaml,
+          "GRAFT_SOURCE_DIR" -> dir,
+          "GRAFT_PAYLOAD_SCHEMA" -> "k LONG").get
+        GraftMain.execute(env)
+        s.read.parquet(s"$tmp/curated/corpus")
+          .select(col("kafka_offset"), col("kafka_message"),
+            date_format(col("ts_oslo"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_oslo"),
+            col("split"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """WITH env AS (
+      |  SELECT event_id AS kafka_offset,
+      |    '{"k":' || (props->>'k') || '}' AS kafka_message,
+      |    strftime(timezone('Europe/Oslo', timezone('UTC', epoch_ms(epoch_ms(ts)))),
+      |             '%Y-%m-%d %H:%M:%S.%g') AS ts_oslo
+      |  FROM events),
+      |dd AS (SELECT env.* FROM env
+      |  JOIN (SELECT min(kafka_offset) AS kafka_offset FROM env
+      |        GROUP BY md5(kafka_message)) keep USING (kafka_offset))
+      |SELECT kafka_offset, kafka_message, ts_oslo,
+      |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT *,
+      |  ('0x'||substr(md5(kafka_offset::VARCHAR),1,8))::BIGINT % 10000 AS b FROM dd)""".stripMargin))
+
   /** FLAGSHIP composition: the full corpus-curation pipeline a training-data
     * run executes, end to end — repetition/quality filter → exact dedup
     * (keep-one) → near-dup candidate pairs → connected-component cluster
@@ -4765,7 +4837,7 @@ object QueriesExt {
     dedupExactSpansIncr, dedupSelfRemoval, decontaminateReport, evalBleu,
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupJaccardPrefix, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
-    decontaminate, corpusPipeline, textPii, textRepetition, textVocab, textBoilerplate,
+    decontaminate, corpusPipeline, e2eYamlCurate, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,

@@ -220,6 +220,12 @@ object ConfigYaml {
       case other => throw ParseError(s"transform entries must be maps, got: $other")
     }
 
-    PipelineConfig(source, target, transform).validated
+    // Embedded curation chain: the full training-data stage battery over
+    // the table this consumer lands; `input` defaults to the sink table so
+    // one document describes the whole source → sink → curate lifecycle.
+    val curate = sub(root, "curate")
+      .map(c => CurateConfig.fromTree(c, defaultInput = Some(target.table)))
+
+    PipelineConfig(source, target, transform, curate).validated
   }
 }

