@@ -27,6 +27,10 @@ object PyJsonFuzz {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val seed = args.drop(1).headOption.map(_.toLong).getOrElse(12L)
+    // 4th arg "quote": fuzz [[PyJsonQuote]] (the S6 bare-string path)
+    // instead — raw unicode soup in, `json.dumps(s, ensure_ascii=False)`
+    // byte parity checked by `tools/pyjson_diff.py --quote`.
+    val quoteMode = args.drop(3).headOption.contains("quote")
     val rnd = new scala.util.Random(seed)
     val enc = Base64.getEncoder
     val sink: java.io.OutputStream = args.drop(2).headOption
@@ -35,14 +39,43 @@ object PyJsonFuzz {
     val out = new java.io.PrintStream(new java.io.BufferedOutputStream(sink, 1 << 20), false, "UTF-8")
     var i = 0
     while (i < n) {
-      val input = genTop(rnd)
-      val r = PyJsonDumpsImpl.emit(UTF8String.fromString(input), PyJsonDumpsImpl.cfgOf(Nil, Nil, "."))
-      val rhs = if (r == null) "NULL"
-        else enc.encodeToString(r.toString.getBytes("UTF-8"))
-      out.println(enc.encodeToString(input.getBytes("UTF-8")) + "\t" + rhs)
+      if (quoteMode) {
+        val input = genBareString(rnd)
+        val r = PyJsonDumpsImpl.quote(UTF8String.fromString(input))
+        out.println(enc.encodeToString(input.getBytes("UTF-8")) + "\t" +
+          enc.encodeToString(r.toString.getBytes("UTF-8")))
+      } else {
+        val input = genTop(rnd)
+        val r = PyJsonDumpsImpl.emit(UTF8String.fromString(input), PyJsonDumpsImpl.cfgOf(Nil, Nil, "."))
+        val rhs = if (r == null) "NULL"
+          else enc.encodeToString(r.toString.getBytes("UTF-8"))
+        out.println(enc.encodeToString(input.getBytes("UTF-8")) + "\t" + rhs)
+      }
       i += 1
     }
     out.flush()
+  }
+
+  /** Raw BARE string for the quote-mode fuzz: the full hostile pool —
+    * C0 controls (Python escapes the named ones short, the rest as
+    * lowercase `\u00xx`), `"` `\`, DEL and C1 (raw under
+    * `ensure_ascii=False`), U+2028/29, non-ASCII letters, and astral
+    * code points (surrogate PAIRS in the UTF-16 string).
+    */
+  private def genBareString(r: scala.util.Random): String = {
+    val sb = new StringBuilder
+    (0 until r.nextInt(24)).foreach { _ =>
+      r.nextInt(10) match {
+        case 0 => sb.append((r.nextInt(0x20)).toChar)             // C0 control
+        case 1 => sb.append(Seq('"', '\\', '/', 0x7f.toChar)(r.nextInt(4))) // DEL: raw
+        case 2 => sb.append((0x80 + r.nextInt(0x20)).toChar)      // C1: raw
+        case 3 => sb.append(Seq(0x2028, 0x2029, 0xfeff)(r.nextInt(3)).toChar) // LS/PS/BOM: raw
+        case 4 => sb.appendAll(Character.toChars(0x10000 + r.nextInt(0xFFFF))) // astral
+        case 5 => sb.append(Seq('æ', 'ø', 'å', 'ß', '€', '→', 'ﬁ')(r.nextInt(7)))
+        case _ => sb.append((0x20 + r.nextInt(0x5f)).toChar)
+      }
+    }
+    sb.toString
   }
 
   private def genTop(r: scala.util.Random): String =

@@ -15,6 +15,11 @@ import base64
 import json
 import sys
 
+# --quote: lines come from `runMain graft.PyJsonFuzz n seed out quote` —
+# the input is a raw BARE string and the oracle is json.dumps(s,
+# ensure_ascii=False) directly (the S6 PyJsonQuote path; never NULL).
+quote_mode = "--quote" in sys.argv
+
 ok = null_ok = mism = 0
 examples = []
 for lineno, line in enumerate(sys.stdin, 1):
@@ -23,10 +28,13 @@ for lineno, line in enumerate(sys.stdin, 1):
         continue
     inp_b64, out_b64 = line.split("\t")
     inp = base64.b64decode(inp_b64).decode("utf-8")
-    try:
-        py = json.dumps(json.loads(inp), ensure_ascii=False)
-    except (ValueError, RecursionError):
-        py = None
+    if quote_mode:
+        py = json.dumps(inp, ensure_ascii=False)
+    else:
+        try:
+            py = json.dumps(json.loads(inp), ensure_ascii=False)
+        except (ValueError, RecursionError):
+            py = None
     graft = None if out_b64 == "NULL" else base64.b64decode(out_b64).decode("utf-8")
     if py is None and graft is None:
         null_ok += 1
