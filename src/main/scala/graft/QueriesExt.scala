@@ -4797,8 +4797,16 @@ object QueriesExt {
     * the gate pins the MECHANICS; the spec plants separable languages).
     */
   private val textLangidTrained: Q = "x_text_langid_trained" -> ((
+    // The heavy stage is the FIRST one (per-position trigram explode via an
+    // interpreted HOF over the raw scan), and the gate corpus arrives as
+    // 1-2 parquet splits — measured 18 tasks / 3.8 s wall with the 32-thread
+    // pool idle. Spread the scan before the explode so the per-char work
+    // parallelizes; at production scale input splits are plentiful and the
+    // operator needs no such help.
     (s: SparkSession, dir: String) =>
-      operators.LangProfile.ctLangId(docs(s, dir), "doc_id", "text", "lang", k = 50),
+      operators.LangProfile.ctLangId(
+        docs(s, dir).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", "lang", k = 50),
     """WITH g AS (SELECT doc_id, lang, substr(text, i, 3) AS g
       |           FROM documents, UNNEST(range(1, len(text) - 1)) r(i)),
       |lc AS (SELECT lang, g, count(*) AS c FROM g GROUP BY 1, 2),
@@ -5222,11 +5230,21 @@ object QueriesExt {
     }.mkString(",\n")
     "x_graph_pagerank" -> ((
       (s: SparkSession, dir: String) => {
+        // Two-phase partition sizing (the x_corpus_pipeline diagnosis,
+        // BASELINE.md r13): the minhash pair generation is the corpus-sized
+        // relational phase — materialize it at session width; the PageRank
+        // iterations then run over a SLIVER graph (thousands of edges), and
+        // 32-wide iteration stages are pure per-task fixed cost — narrow
+        // them like connectedComponents sizes its own width. Eager
+        // localCheckpoint keeps every iteration inside the narrow scope.
         val pairs = Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-          n = 3, numHashes = 12, bands = 4)
+          n = 3, numHashes = 12, bands = 4).localCheckpoint(true)
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        operators.Graph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85)
+        withStatePartitions(s, 8) {
+          operators.Graph.pageRank(edges, "src", "dst", iters = 5, damping = 0.85)
+            .localCheckpoint(true)
+        }
       },
       s"""WITH $minhashCtes,
          |pairs AS ($minhashPairsSelect),
