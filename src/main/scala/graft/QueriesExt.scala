@@ -3740,12 +3740,12 @@ object QueriesExt {
       val tmpPath = scratchDir("stlate")
       val tmp = tmpPath.toString
       try {
-        // Five sequential single-file batches; mtimes spaced by a sleep so
-        // FileStreamSource's oldest-first order is unambiguous.
-        def stageBatch(df: DataFrame, mode: String): Unit = {
+        // Five sequential single-file batches. FileStreamSource orders by
+        // modification time (ms precision); each write is a full Spark job
+        // (>100 ms wall), so consecutive files can never tie — no sleep
+        // needed between writes.
+        def stageBatch(df: DataFrame, mode: String): Unit =
           df.select(outCols: _*).repartition(1).write.mode(mode).parquet(s"$tmp/topic")
-          Thread.sleep(1100)
-        }
         stageBatch(lab.where(!col("_late") && col("_us") < recentUs), "errorifexists")
         stageBatch(lab.where(!col("_late") && col("_us") >= recentUs && col("_us") < cutUs), "append")
         stageBatch(lab.where(col("_late")), "append")

@@ -38,7 +38,7 @@ class StreamingLateDataSpec extends SparkSpec {
       .withColumn("_late",
         (col("_us") < recent && col("event_id") % 7 === 3) ||
         (col("_us") >= recent && col("_us") < cut && col("event_id") % 3 === 1))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // shared by the class splits and both batch replays
     // The late-event filter watermark: max event time of batch b0 (on-time
     // OLD rows) − 10 min — by the dual-watermark rule it is b0's watermark,
     // aged through the b1 spacer, that judges b2's late arrivals.
