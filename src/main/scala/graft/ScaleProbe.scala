@@ -289,6 +289,35 @@ object ScaleProbe {
       }
       rmTreeLocal(new java.io.File(scratch))
     }
+    stage("suffix array") {
+      // Exact-substring indexing (round-13 SuffixArray) under hostile
+      // growth: replicas share their ENTIRE text modulo the one suffix
+      // token, so rank-tie classes of size ~factor persist through every
+      // prefix-doubling round until document length bounds them — the
+      // worst case for rank refinement. Claims: build wall tracks
+      // chars × rounds with rounds ≈ log2(maxDocLen) INDEPENDENT of the
+      // factor (tie classes widen, rounds don't multiply); the
+      // repeated-span report stays LINEAR in suffix count (adjacent-pair
+      // only — never the replica-clique expansion a pairwise comparison
+      // would pay).
+      val snapS = TaskMetricsCollector.install(spark.sparkContext)
+      for (f <- Seq(1, factor).distinct) {
+        val bigD = (0 until f).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
+            concat(col("text"), lit(s" replica$i")).as("text"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val m0 = snapS(); val t0 = System.nanoTime()
+        val nSuf = graft.operators.SuffixArray.build(bigD, "doc_id", "text").count()
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val bm = snapS() - m0
+        val t1 = System.nanoTime()
+        val nSpans = graft.operators.SuffixArray
+          .repeatedSpans(bigD, "doc_id", "text", minLen = 20).count()
+        val spanS = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] suffix f=$f%-3d suffixes=$nSuf%-9d build=$buildS%.1f s " +
+          f"spans(>=20)=$nSpans spansWall=$spanS%.1f s buildMetrics=${bm.json}")
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -297,7 +326,7 @@ object ScaleProbe {
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
-          "'ann growth')")
+          "'ann growth', 'suffix array')")
       spark.stop(); return
     }
 

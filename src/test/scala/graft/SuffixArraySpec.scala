@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.expressions.CommonPrefixLen
+import graft.operators.SuffixArray
+
+/** Suffix-array construction ([[SuffixArray.build]], relational prefix
+  * doubling) pinned against brute force, the classic fixture, and its own
+  * tie/fixpoint semantics; plus the [[CommonPrefixLen]] LCP primitive and
+  * the [[SuffixArray.repeatedSpans]] adjacent-LCP report.
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(docs: Seq[(Long, String)]): Map[(Long, Long), Long] =
+    SuffixArray.build(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** Brute-force dense ranks: sort all (suffix, doc, off), dense-number by
+    * suffix equality.
+    */
+  private def brute(docs: Seq[(Long, String)]): Map[(Long, Long), Long] = {
+    val sufs = for ((d, t) <- docs; i <- 1 to t.length) yield (t.substring(i - 1), d, i.toLong)
+    val sorted = sufs.sortBy { case (s, d, o) => (s, d, o) }
+    var rank = 0L
+    var prev: String = null
+    sorted.map { case (s, d, o) =>
+      if (s != prev) { rank += 1; prev = s }
+      (d, o) -> rank
+    }.toMap
+  }
+
+  test("banana: the classic array, all ranks distinct") {
+    val r = ranksOf(Seq(1L -> "banana"))
+    assert(r == Map((1L, 1L) -> 4L, (1L, 2L) -> 3L, (1L, 3L) -> 6L,
+      (1L, 4L) -> 2L, (1L, 5L) -> 5L, (1L, 6L) -> 1L))
+  }
+
+  test("identical documents: every suffix ties with its twin (KMR fixpoint termination)") {
+    val r = ranksOf(Seq(1L -> "abcabc", 2L -> "abcabc"))
+    (1 to 6).foreach { o =>
+      assert(r((1L, o.toLong)) == r((2L, o.toLong)), s"offset $o should tie across twins")
+    }
+    // ...and the tied array still agrees with brute force
+    assert(r == brute(Seq(1L -> "abcabc", 2L -> "abcabc")))
+  }
+
+  test("randomized corpus: prefix doubling == brute-force suffix sort") {
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 12L).map { d =>
+      // small alphabet forces deep shared prefixes and many doubling rounds
+      d -> (0 until (5 + rnd.nextInt(40))).map(_ => "abx"(rnd.nextInt(3))).mkString
+    }
+    assert(ranksOf(docs) == brute(docs))
+    // unicode: multi-byte chars rank by code point / byte order identically
+    val uni = Seq(1L -> "æøåab", 2L -> "aæbøc", 3L -> "øab")
+    assert(ranksOf(uni) == brute(uni))
+  }
+
+  test("empty and single-char documents") {
+    val r = ranksOf(Seq(1L -> "", 2L -> "a", 3L -> "b"))
+    assert(r == Map((2L, 1L) -> 1L, (3L, 1L) -> 2L))
+  }
+
+  test("CommonPrefixLen: code-point counting, cap, multi-byte boundaries") {
+    def lcp(a: String, b: String, cap: Int = 512): Int =
+      CommonPrefixLen.count(UTF8String.fromString(a), UTF8String.fromString(b), cap)
+    assert(lcp("hello world", "hello there") == 6)
+    assert(lcp("same", "same") == 4)
+    assert(lcp("", "x") == 0)
+    assert(lcp("abc", "xbc") == 0)
+    assert(lcp("aaaa", "aaaa", cap = 2) == 2) // cap binds
+    // multi-byte: æ counts as ONE (DuckDB char semantics), not its 2 bytes
+    assert(lcp("æøå-x", "æøå-y") == 4)
+    // astral pair = ONE code point ("😀a" is 2); differing astral chars share nothing
+    assert(lcp("😀ab", "😀ac") == 2)
+    assert(lcp("😀", "😁") == 0)
+  }
+
+  test("repeatedSpans: a planted 25-char cross-doc repeat surfaces; cap truncates lcp") {
+    val shared = "the quick brown fox jumps" // 25 chars
+    val docs = Seq(
+      1L -> s"AA$shared tail one",
+      2L -> s"BBBB$shared other tail",
+      3L -> "nothing in common here").toDF("doc_id", "text")
+    val spans = SuffixArray.repeatedSpans(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+    // the full repeat is an adjacent pair at lcp >= 25 (offsets 3 and 5)
+    assert(spans.exists { case (a, oa, b, ob, l) =>
+      Set(a, b) == Set(1L, 2L) && l >= 25 &&
+        Seq(oa, ob).sorted == Seq(3L, 5L)
+    }, s"missing the planted repeat in: ${spans.mkString(", ")}")
+    // doc 3 shares no >= 20 span with anyone
+    assert(!spans.exists { case (a, _, b, _, _) => a == 3L || b == 3L })
+    // cap truncation: with cap = 20 the same repeat reports exactly 20
+    val capped = SuffixArray.repeatedSpans(docs, "doc_id", "text", minLen = 20, cap = 20)
+      .collect().map(_.getInt(5))
+    assert(capped.nonEmpty && capped.forall(_ <= 20))
+  }
+
+  test("convergence guard fires loudly on an impossible round budget") {
+    val docs = Seq(1L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab").toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SuffixArray.build(docs, "doc_id", "text", maxRounds = 1).collect()
+    }
+  }
+}
