@@ -19,9 +19,12 @@ import org.apache.spark.sql.graft.Shim
   *
   * Construction is PREFIX DOUBLING (Karp–Miller–Rosenberg / Manber–Myers),
   * expressed relationally:
-  *  - round 0 ranks each suffix by its first code point (dense rank over
-  *    the 1-char string, binary order — identical to UTF-8 byte order, the
-  *    collation DuckDB's `ORDER BY` uses, so oracle replays agree);
+  *  - round 0 ranks each suffix by its first [[SuffixArray.InitPrefix]]
+  *    code points (dense rank over the substring, binary order — identical
+  *    to UTF-8 byte order, the collation DuckDB's `ORDER BY` uses, so
+  *    oracle replays agree; a substring that ends at the document boundary
+  *    is shorter and sorts first, exactly string order) — seeding the loop
+  *    at k = InitPrefix instead of k = 1 removes log2(InitPrefix) rounds;
   *  - round k ranks by the pair `(rank, rank of the suffix k positions
   *    later)` — a self-join on `(doc, off+k)` with missing-next mapped to
   *    rank 0 (shorter-is-smaller, exactly string order) — doubling the
@@ -33,47 +36,60 @@ import org.apache.spark.sql.graft.Shim
   *    LOUD `require` on the round budget — never a silently-wrong array.
   *
   * The global dense rank is [[denseRankGlobal]] — range-partition + local
-  * sort + O(partitions) driver prefix offsets; no single-partition window,
-  * no global sort skew. Scale shape per round: one keyed self-join + one
+  * window + O(partitions) driver prefix offsets; no single-partition
+  * window, no global sort skew, no distinct/join-back round trips (the
+  * non-distinct rowset is ranked in place and the distinct count falls out
+  * of the same pass). Scale shape per round: one keyed self-join + one
   * range exchange over the CHARACTER-count row space — the honest cost of
   * exact suffix indexing (the published systems pay exactly this), bounded
   * by `maxRounds` ≈ log2 of the longest document.
   */
 object SuffixArray {
 
+  /** Code points compared by the round-0 rank (and thus the starting `k`).
+    * 16 keeps the seed cheap (one substr per suffix, no extra rounds for
+    * short docs) while saving log2(16) = 4 doubling rounds on long ones.
+    */
+  val InitPrefix = 16
+
   /** Global 1-based DENSE rank of `keys` tuples (binary/lexicographic
-    * order), appended as `out`. Two-phase: range-partition the DISTINCT
-    * tuples, rank locally per partition, lift by per-partition offsets
-    * (O(partitions) driver rows — same bounded-collect discipline as the
-    * bucket rollups). Rank VALUES are partition-independent (they are the
-    * mathematical dense rank), so results are deterministic even though
-    * range boundaries come from sampling.
+    * order), appended as `out`; also returns the total distinct-tuple
+    * count (the prefix-doubling convergence signal, measured here for
+    * free). Two-phase: range-partition the rows (duplicates land in the
+    * same range by construction), dense-rank locally per partition, lift
+    * by per-partition DISTINCT-count offsets (O(partitions) driver rows —
+    * same bounded-collect discipline as the bucket rollups). Rank VALUES
+    * are partition-independent (they are the mathematical dense rank), so
+    * results are deterministic even though range boundaries come from
+    * sampling. The returned frame is eagerly localCheckpoint-ed: every
+    * caller immediately re-consumes it at least twice (count probes, the
+    * next round's self-join), and checkpointing here also pins the
+    * sampled range placement.
     */
   private[operators] def denseRankGlobal(
-      df: DataFrame, keys: Seq[String], out: String): DataFrame = {
+      df: DataFrame, keys: Seq[String], out: String): (DataFrame, Long) = {
     val ss = df.sparkSession
     val kc = keys.map(col)
     val width = ss.sessionState.conf.numShufflePartitions
-    // Checkpoint pins the partition assignment: the count pass and the
-    // rank pass below MUST see identical placement.
-    val ranged = df.select(kc: _*).distinct()
+    val win = Window.partitionBy("_pid").orderBy(kc: _*)
+    val local = df
       .repartitionByRange(width, kc: _*)
       .withColumn("_pid", spark_partition_id())
+      .withColumn("_lr", dense_rank().over(win))
       .localCheckpoint(true)
-    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = local.groupBy("_pid").agg(max("_lr").as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
     val offsets = (0 until width).scanLeft(0L) {
       case (acc, p) => acc + counts.getOrElse(p, 0L)
     }
     import ss.implicits._
     val offDf = (0 until width).map(p => (p, offsets(p))).toDF("_pid", "_off")
-    val win = Window.partitionBy("_pid").orderBy(kc: _*)
-    val ranked = ranged
-      .withColumn("_lr", row_number().over(win)) // tuples are distinct: row_number == dense rank
+    val ranked = local
       .join(broadcast(offDf), "_pid")
       .withColumn(out, col("_off") + col("_lr"))
-      .select(kc :+ col(out): _*)
-    df.join(ranked, keys)
+      .drop("_pid", "_lr", "_off")
+      .localCheckpoint(true)
+    (ranked, offsets(width))
   }
 
   /** Build the suffix array: one row per (doc, 1-based char offset) with
@@ -84,16 +100,19 @@ object SuffixArray {
       idCol: String,
       textCol: String,
       maxRounds: Int = 32): DataFrame = {
-    val chars = docs.select(col(idCol).as("_d"),
-        posexplode(when(length(col(textCol)) <= 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length(col(textCol))),
-            i => col(textCol).substr(i, lit(1))))))
-      .select(col("_d"), (col("pos") + 1).cast("long").as("_o"), col("col").as("_c"))
-    var s = denseRankGlobal(chars, Seq("_c"), "_r")
-      .select("_d", "_o", "_r").localCheckpoint(true)
+    // One row per suffix, keyed by its InitPrefix-char window — offsets
+    // come from a sequence explode; no per-character row blowup beyond
+    // the suffix rows themselves.
+    val sufs = docs
+      .where(length(col(textCol)) >= 1)
+      .select(col(idCol).as("_d"), col(textCol).as("_t"),
+        explode(sequence(lit(1L), length(col(textCol)).cast("long"))).as("_o"))
+      .select(col("_d"), col("_o"),
+        col("_t").substr(col("_o").cast("int"), lit(InitPrefix)).as("_c"))
+    var (s, distinct) = denseRankGlobal(sufs, Seq("_c"), "_r")
+    s = s.select("_d", "_o", "_r")
     val total = s.count()
-    var distinct = if (total == 0) 0L else s.agg(max("_r")).head().getLong(0)
-    var k = 1L
+    var k = InitPrefix.toLong
     var rounds = 0
     var done = distinct == total
     while (!done && rounds < maxRounds) {
@@ -106,9 +125,8 @@ object SuffixArray {
       val paired = s.join(nxt, Seq("_d", "_o"), "left")
         .select(col("_d"), col("_o"), col("_r"),
           coalesce(col("_rn"), lit(0L)).as("_rn"))
-      s = denseRankGlobal(paired, Seq("_r", "_rn"), "_r2")
-        .select(col("_d"), col("_o"), col("_r2").as("_r")).localCheckpoint(true)
-      val nd = s.agg(max("_r")).head().getLong(0)
+      val (ranked, nd) = denseRankGlobal(paired, Seq("_r", "_rn"), "_r2")
+      s = ranked.select(col("_d"), col("_o"), col("_r2").as("_r"))
       done = nd == total || nd == distinct // all unique, or KMR fixpoint
       distinct = nd
       k *= 2
@@ -147,7 +165,7 @@ object SuffixArray {
       maxRounds: Int = 32): DataFrame = {
     require(minLen >= 1 && cap >= minLen, "need 1 <= minLen <= cap")
     val sa = build(docs, idCol, textCol, maxRounds)
-    val pos = denseRankGlobal(sa, Seq("rank", idCol, "off"), "_p")
+    val (pos, _) = denseRankGlobal(sa, Seq("rank", idCol, "off"), "_p")
     // cap-bounded suffix windows ride the pair join — never full suffixes.
     val withSuf = pos.join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col("_p"), col(idCol), col("off"),

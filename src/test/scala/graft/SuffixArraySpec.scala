@@ -101,7 +101,11 @@ class SuffixArraySpec extends SparkSpec {
   }
 
   test("convergence guard fires loudly on an impossible round budget") {
-    val docs = Seq(1L -> "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab").toDF("doc_id", "text")
+    // One round from the InitPrefix-char seed compares 2·InitPrefix chars;
+    // a run longer than 4·InitPrefix still has ties after it, so the
+    // budget of 1 must fail loudly rather than return a half-refined array.
+    val docs = Seq(1L -> ("a" * (SuffixArray.InitPrefix * 4 + 5) + "b"))
+      .toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       SuffixArray.build(docs, "doc_id", "text", maxRounds = 1).collect()
     }
