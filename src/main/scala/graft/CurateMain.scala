@@ -13,9 +13,10 @@ import graft.operators.Dedup
 /** Production entry point for the CORPUS-CURATION surface — what
   * [[GraftMain]] is to the reference-parity pipeline, this is to the
   * training-data extensions: one YAML config declares the run
-  * (filters → NB-classifier filter → segment-LM prune → self-dedup → exact
-  * dedup → near-dup clusters → decontaminate → DSIR selection → stratified
-  * sample → mixture → split), and the output is a curated parquet corpus
+  * (filters → NB-classifier filter → segment-LM prune → self-dedup →
+  * ExactSubstr cut → exact dedup → near-dup clusters → decontaminate →
+  * DSIR selection → stratified sample → mixture → split), and the output
+  * is a curated parquet corpus
   * plus a machine-readable stage report.
   *
   * `runMain graft.CurateMain <config.yaml>` (or `CURATE_CONFIG` /
@@ -212,12 +213,30 @@ object CurateMain {
     }
     stages += "after_self_dedup" -> afterSelf.count()
 
+    // Corpus-wide ExactSubstr cut (Lee et al. remove-every-occurrence, via
+    // the suffix array) AFTER the per-document cuts and BEFORE exact dedup:
+    // the hash key must see the cut text, and identical docs empty out here
+    // anyway (their whole text is a corpus-wide repeat), so the exact stage
+    // after it mostly collapses emptied shells.
+    val afterExactSubstr = cfg.exactSubstrMinLen match {
+      case Some(l) =>
+        val cleaned = graft.operators.SuffixArray.removeRepeatedText(
+            afterSelf, cfg.idColumn, cfg.textColumn, minLen = l)
+          .select(id, col("text_clean"))
+        afterSelf.drop(cfg.textColumn)
+          .join(cleaned, cfg.idColumn)
+          .withColumnRenamed("text_clean", cfg.textColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => afterSelf
+    }
+    stages += "after_exact_substr" -> afterExactSubstr.count()
+
     val afterExact =
       if (cfg.dedupExact)
-        afterSelf.join(
-          Dedup.exact(afterSelf, cfg.idColumn, md5(col(cfg.textColumn)))
+        afterExactSubstr.join(
+          Dedup.exact(afterExactSubstr, cfg.idColumn, md5(col(cfg.textColumn)))
             .select(col("kept_id").as(cfg.idColumn)), cfg.idColumn)
-      else afterSelf
+      else afterExactSubstr
     val dd = afterExact.persist(StorageLevel.MEMORY_AND_DISK)
     stages += "after_exact_dedup" -> dd.count()
 

@@ -1447,6 +1447,54 @@ object QueriesExt {
       |  doc_id AS id_b, off AS off_b, CAST(lcp AS INT) AS lcp
       |FROM l WHERE lcp >= 20""".stripMargin))
 
+  /** ExactSubstr CUT gate ([[graft.operators.SuffixArray.removeRepeatedText]]):
+    * Lee et al.'s remove-EVERY-occurrence semantics over the suffix array —
+    * both sides of each qualifying adjacent pair become removal intervals,
+    * per-doc interval union, code-point rebuild. The oracle replays the
+    * whole chain in SQL: the dup-spans CTEs, both-side interval
+    * attribution, a NOT-EXISTS coverage test per character position, and
+    * `string_agg` character reassembly — so the cut text is hash-matched
+    * byte for byte, not just counted.
+    */
+  private lazy val suffixDedupCut: Q = "x_suffix_dedup_cut" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.SuffixArray.removeRepeatedText(
+        docs(s, dir).where(col("doc_id") % 5 === 0), "doc_id", "text",
+        minLen = 20, cap = 512),
+    """WITH s AS (SELECT doc_id, i AS off, substr(text, CAST(i AS INT)) AS suf
+      |  FROM documents, UNNEST(range(1, len(text) + 1)) t(i)
+      |  WHERE doc_id % 5 = 0),
+      |o AS (SELECT doc_id, off, suf,
+      |        lag(suf) OVER (ORDER BY suf, doc_id, off) AS psuf,
+      |        lag(doc_id) OVER (ORDER BY suf, doc_id, off) AS pdoc,
+      |        lag(off) OVER (ORDER BY suf, doc_id, off) AS poff
+      |      FROM s),
+      |l AS (SELECT doc_id, off, pdoc, poff,
+      |        coalesce(min(CASE WHEN substr(suf, CAST(i AS INT), 1)
+      |                            <> substr(psuf, CAST(i AS INT), 1) THEN i END),
+      |                 least(len(suf), len(psuf), 512) + 1) - 1 AS lcp
+      |      FROM o, UNNEST(range(1, least(len(suf), len(psuf), 512) + 1)) t(i)
+      |      WHERE psuf IS NOT NULL
+      |      GROUP BY doc_id, off, pdoc, poff, suf, psuf),
+      |p AS (SELECT pdoc AS d, poff AS st, lcp FROM l WHERE lcp >= 20
+      |      UNION ALL
+      |      SELECT doc_id AS d, off AS st, lcp FROM l WHERE lcp >= 20),
+      |cnt AS (SELECT d, count(*) AS n FROM p GROUP BY d),
+      |chars AS (SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, UNNEST(range(1, len(text) + 1)) t(i)
+      |  WHERE doc_id % 5 = 0),
+      |kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.d = c.doc_id AND c.i >= p.st AND c.i < p.st + p.lcp)),
+      |rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean,
+      |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_spans,
+      |  CAST(len(d.text) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed_chars
+      |FROM documents d
+      |LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN cnt c ON c.d = d.doc_id
+      |WHERE d.doc_id % 5 = 0""".stripMargin))
+
   /** ONE-DOCUMENT LIFECYCLE gate (round-12 verdict item 7): a single YAML
     * drives `source → envelope → transform → sink → curate` through the
     * REAL production entry point — [[graft.GraftMain.execute]] with an
@@ -4901,7 +4949,7 @@ object QueriesExt {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupJaccardPrefix, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, e2eYamlCurate, suffixArray, suffixDupSpans,
-    textPii, textRepetition, textVocab, textBoilerplate,
+    suffixDedupCut, textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,

@@ -25,6 +25,12 @@ final case class CurateConfig(
     nfc: Boolean = false,
     dedupExact: Boolean = true,
     selfDedupMinLen: Option[Int] = None,
+    /** Corpus-wide ExactSubstr cut ([[graft.operators.SuffixArray.removeRepeatedText]],
+      * Lee et al. remove-every-occurrence semantics): delete all copies of
+      * any substring of at least this many code points that appears more
+      * than once anywhere in the surviving corpus.
+      */
+    exactSubstrMinLen: Option[Int] = None,
     nearDupThreshold: Option[Double] = None,
     nearDupKeepBest: Boolean = false,
     decontaminateAgainst: Option[String] = None,
@@ -75,6 +81,8 @@ final case class CurateConfig(
       require(dsirKeep > 0, "dsir.keep must be positive")
     require(dsirBuckets > 0, "dsir.buckets must be positive")
     selfDedupMinLen.foreach(l => require(l > 8, "dedup.self-minlen must exceed the winnowing window (8)"))
+    exactSubstrMinLen.foreach(l => require(l >= 2 && l <= 512,
+      "dedup.exact-substr-minlen must be in [2, 512] (the suffix-window cap)"))
     // Allow-list values must be panel members: the dominant-script label
     // can only ever be a panel script, so an off-panel value (or a typo —
     // `latn`) would silently drop the ENTIRE corpus instead of failing here.
@@ -132,7 +140,8 @@ object CurateConfig {
       "max-dup-word-frac", "max-top-bigram-frac", "gopher", "html-strip",
       "allowed-scripts")
     require(unknownF.isEmpty, s"unknown filters keys: ${unknownF.mkString(", ")}")
-    val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep", "self-minlen")
+    val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep", "self-minlen",
+      "exact-substr-minlen")
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
     val unknownC = decon.keySet -- Set("against", "n")
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
@@ -228,6 +237,7 @@ object CurateConfig {
       nfc = str(tree, "nfc").exists(_.toBoolean),
       dedupExact = str(dedup, "exact").forall(_.toBoolean),
       selfDedupMinLen = str(dedup, "self-minlen").map(_.toInt),
+      exactSubstrMinLen = str(dedup, "exact-substr-minlen").map(_.toInt),
       nearDupThreshold = str(dedup, "near-threshold").map(_.toDouble),
       nearDupKeepBest = str(dedup, "keep") match {
         case Some("best") => true

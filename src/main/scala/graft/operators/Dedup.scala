@@ -739,9 +739,28 @@ object Dedup {
       w: Int = 8,
       maxOcc: Int = 100): DataFrame = {
     val spans = selfDupSpans(df, idCol, textCol, minLen, w, maxOcc)
-    val ivs = spans
+    cutIntervalsRebuild(df, idCol, textCol,
+      spans.select(col(idCol), col("start_b").as("s"), col("match_len").as("l")))
+  }
+
+  /** Shared removal tail of the span-cut family: per-document interval
+    * union + code-point text rebuild. `cuts` is one row per removal
+    * interval `(idCol, s, l)` — `s` 1-based code-point start, `l` length;
+    * overlapping intervals merge in the flatten. Every document of `df`
+    * returns a row `(idCol, text_clean, n_spans, n_removed_chars)`;
+    * untouched docs carry their original text with zero counts. Per-doc
+    * interval lists are bounded by the document's own length (one interval
+    * per span position at worst), so the `collect_list` is doc-sized, not
+    * corpus-sized.
+    */
+  private[operators] def cutIntervalsRebuild(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cuts: DataFrame): DataFrame = {
+    val ivs = cuts
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("start_b").as("s"), col("match_len").as("l")))).as("_ivs"),
+      .agg(sort_array(collect_list(struct(col("s"), col("l")))).as("_ivs"),
         count(lit(1)).as("n_spans"))
     val joined = df.select(col(idCol), col(textCol))
       .join(ivs, Seq(idCol), "left")

@@ -181,4 +181,41 @@ object SuffixArray {
       .select(col("_p").as("sa_pos"), col("id_a"), col("off_a"),
         col("id_b"), col("off_b"), col("lcp"))
   }
+
+  /** Corpus-wide EXACT-substring dedup cut — the published ExactSubstr
+    * contract (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): EVERY occurrence of a substring of length
+    * >= `minLen` that appears more than once ANYWHERE in the corpus
+    * (across documents or within one) is deleted. Realized from
+    * [[repeatedSpans]] by cutting BOTH sides of every qualifying adjacent
+    * pair: a suffix lies in a duplicate run iff its LCP with the adjacent
+    * suffix on at least one side reaches `minLen`, so the two-sided cut
+    * covers every run member — including the run head — with no
+    * keep-policy coordination across runs (the keep-one variant at
+    * document scope is [[Dedup.removeSelfDupText]]). Per-suffix intervals
+    * overlap heavily inside a long repeat; the shared interval-union
+    * rebuild collapses them, so a repeat longer than `cap` is still
+    * removed in full (successive suffix positions tile it).
+    *
+    * One row per input document: `(idCol, text_clean, n_spans,
+    * n_removed_chars)` — `n_spans` counts cut intervals attributed to the
+    * document (both-side attribution, before the union collapse);
+    * untouched docs carry original text with zero counts. Single pass: a
+    * duplicate formed ACROSS a cut seam is not re-hunted, matching the
+    * production contract of the span family.
+    */
+  def removeRepeatedText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      cap: Int = 512,
+      maxRounds: Int = 32): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, minLen, cap, maxRounds)
+    val cuts = spans
+      .select(col("id_a").as(idCol), col("off_a").as("s"), col("lcp").as("l"))
+      .unionAll(spans
+        .select(col("id_b").as(idCol), col("off_b").as("s"), col("lcp").as("l")))
+    Dedup.cutIntervalsRebuild(docs, idCol, textCol, cuts)
+  }
 }

@@ -104,7 +104,8 @@ class CurateMainSpec extends SparkSpec {
     assert(m("input") > 0)
     // each stage can only shrink the corpus
     val order = Seq("input", "after_filters", "after_segment_lm", "after_self_dedup",
-      "after_exact_dedup", "after_near_dedup", "after_decontaminate", "after_sample", "written")
+      "after_exact_substr", "after_exact_dedup", "after_near_dedup", "after_decontaminate",
+      "after_sample", "written")
     order.sliding(2).foreach { case Seq(a, b) =>
       assert(m(a) >= m(b), s"$a=${m(a)} < $b=${m(b)}")
     }
@@ -197,6 +198,38 @@ class CurateMainSpec extends SparkSpec {
     // the self-dedup cut collapses it far below the original length
     assert(outDocs(2L).length < common.length / 2 && outDocs(2L).nonEmpty)
     assert(outDocs(2L).startsWith("alpha beta gamma delta"))
+    graft.QueriesExt.rmTree(new java.io.File(dir))
+  }
+
+  test("CurateMain.run: exact-substr cut removes every copy of a cross-doc repeat") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exsub").toString
+    val shared = (1 to 8).map(i => s"boiler$i").mkString(" ") // 63 chars, one corpus-wide repeat
+    Seq(
+      (1L, s"alpha one two three four $shared", "s0"),
+      (2L, s"beta five six seven eight $shared", "s0"),
+      (3L, "gamma nine ten eleven twelve unique", "s0")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/in")
+    val cfg = CurateConfig.fromYaml(
+      s"""input: $dir/in
+         |output: $dir/out
+         |dedup:
+         |  exact: false
+         |  exact-substr-minlen: 40
+         |""".stripMargin)
+    assert(cfg.exactSubstrMinLen.contains(40))
+    val report = CurateMain.run(spark, cfg)
+    val m = report.stages.toMap
+    assert(m("after_exact_substr") == 3) // cut shortens text, drops no docs
+    val outDocs = spark.read.parquet(s"$dir/out/corpus")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // remove-EVERY-occurrence: the boilerplate is gone from both carriers
+    assert(!outDocs(1L).contains("boiler3") && !outDocs(2L).contains("boiler3"))
+    assert(outDocs(1L).startsWith("alpha") && outDocs(2L).startsWith("beta"))
+    assert(outDocs(3L) == "gamma nine ten eleven twelve unique")
+    // the guard rejects a cap-exceeding min-len at parse time
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\ndedup:\n  exact-substr-minlen: 600")
+    }
     graft.QueriesExt.rmTree(new java.io.File(dir))
   }
 

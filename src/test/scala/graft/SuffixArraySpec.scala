@@ -100,6 +100,41 @@ class SuffixArraySpec extends SparkSpec {
     assert(capped.nonEmpty && capped.forall(_ <= 20))
   }
 
+  test("removeRepeatedText: every occurrence of a cross-doc repeat is cut (Lee et al. semantics)") {
+    val shared = "the quick brown fox jumps over it" // 33 chars, >= minLen everywhere
+    val docs = Seq(
+      1L -> s"AA$shared tail one",
+      2L -> s"BBBB$shared other tail",
+      3L -> "nothing in common here").toDF("doc_id", "text")
+    val out = SuffixArray.removeRepeatedText(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // BOTH occurrences die — neither cleaned text contains the repeat (nor
+    // any >= 20-char window of it), per the remove-all-copies contract.
+    Seq(1L, 2L).foreach { d =>
+      val (clean, nSpans, nRemoved) = out(d)
+      assert(!clean.contains(shared.substring(0, 20)), s"doc $d kept the repeat: '$clean'")
+      assert(nSpans >= 1 && nRemoved >= 20, s"doc $d: nSpans=$nSpans nRemoved=$nRemoved")
+    }
+    // the untouched doc comes back verbatim with zero counts
+    assert(out(3L) == (("nothing in common here", 0L, 0L)))
+  }
+
+  test("removeRepeatedText: identical twin docs are both fully cut; counts are exact") {
+    val t = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars
+    val docs = Seq(1L -> t, 2L -> t).toDF("doc_id", "text")
+    val out = SuffixArray.removeRepeatedText(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // The whole document is a duplicated substring (off=1 ties at lcp=36),
+    // so BOTH twins empty out entirely; offsets 1..17 each contribute one
+    // tied adjacent pair >= minLen, attributed to both sides: 17 intervals
+    // per doc before the union collapse.
+    Seq(1L, 2L).foreach { d =>
+      val (clean, nSpans, nRemoved) = out(d)
+      assert(clean == "" && nRemoved == 36L, s"doc $d kept '$clean' ($nRemoved removed)")
+      assert(nSpans == 17L, s"doc $d nSpans=$nSpans")
+    }
+  }
+
   test("convergence guard fires loudly on an impossible round budget") {
     // One round from the InitPrefix-char seed compares 2·InitPrefix chars;
     // a run longer than 4·InitPrefix still has ties after it, so the
