@@ -1495,6 +1495,72 @@ object QueriesExt {
       |LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN cnt c ON c.d = d.doc_id
       |WHERE d.doc_id % 5 = 0""".stripMargin))
 
+  /** ExactSubstr cut, GRAM fast path ([[graft.operators.Dedup.exactSubstrCutByGrams]]):
+    * the same function as [[graft.operators.SuffixArray.removeRepeatedText]]
+    * computed by duplicated char-gram interval union — two keyed
+    * aggregations instead of the doubling rounds. The oracle is the direct
+    * gram replay (GROUP BY gram HAVING count > 1, coverage NOT-EXISTS,
+    * string_agg rebuild); equivalence of the CLEANED TEXT with the
+    * suffix-array path is additionally asserted by spec on the same
+    * corpus — two algorithms, one function, both gated.
+    */
+  private lazy val exactGramCut: Q = "x_exact_substr_gram_cut" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Dedup.exactSubstrCutByGrams(
+        docs(s, dir).where(col("doc_id") % 5 === 0), "doc_id", "text", minLen = 20),
+    """WITH g AS (SELECT doc_id, i AS s, substr(text, CAST(i AS INT), 20) AS g
+      |  FROM documents, UNNEST(range(1, len(text) - 18)) t(i)
+      |  WHERE doc_id % 5 = 0),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) > 1),
+      |p AS (SELECT doc_id AS d, s FROM g JOIN dup USING (g)),
+      |cnt AS (SELECT d, count(*) AS n FROM p GROUP BY d),
+      |chars AS (SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, UNNEST(range(1, len(text) + 1)) t(i)
+      |  WHERE doc_id % 5 = 0),
+      |kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c
+      |  WHERE NOT EXISTS (SELECT 1 FROM p
+      |    WHERE p.d = c.doc_id AND c.i >= p.s AND c.i < p.s + 20)),
+      |rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean,
+      |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+      |  CAST(coalesce(c2.n, 0) AS BIGINT) AS n_spans,
+      |  CAST(len(d.text) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed_chars
+      |FROM documents d
+      |LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN cnt c2 ON c2.d = d.doc_id
+      |WHERE d.doc_id % 5 = 0""".stripMargin))
+
+  /** EXACT benchmark contamination gate ([[graft.operators.Dedup.exactContamination]]):
+    * verbatim >= 20-char overlap between the corpus slice and the %97
+    * "eval set" (10 of 98 corpus docs carry hits at sf0.01 — the planted
+    * near-dups exercise the non-zero path). The contaminated character
+    * mass is the fixed-interval union computed relationally
+    * (min(gap, minLen) per hit in position order); the oracle replays the
+    * same lag/least fold.
+    */
+  private lazy val exactContaminationGate: Q = "x_exact_contamination" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.exactContamination(
+        d.where(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 97 === 0), "doc_id", "text", minLen = 20)
+    },
+    """WITH cg AS (SELECT doc_id, i AS s, substr(text, CAST(i AS INT), 20) AS g
+      |  FROM documents, UNNEST(range(1, len(text) - 18)) t(i)
+      |  WHERE doc_id % 5 = 0 AND doc_id % 97 <> 0),
+      |bg AS (SELECT DISTINCT substr(text, CAST(i AS INT), 20) AS g
+      |  FROM documents, UNNEST(range(1, len(text) - 18)) t(i)
+      |  WHERE doc_id % 97 = 0),
+      |m AS (SELECT doc_id, s FROM cg JOIN bg USING (g)),
+      |c AS (SELECT doc_id, s,
+      |    coalesce(least(s - lag(s) OVER (PARTITION BY doc_id ORDER BY s), 20), 20) AS cov
+      |  FROM m),
+      |st AS (SELECT doc_id, count(*) AS n_hits, sum(cov) AS ncc FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+      |  CAST(coalesce(ncc, 0) AS BIGINT) AS n_contaminated_chars,
+      |  CASE WHEN coalesce(n_hits, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+      |FROM documents d LEFT JOIN st USING (doc_id)
+      |WHERE d.doc_id % 5 = 0 AND d.doc_id % 97 <> 0""".stripMargin))
+
   /** ONE-DOCUMENT LIFECYCLE gate (round-12 verdict item 7): a single YAML
     * drives `source → envelope → transform → sink → curate` through the
     * REAL production entry point — [[graft.GraftMain.execute]] with an
@@ -4949,7 +5015,8 @@ object QueriesExt {
     dedupExact, dedupMinhash, dedupSimhash, dedupJaccard, dedupJaccardPrefix, dedupEmbedding, dedupEmbeddingLsh,
     dedupLshRecall, dedupClusters,
     decontaminate, corpusPipeline, e2eYamlCurate, suffixArray, suffixDupSpans,
-    suffixDedupCut, textPii, textRepetition, textVocab, textBoilerplate,
+    suffixDedupCut, exactGramCut, exactContaminationGate,
+    textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
     mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,

@@ -1740,6 +1740,98 @@ object Dedup {
       .withColumn("contaminated", when(col("n_hits") >= minHits, 1).otherwise(0))
   }
 
+  /** One row per character position that starts a full `minLen`-code-point
+    * window: `(idCol, s, _g)` — `s` 1-based start, `_g` the raw window
+    * string. The character-level shingle table of the ExactSubstr family.
+    */
+  private def charGrams(
+      df: DataFrame, idCol: String, textCol: String, minLen: Int): DataFrame =
+    df.where(length(col(textCol)) >= minLen)
+      .select(col(idCol), col(textCol).as("_t"),
+        explode(sequence(lit(1L),
+          (length(col(textCol)) - (minLen - 1)).cast("long"))).as("s"))
+      .select(col(idCol), col("s"),
+        col("_t").substr(col("s").cast("int"), lit(minLen)).as("_g"))
+
+  /** Corpus-wide ExactSubstr cut by DUPLICATED CHAR-GRAMS — the scale path
+    * of [[graft.operators.SuffixArray.removeRepeatedText]], provably the
+    * SAME function: a position is covered by some >= `minLen` substring
+    * appearing twice in the corpus iff some duplicated `minLen`-gram's
+    * window covers it (every gram of a repeated substring is itself a
+    * repeated >= minLen substring, and conversely), so the union of
+    * `[s, s + minLen)` over duplicated gram positions equals the union of
+    * the suffix-array cut intervals. Cost: two keyed aggregations over the
+    * gram table instead of O(log maxDocLen) doubling rounds — duplicate
+    * detection runs on 8-byte `xxhash64` first and confirms survivors on
+    * the raw gram (two-phase, so the wide gram strings only shuffle for
+    * the duplicate-candidate minority; hash collisions can only ever ADD
+    * candidates, the raw-gram confirm removes them). Same output contract
+    * as the suffix-array cut; `n_spans` counts duplicated gram positions
+    * per document (a denser attribution than adjacent-pair sides — the
+    * cleaned text and removed-char counts are identical, asserted by
+    * spec).
+    */
+  def exactSubstrCutByGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val grams = charGrams(df, idCol, textCol, minLen)
+      .withColumn("_h", xxhash64(col("_g")))
+    val dupH = grams.groupBy("_h").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select("_h")
+    val cand = grams.join(dupH, Seq("_h"), "left_semi")
+    val dupG = cand.groupBy("_g").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select("_g")
+    val cuts = cand.join(dupG, Seq("_g"), "left_semi")
+      .select(col(idCol), col("s"), lit(minLen).as("l"))
+    cutIntervalsRebuild(df, idCol, textCol, cuts)
+  }
+
+  /** EXACT-substring benchmark contamination — the character-level exact
+    * companion of [[decontaminate]]'s token n-gram flag: a corpus document
+    * is contaminated iff it shares a VERBATIM >= `minLen`-code-point
+    * substring with any benchmark document, and the contaminated character
+    * mass is reported exactly. Same reduction as
+    * [[exactSubstrCutByGrams]]: shared->=minLen-substring ⇔ shared
+    * `minLen`-gram, so the probe is one broadcast semi-join of the corpus
+    * gram table against the DISTINCT benchmark grams (benchmark = an eval
+    * set, small by contract — it broadcasts; the corpus grams never
+    * shuffle). Covered characters come from the fixed-interval union,
+    * computed relationally: per doc in position order, each hit
+    * contributes `min(gap-to-previous-hit, minLen)` — no rebuild pass.
+    * Output one row per corpus document: `(idCol, n_hits,
+    * n_contaminated_chars, contaminated)`.
+    */
+  def exactContamination(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val bg = charGrams(bench, benchIdCol, benchTextCol, minLen)
+      .select(col("_g")).distinct()
+    val hits = charGrams(df, idCol, textCol, minLen)
+      .join(broadcast(bg), Seq("_g"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("s"))
+    val stats = hits
+      .withColumn("_cov",
+        coalesce(least(col("s") - lag(col("s"), 1).over(w), lit(minLen.toLong)),
+          lit(minLen.toLong)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), sum("_cov").as("n_contaminated_chars"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_contaminated_chars"), lit(0L)).as("n_contaminated_chars"))
+      .withColumn("contaminated", when(col("n_hits") >= 1, 1).otherwise(0))
+  }
+
   /** GRADED decontamination report — the eval-rigor companion of
     * [[decontaminate]]'s binary flag: per document, the DISTINCT n-gram
     * overlap share against the benchmark set (`n_hit_grams /

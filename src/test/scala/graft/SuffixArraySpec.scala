@@ -135,6 +135,38 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrCutByGrams == removeRepeatedText on the real sf0.001 corpus (two algorithms, one function)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+      df.select("doc_id", "text_clean", "n_removed_chars").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val sa = canon(SuffixArray.removeRepeatedText(docs, "doc_id", "text", minLen = 20))
+    val gr = canon(graft.operators.Dedup.exactSubstrCutByGrams(docs, "doc_id", "text", minLen = 20))
+    assert(sa.keySet == gr.keySet)
+    val diff = sa.keySet.filter(k => sa(k) != gr(k))
+    assert(diff.isEmpty, s"cleaned text diverges for docs: ${diff.take(5).mkString(", ")}")
+    // and the cut is non-trivial on this corpus — the equivalence is not vacuous
+    assert(sa.values.exists(_._2 > 0))
+  }
+
+  test("exactContamination: planted verbatim overlap measured exactly; clean docs report zero") {
+    val shared = "x" * 5 + "the payload shared with the benchmark set" // 46 chars
+    // boundary chars differ on BOTH sides so the verbatim overlap is
+    // exactly the planted 46 chars, not accidentally extended
+    assert(shared.length == 46)
+    val corpus = Seq(
+      1L -> s"lead-in text!$shared?trailing words here",
+      2L -> "completely unrelated content with no overlap at all").toDF("doc_id", "text")
+    val bench = Seq(10L -> s"question:$shared;answer: forty-two").toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactContamination(
+        corpus, "doc_id", "text", bench, "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // hits = the 46-20+1 = 27 window positions; covered chars = the 46-char span
+    assert(out(1L) == ((27L, 46L, 1)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, 0)))
+  }
+
   test("convergence guard fires loudly on an impossible round budget") {
     // One round from the InitPrefix-char seed compares 2·InitPrefix chars;
     // a run longer than 4·InitPrefix still has ties after it, so the
