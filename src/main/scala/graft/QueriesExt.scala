@@ -5035,7 +5035,7 @@ object QueriesExt {
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,
-    splitLeakage, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
+    splitLeakage, splitSafe, stClassifierScore, mineBitext, annInt8Rescore, mmPhash, annIvfIncr,
     topkPerKey, retrieveHybrid, qualityCompress, graphPagerank)
 
   /** Operators whose results would be sketch-based and engine-specific.
@@ -5791,6 +5791,35 @@ object QueriesExt {
        |SELECT pr.id_a, pr.id_b, sa.split AS split_a, sb.split AS split_b
        |FROM pr JOIN spl sa ON sa.doc_id = pr.id_a JOIN spl sb ON sb.doc_id = pr.id_b
        |WHERE sa.split <> sb.split""".stripMargin))
+
+  /** LEAKAGE-SAFE split gate ([[graft.operators.Dedup.splitAssignByComponent]]):
+    * the constructive companion of the audit above — near-dup components
+    * (3-gram Jaccard pairs at 0.3, the same generator as
+    * `x_dedup_clusters`) collapse to their min-id representative before the
+    * 80/10/10 contiguous-bucket assignment, so no candidate pair can
+    * straddle a split boundary. The oracle replays the recursive
+    * reachability CTE, representative fallback, and the md5 bucket
+    * arithmetic; the no-straddle invariant itself is spec-asserted on the
+    * same corpus (non-vacuously: plain [[graft.operators.Dedup.splitAssign]]
+    * DOES straddle at least one of these pairs).
+    */
+  private lazy val splitSafe: Q = "x_split_leakage_safe" -> ((
+    (s: SparkSession, dir: String) => {
+      val d = docs(s, dir)
+      graft.operators.Dedup.splitAssignByComponent(
+        d, "doc_id",
+        graft.operators.Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.3),
+        Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0))
+        .select("doc_id", "split")
+    },
+    s"""WITH RECURSIVE $jaccardCcCtes,
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |rep AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+       |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id,
+       |  CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |  ('0x'||substr(md5(rep::VARCHAR),1,8))::BIGINT % 10000 AS b FROM rep)""".stripMargin))
 
   /** STREAMING frozen-model scoring gate: fit NB offline ([[Classifier
     * .nbWeights]], vocab-bounded driver transfer), freeze the weights into

@@ -1205,6 +1205,38 @@ object Dedup {
       .select("id_a", "id_b", "split_a", "split_b")
   }
 
+  /** LEAKAGE-SAFE split ASSIGNMENT — the constructive fix for what
+    * [[splitLeakage]] audits: near-dup documents must land on the SAME side
+    * of a train/eval boundary, so the split key is the document's near-dup
+    * COMPONENT REPRESENTATIVE (min id over [[connectedComponents]] of the
+    * candidate `pairs`, the document's own id when it has no near-dup),
+    * then the same contiguous-bucket [[splitAssign]] applies to the
+    * representative. Properties inherited by construction: every A~B~C
+    * chain shares one representative hence one split; singleton documents
+    * hash exactly as plain [[splitAssign]] (so the assignment only MOVES
+    * near-dup members, nothing else); append-stable as long as components
+    * keep their min id.
+    *
+    * `pairs` is any `(id_a, id_b)` candidate set — MinHash-LSH, n-gram
+    * Jaccard, embedding near-dup — so the expensive generation is shared
+    * with the dedup pass the pipeline already runs. Scale shape: the CC
+    * runs over the pair set (≪ corpus); the representative map joins the
+    * corpus once on id (AQE broadcasts it in the healthy-corpus case where
+    * near-dups are a small minority), and the bucket assignment stays a
+    * shuffle-free codegen'd projection.
+    */
+  def splitAssignByComponent(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    val comp = connectedComponents(pairs).withColumnRenamed("id", idCol)
+    val withRep = df.join(comp, Seq(idCol), "left")
+      .withColumn("_rep", coalesce(col("component"), col(idCol)))
+    splitAssign(withRep, col("_rep"), splits, outCol).drop("_rep", "component")
+  }
+
   /** Per-group document cap — the CommonCrawl "per-host cap" primitive: at
     * most `maxPerGroup` rows survive per group (host, source, license…),
     * chosen deterministically by content-hash order (md5 of the id, id

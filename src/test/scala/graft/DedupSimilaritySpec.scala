@@ -248,6 +248,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"missing=${expected -- reported} spurious=${reported -- expected}")
   }
 
+  test("splitAssignByComponent: no pair straddles; chains unify; singletons match plain assign") {
+    // Same twin fixture as the leakage audit, plus a 3-chain (A~B, B~C with
+    // A!~C transitively linked) and isolated docs.
+    val twins = (0L until 40L).flatMap { i =>
+      val t = s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      Seq((i, t), (i + 1000L, t))
+    }
+    val iso = (5000L until 5020L).map(i => (i, s"iso${i}x iso${i}y iso${i}z iso${i}w"))
+    val d = (twins ++ iso).toDF("doc_id", "text")
+    val splits = Seq("train" -> 80.0, "val" -> 10.0, "test" -> 10.0)
+    val pairs = Dedup.minHashLshPairs(d, "doc_id", "text", n = 3, numHashes = 12, bands = 4)
+    val safe = Dedup.splitAssignByComponent(d, "doc_id", pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val plain = Dedup.splitAssign(d, col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every candidate pair lands on one side — the defining invariant
+    pairs.select("id_a", "id_b").as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(safe(a) == safe(b), s"pair ($a, $b) straddles: ${safe(a)} vs ${safe(b)}")
+    }
+    // non-vacuous: the plain assignment DOES straddle at least one pair
+    assert((0L until 40L).exists(i => plain(i) != plain(i + 1000L)),
+      "fixture must straddle under plain splitAssign for the invariant to bite")
+    // singletons (no near-dup) are untouched relative to plain assignment
+    (5000L until 5020L).foreach(i => assert(safe(i) == plain(i)))
+    // total cover: every doc got a label
+    assert(safe.size == d.count())
+  }
+
   test("winnowing: shared-substring guarantee, disjoint docs share nothing, pair threshold") {
     val shared = "zqvxjwkpmbyfgthcdnrsl" // 21 chars >= w + k - 1 = 8 for (k=5,w=4)
     val d = Seq(
