@@ -213,14 +213,17 @@ object CurateMain {
     }
     stages += "after_self_dedup" -> afterSelf.count()
 
-    // Corpus-wide ExactSubstr cut (Lee et al. remove-every-occurrence, via
-    // the suffix array) AFTER the per-document cuts and BEFORE exact dedup:
-    // the hash key must see the cut text, and identical docs empty out here
-    // anyway (their whole text is a corpus-wide repeat), so the exact stage
-    // after it mostly collapses emptied shells.
+    // Corpus-wide ExactSubstr cut (Lee et al. remove-every-occurrence) AFTER
+    // the per-document cuts and BEFORE exact dedup: the hash key must see
+    // the cut text, and identical docs empty out here anyway (their whole
+    // text is a corpus-wide repeat), so the exact stage after it mostly
+    // collapses emptied shells. Implementation is the duplicated-char-gram
+    // fast path — the same function as SuffixArray.removeRepeatedText
+    // (equivalence spec-asserted on the real corpus) at two keyed
+    // aggregations instead of O(log maxDocLen) prefix-doubling rounds.
     val afterExactSubstr = cfg.exactSubstrMinLen match {
       case Some(l) =>
-        val cleaned = graft.operators.SuffixArray.removeRepeatedText(
+        val cleaned = Dedup.exactSubstrCutByGrams(
             afterSelf, cfg.idColumn, cfg.textColumn, minLen = l)
           .select(id, col("text_clean"))
         afterSelf.drop(cfg.textColumn)

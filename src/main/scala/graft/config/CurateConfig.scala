@@ -25,10 +25,12 @@ final case class CurateConfig(
     nfc: Boolean = false,
     dedupExact: Boolean = true,
     selfDedupMinLen: Option[Int] = None,
-    /** Corpus-wide ExactSubstr cut ([[graft.operators.SuffixArray.removeRepeatedText]],
+    /** Corpus-wide ExactSubstr cut ([[graft.operators.Dedup.exactSubstrCutByGrams]],
       * Lee et al. remove-every-occurrence semantics): delete all copies of
       * any substring of at least this many code points that appears more
-      * than once anywhere in the surviving corpus.
+      * than once anywhere in the surviving corpus. Runs the duplicated
+      * char-gram fast path — spec-proven equal to
+      * [[graft.operators.SuffixArray.removeRepeatedText]].
       */
     exactSubstrMinLen: Option[Int] = None,
     nearDupThreshold: Option[Double] = None,
@@ -82,7 +84,7 @@ final case class CurateConfig(
     require(dsirBuckets > 0, "dsir.buckets must be positive")
     selfDedupMinLen.foreach(l => require(l > 8, "dedup.self-minlen must exceed the winnowing window (8)"))
     exactSubstrMinLen.foreach(l => require(l >= 2 && l <= 512,
-      "dedup.exact-substr-minlen must be in [2, 512] (the suffix-window cap)"))
+      "dedup.exact-substr-minlen must be in [2, 512] (bounds the gram width)"))
     // Allow-list values must be panel members: the dominant-script label
     // can only ever be a panel script, so an off-panel value (or a typo —
     // `latn`) would silently drop the ENTIRE corpus instead of failing here.
