@@ -2960,6 +2960,47 @@ object QueriesExt {
     },
     annIvfOracle))
 
+  /** STREAMING exact-contamination serving
+    * ([[graft.operators.Dedup.exactContaminationAgainstGrams]]): the
+    * benchmark gram set is frozen ONCE offline
+    * ([[graft.operators.Dedup.benchmarkGrams]] → parquet), and arriving
+    * corpus documents are probed per micro-batch inside `foreachBatch` —
+    * the online-decontamination ingest shape. The probe is per-document
+    * independent and stateless, so the accumulated sink equals the
+    * full-corpus batch answer regardless of batching: the gate shares
+    * `x_exact_contamination`'s oracle VERBATIM, exactly like
+    * `st_ann_serve` shares its frozen-index oracle.
+    */
+  private lazy val stExactContamination: Q = "st_exact_contamination" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = scratchDir("stcontam")
+      val tmp = tmpPath.toString
+      try {
+        val d = docs(s, dir)
+        val corpus = d.where(col("doc_id") % 5 === 0 && col("doc_id") % 97 =!= 0)
+          .select("doc_id", "text")
+        corpus.repartition(4).write.parquet(s"$tmp/topic")
+        graft.operators.Dedup.benchmarkGrams(
+            d.where(col("doc_id") % 97 === 0), "doc_id", "text", minLen = 20)
+          .write.parquet(s"$tmp/bench")
+        val q = s.readStream.schema(corpus.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val bg = batch.sparkSession.read.parquet(s"$tmp/bench")
+            graft.operators.Dedup.exactContaminationAgainstGrams(
+                batch.toDF(), "doc_id", "text", bg, minLen = 20)
+              .write.mode("append").parquet(s"$tmp/out")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out").localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    exactContaminationGate._2._2))
+
   /** Keep-BEST cluster resolution gate: the Jaccard near-dup components
     * resolved by [[graft.operators.Dedup.resolveClustersBy]] with
     * preference = n_chars (keep the longest member, ties min id) — the
@@ -5031,7 +5072,7 @@ object QueriesExt {
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
     textBpeIds, qualityFilter, dedupKeepBest, spanCorrupt, textBigramLm,
-    urlBlocklist, stCurateIncrement, stLshDedupIncrement, stAnnServe, textGopher, exportCurriculum, dedupWinnow,
+    urlBlocklist, stCurateIncrement, stLshDedupIncrement, stAnnServe, stExactContamination, textGopher, exportCurriculum, dedupWinnow,
     dedupWinnowSpans, sampleMixtureTemp, driftReport, mineHardNegatives,
     corpusDiff, textOov, dedupCdc, sftTemplate, packExamples, textFertility,
     sftPairs, qualityClassifier, classifierEval, sampleDsir, dedupContainment,

@@ -1843,12 +1843,40 @@ object Dedup {
       bench: DataFrame,
       benchIdCol: String,
       benchTextCol: String,
+      minLen: Int): DataFrame =
+    exactContaminationAgainstGrams(df, idCol, textCol,
+      benchmarkGrams(bench, benchIdCol, benchTextCol, minLen), minLen)
+
+  /** The frozen probe set of [[exactContamination]]: one `gram` column of
+    * DISTINCT `minLen`-code-point benchmark windows. Build it ONCE offline
+    * (persist/parquet it) and probe every arriving corpus batch against it
+    * via [[exactContaminationAgainstGrams]] — the online-decontamination
+    * serving shape, where per-batch work never re-derives the eval set.
+    */
+  def benchmarkGrams(
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
-    val bg = charGrams(bench, benchIdCol, benchTextCol, minLen)
-      .select(col("_g")).distinct()
+    charGrams(bench, benchIdCol, benchTextCol, minLen)
+      .select(col("_g").as("gram")).distinct()
+  }
+
+  /** Probe phase of [[exactContamination]] against a prebuilt
+    * [[benchmarkGrams]] frame. Per-document independent and stateless, so
+    * the result is batching-invariant — a streaming `foreachBatch` over
+    * arriving documents accumulates exactly the full-corpus batch answer.
+    */
+  def exactContaminationAgainstGrams(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
     val hits = charGrams(df, idCol, textCol, minLen)
-      .join(broadcast(bg), Seq("_g"), "left_semi")
+      .join(broadcast(benchGrams.select(col("gram").as("_g"))), Seq("_g"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("s"))
     val stats = hits
