@@ -318,6 +318,31 @@ object ScaleProbe {
           f"spans(>=20)=$nSpans spansWall=$spanS%.1f s buildMetrics=${bm.json}")
       }
     }
+    stage("gram cut") {
+      // The ExactSubstr GRAM fast path under the same hostile replication:
+      // replicas duplicate every window, so at f>1 essentially the ENTIRE
+      // gram table survives both duplicate filters (the worst case — the
+      // two-phase hash prune prunes nothing) and every document is cut and
+      // rebuilt. Claims: wall tracks gram count LINEARLY (two keyed
+      // aggregations + the interval-union rebuild, never pairwise, no
+      // doubling rounds), and the cut cost stays far below the
+      // suffix-array build on the identical corpus (the 'suffix array'
+      // stage above — same fixture, same factor, directly comparable).
+      val snapG = TaskMetricsCollector.install(spark.sparkContext)
+      for (f <- Seq(1, factor).distinct) {
+        val bigD = (0 until f).map { i =>
+          base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
+            concat(col("text"), lit(s" replica$i")).as("text"))
+        }.reduce(_ union _).localCheckpoint(true)
+        val m0 = snapG(); val t0 = System.nanoTime()
+        val out = Dedup.exactSubstrCutByGrams(bigD, "doc_id", "text", minLen = 20)
+        val nCut = out.where(col("n_removed_chars") > 0).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gm = snapG() - m0
+        println(f"[probe] gramcut f=$f%-3d docs=${n * f}%-8d cutDocs=$nCut%-8d " +
+          f"wall=$wall%.1f s metrics=${gm.json}")
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -326,7 +351,7 @@ object ScaleProbe {
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
-          "'ann growth', 'suffix array')")
+          "'ann growth', 'suffix array', 'gram cut')")
       spark.stop(); return
     }
 
