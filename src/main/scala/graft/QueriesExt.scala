@@ -5067,7 +5067,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, textBm25, outlierMad, quantileSketch,
+    dedupHllStats, dedupIncremental, freqCms, sketchHll, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
@@ -5696,6 +5696,34 @@ object QueriesExt {
       |    row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
       |  FROM (SELECT unnest(string_split(trim(text),' ')) AS tok FROM documents)
       |  GROUP BY tok) WHERE rk <= 20""".stripMargin))
+
+  /** HyperLogLog distinct-count gate ([[graft.operators.Sketches.hllDistinct]]):
+    * distinct `l_orderkey` per `l_returnflag` with m=256 registers. Unlike
+    * the CMS/percentile accuracy-contract gates, the sketch here is
+    * ENGINE-PORTABLE, so the oracle replays the register construction
+    * itself — md5-32-bit hash, top-8-bit register, binary-string-length
+    * rho, exact `2^-rho` fold (every partial sum is a multiple of
+    * `2^-25` bounded by 256, hence bit-exact under any addition order) —
+    * and the estimates hash-match to 6 decimals. Per-flag cardinalities
+    * (~thousands) sit in the correction-free raw regime by construction:
+    * the estimate is division-only, no transcendental boundary risk.
+    */
+  private lazy val sketchHll: Q = "x_sketch_hll" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.Sketches.hllDistinct(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        Seq("l_returnflag"), col("l_orderkey"), p = 8),
+    """WITH h AS (SELECT l_returnflag,
+      |    ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,8))::BIGINT AS hv
+      |  FROM lineitem),
+      |r AS (SELECT l_returnflag, hv >> 24 AS reg, hv & 16777215 AS rest FROM h),
+      |regs AS (SELECT l_returnflag, reg,
+      |    max(CASE WHEN rest = 0 THEN 25 ELSE 25 - length(bin(rest)) END) AS mr
+      |  FROM r GROUP BY 1, 2)
+      |SELECT l_returnflag, count(*)::BIGINT AS n_regs,
+      |  round((0.7213/(1 + 1.079/256)) * 65536.0 /
+      |        (sum(power(2.0, -mr)) + (256 - count(*))), 6) AS hll_estimate
+      |FROM regs GROUP BY 1""".stripMargin))
 
   /** Shared oracle body for the NB classifier gates: fit multinomial NB
     * (add-one smoothing, 4096-token vocab cap — a declared no-op on the

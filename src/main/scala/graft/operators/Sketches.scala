@@ -45,4 +45,54 @@ object Sketches {
       (t, c, est >= c && est <= c + slack)
     }.toDF("tok", "exact_cnt", "cms_ok")
   }
+
+  /** HyperLogLog distinct-count sketch per group (Flajolet et al. 2007) —
+    * the mergeable cardinality primitive for 100 TB profiling, built
+    * ENGINE-PORTABLY so the whole register state is oracle-replayable
+    * (unlike `approx_count_distinct`, whose binary sketch is Spark-private):
+    * hash = first 32 bits of md5 (the shared gate hash), register = top `p`
+    * bits, rho = leading-zero count of the remaining `32-p` bits + 1 via
+    * binary-string length (`length(conv(rest, 10, 2))` ≡ DuckDB
+    * `length(bin(rest))` — integer-exact, no float log). Per-group register
+    * table = `groupBy(group, reg).agg(max(rho))` (map-side combining, at
+    * most `m` rows per group regardless of data volume), then one exact
+    * fold: every `2^-rho` term and every partial sum is a multiple of
+    * `2^-(32-p+1)` bounded by `m`, so the double sum is EXACT under any
+    * addition order — the estimate is bit-deterministic across engines and
+    * partitionings. Standard corrections apply (linear counting below
+    * `2.5m` with empty registers; 32-bit large-range above `2^32/30`); the
+    * raw-regime arithmetic is division-only, so cross-engine determinism
+    * needs no `ln` at all there.
+    *
+    * Output: one row per group — `n_regs` (occupied registers),
+    * `hll_estimate` (rounded to 6 decimals).
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12] (16..4096 registers)")
+    val m = 1 << p
+    val restBits = 32 - p
+    val maxRho = restBits + 1
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10).cast("long")
+    val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+    val rho = when(rest === 0, maxRho)
+      .otherwise(lit(maxRho) - length(conv(rest, 10, 2)))
+    val regs = df
+      .select(groupCols.map(col) :+ shiftright(h, restBits).as("_reg") :+ rho.as("_rho"): _*)
+      .groupBy((groupCols :+ "_reg").map(col): _*).agg(max("_rho").as("_mr"))
+    val raw = lit(alpha * m * m) /
+      (col("_s") + (lit(m) - col("n_regs")).cast("double"))
+    val zeros = lit(m) - col("n_regs") // registers never hit = linear-counting V
+    val twoP32 = math.pow(2.0, 32)
+    val est = when(raw <= 2.5 * m && zeros > 0, lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+      .when(raw > twoP32 / 30.0, lit(-twoP32) * log(lit(1.0) - raw / twoP32))
+      .otherwise(raw)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_regs"), sum(pow(lit(2.0), -col("_mr"))).as("_s"))
+      .select(groupCols.map(col) :+ col("n_regs") :+ round(est, 6).as("hll_estimate"): _*)
+  }
 }

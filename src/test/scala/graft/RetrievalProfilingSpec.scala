@@ -40,6 +40,34 @@ class RetrievalProfilingSpec extends SparkSpec {
     assert(out("flat")._3 == 0.0 && out("flat")._5 == 0L)
   }
 
+  test("hllDistinct: estimate within the published band, linear counting small-range, partition-invariant") {
+    // 5000 distinct values in one group: raw regime (E >> 2.5m).
+    // Published std error at m=256 is 1.04/sqrt(256) = 6.5%; assert 3 sigma.
+    val big = (0 until 5000).map(i => ("a", s"v$i")) ++ (0 until 5000).map(i => ("a", s"v$i"))
+    // 3 distinct values in group b: linear-counting regime, near-exact.
+    val small = (0 until 60).map(i => ("b", s"s${i % 3}"))
+    val df = (big ++ small).toDF("grp", "v")
+    val out = Sketches.hllDistinct(df, Seq("grp"), col("v"), p = 8)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(math.abs(out("a")._3 - 5000) < 5000 * 0.195,
+      s"raw-regime estimate ${out("a")._3} off by more than 3 sigma from 5000")
+    assert(math.abs(out("b")._3 - 3) < 1.0,
+      s"linear-counting estimate ${out("b")._3} should be within 1 of 3")
+    assert(out("b")._2 <= 3) // at most 3 registers occupied by 3 distincts
+    // duplicates can never move a register: estimate is purely set-determined
+    val dedup = Sketches.hllDistinct(
+      df.distinct(), Seq("grp"), col("v"), p = 8)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(dedup("a") == out("a")._3 && dedup("b") == out("b")._3)
+    // bit-identical under a different partitioning (exact-fold claim)
+    val repart = Sketches.hllDistinct(df.repartition(13), Seq("grp"), col("v"), p = 8)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(repart("a") == out("a")._3 && repart("b") == out("b")._3)
+    intercept[IllegalArgumentException] {
+      Sketches.hllDistinct(df, Seq("grp"), col("v"), p = 13)
+    }
+  }
+
   test("cmsHeavyHitterCheck: exact top-k ordering with every estimate in band") {
     val docs = Seq.tabulate(200)(i =>
       (s"w${i % 5} common", if (i % 2 == 0) "alpha beta" else "alpha")).map(t => t._1 + " " + t._2)
