@@ -5067,7 +5067,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, sketchHll, textBm25, outlierMad, quantileSketch,
+    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
@@ -5724,6 +5724,71 @@ object QueriesExt {
       |  round((0.7213/(1 + 1.079/256)) * 65536.0 /
       |        (sum(power(2.0, -mr)) + (256 - count(*))), 6) AS hll_estimate
       |FROM regs GROUP BY 1""".stripMargin))
+
+  /** HLL MERGE gate — the sketch's defining property as a correctness
+    * statement: registers built on the two `l_orderkey % 2` halves
+    * SEPARATELY, merged with [[graft.operators.Sketches.hllMergeRegisters]]
+    * (union + keyed max), must estimate EXACTLY what the whole-corpus
+    * sketch estimates — register state is a per-key max, so slice-and-merge
+    * is lossless by construction. Shares `x_sketch_hll`'s oracle VERBATIM.
+    * This is the 100 TB roll-up shape: per-partition / per-day register
+    * tables (m-bounded rows) merge without rescanning the data.
+    */
+  private lazy val sketchHllMerge: Q = "x_sketch_hll_merge" -> ((
+    (s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val even = graft.operators.Sketches.hllRegisters(
+        li.where(col("l_orderkey") % 2 === 0), Seq("l_returnflag"), col("l_orderkey"), p = 8)
+      val odd = graft.operators.Sketches.hllRegisters(
+        li.where(col("l_orderkey") % 2 === 1), Seq("l_returnflag"), col("l_orderkey"), p = 8)
+      graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllMergeRegisters(Seq("l_returnflag"), even, odd),
+        Seq("l_returnflag"), p = 8)
+    },
+    sketchHll._2._2))
+
+  /** STREAMING HLL cardinality tracking: each micro-batch's register table
+    * is written to a `batch_id`-partitioned state dir with per-batch
+    * OVERWRITE (crash-replay REPLACES its own output — the
+    * `lshIncrementStep` idempotence discipline; registers are maxes, so
+    * even a duplicated batch could not corrupt the estimate, but the state
+    * stays clean), and the estimate at any point is one merge over the
+    * m-bounded appended tables. Register max is associative, commutative,
+    * idempotent ⇒ the accumulated state is batching-invariant and the gate
+    * shares `x_sketch_hll`'s oracle VERBATIM.
+    */
+  private lazy val stSketchHll: Q = "st_sketch_hll" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = scratchDir("sthll")
+      val tmp = tmpPath.toString
+      try {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_returnflag", "l_orderkey")
+        li.repartition(4).write.parquet(s"$tmp/topic")
+        // seed the state dir so per-batch reads never hit missing-path
+        graft.operators.Sketches.hllRegisters(
+            li.limit(0), Seq("l_returnflag"), col("l_orderkey"), p = 8)
+          .withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(s"$tmp/state")
+        val q = s.readStream.schema(li.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            graft.operators.Sketches.hllRegisters(
+                batch.toDF(), Seq("l_returnflag"), col("l_orderkey"), p = 8)
+              .write.mode("overwrite").parquet(s"$tmp/state/batch_id=$bid")
+          }
+          .start()
+        q.awaitTermination()
+        graft.operators.Sketches.hllEstimate(
+          s.read.parquet(s"$tmp/state").drop("batch_id")
+            .groupBy(col("l_returnflag"), col("reg")).agg(max("max_rho").as("max_rho")),
+          Seq("l_returnflag"), p = 8).localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    sketchHll._2._2))
 
   /** Shared oracle body for the NB classifier gates: fit multinomial NB
     * (add-one smoothing, 4096-token vocab cap — a declared no-op on the

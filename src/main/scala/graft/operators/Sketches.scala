@@ -71,19 +71,58 @@ object Sketches {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: org.apache.spark.sql.Column,
+      p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Register-table phase of [[hllDistinct]]: one `(group…, reg, max_rho)`
+    * row per OCCUPIED register — the sketch's entire mergeable state, as
+    * plain rows (persist it, partition it, ship it between days). At most
+    * `2^p` rows per group regardless of data volume, produced by one
+    * map-side-combining aggregation.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 12, "p must be in [4, 12] (16..4096 registers)")
-    val m = 1 << p
     val restBits = 32 - p
     val maxRho = restBits + 1
-    val alpha = 0.7213 / (1 + 1.079 / m)
     val h = conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10).cast("long")
     val rest = h.bitwiseAND(lit((1L << restBits) - 1))
     val rho = when(rest === 0, maxRho)
       .otherwise(lit(maxRho) - length(conv(rest, 10, 2)))
-    val regs = df
-      .select(groupCols.map(col) :+ shiftright(h, restBits).as("_reg") :+ rho.as("_rho"): _*)
-      .groupBy((groupCols :+ "_reg").map(col): _*).agg(max("_rho").as("_mr"))
+    df.select(groupCols.map(col) :+ shiftright(h, restBits).as("reg") :+ rho.as("_rho"): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*).agg(max("_rho").as("max_rho"))
+  }
+
+  /** Merge register tables from disjoint (or overlapping — max is
+    * idempotent) slices of the data: sketch(A ∪ B) ≡ merge(sketch(A),
+    * sketch(B)) EXACTLY, register by register — the property that lets
+    * per-partition / per-day / per-stream-batch sketches roll up without
+    * ever rescanning the data. Cost: a union of m-bounded tables and one
+    * keyed max.
+    */
+  def hllMergeRegisters(groupCols: Seq[String], regTables: DataFrame*): DataFrame = {
+    require(regTables.nonEmpty, "need at least one register table")
+    regTables.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "reg").map(col): _*)
+      .agg(max("max_rho").as("max_rho"))
+  }
+
+  /** Estimate phase of [[hllDistinct]] over a register table (built by
+    * [[hllRegisters]] or merged by [[hllMergeRegisters]]). The `2^-rho`
+    * fold is exact (see [[hllDistinct]]); corrections: linear counting
+    * below `2.5m` with empty registers, 32-bit large-range above
+    * `2^32/30`.
+    */
+  def hllEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, "p must be in [4, 12] (16..4096 registers)")
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
     val raw = lit(alpha * m * m) /
       (col("_s") + (lit(m) - col("n_regs")).cast("double"))
     val zeros = lit(m) - col("n_regs") // registers never hit = linear-counting V
@@ -92,7 +131,7 @@ object Sketches {
       .when(raw > twoP32 / 30.0, lit(-twoP32) * log(lit(1.0) - raw / twoP32))
       .otherwise(raw)
     regs.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_regs"), sum(pow(lit(2.0), -col("_mr"))).as("_s"))
+      .agg(count(lit(1)).as("n_regs"), sum(pow(lit(2.0), -col("max_rho"))).as("_s"))
       .select(groupCols.map(col) :+ col("n_regs") :+ round(est, 6).as("hll_estimate"): _*)
   }
 }

@@ -68,6 +68,26 @@ class RetrievalProfilingSpec extends SparkSpec {
     }
   }
 
+  test("hllMergeRegisters: disjoint and OVERLAPPING slices merge to the whole-data sketch exactly") {
+    val df = (0 until 2000).map(i => ("g", s"v$i")).toDF("grp", "v")
+    val whole = Sketches.hllDistinct(df, Seq("grp"), col("v"), p = 8)
+      .as[(String, Long, Double)].collect().head
+    // disjoint halves
+    val lo = Sketches.hllRegisters(df.where(expr("substr(v, 2) < '1'")), Seq("grp"), col("v"), p = 8)
+    val hi = Sketches.hllRegisters(df.where(expr("substr(v, 2) >= '1'")), Seq("grp"), col("v"), p = 8)
+    val mergedDisjoint = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(Seq("grp"), lo, hi), Seq("grp"), p = 8)
+      .as[(String, Long, Double)].collect().head
+    assert(mergedDisjoint == whole)
+    // overlapping slices: max is idempotent, double-counted rows change nothing
+    val a = Sketches.hllRegisters(df.limit(1500), Seq("grp"), col("v"), p = 8)
+    val b = Sketches.hllRegisters(df, Seq("grp"), col("v"), p = 8)
+    val mergedOverlap = Sketches.hllEstimate(
+      Sketches.hllMergeRegisters(Seq("grp"), a, b), Seq("grp"), p = 8)
+      .as[(String, Long, Double)].collect().head
+    assert(mergedOverlap == whole)
+  }
+
   test("cmsHeavyHitterCheck: exact top-k ordering with every estimate in band") {
     val docs = Seq.tabulate(200)(i =>
       (s"w${i % 5} common", if (i % 2 == 0) "alpha beta" else "alpha")).map(t => t._1 + " " + t._2)
