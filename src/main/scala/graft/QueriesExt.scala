@@ -5067,7 +5067,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, textBm25, outlierMad, quantileSketch,
+    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, sketchKmvOverlap, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
@@ -5789,6 +5789,48 @@ object QueriesExt {
       } finally rmTree(tmpPath.toFile)
     },
     sketchHll._2._2))
+
+  /** KMV set-overlap gate ([[graft.operators.Sketches.kmvOverlap]]):
+    * audience overlap between the (user, active-day) sets of two event
+    * types, estimated from two 128-row bottom-k sketches — never a join of
+    * the sides. Fully deterministic (the hash order IS the sample), so the
+    * oracle replays the sketches as `ORDER BY hash LIMIT k`, the merged
+    * union bottom-k, the shared fraction, and the `(k-1)/U(k)` estimator
+    * with its exact-below-k fallback, to identical 6-decimal values.
+    */
+  private lazy val sketchKmvOverlap: Q = "x_sketch_kmv_overlap" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = sources.EventsTable.load(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.functions.Conversions.nanosToEpochMs(col("ts")).as("ms"))
+      def setOf(t: String) = ev.where(col("event_type") === t)
+        .select(concat_ws("_", col("user_id"), expr("ms div 86400000")).as("v"))
+      graft.operators.Sketches.kmvOverlap(
+        setOf("purchase"), col("v"), setOf("click"), col("v"), k = 128)
+    },
+    """WITH da AS (SELECT DISTINCT
+      |    ('0x'||substr(md5(user_id::VARCHAR||'_'||(epoch_ms(ts)//86400000)::VARCHAR),1,8))::BIGINT AS hv
+      |  FROM events WHERE event_type = 'purchase'),
+      |sa AS (SELECT hv FROM da ORDER BY hv LIMIT 128),
+      |db AS (SELECT DISTINCT
+      |    ('0x'||substr(md5(user_id::VARCHAR||'_'||(epoch_ms(ts)//86400000)::VARCHAR),1,8))::BIGINT AS hv
+      |  FROM events WHERE event_type = 'click'),
+      |sb AS (SELECT hv FROM db ORDER BY hv LIMIT 128),
+      |m AS (SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+      |      ORDER BY hv LIMIT 128),
+      |ea AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+      |         ELSE 127.0 / (max(hv) / 4294967296.0) END AS e FROM sa),
+      |eb AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+      |         ELSE 127.0 / (max(hv) / 4294967296.0) END AS e FROM sb),
+      |eu AS (SELECT CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+      |         ELSE 127.0 / (max(hv) / 4294967296.0) END AS e FROM m),
+      |jc AS (SELECT (SELECT count(*) FROM m
+      |          WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb))::DOUBLE
+      |        / (SELECT count(*) FROM m) AS j)
+      |SELECT round(ea.e, 6) AS n_a_est, round(eb.e, 6) AS n_b_est,
+      |  round(eu.e, 6) AS n_union_est, round(jc.j, 6) AS jaccard,
+      |  round(jc.j * eu.e, 6) AS n_intersection_est
+      |FROM ea, eb, eu, jc""".stripMargin))
 
   /** Shared oracle body for the NB classifier gates: fit multinomial NB
     * (add-one smoothing, 4096-token vocab cap — a declared no-op on the

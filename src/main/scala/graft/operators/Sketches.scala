@@ -134,4 +134,60 @@ object Sketches {
       .agg(count(lit(1)).as("n_regs"), sum(pow(lit(2.0), -col("max_rho"))).as("_s"))
       .select(groupCols.map(col) :+ col("n_regs") :+ round(est, 6).as("hll_estimate"): _*)
   }
+
+  /** KMV (k-minimum-values / bottom-k) sketch of a SET (Bar-Yossef et al.
+    * 2002): the `k` smallest distinct 32-bit md5 hashes, as plain rows.
+    * What HLL cannot do, KMV can: the bottom-k of a UNION is computable
+    * from the two bottom-k's alone, and the intersection of the retained
+    * samples is an unbiased Jaccard estimator — so SET OVERLAP between two
+    * 100 TB sides costs two k-row sketches, never a join of the sides.
+    * Deterministic (no RNG: the hash order IS the sample), hence
+    * oracle-replayable as `ORDER BY hash LIMIT k` on any engine.
+    *
+    * Scale shape: distinct-hash dedup is the one full shuffle (same cost
+    * class as the exact-dedup pass pipelines already run); the bottom-k is
+    * `TakeOrderedAndProject` — per-partition top-k, k-row driver merge.
+    */
+  def kmvSketch(df: DataFrame, valueCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 16, "k must be >= 16 (estimator variance explodes below)")
+    df.select(conv(substring(md5(valueCol.cast("string")), 1, 8), 16, 10)
+        .cast("long").as("hv"))
+      .distinct().orderBy("hv").limit(k)
+  }
+
+  /** Set-overlap estimation from two [[kmvSketch]]es: distinct-count
+    * estimates for both sides, their union (from the merged bottom-k), the
+    * Jaccard estimate (shared fraction of the union sample), and the
+    * intersection estimate `J × |A∪B|` — the audience-overlap answer. Each
+    * estimate falls back to the EXACT count when the retained sample holds
+    * the whole set (`n < k`); otherwise `(k-1) / U(k)` with `U(k)` the
+    * k-th smallest hash normalized to [0,1). Division-only arithmetic on
+    * exact inputs — deterministic across engines. One output row:
+    * `(n_a_est, n_b_est, n_union_est, jaccard, n_intersection_est)`,
+    * rounded to 6 decimals.
+    */
+  def kmvOverlap(
+      a: DataFrame, aCol: org.apache.spark.sql.Column,
+      b: DataFrame, bCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val sa = kmvSketch(a, aCol, k).localCheckpoint(true)
+    val sb = kmvSketch(b, bCol, k).localCheckpoint(true)
+    val merged = sa.union(sb).distinct().orderBy("hv").limit(k).localCheckpoint(true)
+    val common = merged.join(sa, Seq("hv"), "left_semi").join(sb, Seq("hv"), "left_semi")
+    val twoP32 = math.pow(2.0, 32)
+    def estOf(s: DataFrame, outCol: String): DataFrame =
+      s.agg(count(lit(1)).as("_n"), max("hv").as("_kth"))
+        .select(when(col("_n") < k, col("_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("_kth") / twoP32)).as(outCol))
+    val ja = common.agg(count(lit(1)).as("_nc"))
+      .crossJoin(merged.agg(count(lit(1)).as("_nm")))
+      .select((col("_nc") / col("_nm")).as("jaccard"))
+    estOf(sa, "n_a_est").crossJoin(estOf(sb, "n_b_est"))
+      .crossJoin(estOf(merged, "n_union_est")).crossJoin(ja)
+      .select(round(col("n_a_est"), 6).as("n_a_est"),
+        round(col("n_b_est"), 6).as("n_b_est"),
+        round(col("n_union_est"), 6).as("n_union_est"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(col("jaccard") * col("n_union_est"), 6).as("n_intersection_est"))
+  }
 }

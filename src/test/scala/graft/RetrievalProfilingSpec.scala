@@ -88,6 +88,32 @@ class RetrievalProfilingSpec extends SparkSpec {
     assert(mergedOverlap == whole)
   }
 
+  test("kmvOverlap: known-overlap sets estimated in band; small sets exact; duplicate-invariant") {
+    // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (ids 2000..2999), J = 0.2.
+    val a = (0 until 3000).map(i => s"v$i").toDF("v")
+    val b = (2000 until 5000).map(i => s"v$i").toDF("v")
+    val out = Sketches.kmvOverlap(a, col("v"), b, col("v"), k = 256)
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    // KMV rel error ~1/sqrt(k-2) = 6.3% on the set sizes; Jaccard adds
+    // sampling noise (±3 sigma of sqrt(J(1-J)/k) ≈ 0.075 absolute).
+    assert(math.abs(out._1 - 3000) < 3000 * 0.19, s"n_a_est ${out._1}")
+    assert(math.abs(out._2 - 3000) < 3000 * 0.19, s"n_b_est ${out._2}")
+    assert(math.abs(out._3 - 5000) < 5000 * 0.19, s"n_union_est ${out._3}")
+    assert(math.abs(out._4 - 0.2) < 0.075, s"jaccard ${out._4}")
+    assert(math.abs(out._5 - 1000) < 1000 * 0.5, s"n_intersection_est ${out._5}")
+    // below-k sets: every estimate is EXACT (the sample is the set)
+    val sa = (0 until 30).map(i => s"s$i").toDF("v")
+    val sb = (20 until 60).map(i => s"s$i").toDF("v")
+    val ex = Sketches.kmvOverlap(sa, col("v"), sb, col("v"), k = 128)
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(ex._1 == 30.0 && ex._2 == 40.0 && ex._3 == 60.0)
+    assert(ex._4 == 0.166667 && math.abs(ex._5 - 10.0) < 1e-6) // round(1/6, 6)
+    // multiplicity never moves a bottom-k sample
+    val dup = Sketches.kmvOverlap(a.union(a), col("v"), b, col("v"), k = 256)
+      .as[(Double, Double, Double, Double, Double)].collect().head
+    assert(dup == out)
+  }
+
   test("cmsHeavyHitterCheck: exact top-k ordering with every estimate in band") {
     val docs = Seq.tabulate(200)(i =>
       (s"w${i % 5} common", if (i % 2 == 0) "alpha beta" else "alpha")).map(t => t._1 + " " + t._2)
