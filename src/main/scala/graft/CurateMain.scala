@@ -263,7 +263,7 @@ object CurateMain {
     }
     stages += "after_near_dedup" -> afterNear.count()
 
-    val afterDecon = cfg.decontaminateAgainst match {
+    val afterDeconNgram = cfg.decontaminateAgainst match {
       case Some(path) =>
         val bench = spark.read.parquet(path)
         afterNear.join(
@@ -272,6 +272,21 @@ object CurateMain {
             .where(col("contaminated") === 0).select(id), cfg.idColumn)
           .persist(StorageLevel.MEMORY_AND_DISK)
       case None => afterNear
+    }
+    // Character-verbatim pass (decontaminate.exact-minlen): drops documents
+    // sharing a verbatim >= minLen-code-point substring with the benchmark
+    // — catches leaks the token n-gram flag misses (whitespace/punctuation
+    // variants inside tokens, sub-token splices). Broadcast gram semi-join:
+    // the corpus side never shuffles.
+    val afterDecon = (cfg.decontaminateAgainst, cfg.decontaminateExactMinLen) match {
+      case (Some(path), Some(l)) =>
+        val bench = spark.read.parquet(path)
+        afterDeconNgram.join(
+          Dedup.exactContamination(afterDeconNgram, cfg.idColumn, cfg.textColumn,
+              bench, cfg.idColumn, cfg.textColumn, minLen = l)
+            .where(col("contaminated") === 0).select(id), cfg.idColumn)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      case _ => afterDeconNgram
     }
     stages += "after_decontaminate" -> afterDecon.count()
 

@@ -37,6 +37,14 @@ final case class CurateConfig(
     nearDupKeepBest: Boolean = false,
     decontaminateAgainst: Option[String] = None,
     decontaminateN: Int = 8,
+    /** Character-verbatim decontamination
+      * ([[graft.operators.Dedup.exactContamination]]): additionally drop
+      * any document sharing a verbatim substring of at least this many
+      * code points with the benchmark set — the exact companion of the
+      * token n-gram flag, for eval sets where paraphrase-level overlap is
+      * acceptable but verbatim leakage is not.
+      */
+    decontaminateExactMinLen: Option[Int] = None,
     sampleStratum: Option[String] = None,
     sampleRates: Map[String, Double] = Map.empty,
     sampleDefault: Double = 100.0,
@@ -74,6 +82,8 @@ final case class CurateConfig(
     require(minWords >= 0 && maxWords >= minWords, "invalid word bounds")
     nearDupThreshold.foreach(t => require(t > 0 && t < 1, "near-threshold in (0,1)"))
     require(decontaminateN >= 2, "decontaminate n-gram size must be >= 2")
+    decontaminateExactMinLen.foreach(l => require(l >= 2 && l <= 512,
+      "decontaminate.exact-minlen must be in [2, 512] (bounds the gram width)"))
     require(mixtureTemperature >= 0.0, "mixture temperature must be non-negative")
     exampleLen.foreach(l => require(l > 1, "examples.len must be > 1"))
     require(exampleEod.nonEmpty, "examples.eod must be non-empty")
@@ -145,7 +155,7 @@ object CurateConfig {
     val unknownD = dedup.keySet -- Set("exact", "near-threshold", "keep", "self-minlen",
       "exact-substr-minlen")
     require(unknownD.isEmpty, s"unknown dedup keys: ${unknownD.mkString(", ")}")
-    val unknownC = decon.keySet -- Set("against", "n")
+    val unknownC = decon.keySet -- Set("against", "n", "exact-minlen")
     require(unknownC.isEmpty, s"unknown decontaminate keys: ${unknownC.mkString(", ")}")
     val unknownS = sample.keySet --
       Set("stratum-column", "default-percent", "rates", "k-per-stratum", "weight-column")
@@ -206,7 +216,7 @@ object CurateConfig {
     require(sample.isEmpty || sample.contains("stratum-column"),
       "sample: requires stratum-column (rates/default-percent alone do nothing)")
     require(decon.isEmpty || decon.contains("against"),
-      "decontaminate: requires against (n alone does nothing)")
+      "decontaminate: requires against (n/exact-minlen alone do nothing)")
     require(!dedup.contains("keep") || dedup.contains("near-threshold"),
       "dedup.keep: requires near-threshold (keep alone runs no near-dup stage)")
 
@@ -249,6 +259,7 @@ object CurateConfig {
       },
       decontaminateAgainst = str(decon, "against"),
       decontaminateN = str(decon, "n").map(_.toInt).getOrElse(8),
+      decontaminateExactMinLen = str(decon, "exact-minlen").map(_.toInt),
       sampleStratum = str(sample, "stratum-column"),
       sampleRates = sub(sample, "rates").map { case (k, v) => k -> v.toString.toDouble },
       sampleDefault = str(sample, "default-percent").map(_.toDouble).getOrElse(100.0),

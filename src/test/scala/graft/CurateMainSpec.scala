@@ -233,6 +233,41 @@ class CurateMainSpec extends SparkSpec {
     graft.QueriesExt.rmTree(new java.io.File(dir))
   }
 
+  test("CurateMain.run: exact-minlen decontamination catches a sub-token verbatim leak the n-gram flag misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exdecon").toString
+    // The 30-char leak sits INSIDE one long token of doc 1, so the
+    // token-level n-gram flag can never fire (no shared token), but the
+    // character-verbatim pass must.
+    val leak = "SECRETBENCHMARKANSWERPAYLOAD30"
+    Seq(
+      (1L, s"alpha one two prefix${leak}suffix three four five", "s0"),
+      (2L, "beta six seven eight nine ten eleven twelve", "s0")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/in")
+    Seq((100L, s"question about $leak indeed", "bench"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite").parquet(s"$dir/bench")
+    def run(exactLine: String) = {
+      val cfg = CurateConfig.fromYaml(
+        s"""input: $dir/in
+           |output: $dir/out
+           |dedup:
+           |  exact: false
+           |decontaminate:
+           |  against: $dir/bench
+           |  n: 3
+           |$exactLine""".stripMargin.trim)
+      CurateMain.run(spark, cfg)
+      spark.read.parquet(s"$dir/out/corpus").select("doc_id").as[Long].collect().toSet
+    }
+    // n-gram-only: the leak is invisible (no shared TOKEN), both docs survive
+    assert(run("") == Set(1L, 2L))
+    // exact pass: doc 1 is dropped, the clean doc survives
+    assert(run("  exact-minlen: 25") == Set(2L))
+    intercept[IllegalArgumentException] {
+      CurateConfig.fromYaml("input: a\noutput: b\ndecontaminate:\n  against: x\n  exact-minlen: 600")
+    }
+    graft.QueriesExt.rmTree(new java.io.File(dir))
+  }
+
   test("CurateConfig: off-panel allowed-scripts fail at parse, never as a silent empty corpus") {
     val bad = intercept[IllegalArgumentException] {
       CurateConfig.fromYaml(
