@@ -150,6 +150,25 @@ class SuffixArraySpec extends SparkSpec {
     assert(sa.values.exists(_._2 > 0))
   }
 
+  test("exactSubstrCutByGrams == removeRepeatedText on random small-alphabet corpora (dense repeats)") {
+    // Three seeded corpora over a 3-char alphabet: dense accidental repeats
+    // at minLen=6 hammer every interval-union edge (overlaps, adjacency,
+    // whole-doc cuts) far harder than natural text does.
+    for (seed <- Seq(7, 99, 4242)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 15L).map { d =>
+        d -> (0 until (6 + rnd.nextInt(60))).map(_ => "abc"(rnd.nextInt(3))).mkString
+      }.toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Long)] =
+        df.select("doc_id", "text_clean", "n_removed_chars").collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      val sa = canon(SuffixArray.removeRepeatedText(docs, "doc_id", "text", minLen = 6))
+      val gr = canon(graft.operators.Dedup.exactSubstrCutByGrams(docs, "doc_id", "text", minLen = 6))
+      assert(sa == gr, s"seed $seed: cleaned text diverges")
+      assert(sa.values.exists(_._2 > 0), s"seed $seed: vacuous fixture (no cuts)")
+    }
+  }
+
   test("exactContamination: planted verbatim overlap measured exactly; clean docs report zero") {
     val shared = "x" * 5 + "the payload shared with the benchmark set" // 46 chars
     // boundary chars differ on BOTH sides so the verbatim overlap is
