@@ -17,40 +17,62 @@ import org.apache.spark.sql.graft.Shim
   * loses nothing for dedup (a substring shared across documents is a shared
   * prefix of two suffixes regardless of any concatenation order).
   *
-  * Construction is PREFIX DOUBLING (Karp–Miller–Rosenberg / Manber–Myers),
-  * expressed relationally:
-  *  - round 0 ranks each suffix by its first [[SuffixArray.InitPrefix]]
-  *    code points (dense rank over the substring, binary order — identical
-  *    to UTF-8 byte order, the collation DuckDB's `ORDER BY` uses, so
-  *    oracle replays agree; a substring that ends at the document boundary
-  *    is shorter and sorts first, exactly string order) — seeding the loop
-  *    at k = InitPrefix instead of k = 1 removes log2(InitPrefix) rounds;
-  *  - round k ranks by the pair `(rank, rank of the suffix k positions
-  *    later)` — a self-join on `(doc, off+k)` with missing-next mapped to
-  *    rank 0 (shorter-is-smaller, exactly string order) — doubling the
-  *    compared prefix every round: O(log maxDocLen) rounds total;
-  *  - equal suffixes (identical docs produce them) keep equal DENSE ranks
-  *    forever; the loop stops when a doubling round refines nothing (the
-  *    KMR fixpoint: a partition stable under one doubling is the final
-  *    suffix-equivalence partition) or when all ranks are distinct, with a
-  *    LOUD `require` on the round budget — never a silently-wrong array.
+  * Construction is SEED RANK + BUCKET REFINEMENT (Larsson–Sadakane bucket
+  * refinement with direct blocked comparison), expressed relationally:
+  *  - the seed pass ranks each suffix by its first
+  *    [[SuffixArray.InitPrefix]] code points (binary order — identical to
+  *    UTF-8 byte order, the collation DuckDB's `ORDER BY` uses, so oracle
+  *    replays agree; a substring that ends at the document boundary is
+  *    shorter and sorts first, exactly string order). Ranks are
+  *    MIN-POSITION (class rank = sorted position of the class head), which
+  *    makes them local under refinement: uniquely-ranked suffixes freeze
+  *    immediately and are never read again;
+  *  - each refinement round re-sorts ONLY still-tied classes by the next
+  *    [[SuffixArray.CompareBlock]] characters of their suffixes, fetched
+  *    from the documents table by a broadcast join — the direct,
+  *    memcmp-style comparison the published suffix-dedup implementations
+  *    use, blocked so a round ships a bounded window, never an unbounded
+  *    suffix. Ties that exhaust their text are genuinely EQUAL suffixes
+  *    and keep their shared rank — with a LOUD `require` on the round
+  *    budget, never a silently-wrong array;
+  *  - one final global pass converts the converged min-position ranks to
+  *    the DENSE ranks of the public contract.
   *
-  * The global dense rank is [[denseRankGlobal]] — range-partition + local
-  * window + O(partitions) driver prefix offsets; no single-partition
-  * window, no global sort skew, no distinct/join-back round trips (the
-  * non-distinct rowset is ranked in place and the distinct count falls out
-  * of the same pass). Scale shape per round: one keyed self-join + one
-  * range exchange over the CHARACTER-count row space — the honest cost of
-  * exact suffix indexing (the published systems pay exactly this), bounded
-  * by `maxRounds` ≈ log2 of the longest document.
+  * The global rank passes use [[denseRankGlobal]]-style two-phase ranking —
+  * range-partition + local window + O(partitions) driver prefix offsets; no
+  * single-partition window, no global sort skew. Scale shape: TWO
+  * corpus-wide range exchanges total (seed + final dense), plus per-round
+  * work proportional to the still-tied suffixes only (measured 12% of the
+  * sf0.1 corpus after the 32-char seed) with rounds ≈ ceil(repeat-depth /
+  * block) — typically one.
   */
 object SuffixArray {
 
   /** Code points compared by the round-0 rank (and thus the starting `k`).
-    * 16 keeps the seed cheap (one substr per suffix, no extra rounds for
-    * short docs) while saving log2(16) = 4 doubling rounds on long ones.
+    * The seed width decides how much of the corpus survives into the
+    * bucket-refinement rounds: under the 32-char window only suffixes
+    * inside genuinely repeated ≥32-char text stay tied (measured 12% of
+    * the sf0.1 corpus vs 70% at 16 chars — and the dedup minLen of the
+    * span family is 20, so a 32-char seed already separates everything the
+    * cut will not touch). Doubling the seed doubles round-0 key bytes but
+    * round 0 is ONE exchange; each saved/shrunk refinement round is a
+    * whole extra pass. 48+ chars measured no further tie reduction.
     */
-  val InitPrefix = 16
+  val InitPrefix = 32
+
+  /** Rows per range partition the ranker targets. A suffix row is a
+    * (doc, off, 16-64B key) tuple ≈ 100B, so 256k rows keep a partition's
+    * sort working set ~25MB — far under executor memory at any scale; the
+    * session's `numShufflePartitions` stays the upper bound, so a
+    * cluster-sized conf still governs cluster-sized corpora. Sizing the
+    * exchange to the DATA rather than the conf is what keeps the
+    * O(log maxDocLen) doubling rounds from paying 32-task fixed overhead
+    * per round on gate-sized inputs (the same stage-boundary lesson as the
+    * corpus-pipeline fix).
+    */
+  private def rankWidth(ss: org.apache.spark.sql.SparkSession, rows: Long): Int =
+    math.max(1, math.min(ss.sessionState.conf.numShufflePartitions.toLong,
+      (rows + 262143L) / 262144L)).toInt
 
   /** Global 1-based DENSE rank of `keys` tuples (binary/lexicographic
     * order), appended as `out`; also returns the total distinct-tuple
@@ -61,16 +83,16 @@ object SuffixArray {
     * same bounded-collect discipline as the bucket rollups). Rank VALUES
     * are partition-independent (they are the mathematical dense rank), so
     * results are deterministic even though range boundaries come from
-    * sampling. The returned frame is eagerly localCheckpoint-ed: every
-    * caller immediately re-consumes it at least twice (count probes, the
-    * next round's self-join), and checkpointing here also pins the
-    * sampled range placement.
+    * sampling. Only the post-sort frame is eagerly localCheckpoint-ed
+    * (it is consumed by the offset collect AND every downstream read);
+    * the returned frame is a broadcast-join veneer over that
+    * materialization — re-reading it costs a checkpoint scan, never a
+    * re-sort, so a second checkpoint would only add a job per round.
     */
   private[operators] def denseRankGlobal(
-      df: DataFrame, keys: Seq[String], out: String): (DataFrame, Long) = {
+      df: DataFrame, keys: Seq[String], out: String, width: Int): (DataFrame, Long) = {
     val ss = df.sparkSession
     val kc = keys.map(col)
-    val width = ss.sessionState.conf.numShufflePartitions
     val win = Window.partitionBy("_pid").orderBy(kc: _*)
     val local = df
       .repartitionByRange(width, kc: _*)
@@ -88,54 +110,189 @@ object SuffixArray {
       .join(broadcast(offDf), "_pid")
       .withColumn(out, col("_off") + col("_lr"))
       .drop("_pid", "_lr", "_off")
-      .localCheckpoint(true)
     (ranked, offsets(width))
   }
 
+  /** Active-set rows above this count fall back from a broadcast probe to a
+    * plain shuffled join in the refinement rounds — the guard that keeps a
+    * pathologically repetitive corpus (active set ~ corpus) from
+    * broadcasting an unbounded frame. 4M rows of (doc, off, rank, len)
+    * ≈ 128MB serialized, the conventional broadcast ceiling.
+    */
+  val BroadcastActiveMax = 4L << 20
+
+  /** Characters of text each refinement round compares per still-tied
+    * suffix (the published suffix-dedup implementations compare suffixes
+    * DIRECTLY, memcmp-style — this is that comparison, blocked so a round
+    * ships a bounded window, never an unbounded suffix). 512 matches the
+    * span family's default LCP cap: one round fully separates every tie
+    * the cut could act on.
+    */
+  val CompareBlock = 512
+
   /** Build the suffix array: one row per (doc, 1-based char offset) with
     * its global dense `rank` in suffix order. Equal suffixes share a rank.
+    *
+    * SEED RANK + BUCKET REFINEMENT (Larsson–Sadakane bucket refinement,
+    * with direct blocked comparison instead of rank doubling):
+    *
+    *  - ONE corpus-wide pass ranks every suffix by its
+    *    [[SuffixArray.InitPrefix]]-char window. The loop carries
+    *    MIN-POSITION ranks (a class's rank = the global sorted position of
+    *    its first row) rather than dense ranks, because min-position ranks
+    *    are LOCAL under refinement — when a tied class splits, the new
+    *    subclass ranks land inside the parent class's position interval
+    *    and every other rank in the array is untouched. Suffixes whose
+    *    class reaches size 1 therefore FREEZE immediately and are never
+    *    read again.
+    *  - Each refinement round re-ranks ONLY the still-tied rows (measured
+    *    12% of the sf0.1 corpus after the 32-char seed; ties survive only
+    *    inside genuinely repeated text) by the NEXT
+    *    [[SuffixArray.CompareBlock]] characters of their suffix, fetched
+    *    straight from the documents table — `substr` past the end yields
+    *    the shorter window, which sorts first, exactly string order, so
+    *    suffix exhaustion needs no length bookkeeping. Rounds needed:
+    *    ceil(repeat-depth / block), typically ONE — versus the classic
+    *    relational KMR loop's log2(maxDocLen) full-corpus self-joins and
+    *    full-corpus global re-ranks. Per-round bytes: the documents text
+    *    column (~1B/char, broadcast-joined against the active set) versus
+    *    prefix doubling's rank-table scan (~24B/suffix = 24B/char) — the
+    *    direct comparison is cheaper per round AND needs far fewer rounds.
+    *  - Dense ranks (the public contract, equal suffixes share a rank) are
+    *    recovered by one final global pass over the converged min-position
+    *    ranks (a single long key).
+    *
+    * `block` is exposed for tests (a tiny block forces many rounds); the
+    * default is the production setting.
     */
   def build(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxRounds: Int = 32): DataFrame = {
+      maxRounds: Int = 32,
+      block: Int = CompareBlock): DataFrame = {
+    val (raw, width) = buildRaw(docs, idCol, textCol, maxRounds, block)
+    // Dense ranks for the public contract: one global pass over the
+    // converged min-position ranks (a single long key).
+    val (dense, _) = denseRankGlobal(raw, Seq("_r"), "_dr", width)
+    dense.select(col("_d").as(idCol), col("_o").as("off"),
+      col("_dr").as("rank"))
+  }
+
+  /** The refinement loop of [[build]], stopping at converged MIN-POSITION
+    * ranks (same order, same tie classes, sparse values) plus the exchange
+    * width — for consumers like [[repeatedSpans]] that impose their own
+    * total order anyway and would otherwise pay the dense conversion's
+    * corpus-wide pass just to discard it.
+    */
+  private[operators] def buildRaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxRounds: Int = 32,
+      block: Int = CompareBlock): (DataFrame, Int) = {
+    require(block >= 1, "block must be >= 1")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    // The suffix count IS the corpus character count, so it comes from a
+    // pre-explode aggregate (one cheap scan of `docs`) — it sizes the rank
+    // exchanges without counting the exploded rowset.
+    val nonEmpty = docs.where(length(col(textCol)) >= 1)
+    val total = Option(nonEmpty
+      .agg(sum(length(col(textCol)).cast("long"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val width = rankWidth(ss, total)
     // One row per suffix, keyed by its InitPrefix-char window — offsets
-    // come from a sequence explode; no per-character row blowup beyond
-    // the suffix rows themselves.
-    val sufs = docs
-      .where(length(col(textCol)) >= 1)
+    // come from a sequence explode; no per-character row blowup beyond the
+    // suffix rows themselves.
+    val sufs = nonEmpty
       .select(col(idCol).as("_d"), col(textCol).as("_t"),
         explode(sequence(lit(1L), length(col(textCol)).cast("long"))).as("_o"))
       .select(col("_d"), col("_o"),
         col("_t").substr(col("_o").cast("int"), lit(InitPrefix)).as("_c"))
-    var (s, distinct) = denseRankGlobal(sufs, Seq("_c"), "_r")
-    s = s.select("_d", "_o", "_r")
-    val total = s.count()
-    var k = InitPrefix.toLong
+    // Seed pass — the ONE corpus-wide exchange: range-partition by the
+    // seed window (equal keys land together by construction), row_number
+    // locally, lift to global positions by per-partition row counts, then
+    // take each seed class's min position as its rank and its size as the
+    // freeze signal. Positions of class HEADS depend only on how many
+    // suffixes sort strictly below, so ranks are deterministic even though
+    // range boundaries come from sampling.
+    val winPos = Window.partitionBy("_pid").orderBy("_c")
+    val winCls = Window.partitionBy("_pid", "_c")
+    val local = sufs
+      .repartitionByRange(width, col("_c"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_rn", row_number().over(winPos))
+      .localCheckpoint(true)
+    val rowCounts = local.groupBy("_pid").agg(max("_rn").as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    val offsets = (0 until width).scanLeft(0L) {
+      case (acc, p) => acc + rowCounts.getOrElse(p, 0L)
+    }
+    val offDf = (0 until width).map(p => (p, offsets(p))).toDF("_pid", "_off")
+    val based = local
+      .join(broadcast(offDf), "_pid")
+      .withColumn("_p", col("_off") + col("_rn"))
+      .withColumn("_r", min("_p").over(winCls))
+      .withColumn("_sz", count(lit(1)).over(winCls))
+      .select(col("_d"), col("_o"), col("_r"), col("_sz"))
+    // Frozen rows stay as lazy filters over their round's checkpointed
+    // frame (a narrow re-scan, never a re-sort); only the shrinking active
+    // set is re-materialized per round.
+    var frozen = List(based.where(col("_sz") === 1).select("_d", "_o", "_r"))
+    var active = based.where(col("_sz") > 1)
+      .select("_d", "_o", "_r").localCheckpoint(true)
+    var activeCnt = active.count()
+    val docsTxt = nonEmpty.select(col(idCol).as("_d"), col(textCol).as("_t"))
+    var off = InitPrefix.toLong // chars already compared per active suffix
     var rounds = 0
-    var done = distinct == total
+    var done = activeCnt == 0L
     while (!done && rounds < maxRounds) {
-      // Suffix (d, o)'s continuation rank = rank of (d, o + k): realized by
-      // shifting the rank table left by k and LEFT-joining — missing (past
-      // end of doc) becomes rank 0, which sorts before every real rank:
-      // the shorter-suffix-first rule of string order.
-      val nxt = s.select(col("_d"), (col("_o") - k).as("_o"), col("_r").as("_rn"))
-        .where(col("_o") >= 1L)
-      val paired = s.join(nxt, Seq("_d", "_o"), "left")
-        .select(col("_d"), col("_o"), col("_r"),
-          coalesce(col("_rn"), lit(0L)).as("_rn"))
-      val (ranked, nd) = denseRankGlobal(paired, Seq("_r", "_rn"), "_r2")
-      s = ranked.select(col("_d"), col("_o"), col("_r2").as("_r"))
-      done = nd == total || nd == distinct // all unique, or KMR fixpoint
-      distinct = nd
-      k *= 2
+      // Fetch each active suffix's next `block` characters by joining back
+      // to the documents table — broadcast the (small) active side so the
+      // corpus text is only SCANNED, with the join's doc-id filter pruning
+      // what reaches the window computation.
+      val probeSide =
+        if (activeCnt <= BroadcastActiveMax) broadcast(active) else active
+      val paired = probeSide.join(docsTxt, "_d")
+        .withColumn("_w",
+          col("_t").substr((col("_o") + off).cast("int"), lit(block)))
+        .drop("_t")
+      // Refine within each class: rank() over the window strings is
+      // exactly min-position semantics (1 + the number of strictly-smaller
+      // members, ties share), so subclass ranks slot into the parent
+      // interval without touching any other class. Both windows shuffle
+      // ACTIVE rows only. A window that runs past the end of the document
+      // is shorter and sorts first — the shorter-suffix-first rule of
+      // string order, for free.
+      val winR = Window.partitionBy("_r").orderBy("_w")
+      val winSub = Window.partitionBy("_r", "_w")
+      val refined = paired
+        .withColumn("_r2", col("_r") + rank().over(winR) - 1L)
+        .withColumn("_sz", count(lit(1)).over(winSub))
+        .localCheckpoint(true)
+      // One tiny driver row per round: the surviving-tie count and whether
+      // any surviving tie still has text left to compare. An exhausted tie
+      // (empty window on every member) is a class of genuinely EQUAL
+      // suffixes — they share their rank forever, which IS convergence.
+      val Array(nextCnt, liveCnt) = refined
+        .agg(sum(when(col("_sz") > 1, 1L).otherwise(0L)),
+          sum(when(col("_sz") > 1 && length(col("_w")) > 0, 1L).otherwise(0L)))
+        .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L))
+        .toArray
+      frozen = refined.where(col("_sz") === 1)
+        .select(col("_d"), col("_o"), col("_r2").as("_r")) :: frozen
+      active = refined.where(col("_sz") > 1)
+        .select(col("_d"), col("_o"), col("_r2").as("_r"))
+      activeCnt = nextCnt
+      done = activeCnt == 0L || liveCnt == 0L
+      off += block
       rounds += 1
     }
     require(done || total == 0,
-      s"suffix array did not converge within $maxRounds doubling rounds " +
-        s"(distinct ranks $distinct of $total)")
-    s.select(col("_d").as(idCol), col("_o").as("off"), col("_r").as("rank"))
+      s"suffix array did not converge within $maxRounds refinement rounds " +
+        s"($activeCnt of $total suffixes still tied)")
+    ((frozen :+ active.select("_d", "_o", "_r")).reduce(_ unionAll _), width)
   }
 
   private def commonPrefixLen(a: Column, b: Column, cap: Int): Column =
@@ -164,10 +321,15 @@ object SuffixArray {
       cap: Int = 512,
       maxRounds: Int = 32): DataFrame = {
     require(minLen >= 1 && cap >= minLen, "need 1 <= minLen <= cap")
-    val sa = build(docs, idCol, textCol, maxRounds)
-    val (pos, _) = denseRankGlobal(sa, Seq("rank", idCol, "off"), "_p")
+    // The raw min-position ranks order identically to the dense ranks, so
+    // the total-order pass here (tiebreak by doc, off) is the ONLY global
+    // rank conversion the span report pays.
+    val (raw, width) = buildRaw(docs, idCol, textCol, maxRounds)
+    val (pos, _) = denseRankGlobal(raw, Seq("_r", "_d", "_o"), "_p", width)
     // cap-bounded suffix windows ride the pair join — never full suffixes.
-    val withSuf = pos.join(docs.select(col(idCol), col(textCol)), idCol)
+    val withSuf = pos
+      .select(col("_p"), col("_d").as(idCol), col("_o").as("off"))
+      .join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col("_p"), col(idCol), col("off"),
         col(textCol).substr(col("off").cast("int"), lit(cap)).as("_suf"))
       .localCheckpoint(true) // consumed by both sides of the adjacency join

@@ -187,13 +187,22 @@ class SuffixArraySpec extends SparkSpec {
   }
 
   test("convergence guard fires loudly on an impossible round budget") {
-    // One round from the InitPrefix-char seed compares 2·InitPrefix chars;
-    // a run longer than 4·InitPrefix still has ties after it, so the
-    // budget of 1 must fail loudly rather than return a half-refined array.
-    val docs = Seq(1L -> ("a" * (SuffixArray.InitPrefix * 4 + 5) + "b"))
+    // One refinement round from the InitPrefix-char seed compares
+    // InitPrefix + block chars; a run longer than that still has ties
+    // after it, so the budget of 1 must fail loudly rather than return a
+    // half-refined array. A tiny block forces the many-round path the
+    // production block size rarely needs.
+    val docs = Seq(
+      1L -> ("a" * (SuffixArray.InitPrefix + 8 * 4 + 5) + "b"))
       .toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
-      SuffixArray.build(docs, "doc_id", "text", maxRounds = 1).collect()
+      SuffixArray.build(docs, "doc_id", "text", maxRounds = 1, block = 8)
+        .collect()
     }
+    // ... and the same corpus converges exactly once the budget allows it.
+    val ok = SuffixArray.build(docs, "doc_id", "text", block = 8)
+      .collect()
+    assert(ok.length == SuffixArray.InitPrefix + 8 * 4 + 6)
+    assert(ok.map(_.getLong(2)).distinct.length == ok.length) // all distinct
   }
 }
