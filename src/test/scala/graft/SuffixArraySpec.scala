@@ -59,6 +59,48 @@ class SuffixArraySpec extends SparkSpec {
     assert(ranksOf(uni) == brute(uni))
   }
 
+  test("randomized astral-unicode corpus: blocked windows == code-point brute force") {
+    // The engine slices windows by CODE POINT (Spark substr/length) and
+    // compares UTF-8 BYTES (= code-point order). Java String order is
+    // UTF-16-unit order, which astral characters break (surrogates sort
+    // below U+E000 while their code points sort above U+FFFF), and Java
+    // String.length counts units, not code points — so this brute force
+    // works in code-point space end to end: suffixes enumerated by code
+    // point, ordered via a fixed-width hex expansion of each code point
+    // (lexicographic on the expansion == numeric code-point order).
+    val alpha = Array("a", "b", "æ", "ø", "日", "€",
+      new String(Character.toChars(0x1D54F)), // 𝕏 astral, 2 UTF-16 units
+      new String(Character.toChars(0x1F600))) // 😀 astral
+    val rnd = new scala.util.Random(97)
+    // A shared 40-code-point multi-byte phrase planted on a third of the
+    // docs forces tie classes past the 32-cp seed, so the blocked window
+    // rounds run over astral-char slices rather than converging at seed.
+    val phrase = (0 until 40).map(i => alpha(i % alpha.length)).mkString
+    val docs = (1L to 12L).map { d =>
+      val body = (0 until (3 + rnd.nextInt(30)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      d -> (if (d % 3 == 0L) phrase + body else body)
+    }
+    def cps(s: String): Vector[Int] = {
+      val it = s.codePoints().iterator()
+      val b = Vector.newBuilder[Int]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    def key(v: Vector[Int]): String = v.map(c => f"$c%06X").mkString
+    val sufs = for {
+      (d, t) <- docs; c = cps(t); i <- 1 to c.length
+    } yield (key(c.drop(i - 1)), d, i.toLong)
+    val sorted = sufs.sortBy { case (s, d, o) => (s, d, o) }
+    var rank = 0L
+    var prev: String = null
+    val expect = sorted.map { case (s, d, o) =>
+      if (s != prev) { rank += 1; prev = s }
+      (d, o) -> rank
+    }.toMap
+    assert(ranksOf(docs) == expect)
+  }
+
   test("empty and single-char documents") {
     val r = ranksOf(Seq(1L -> "", 2L -> "a", 3L -> "b"))
     assert(r == Map((2L, 1L) -> 1L, (3L, 1L) -> 2L))
