@@ -5039,7 +5039,83 @@ object QueriesExt {
       |  b.b.lang = d.lang AS correct
       |FROM best b JOIN documents d USING (doc_id)""".stripMargin))
 
+  /** Bradley–Terry preference-strength gate
+    * ([[graft.operators.Preference.bradleyTerry]]): pairwise judgments are
+    * derived deterministically from the events table — each user's
+    * consecutive event pair (event-time order, event_id tiebreak) is one
+    * duel, higher `value` wins, same-type and equal-value duels are
+    * skipped — then 8 MM iterations with λ = 0.5 fit per-event-type
+    * strengths. The oracle replays the duels and EVERY MM iteration as
+    * unrolled CTEs (denominator join → smoothed update → mean-1
+    * normalization), so strengths match to round-6, and the exact integer
+    * win/game totals are hash-pinned alongside.
+    */
+  private lazy val prefBradleyTerry: Q = {
+    val iters = 8
+    // Every iteration CTE is MATERIALIZED: r{k-1} is referenced three
+    // times per step, so inlining would blow the plan up 3^iters-fold
+    // (same reason the connected-components oracle materializes).
+    val iterCtes = (1 to iters).map { k =>
+      s"""dk$k AS MATERIALIZED (SELECT d.id, sum(d.n::DOUBLE / (si.s + sj.s)) AS den
+         |  FROM d JOIN r${k - 1} si ON si.id = d.id
+         |         JOIN r${k - 1} sj ON sj.id = d.opp
+         |  GROUP BY d.id),
+         |raw$k AS MATERIALIZED (SELECT b.id,
+         |    (b.wins::DOUBLE + 0.5) / (dk.den + 1.0 / (p.s + 1.0)) AS sr
+         |  FROM base b JOIN dk$k dk ON dk.id = b.id
+         |              JOIN r${k - 1} p ON p.id = b.id),
+         |r$k AS MATERIALIZED (SELECT id, sr / (SELECT avg(sr) FROM raw$k) AS s FROM raw$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    "x_pref_bradley_terry" -> ((
+      (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+        import org.apache.spark.sql.expressions.Window
+        val ev = sources.EventsTable.load(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"),
+            unix_micros(graft.functions.Conversions.nanosToTimestamp(col("ts")))
+              .as("_us"))
+        val w = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+        val duels = ev
+          .withColumn("_nt", lead("event_type", 1).over(w))
+          .withColumn("_nv", lead("value", 1).over(w))
+          .where(col("_nt").isNotNull && col("_nt") =!= col("event_type") &&
+            col("value") =!= col("_nv"))
+          .select(
+            when(col("value") > col("_nv"), col("event_type"))
+              .otherwise(col("_nt")).as("winner"),
+            when(col("value") > col("_nv"), col("_nt"))
+              .otherwise(col("event_type")).as("loser"))
+        operators.Preference.bradleyTerry(duels, "winner", "loser",
+            iters = iters, lambda = 0.5)
+          .select(col("id").as("event_type"),
+            round(col("strength"), 6).as("strength"), col("wins"), col("games"))
+          .localCheckpoint(true)
+      },
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+         |    lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |duel AS MATERIALIZED (SELECT
+         |    CASE WHEN value > nv THEN event_type ELSE nt END AS winner,
+         |    CASE WHEN value > nv THEN nt ELSE event_type END AS loser
+         |  FROM ev WHERE nt IS NOT NULL AND nt <> event_type AND value <> nv),
+         |wns AS (SELECT winner AS id, count(*)::BIGINT AS wins FROM duel GROUP BY 1),
+         |gms AS (SELECT least(winner, loser) AS a, greatest(winner, loser) AS b,
+         |    count(*)::BIGINT AS n
+         |  FROM duel GROUP BY 1, 2),
+         |d AS MATERIALIZED (SELECT a AS id, b AS opp, n FROM gms
+         |      UNION ALL SELECT b AS id, a AS opp, n FROM gms),
+         |base AS MATERIALIZED (SELECT d.id, sum(d.n)::BIGINT AS games,
+         |    coalesce(min(w.wins), 0)::BIGINT AS wins
+         |  FROM d LEFT JOIN wns w ON w.id = d.id GROUP BY d.id),
+         |r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS s FROM base),
+         |$iterCtes
+         |SELECT b.id AS event_type, round(r.s, 6) AS strength, b.wins, b.games
+         |FROM base b JOIN r$iters r ON r.id = b.id""".stripMargin))
+  }
+
   val all: Seq[Q] = Seq(
+    prefBradleyTerry,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     layoutZorder, graphTriangles, stTypeCountsTws,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise-preference strength estimation — the RLHF-data-pipeline step
+  * that turns raw human (or judge-model) A-beats-B judgments into a
+  * per-item latent quality scale: Bradley–Terry fitted by Hunter's MM
+  * algorithm ("MM algorithms for generalized Bradley–Terry models",
+  * Annals of Statistics 2004), the standard estimator behind
+  * chat-arena-style leaderboards and preference-data curation (rank
+  * completions before building DPO pairs, detect degenerate raters,
+  * weight samples by margin).
+  *
+  * Model: P(i beats j) = s_i / (s_i + s_j). MM update (fixed point of the
+  * log-likelihood): s_i ← W_i / Σ_j n_ij / (s_i + s_j), where W_i is i's
+  * total wins and n_ij the games between i and j. The raw MLE diverges
+  * for items that never lose (s → ∞) and is undefined for items that
+  * never win, so the update carries the standard conjugate smoothing: a
+  * virtual λ-win and λ-loss against a reference opponent of strength 1 —
+  * s_i ← (W_i + λ) / (Σ_j n_ij/(s_i+s_j) + 2λ/(s_i+1)). Every iterate is
+  * normalized to arithmetic mean 1 (the scale is only identified up to a
+  * constant factor).
+  *
+  * Scale shape: ONE pass over the preference rows builds the per-item win
+  * totals and the per-unordered-pair game counts (two keyed
+  * aggregations — comparison volume never survives into the loop); each
+  * MM iteration is two keyed joins + one keyed sum over the OPPONENT
+  * table (2 rows per compared pair, i.e. bounded by distinct pairs, not
+  * raw judgments) + an O(1)-row mean broadcast. Iteration frames are
+  * item-sized; nothing is ever driver-collected.
+  */
+object Preference {
+
+  /** Fit Bradley–Terry strengths from one preference row per judgment
+    * (`winCol` beat `loseCol`; repeats aggregate into game counts).
+    * Returns one row per item: (`id`, `strength`, `wins`, `games`),
+    * strengths mean-normalized to 1. Self-preferences (win == lose) are
+    * rejected loudly — they are upstream data bugs, not ties.
+    */
+  def bradleyTerry(
+      prefs: DataFrame,
+      winCol: String,
+      loseCol: String,
+      iters: Int = 8,
+      lambda: Double = 0.5): DataFrame = {
+    require(iters >= 1, "need at least one MM iteration")
+    require(lambda > 0.0, "lambda must be > 0 (the raw MLE diverges on " +
+      "never-losing items; pass a small positive prior)")
+    val checked = prefs.select(
+      when(col(winCol) === col(loseCol),
+        raise_error(concat(lit("self-preference for item "), col(winCol))))
+        .otherwise(col(winCol)).as("_w"),
+      col(loseCol).as("_l"))
+    // One pass over the judgments: wins per item, games per unordered pair.
+    val wins = checked.groupBy(col("_w").as("id"))
+      .agg(count(lit(1)).as("wins"))
+    val games = checked.select(
+        least(col("_w"), col("_l")).as("_a"),
+        greatest(col("_w"), col("_l")).as("_b"))
+      .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
+    // Opponent table: 2 rows per compared pair — the loop's whole world.
+    val d = games.select(col("_a").as("id"), col("_b").as("opp"), col("n"))
+      .unionAll(games.select(col("_b").as("id"), col("_a").as("opp"), col("n")))
+      .localCheckpoint(true)
+    val base = d.groupBy("id").agg(sum("n").as("games"))
+      .join(wins, Seq("id"), "left")
+      .select(col("id"), col("games"),
+        coalesce(col("wins"), lit(0L)).as("wins"))
+      .localCheckpoint(true)
+    var s = base.select(col("id"), lit(1.0).as("s"))
+    for (_ <- 1 to iters) {
+      val den = d
+        .join(s, "id")
+        .join(s.select(col("id").as("opp"), col("s").as("_so")), "opp")
+        .groupBy("id")
+        .agg(sum(col("n").cast("double") / (col("s") + col("_so"))).as("_den"))
+      val raw = base.join(den, "id").join(s, "id")
+        .select(col("id"),
+          ((col("wins").cast("double") + lit(lambda)) /
+            (col("_den") + lit(2.0 * lambda) / (col("s") + lit(1.0)))).as("_sr"))
+      s = raw
+        .crossJoin(broadcast(raw.agg(avg(col("_sr")).as("_m"))))
+        .select(col("id"), (col("_sr") / col("_m")).as("s"))
+        .localCheckpoint(true)
+    }
+    base.join(s, "id")
+      .select(col("id"), col("s").as("strength"), col("wins"), col("games"))
+  }
+}

@@ -219,22 +219,27 @@ object SuffixArray {
     // range boundaries come from sampling.
     val winPos = Window.partitionBy("_pid").orderBy("_c")
     val winCls = Window.partitionBy("_pid", "_c")
+    // Class-local min row-number and class size are computed BEFORE the
+    // checkpoint so the seed-key column (InitPrefix chars per suffix) never
+    // materializes; offsets lift the local min to the global min position
+    // (the class is contained in one range partition by construction).
     val local = sufs
       .repartitionByRange(width, col("_c"))
       .withColumn("_pid", spark_partition_id())
       .withColumn("_rn", row_number().over(winPos))
+      .withColumn("_lr", min("_rn").over(winCls))
+      .withColumn("_sz", count(lit(1)).over(winCls))
+      .drop("_c", "_rn")
       .localCheckpoint(true)
-    val rowCounts = local.groupBy("_pid").agg(max("_rn").as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    val rowCounts = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until width).scanLeft(0L) {
       case (acc, p) => acc + rowCounts.getOrElse(p, 0L)
     }
     val offDf = (0 until width).map(p => (p, offsets(p))).toDF("_pid", "_off")
     val based = local
       .join(broadcast(offDf), "_pid")
-      .withColumn("_p", col("_off") + col("_rn"))
-      .withColumn("_r", min("_p").over(winCls))
-      .withColumn("_sz", count(lit(1)).over(winCls))
+      .withColumn("_r", col("_off") + col("_lr"))
       .select(col("_d"), col("_o"), col("_r"), col("_sz"))
     // Frozen rows stay as lazy filters over their round's checkpointed
     // frame (a narrow re-scan, never a re-sort); only the shrinking active
@@ -267,9 +272,16 @@ object SuffixArray {
       // string order, for free.
       val winR = Window.partitionBy("_r").orderBy("_w")
       val winSub = Window.partitionBy("_r", "_w")
+      // The comparison window column is DROPPED before materialization —
+      // checkpointing it would hold `block` chars per active row (the f=30
+      // hostile probe OOMed exactly there); only its length survives, as
+      // the exhaustion bit.
       val refined = paired
         .withColumn("_r2", col("_r") + rank().over(winR) - 1L)
         .withColumn("_sz", count(lit(1)).over(winSub))
+        .withColumn("_live",
+          (col("_sz") > 1 && length(col("_w")) > 0).cast("int"))
+        .drop("_w")
         .localCheckpoint(true)
       // One tiny driver row per round: the surviving-tie count and whether
       // any surviving tie still has text left to compare. An exhausted tie
@@ -277,7 +289,7 @@ object SuffixArray {
       // suffixes — they share their rank forever, which IS convergence.
       val Array(nextCnt, liveCnt) = refined
         .agg(sum(when(col("_sz") > 1, 1L).otherwise(0L)),
-          sum(when(col("_sz") > 1 && length(col("_w")) > 0, 1L).otherwise(0L)))
+          sum(col("_live").cast("long")))
         .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L))
         .toArray
       frozen = refined.where(col("_sz") === 1)
