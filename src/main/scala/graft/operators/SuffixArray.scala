@@ -336,20 +336,29 @@ object SuffixArray {
     // The raw min-position ranks order identically to the dense ranks, so
     // the total-order pass here (tiebreak by doc, off) is the ONLY global
     // rank conversion the span report pays.
-    val (raw, width) = buildRaw(docs, idCol, textCol, maxRounds)
-    val (pos, _) = denseRankGlobal(raw, Seq("_r", "_d", "_o"), "_p", width)
-    // cap-bounded suffix windows ride the pair join — never full suffixes.
-    val withSuf = pos
-      .select(col("_p"), col("_d").as(idCol), col("_o").as("off"))
-      .join(docs.select(col(idCol), col(textCol)), idCol)
-      .select(col("_p"), col(idCol), col("off"),
-        col(textCol).substr(col("off").cast("int"), lit(cap)).as("_suf"))
-      .localCheckpoint(true) // consumed by both sides of the adjacency join
-    val a = withSuf.select(col("_p"), col(idCol).as("id_a"),
-      col("off").as("off_a"), col("_suf").as("_sa"))
-    val b = withSuf.select((col("_p") - 1L).as("_p"), col(idCol).as("id_b"),
-      col("off").as("off_b"), col("_suf").as("_sb"))
-    a.join(b, "_p")
+    val (rawRanks, width) = buildRaw(docs, idCol, textCol, maxRounds)
+    val (pos, _) = denseRankGlobal(rawRanks, Seq("_r", "_d", "_o"), "_p", width)
+    // Adjacency FIRST, windows LAST: the (position, doc, off) triples pair
+    // up on the 24B/row position key, and only then does each pair side
+    // fetch its cap-bounded suffix window by a doc-keyed join straight
+    // from the documents table. The windows therefore exist only inside
+    // the final comparison stage — the previous shape materialized a
+    // cap-chars-per-suffix checkpoint (0.5 KB × corpus characters; the
+    // f=30 growth probe spilled 9 GB on exactly that frame) before the
+    // pair join shipped the same windows again.
+    val slim = pos.select(col("_p"), col("_d"), col("_o"))
+    val a = slim.select(col("_p"), col("_d").as("id_a"), col("_o").as("off_a"))
+    val b = slim.select((col("_p") - 1L).as("_p"), col("_d").as("id_b"),
+      col("_o").as("off_b"))
+    val pairs = a.join(b, "_p")
+    val txt = docs.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .withColumn("_sa", col("_ta").substr(col("off_a").cast("int"), lit(cap)))
+      .drop("_ta")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+      .withColumn("_sb", col("_tb").substr(col("off_b").cast("int"), lit(cap)))
+      .drop("_tb")
       .withColumn("lcp", commonPrefixLen(col("_sa"), col("_sb"), cap))
       .where(col("lcp") >= minLen)
       .select(col("_p").as("sa_pos"), col("id_a"), col("off_a"),
