@@ -5039,6 +5039,33 @@ object QueriesExt {
       |  b.b.lang = d.lang AS correct
       |FROM best b JOIN documents d USING (doc_id)""".stripMargin))
 
+  /** The two BT gates' shared duel fixture: each user's consecutive event
+    * pair (event-time order, event_id tiebreak) is one duel, higher
+    * `value` wins, same-type and equal-value duels are skipped. The first
+    * event's id rides along as the deterministic micro-batch split key of
+    * the streaming twin.
+    */
+  private def btDuels(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = sources.EventsTable.load(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"),
+        unix_micros(graft.functions.Conversions.nanosToTimestamp(col("ts")))
+          .as("_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+    ev
+      .withColumn("_nt", lead("event_type", 1).over(w))
+      .withColumn("_nv", lead("value", 1).over(w))
+      .where(col("_nt").isNotNull && col("_nt") =!= col("event_type") &&
+        col("value") =!= col("_nv"))
+      .select(
+        when(col("value") > col("_nv"), col("event_type"))
+          .otherwise(col("_nt")).as("winner"),
+        when(col("value") > col("_nv"), col("_nt"))
+          .otherwise(col("event_type")).as("loser"),
+        col("event_id"))
+  }
+
   /** Bradley–Terry preference-strength gate
     * ([[graft.operators.Preference.bradleyTerry]]): pairwise judgments are
     * derived deterministically from the events table — each user's
@@ -5069,24 +5096,7 @@ object QueriesExt {
     }.mkString(",\n")
     "x_pref_bradley_terry" -> ((
       (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
-        import org.apache.spark.sql.expressions.Window
-        val ev = sources.EventsTable.load(s, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            col("value"),
-            unix_micros(graft.functions.Conversions.nanosToTimestamp(col("ts")))
-              .as("_us"))
-        val w = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
-        val duels = ev
-          .withColumn("_nt", lead("event_type", 1).over(w))
-          .withColumn("_nv", lead("value", 1).over(w))
-          .where(col("_nt").isNotNull && col("_nt") =!= col("event_type") &&
-            col("value") =!= col("_nv"))
-          .select(
-            when(col("value") > col("_nv"), col("event_type"))
-              .otherwise(col("_nt")).as("winner"),
-            when(col("value") > col("_nv"), col("_nt"))
-              .otherwise(col("event_type")).as("loser"))
-        operators.Preference.bradleyTerry(duels, "winner", "loser",
+        operators.Preference.bradleyTerry(btDuels(s, dir), "winner", "loser",
             iters = iters, lambda = 0.5)
           .select(col("id").as("event_type"),
             round(col("strength"), 6).as("strength"), col("wins"), col("games"))
@@ -5114,8 +5124,61 @@ object QueriesExt {
          |FROM base b JOIN r$iters r ON r.id = b.id""".stripMargin))
   }
 
+  /** STREAMING Bradley–Terry — the arena's daily-ingest shape: judgments
+    * arrive in micro-batches, each batch's DIRECTED duel counts are
+    * written to a `batch_id`-partitioned state dir with per-batch
+    * OVERWRITE (crash-replay replaces its own output — the
+    * `lshIncrementStep`/`st_sketch_hll` idempotence discipline), and the
+    * leaderboard at any point is one
+    * [[graft.operators.Preference.bradleyTerryFromCounts]] fit over the
+    * summed count tables. Duel counts are associative and commutative, so
+    * the accumulated state is batching-invariant and the gate shares
+    * `x_pref_bradley_terry`'s oracle VERBATIM — the streamed fit must
+    * equal the batch fit on the whole history. Micro-batch split is
+    * deterministic (first-event id mod 4), one file per batch,
+    * `maxFilesPerTrigger=1`.
+    */
+  private lazy val stPrefBtIncrement: Q = "st_pref_bt_increment" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val duels = btDuels(s, dir)
+      val tmpPath = scratchDir("stbt")
+      val tmp = tmpPath.toString
+      try {
+        (0L until 4L).foreach { b =>
+          duels.where(pmod(col("event_id"), lit(4L)) === b)
+            .select("winner", "loser")
+            .repartition(1).write.mode("append").parquet(s"$tmp/topic")
+        }
+        val schema = duels.select("winner", "loser").schema
+        // seed the state dir so the accumulated read never hits missing-path
+        duels.select("winner", "loser").limit(0)
+          .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+          .withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(s"$tmp/state")
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            batch.toDF().groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+              .write.mode("overwrite").parquet(s"$tmp/state/batch_id=$bid")
+          }
+          .start()
+        q.awaitTermination()
+        val accumulated = s.read.parquet(s"$tmp/state").drop("batch_id")
+          .groupBy("winner", "loser").agg(sum("n").as("n"))
+        operators.Preference.bradleyTerryFromCounts(accumulated,
+            "winner", "loser", "n", iters = 8, lambda = 0.5)
+          .select(col("id").as("event_type"),
+            round(col("strength"), 6).as("strength"), col("wins"), col("games"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    prefBradleyTerry._2._2))
+
   val all: Seq[Q] = Seq(
-    prefBradleyTerry,
+    prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
     layoutZorder, graphTriangles, stTypeCountsTws,

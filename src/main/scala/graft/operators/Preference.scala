@@ -43,22 +43,42 @@ object Preference {
       winCol: String,
       loseCol: String,
       iters: Int = 8,
+      lambda: Double = 0.5): DataFrame =
+    bradleyTerryFromCounts(
+      prefs.groupBy(col(winCol), col(loseCol)).agg(count(lit(1)).as("_n")),
+      winCol, loseCol, "_n", iters, lambda)
+
+  /** [[bradleyTerry]] from pre-aggregated DIRECTED duel counts (one row
+    * per (winner, loser) with how many times that outcome was observed) —
+    * the accumulation-friendly form: counts are associative and
+    * commutative, so per-day/per-batch count tables sum into exactly the
+    * whole-history fit (the streaming gate's invariant). The raw-judgment
+    * entry point is one groupBy away.
+    */
+  def bradleyTerryFromCounts(
+      counts: DataFrame,
+      winCol: String,
+      loseCol: String,
+      nCol: String,
+      iters: Int = 8,
       lambda: Double = 0.5): DataFrame = {
     require(iters >= 1, "need at least one MM iteration")
     require(lambda > 0.0, "lambda must be > 0 (the raw MLE diverges on " +
       "never-losing items; pass a small positive prior)")
-    val checked = prefs.select(
+    val checked = counts.select(
       when(col(winCol) === col(loseCol),
         raise_error(concat(lit("self-preference for item "), col(winCol))))
         .otherwise(col(winCol)).as("_w"),
-      col(loseCol).as("_l"))
-    // One pass over the judgments: wins per item, games per unordered pair.
+      col(loseCol).as("_l"),
+      col(nCol).cast("long").as("_cnt"))
+    // One pass over the counts: wins per item, games per unordered pair.
     val wins = checked.groupBy(col("_w").as("id"))
-      .agg(count(lit(1)).as("wins"))
+      .agg(sum("_cnt").as("wins"))
     val games = checked.select(
         least(col("_w"), col("_l")).as("_a"),
-        greatest(col("_w"), col("_l")).as("_b"))
-      .groupBy("_a", "_b").agg(count(lit(1)).as("n"))
+        greatest(col("_w"), col("_l")).as("_b"),
+        col("_cnt"))
+      .groupBy("_a", "_b").agg(sum("_cnt").as("n"))
     // Opponent table: 2 rows per compared pair — the loop's whole world.
     val d = games.select(col("_a").as("id"), col("_b").as("opp"), col("n"))
       .unionAll(games.select(col("_b").as("id"), col("_a").as("opp"), col("n")))

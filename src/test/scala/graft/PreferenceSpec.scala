@@ -91,6 +91,35 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  test("fromCounts on accumulated slices == raw-judgment fit (the streaming invariant)") {
+    val rnd = new scala.util.Random(41)
+    val items = ('A' to 'E').map(_.toString)
+    val duels = (0 until 120).map { _ =>
+      val i = items(rnd.nextInt(items.length))
+      var j = items(rnd.nextInt(items.length))
+      while (j == i) j = items(rnd.nextInt(items.length))
+      (i, j)
+    }
+    val whole = fit(duels)
+    // per-slice directed counts, summed — the streaming state-dir shape
+    import org.apache.spark.sql.functions._
+    val slices = duels.zipWithIndex.groupBy(_._2 % 3).values.toSeq
+      .map(sl => sl.map(_._1).toDF("w", "l")
+        .groupBy("w", "l").agg(count(lit(1)).as("n")))
+    val acc = slices.reduce(_ unionAll _)
+      .groupBy("w", "l").agg(sum("n").as("n"))
+    val viaCounts = Preference
+      .bradleyTerryFromCounts(acc, "w", "l", "n", 8, 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(viaCounts.keySet == whole.keySet)
+    whole.foreach { case (k, (s, w, g)) =>
+      val (s2, w2, g2) = viaCounts(k)
+      assert(math.abs(s - s2) < 1e-12 && w == w2 && g == g2, s"item $k")
+    }
+  }
+
   test("self-preference is an upstream data bug and fails loudly") {
     val err = intercept[Exception] {
       fit(Seq(("A", "B"), ("B", "B")))
