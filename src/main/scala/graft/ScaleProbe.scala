@@ -343,6 +343,45 @@ object ScaleProbe {
           f"wall=$wall%.1f s metrics=${gm.json}")
       }
     }
+    stage("bradley terry") {
+      // Preference-strength fitting under ITEM growth — the leaderboard
+      // axis: each factor step replicates the item space (synthetic
+      // arenas from the events table, disjoint per replica), with
+      // judgment volume growing proportionally. Claims: the one-pass
+      // count collapse absorbs the judgment volume (the loop never sees
+      // raw judgments), per-iteration cost tracks the 2-rows-per-pair
+      // opponent table — items × avg-degree, never items² and never
+      // judgments — and the driver never collects anything.
+      val snapB = TaskMetricsCollector.install(spark.sparkContext)
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      for (f <- Seq(1, factor).distinct) {
+        val duels = (0 until f).map { i =>
+          // replica i's arena: item = "type_i", duels from consecutive
+          // event ids per user (cheap deterministic pairing)
+          val e = ev.select(col("event_id"), col("user_id"),
+            concat(col("event_type"), lit(s"_$i")).as("it"), col("value"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("event_id")
+          e.withColumn("_nt", lead("it", 1).over(w))
+            .withColumn("_nv", lead("value", 1).over(w))
+            .where(col("_nt").isNotNull && col("_nt") =!= col("it") &&
+              col("value") =!= col("_nv"))
+            .select(
+              when(col("value") > col("_nv"), col("it")).otherwise(col("_nt")).as("winner"),
+              when(col("value") > col("_nv"), col("_nt")).otherwise(col("it")).as("loser"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+        val nd = duels.count()
+        val m0 = snapB(); val t0 = System.nanoTime()
+        val fit = graft.operators.Preference
+          .bradleyTerry(duels, "winner", "loser", iters = 8)
+        val items = fit.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val bm = snapB() - m0
+        println(f"[probe] bt f=$f%-3d duels=$nd%-9d items=$items%-6d " +
+          f"wall=$wall%.1f s metrics=${bm.json}")
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -351,7 +390,7 @@ object ScaleProbe {
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
-          "'ann growth', 'suffix array', 'gram cut')")
+          "'ann growth', 'suffix array', 'gram cut', 'bradley terry')")
       spark.stop(); return
     }
 
