@@ -5206,7 +5206,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, sketchKmvOverlap, textBm25, outlierMad, quantileSketch,
+    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, sketchKmvOverlap, sketchQuantileSample, sketchQuantileMerge, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
@@ -5863,6 +5863,80 @@ object QueriesExt {
       |  round((0.7213/(1 + 1.079/256)) * 65536.0 /
       |        (sum(power(2.0, -mr)) + (256 - count(*))), 6) AS hll_estimate
       |FROM regs GROUP BY 1""".stripMargin))
+
+  /** Mergeable QUANTILE SAMPLE gate
+    * ([[graft.operators.Sketches.quantileSampleRows]]): the k = 512
+    * smallest-row-hash lineitem prices per return flag are a
+    * deterministic min-wise reservoir; the gate emits each group's exact
+    * median, the sample median, and the accuracy contract (sample median
+    * inside the exact p40–p60 band — sample-quantile rank error at k=512
+    * is ~2.2% σ, the band is ±10%). The oracle replays the identical
+    * sample as a rank-≤-k window over the same md5-prefix row hashes, so
+    * every emitted value matches exactly, not just in-band.
+    */
+  private lazy val sketchQuantileSample: Q = "x_sketch_quantile_sample" -> ((
+    (s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val sample = graft.operators.Sketches.quantileSampleRows(
+        li, Seq("l_returnflag"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        col("l_extendedprice"), k = 512)
+      val sq = sample.groupBy("l_returnflag")
+        .agg(expr("percentile(v, 0.5)").as("_sp50"))
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("_p50"),
+        expr("percentile(l_extendedprice, 0.40)").as("_lo"),
+        expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+      ex.join(sq, "l_returnflag")
+        .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
+          round(col("_sp50"), 6).as("sample_p50"),
+          (col("_sp50") >= col("_lo") && col("_sp50") <= col("_hi")).as("in_band"))
+    },
+    """WITH r AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v,
+      |    ('0x'||substr(md5(l_orderkey::VARCHAR||'_'||l_linenumber::VARCHAR),1,8))::BIGINT AS hv
+      |  FROM lineitem),
+      |sm AS (SELECT g, v FROM (SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn FROM r)
+      |  WHERE rn <= 512),
+      |sq AS (SELECT g, quantile_cont(v, 0.5) AS sp50 FROM sm GROUP BY g),
+      |ex AS (SELECT g, quantile_cont(v, 0.5) AS p50, quantile_cont(v, 0.40) AS lo,
+      |    quantile_cont(v, 0.60) AS hi FROM r GROUP BY g)
+      |SELECT ex.g AS l_returnflag, round(ex.p50, 6) AS exact_p50,
+      |  round(sq.sp50, 6) AS sample_p50,
+      |  sq.sp50 >= ex.lo AND sq.sp50 <= ex.hi AS in_band
+      |FROM ex JOIN sq ON sq.g = ex.g""".stripMargin))
+
+  /** Quantile-sample MERGE gate — the roll-up property as a correctness
+    * statement: samples built on the two `l_orderkey % 2` halves
+    * SEPARATELY, merged with
+    * [[graft.operators.Sketches.quantileSampleMerge]] (union + re-rank ≤
+    * k), must reproduce EXACTLY the whole-data sample's medians — the
+    * bottom-k of a union is computable from the slices' bottom-k's alone.
+    * Shares `x_sketch_quantile_sample`'s oracle VERBATIM. This is the
+    * 100 TB roll-up shape [[sketchHllMerge]] gives distinct counts, for
+    * quantiles: per-day k-row tables merge without rescanning the data.
+    */
+  private lazy val sketchQuantileMerge: Q = "x_sketch_quantile_merge" -> ((
+    (s: SparkSession, dir: String) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def sampleOf(p: Int) = graft.operators.Sketches.quantileSampleRows(
+        li.where(pmod(col("l_orderkey"), lit(2)) === p), Seq("l_returnflag"),
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+        col("l_extendedprice"), k = 512)
+      val merged = graft.operators.Sketches.quantileSampleMerge(
+        Seq("l_returnflag"), 512, sampleOf(0), sampleOf(1))
+      val sq = merged.groupBy("l_returnflag")
+        .agg(expr("percentile(v, 0.5)").as("_sp50"))
+      val ex = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.5)").as("_p50"),
+        expr("percentile(l_extendedprice, 0.40)").as("_lo"),
+        expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+      ex.join(sq, "l_returnflag")
+        .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
+          round(col("_sp50"), 6).as("sample_p50"),
+          (col("_sp50") >= col("_lo") && col("_sp50") <= col("_hi")).as("in_band"))
+    },
+    sketchQuantileSample._2._2))
 
   /** HLL MERGE gate — the sketch's defining property as a correctness
     * statement: registers built on the two `l_orderkey % 2` halves

@@ -190,4 +190,53 @@ object Sketches {
         round(col("jaccard"), 6).as("jaccard"),
         round(col("jaccard") * col("n_union_est"), 6).as("n_intersection_est"))
   }
+
+  /** Mergeable QUANTILE sample sketch: the k rows per group whose ROW-HASH
+    * is smallest — a deterministic min-wise reservoir (no RNG: the hash
+    * order IS the sample, so it is oracle-replayable as a rank-≤-k window
+    * on any engine and append-stable like every sampler in this library).
+    * A uniform row sample supports any quantile of the group's value
+    * MULTISET (unlike [[kmvSketch]]'s distinct-value sample), and it
+    * merges losslessly: the bottom-k of a union is computable from the
+    * slices' bottom-k's alone, so per-partition/per-day k-row tables roll
+    * up to EXACTLY the whole-history sample — the 100 TB shape
+    * [[hllMergeRegisters]] gives distinct counts, for quantiles. Rows with
+    * equal (hash, value) are interchangeable for every quantile, so the
+    * retained multiset is canonical even at rank-boundary hash ties.
+    *
+    * Scale shape: the rank-≤-k predicate over the window is pushed
+    * map-side by Spark's WindowGroupLimit, so each task retains at most k
+    * rows per group before the exchange; the sketch is k·groups rows.
+    */
+  def quantileSampleRows(
+      df: DataFrame,
+      groupCols: Seq[String],
+      rowIdCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 64, "k must be >= 64 (sample-quantile error ~ 1/sqrt(k))")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"), col("v"))
+    df.select(groupCols.map(col) :+
+        conv(substring(md5(rowIdCol.cast("string")), 1, 8), 16, 10)
+          .cast("long").as("hv") :+
+        valueCol.cast("double").as("v"): _*)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Lossless roll-up of [[quantileSampleRows]] tables: union the slices,
+    * re-rank, keep the k smallest per group — identical to the sketch
+    * built on the concatenated data, by the bottom-k-of-union property.
+    */
+  def quantileSampleMerge(
+      groupCols: Seq[String], k: Int, sampleTables: DataFrame*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"), col("v"))
+    sampleTables.reduce(_ unionAll _)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
 }

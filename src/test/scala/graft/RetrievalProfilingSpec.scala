@@ -88,6 +88,29 @@ class RetrievalProfilingSpec extends SparkSpec {
     assert(mergedOverlap == whole)
   }
 
+  test("quantileSampleRows: merge of disjoint slices == whole-data sample; small groups pass through exactly") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 5000).map(i =>
+      (s"id$i", if (i % 2 == 0) "g1" else "g2", rnd.nextDouble() * 1000))
+      .toDF("id", "grp", "x")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("grp", "hv", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val whole = Sketches.quantileSampleRows(
+      rows, Seq("grp"), col("id"), col("x"), k = 128)
+    // disjoint thirds merge losslessly (bottom-k of union == bottom-k of
+    // the slices' bottom-k's)
+    val slices = (0 until 3).map(t => Sketches.quantileSampleRows(
+      rows.where(abs(hash(col("id"))) % 3 === t), Seq("grp"), col("id"), col("x"), k = 128))
+    val merged = Sketches.quantileSampleMerge(Seq("grp"), 128, slices: _*)
+    assert(canon(merged) == canon(whole))
+    // a group smaller than k keeps ALL its rows — sample quantiles exact
+    val tiny = (0 until 50).map(i => (s"t$i", "g", i.toDouble)).toDF("id", "grp", "x")
+    val s = Sketches.quantileSampleRows(tiny, Seq("grp"), col("id"), col("x"), k = 128)
+    assert(s.count() == 50)
+    assert(s.agg(expr("percentile(v, 0.5)")).head().getDouble(0) == 24.5)
+  }
+
   test("kmvOverlap: known-overlap sets estimated in band; small sets exact; duplicate-invariant") {
     // |A| = 3000, |B| = 3000, |A ∩ B| = 1000 (ids 2000..2999), J = 0.2.
     val a = (0 until 3000).map(i => s"v$i").toDF("v")
