@@ -5206,7 +5206,7 @@ object QueriesExt {
     stJoinInterval, stJoinIntervalLeft, textNfc,
     dedupSpans, mixEpochs, tfidfTerms,
     scd2Build, scd2Incr, cdcApply, dqChecks, annPq, embProject, textCollocations,
-    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, sketchKmvOverlap, sketchQuantileSample, sketchQuantileMerge, textBm25, outlierMad, quantileSketch,
+    dedupHllStats, dedupIncremental, freqCms, sketchHll, sketchHllMerge, stSketchHll, sketchKmvOverlap, sketchQuantileSample, sketchQuantileMerge, stSketchQuantile, textBm25, outlierMad, quantileSketch,
     annIvfPq, dedupEditDist, profileHist, annIvfPqResidual, textBpe, textNovelty,
     stDqChecks, eventsAnomaly, qualityBlend, embQuantize, urlOps, dedupEmbeddingIncr,
     textBpeLearn, textHtmlStrip, sampleMixture, dedupSemantic,
@@ -5959,6 +5959,60 @@ object QueriesExt {
         Seq("l_returnflag"), p = 8)
     },
     sketchHll._2._2))
+
+  /** STREAMING quantile tracking: each micro-batch's per-group bottom-k
+    * row-hash sample is written to a `batch_id`-partitioned state dir with
+    * per-batch OVERWRITE (the `lshIncrementStep`/`st_sketch_hll`
+    * idempotence discipline), and the quantile at any point is one
+    * [[graft.operators.Sketches.quantileSampleMerge]] + percentile over
+    * the accumulated k-row tables. Bottom-k of a union is computable from
+    * the slices' bottom-k's, so the accumulated state is
+    * batching-invariant and the gate shares
+    * `x_sketch_quantile_sample`'s oracle VERBATIM.
+    */
+  private lazy val stSketchQuantile: Q = "st_sketch_quantile" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val tmpPath = scratchDir("stqnt")
+      val tmp = tmpPath.toString
+      try {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+        li.repartition(4).write.parquet(s"$tmp/topic")
+        def sampleOf(df: DataFrame) = graft.operators.Sketches.quantileSampleRows(
+          df, Seq("l_returnflag"),
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")),
+          col("l_extendedprice"), k = 512)
+        // seed the state dir so the accumulated read never hits missing-path
+        sampleOf(li.limit(0)).withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(s"$tmp/state")
+        val q = s.readStream.schema(li.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            sampleOf(batch.toDF())
+              .write.mode("overwrite").parquet(s"$tmp/state/batch_id=$bid")
+          }
+          .start()
+        q.awaitTermination()
+        val merged = graft.operators.Sketches.quantileSampleMerge(
+          Seq("l_returnflag"), 512,
+          s.read.parquet(s"$tmp/state").drop("batch_id"))
+        val sq = merged.groupBy("l_returnflag")
+          .agg(expr("percentile(v, 0.5)").as("_sp50"))
+        val ex = li.groupBy("l_returnflag").agg(
+          expr("percentile(l_extendedprice, 0.5)").as("_p50"),
+          expr("percentile(l_extendedprice, 0.40)").as("_lo"),
+          expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+        ex.join(sq, "l_returnflag")
+          .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
+            round(col("_sp50"), 6).as("sample_p50"),
+            (col("_sp50") >= col("_lo") && col("_sp50") <= col("_hi")).as("in_band"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    sketchQuantileSample._2._2))
 
   /** STREAMING HLL cardinality tracking: each micro-batch's register table
     * is written to a `batch_id`-partitioned state dir with per-batch
