@@ -292,14 +292,14 @@ object ScaleProbe {
     stage("suffix array") {
       // Exact-substring indexing (round-13 SuffixArray) under hostile
       // growth: replicas share their ENTIRE text modulo the one suffix
-      // token, so rank-tie classes of size ~factor persist through every
-      // prefix-doubling round until document length bounds them — the
-      // worst case for rank refinement. Claims: build wall tracks
-      // chars × rounds with rounds ≈ log2(maxDocLen) INDEPENDENT of the
-      // factor (tie classes widen, rounds don't multiply); the
-      // repeated-span report stays LINEAR in suffix count (adjacent-pair
-      // only — never the replica-clique expansion a pairwise comparison
-      // would pay).
+      // token, so seed-rank tie classes of size ~factor survive the
+      // 32-char seed pass and must be separated by the blocked-comparison
+      // refinement rounds — the worst case for bucket refinement. Claims:
+      // build wall tracks chars × rounds with rounds ≈
+      // ceil(repeat-depth / 512) INDEPENDENT of the factor (tie classes
+      // widen, rounds don't multiply); the repeated-span report stays
+      // LINEAR in suffix count (adjacent-pair only — never the
+      // replica-clique expansion a pairwise comparison would pay).
       val snapS = TaskMetricsCollector.install(spark.sparkContext)
       for (f <- Seq(1, factor).distinct) {
         val bigD = (0 until f).map { i =>

@@ -912,28 +912,36 @@ object Dedup {
     // table by shingle, DROP singleton postings (a shingle in one document
     // can never witness a pair — the overwhelming majority in natural text)
     // and stop-shingles (df > maxDf), and expand each surviving posting
-    // list into its local pairs. The df pre-count is a Long-buffer aggregate,
-    // never a list, so no unbounded aggregation state exists anywhere.
+    // list into its local pairs. The df count is a window count over the
+    // shingle partitioning, never a list, so no unbounded aggregation state
+    // exists anywhere.
     //
-    // Stop-shingle handling is a shingle-keyed join, not a broadcast: the
+    // Stop-shingle handling stays shingle-KEYED, never a broadcast: the
     // number of df>maxDf shingles GROWS with corpus size (Zipf — at web
     // scale millions of boilerplate n-grams clear any fixed cap), so pinning
     // a broadcast build side would trade away the bounded-memory guarantee
-    // this operator exists for. Instead the posting table joins its own
-    // df-count aggregate: both sides arrive hash-partitioned on shingle (the
-    // posting rows via the join's exchange, the counts via their agg
-    // exchange — distinct subplans, so ReuseExchange does NOT unify them,
-    // but each is reused across the kept/stop branches), and the downstream
-    // posting-list groupBy runs in the join's partitioning without a new
-    // shuffle.
+    // this operator exists for.
     //
-    // Per-doc shingle counts start from `size(shingles)` on the SAME
-    // shingleArrays subplan and subtract the doc's stop-shingle hits (small
-    // join), keeping |A| and |B| consistent with the filtered space.
-    // (Measured alternative — counting the doc's rows in shKept with a
-    // groupBy(id) — re-executes the posting join for the second aggregate
-    // and benches ~0.7 s slower at sf0.1; the base re-read below rides the
-    // ReuseExchange'd tokenize, so it is the cheaper second consumer.)
+    // Plan-determinism note (round 14, diagnosed on `x_corpus_pipeline`):
+    // the previous shape — posting table JOINs its own df-count aggregate,
+    // the join output read by the kept/stop branches — relied on
+    // ReuseExchange to serve the posting exchange to its multiple
+    // consumers. Under AQE that reuse is a RACE: canonically-equal query
+    // stages submitted concurrently each miss the stage cache and execute
+    // independently, so per-stage dumps showed the 2.5MB posting exchange
+    // re-executed 3× on one pass and 8× on the next WITHIN ONE JVM —
+    // nondeterministic shuffle volume (18.7MB vs 39.7MB for the whole
+    // pipeline) for a fixed plan+data. The fix is structural, not a hint:
+    // (a) df comes from `count() OVER (PARTITION BY shingle)` IN the
+    // posting exchange's own partitioning — one shingle-keyed exchange
+    // total, no second agg exchange, no join; (b) per-doc totals `_n_all`
+    // ride the explode so the doc-count side needs no second tokenize
+    // subplan; (c) the resulting (id, _n_all, shingle, _df) frame is
+    // materialized ONCE (eager localCheckpoint — the same stage-boundary
+    // pattern the pipeline gates use; at 100 TB this is the parquet write
+    // between curation stages) and every downstream branch reads the fixed
+    // RDD. Post-fix the whole pipeline's shuffle bytes are identical
+    // across passes and JVMs.
     val (inter, cnt) = shinglePairCounts(df, idCol, textCol, n, maxDf)
     inter
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
@@ -948,8 +956,15 @@ object Dedup {
     * returns (per-pair intersection counts `(id_a, id_b, n_inter)`, per-doc
     * kept-shingle counts `(id, n_sh)`) over the df-capped distinct-shingle
     * space. All the design notes above (inverted index, singleton drop,
-    * keyed — never broadcast — stop-shingle join, size-minus-stop-hits doc
-    * counts) live here.
+    * keyed — never broadcast — stop-shingle handling, window df count in
+    * the posting partitioning, eager single materialization for plan
+    * determinism) live here. NOTE: calling this triggers one Spark job
+    * (the posting-table materialization); both public wrappers are
+    * therefore eager, like [[connectedComponents]].
+    *
+    * `cnt` rows exist only for docs with ≥1 shingle — sufficient, because
+    * its sole consumers are inner joins from `inter` ids, and an id can
+    * appear in a pair only if it contributed at least one posting row.
     */
   private def shinglePairCounts(
       df: DataFrame,
@@ -957,18 +972,19 @@ object Dedup {
       textCol: String,
       n: Int,
       maxDf: Int): (DataFrame, DataFrame) = {
-    val base = shingleArrays(df, idCol, textCol, n)
-    val sh = base.select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+    val withDf = shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), size(col("shingles")).as("_n_all"),
+        explode_outer(col("shingles")).as("shingle"))
       .where(col("shingle").isNotNull) // see shingleTable: InferFiltersFromGenerate trap
-    val dfCnt = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val withDf = sh.join(dfCnt, Seq("shingle"))
-    val shKept = withDf.where(col("_df") <= maxDf).select(col(idCol), col("shingle"))
-    val stopHits = withDf.where(col("_df") > maxDf)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("_n_stop"))
-    val cnt = base.select(col(idCol), size(col("shingles")).as("_n_all"))
-      .join(stopHits, Seq(idCol), "left")
-      .select(col(idCol), (col("_n_all") - coalesce(col("_n_stop"), lit(0))).as("n_sh"))
-    val inter = shKept.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
+      .select(col(idCol), col("_n_all"), col("shingle"),
+        count(lit(1)).over(Window.partitionBy("shingle")).as("_df"))
+      .localCheckpoint(true)
+    val cnt = withDf.groupBy(col(idCol))
+      .agg((first(col("_n_all")).cast("long") -
+        sum(when(col("_df") > maxDf, 1L).otherwise(0L))).as("n_sh"))
+    val inter = withDf.where(col("_df") <= maxDf)
+      .select(col(idCol), col("shingle"))
+      .groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

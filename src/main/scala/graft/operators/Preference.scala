@@ -61,10 +61,63 @@ object Preference {
       loseCol: String,
       nCol: String,
       iters: Int = 8,
-      lambda: Double = 0.5): DataFrame = {
+      lambda: Double = 0.5,
+      tol: Double = 0.0): DataFrame =
+    bradleyTerryFromCountsConverged(
+      counts, winCol, loseCol, nCol, iters, lambda, tol)._1
+
+  /** [[bradleyTerryFromCounts]] with the CONVERGENCE CONTRACT surfaced
+    * (round 14): runs MM iterations up to `iters`, stopping EARLY once the
+    * largest relative strength change of an iteration,
+    * `max_i |s_i' − s_i| / s_i` over the mean-normalized iterates, is
+    * ≤ `tol`. Returns (strengths, iterations actually run). The delta
+    * rides each iteration's checkpoint-materialization job as an
+    * `observe` metric, so the stop test adds NO extra job — the same
+    * one-job-per-iteration discipline as [[graft.operators.Dedup.connectedComponents]].
+    *
+    * `tol = 0.0` (the default) disables the early stop — every gate keeps
+    * its oracle-replayable fixed-iteration contract (the DuckDB oracle
+    * replays exactly `iters` MM rounds; a data-dependent stop would have
+    * to be mirrored in SQL). For production leaderboards pass e.g.
+    * `tol = 1e-6, iters = 50`: `PreferenceSpec` pins that on both the
+    * gate arena and a deliberately skewed synthetic arena the converged
+    * fit agrees with a deep fixed-iteration fit to well under the
+    * tolerance, and that the stop actually fires long before the cap
+    * (fixed-8 MEASURED: worst-item relative distance from converged is
+    * 5.2e-4 on an even arena but 8.5e-3 on a skewed one — a dominant
+    * item over a thin tail under-converges at 8 rounds, confirming the
+    * r13 review's hypothesis. RANKING is unaffected on both arenas;
+    * strength VALUES need tol-based stopping when they feed downstream
+    * weighting).
+    *
+    * Per-iteration work (halved in round 14 per advisor note): `raw` is
+    * materialized BEFORE the normalization, so the two keyed joins +
+    * denominator aggregation run once per iteration instead of twice
+    * (the broadcast mean aggregate and the normalization select each
+    * consumed the unmaterialized plan).
+    *
+    * Loop checkpoints use [[org.apache.spark.sql.graft.Shim.localCheckpointFreshStats]],
+    * NOT plain localCheckpoint: Spark 4 pins the origin plan's size
+    * statistics into the checkpoint's LogicalRDD, and this loop's
+    * crossJoin + three keyed joins per iteration MULTIPLY the carried
+    * sizes — the estimate's bit length grows ~3× per iteration, and past
+    * ~12 iterations the driver hangs in million-bit BigInteger
+    * multiplication inside stats estimation (found by this operator's own
+    * convergence spec; see the Shim scaladoc). Fresh-stats truncation
+    * makes per-iteration planning O(1) at any iteration count.
+    */
+  def bradleyTerryFromCountsConverged(
+      counts: DataFrame,
+      winCol: String,
+      loseCol: String,
+      nCol: String,
+      iters: Int = 8,
+      lambda: Double = 0.5,
+      tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 1, "need at least one MM iteration")
     require(lambda > 0.0, "lambda must be > 0 (the raw MLE diverges on " +
       "never-losing items; pass a small positive prior)")
+    require(tol >= 0.0, "tol must be >= 0 (0 disables the early stop)")
     val checked = counts.select(
       when(col(winCol) === col(loseCol),
         raise_error(concat(lit("self-preference for item "), col(winCol))))
@@ -89,22 +142,35 @@ object Preference {
         coalesce(col("wins"), lit(0L)).as("wins"))
       .localCheckpoint(true)
     var s = base.select(col("id"), lit(1.0).as("s"))
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val den = d
         .join(s, "id")
         .join(s.select(col("id").as("opp"), col("s").as("_so")), "opp")
         .groupBy("id")
         .agg(sum(col("n").cast("double") / (col("s") + col("_so"))).as("_den"))
-      val raw = base.join(den, "id").join(s, "id")
+      val raw = org.apache.spark.sql.graft.Shim.localCheckpointFreshStats(
+        base.join(den, "id").join(s, "id")
         .select(col("id"),
           ((col("wins").cast("double") + lit(lambda)) /
-            (col("_den") + lit(2.0 * lambda) / (col("s") + lit(1.0)))).as("_sr"))
-      s = raw
+            (col("_den") + lit(2.0 * lambda) / (col("s") + lit(1.0)))).as("_sr"),
+          col("s").as("_sp")))
+      val obs = org.apache.spark.sql.Observation()
+      val next = org.apache.spark.sql.graft.Shim.localCheckpointFreshStats(raw
         .crossJoin(broadcast(raw.agg(avg(col("_sr")).as("_m"))))
-        .select(col("id"), (col("_sr") / col("_m")).as("s"))
-        .localCheckpoint(true)
+        .select(col("id"), (col("_sr") / col("_m")).as("s"), col("_sp"))
+        .observe(obs, max(abs(col("s") - col("_sp")) / col("_sp")).as("_delta")))
+      s = next.select("id", "s")
+      it += 1
+      if (tol > 0.0) {
+        val delta = Option(obs.get("_delta"))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
+        converged = delta <= tol
+      }
     }
-    base.join(s, "id")
-      .select(col("id"), col("s").as("strength"), col("wins"), col("games"))
+    (base.join(s, "id")
+      .select(col("id"), col("s").as("strength"), col("wins"), col("games")),
+      it)
   }
 }

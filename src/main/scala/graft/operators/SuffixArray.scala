@@ -60,24 +60,47 @@ object SuffixArray {
     */
   val InitPrefix = 32
 
-  /** Rows per range partition the ranker targets. A suffix row is a
-    * (doc, off, 16-64B key) tuple ≈ 100B, so 256k rows keep a partition's
-    * sort working set ~25MB — far under executor memory at any scale; the
-    * session's `numShufflePartitions` stays the upper bound, so a
-    * cluster-sized conf still governs cluster-sized corpora. Sizing the
-    * exchange to the DATA rather than the conf is what keeps the
-    * O(log maxDocLen) doubling rounds from paying 32-task fixed overhead
-    * per round on gate-sized inputs (the same stage-boundary lesson as the
-    * corpus-pipeline fix).
+  /** Rows per range partition the ranker targets. A suffix row in the
+    * seed exchange is a (doc, off, 32-char key) tuple ≈ 100–150B plus
+    * window-sort overhead, so 256k rows keep a partition's sort working
+    * set a few tens of MB — comfortably in executor memory at any scale.
+    *
+    * The width is sized to the DATA, in BOTH directions (round 14): the
+    * session conf is neither a floor (gate-sized inputs would pay
+    * 32-task fixed overhead per refinement round — the corpus-pipeline
+    * stage-boundary lesson) nor a CEILING. The previous version capped at
+    * `numShufflePartitions`, and the f=30 hostile probe (46M suffixes)
+    * showed exactly what that costs: 32 partitions × 1.4M rows forced
+    * 9.4GB of sort spill. Uncapped, f=30 runs at 176 partitions × 256k
+    * rows with spill ≈ 0. The loud 1<<20 guard bounds the driver's
+    * O(width) offset arrays; a corpus that trips it (≈275G chars in one
+    * SA build) should be sharded upstream — the gram-cut family is the
+    * documented scale path long before that point (see the curation
+    * YAML's SA-vs-gram-cut boundary note).
+    *
+    * Skew bound, documented: equal seed keys land in ONE range partition
+    * by construction, so a single ≥32-char boilerplate value repeated X
+    * times concentrates X rows in one task's window sort regardless of
+    * width. The per-class width bound is therefore max-class-size, not
+    * rows/width; a corpus dominated by one such value needs the gram-cut
+    * path (which caps posting lists) or a pre-pass stripping the
+    * boilerplate — the refinement rounds are safe either way (they
+    * re-sort only still-tied classes, and an exhausted equal class
+    * freezes rather than loops).
     */
-  private def rankWidth(ss: org.apache.spark.sql.SparkSession, rows: Long): Int =
-    math.max(1, math.min(ss.sessionState.conf.numShufflePartitions.toLong,
-      (rows + 262143L) / 262144L)).toInt
+  private def rankWidth(ss: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val w = (rows + 262143L) / 262144L
+    require(w <= (1L << 20),
+      s"suffix-array build over $rows suffixes would need $w range partitions; " +
+        "shard the corpus (or use Dedup.exactSubstrCutByGrams, the documented " +
+        "scale path) instead of one monolithic SA build")
+    math.max(1L, w).toInt
+  }
 
   /** Global 1-based DENSE rank of `keys` tuples (binary/lexicographic
     * order), appended as `out`; also returns the total distinct-tuple
-    * count (the prefix-doubling convergence signal, measured here for
-    * free). Two-phase: range-partition the rows (duplicates land in the
+    * count (a convergence signal for rank-refinement callers, measured
+    * here for free). Two-phase: range-partition the rows (duplicates land in the
     * same range by construction), dense-rank locally per partition, lift
     * by per-partition DISTINCT-count offsets (O(partitions) driver rows —
     * same bounded-collect discipline as the bucket rollups). Rank VALUES

@@ -169,6 +169,55 @@ object Shim {
       : org.apache.spark.sql.catalyst.util.TimestampFormatter =
     org.apache.spark.sql.catalyst.util.TimestampFormatter(pattern, zoneId, isParsing = true)
 
+  /** Eager `localCheckpoint` that also TRUNCATES plan statistics — the
+    * stage-boundary primitive for ITERATIVE join loops (round 14, found by
+    * `PreferenceSpec`'s convergence test hanging the driver).
+    *
+    * Spark 4's `Dataset.localCheckpoint` truncates LINEAGE but the
+    * resulting [[org.apache.spark.sql.execution.LogicalRDD]] carries the
+    * ORIGIN plan's `Statistics` (`LogicalRDD.fromDataset` computes and
+    * pins them so AQE/broadcast planning keeps working across the
+    * checkpoint). For a loop whose per-iteration plan JOINS the previous
+    * checkpoint k times, `SizeInBytesOnlyStatsPlanVisitor` multiplies the
+    * carried sizes, so the recorded `sizeInBytes` BigInt grows k× in BIT
+    * LENGTH per iteration — exponential. Bradley–Terry (one crossJoin +
+    * three keyed joins per MM iteration) reaches ~400k-bit sizes by
+    * iteration 8 and by ~iteration 12 the driver disappears into
+    * million-bit `BigInteger.multiplyToomCook3` inside stats estimation:
+    * the DATA is a few item-sized rows, the hang is pure planning. Any
+    * iterative operator that checkpoints per round inherits the same
+    * cliff once rounds × joins-per-round is large enough (linear chains
+    * like connectedComponents only grow bits linearly — harmless; it is
+    * the multiplicative shapes that explode).
+    *
+    * This helper rebuilds the checkpointed Dataset's LogicalRDD WITHOUT
+    * `originStats`/`originConstraints`, so downstream planning sees the
+    * session default size — constant per iteration, no compounding. Use
+    * it for loop-carried frames; plain `localCheckpoint` remains right
+    * for one-shot stage boundaries where the carried stats HELP (they
+    * let AQE broadcast a small materialized side).
+    */
+  def localCheckpointFreshStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint(true).asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val session = ck.sparkSession
+    ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.classic.Dataset.ofRows(session,
+          new org.apache.spark.sql.execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(session, None, None))
+      case _ => ck // unexpected shape; checkpointed frame is still correct
+    }
+  }
+
+  /** The optimized plan's estimated `sizeInBytes` — exposed so specs can
+    * assert [[localCheckpointFreshStats]] actually bounds the estimate
+    * across loop iterations (the plan surface is `private[sql]`).
+    */
+  def planSizeInBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** Register a named SQL function backed by a `Column => Column` composition
     * of built-in (codegen'd) expressions — unlike `spark.udf.register` this
     * adds no black-box UDF call: the function inlines into the caller's plan

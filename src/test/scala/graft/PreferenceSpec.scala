@@ -120,6 +120,78 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  test("convergence contract: early stop fires, converged == deep fit; fixed-8 distance measured per arena") {
+    import org.apache.spark.sql.functions._
+    // Gate-shaped arena (5 items, skew-free) AND a deliberately skewed one:
+    // one dominant item that wins almost everything plus a long tail of
+    // rarely-compared items — the shape where fixed-8 is most at risk of
+    // under-convergence.
+    val rnd = new scala.util.Random(23)
+    val even = (0 until 200).map { _ =>
+      val items = ('A' to 'E').map(_.toString)
+      val i = items(rnd.nextInt(items.length))
+      var j = items(rnd.nextInt(items.length))
+      while (j == i) j = items(rnd.nextInt(items.length))
+      (i, j)
+    }
+    val skewItems = ("KING" +: (1 to 12).map(i => s"t$i")).toIndexedSeq
+    val skewed = (0 until 300).map { _ =>
+      val j = skewItems(1 + rnd.nextInt(skewItems.length - 1))
+      if (rnd.nextDouble() < 0.95) ("KING", j)
+      else if (rnd.nextBoolean()) (j, "KING")
+      else {
+        var k = skewItems(1 + rnd.nextInt(skewItems.length - 1))
+        while (k == j) k = skewItems(1 + rnd.nextInt(skewItems.length - 1))
+        (j, k)
+      }
+    }
+    for ((duels, label) <- Seq((even, "even"), (skewed, "skewed"))) {
+      val cnts = duels.toDF("w", "l").groupBy("w", "l").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      // Deep fixed fit = ground truth for "converged" (40 MM iterations:
+      // the smoothed update contracts fast enough that 40 sits below 1e-8
+      // per-step movement on arenas this size — asserted implicitly by the
+      // 1e-4 agreement bounds below; 200 would grind ~800 scheduler-bound
+      // micro-jobs in a shared test session for no extra signal).
+      val deep = Preference.bradleyTerryFromCounts(cnts, "w", "l", "n", 40, 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val (convDf, itersRun) = Preference.bradleyTerryFromCountsConverged(
+        cnts, "w", "l", "n", iters = 40, lambda = 0.5, tol = 1e-6)
+      val conv = convDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(itersRun < 40, s"$label: early stop never fired ($itersRun)")
+      conv.foreach { case (k, s) =>
+        assert(math.abs(s - deep(k)) / deep(k) < 1e-4,
+          s"$label $k: converged $s vs deep ${deep(k)}")
+      }
+      // The fixed-8 default the gates use: measure (not assume) how far
+      // it sits from converged. MEASURED worst-item relative distance:
+      // 5.2e-4 on the even arena but 8.5e-3 on the skewed one — the r13
+      // verdict's under-convergence hypothesis CONFIRMED: a dominant item
+      // over a thin tail needs more than 8 MM iterations for sub-1e-3
+      // strengths (ranking order is still correct; the VALUES are ~1%
+      // off). Production leaderboards should pass tol>0 and let the
+      // early stop pick the count; the gates keep fixed-8 because their
+      // oracle replays exactly 8 rounds. Bounds pinned at measured+margin
+      // so a regression (or an arena change) resurfaces loudly.
+      val fix8 = Preference.bradleyTerryFromCounts(cnts, "w", "l", "n", 8, 0.5)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val worst = fix8.map { case (k, s) => math.abs(s - conv(k)) / conv(k) }.max
+      info(s"$label: fixed-8 worst-item relative distance from converged = $worst")
+      val bound = if (label == "even") 2e-3 else 3e-2
+      assert(worst < bound, s"$label: fixed-8 sits $worst from converged")
+      // And the converged fit ranks identically to fixed-8 (order safety).
+      assert(fix8.toSeq.sortBy(-_._2).map(_._1) == conv.toSeq.sortBy(-_._2).map(_._1),
+        s"$label: convergence changed the RANKING")
+      // tol=0 keeps the fixed-iteration contract bit-for-bit (oracle parity).
+      val (fix8b, it8) = Preference.bradleyTerryFromCountsConverged(
+        cnts, "w", "l", "n", 8, 0.5, tol = 0.0)
+      assert(it8 == 8)
+      fix8b.collect().map(r => r.getString(0) -> r.getDouble(1)).foreach {
+        case (k, s) => assert(s == fix8(k), s"$label $k tol=0 determinism")
+      }
+    }
+  }
+
   test("self-preference is an upstream data bug and fails loudly") {
     val err = intercept[Exception] {
       fit(Seq(("A", "B"), ("B", "B")))

@@ -69,4 +69,82 @@ class StreamingLateDataSpec extends SparkSpec {
     val naive = rows(hourAgg(ev))
     assert(streamed != naive, "dropping late-beyond-watermark rows changed nothing — vacuous gate")
   }
+
+  /** Shared fixture derivation for the round-14 stateful-twin late gates —
+    * identical cut/band/sample arithmetic to the gates themselves.
+    */
+  private def labeled(): (DataFrame, Long) = {
+    val ev = sources.EventsTable.load(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        graft.functions.Conversions.nanosToTimestamp(col("ts")).as("ts"))
+    val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val cut = mn + (mx - mn) * 6 / 10
+    val recent = cut - 14400000000L
+    val lab = ev.withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_late",
+        (col("_us") < recent && col("event_id") % 7 === 3) ||
+        (col("_us") >= recent && col("_us") < cut && col("event_id") % 3 === 1))
+      .localCheckpoint(true)
+    val wm1 = lab.where(!col("_late") && col("_us") < recent)
+      .agg(max(col("_us"))).head().getLong(0) - 600000000L
+    (lab, wm1)
+  }
+
+  test("st_sessionize late fixture: both classes present; stream == admitted-subset sessionizer != naive") {
+    import org.apache.spark.sql.expressions.Window
+    val (lab, wm1) = labeled()
+    // fMGWS event-time-timeout late filter judges the RAW event time.
+    val late = lab.where(col("_late"))
+    assert(late.where(col("_us") > wm1).count() > 0,
+      "no late-within rows: the cross-batch session-merge path is unexercised")
+    assert(late.where(col("_us") <= wm1).count() > 0,
+      "no late-beyond rows: the fMGWS drop path is unexercised")
+
+    def sessionize(df: DataFrame): Set[(Long, Long, Long, Long)] = {
+      val w = Window.partitionBy("user_id").orderBy("t")
+      df.select(col("user_id"), (col("_us") / 1000L).cast("long").as("t"))
+        .withColumn("_prev", lag("t", 1).over(w))
+        .withColumn("_brk",
+          when(col("_prev").isNull || col("t") - col("_prev") > 21600000L, 1).otherwise(0))
+        .withColumn("_sid", sum("_brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "_sid")
+        .agg(min("t").as("s"), max("t").as("e"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    }
+    val streamed = SparkEntry.queries("st_sessionize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val admitted = sessionize(lab.where(!col("_late") || col("_us") > wm1))
+    assert(streamed == admitted,
+      s"streamed ${streamed.size} sessions != admitted-subset ${admitted.size}")
+    val naive = sessionize(lab)
+    assert(streamed != naive, "session drops changed nothing — vacuous late fixture")
+  }
+
+  test("st_sliding_counts late fixture: per-copy drop classes present; stream == admitted expansion != naive") {
+    val (lab, wm1) = labeled()
+    // The sliding agg judges each EXPANDED (event, hop-window) copy by its
+    // own window end — one copy of a late row can merge while the other drops.
+    val ex = lab.select(col("event_type"), col("_late"),
+        explode(array(date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"),
+          date_trunc("hour", col("ts")))).as("ws"))
+      .withColumn("_wend", unix_micros(col("ws")) + 7200000000L)
+      .localCheckpoint(true)
+    val lateCopies = ex.where(col("_late"))
+    assert(lateCopies.where(col("_wend") > wm1).count() > 0, "no late-within window copies")
+    assert(lateCopies.where(col("_wend") <= wm1).count() > 0, "no late-beyond window copies")
+
+    def agg(df: DataFrame): Set[(String, String, Long)] = df.groupBy(
+        date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = SparkEntry.queries("st_sliding_counts")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val admitted = agg(ex.where(!col("_late") || col("_wend") > wm1))
+    assert(streamed == admitted,
+      s"streamed ${streamed.size} window rows != admitted expansion ${admitted.size}")
+    val naive = agg(ex)
+    assert(streamed != naive, "sliding drops changed nothing — vacuous late fixture")
+  }
 }
