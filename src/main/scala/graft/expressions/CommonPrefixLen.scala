@@ -38,16 +38,29 @@ case class CommonPrefixLen(left: Expression, right: Expression, cap: Int)
 }
 
 object CommonPrefixLen {
-  /** Code-point count of the common prefix, walking whole code points. */
+  /** Code-point count of the common prefix, walking whole code points
+    * DIRECTLY on the UTF-8 buffers (round 14, advisor note): the previous
+    * version `toString`ed both operands, allocating O(full string) UTF-16
+    * per row even when `cap` is tiny. Byte-stepping allocates nothing and
+    * touches at most ~4·cap bytes per side. Whole-sequence byte equality
+    * IS code-point equality (UTF-8 is injective), so counts are unchanged
+    * for valid UTF-8 — Spark strings always are; a malformed tail
+    * sequence conservatively ends the prefix.
+    */
   def count(a: UTF8String, b: UTF8String, cap: Int): Int = {
-    val sa = a.toString
-    val sb = b.toString
+    val la = a.numBytes
+    val lb = b.numBytes
     var i = 0
     var n = 0
-    while (n < cap && i < sa.length && i < sb.length) {
-      val ca = sa.codePointAt(i)
-      if (ca != sb.codePointAt(i)) return n
-      i += Character.charCount(ca)
+    while (n < cap && i < la && i < lb) {
+      val w = UTF8String.numBytesForFirstByte(a.getByte(i))
+      if (i + w > la || i + w > lb) return n
+      var j = 0
+      while (j < w) {
+        if (a.getByte(i + j) != b.getByte(i + j)) return n
+        j += 1
+      }
+      i += w
       n += 1
     }
     n

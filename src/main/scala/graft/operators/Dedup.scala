@@ -370,6 +370,14 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000): Unit = {
     val ss = batch.sparkSession
+    // Fail with the seeding instruction, not a generic path-not-found
+    // AnalysisException from inside foreachBatch (round-14 advisor note):
+    // an unseeded index dir is a CALLER setup bug and should name the fix.
+    require(new java.io.File(indexDir).exists() ||
+        indexDir.contains("://"), // non-local FS: let the reader check
+      s"LSH index dir $indexDir does not exist — seed it before the first " +
+        "batch with a zero-row minHashBands frame at <indexDir>/batch_id=-1 " +
+        "(see scaladoc) so first-batch probes read the table shape they append to")
     // Bands are computed ONCE (shingle+minhash is the dominant cost) — the
     // same materialized frame feeds the probe and the index write.
     val nb = minHashBands(batch, idCol, textCol, n, numHashes, bands)
