@@ -220,7 +220,20 @@ object CurateMain {
     // collapses emptied shells. Implementation is the duplicated-char-gram
     // fast path — the same function as SuffixArray.removeRepeatedText
     // (equivalence spec-asserted on the real corpus) at two keyed
-    // aggregations instead of O(log maxDocLen) prefix-doubling rounds.
+    // aggregations instead of suffix-array construction.
+    //
+    // SA-vs-gram-cut boundary (round 14, decided): the gram path is the
+    // curation default UNCONDITIONALLY — it computes the identical cut at
+    // 5.5x less wall / 21x less shuffle (hostile f=30 probe, BASELINE.md)
+    // and its exchanges are hash-keyed grams (no range sort, no
+    // window-sort skew class). The suffix-array path is NOT a fallback
+    // for bigger corpora; it is for different QUESTIONS — reach for
+    // SuffixArray.{build,repeatedSpans} only when the deliverable needs
+    // artifacts the cut doesn't: maximal-repeat REPORTS with exact LCP
+    // lengths (x_suffix_dup_spans), repeat-depth/rank analytics, or
+    // contamination forensics over spans longer than minLen. If a run
+    // needs both, compute the cut by grams and the report by SA on the
+    // (much smaller) post-cut corpus.
     val afterExactSubstr = cfg.exactSubstrMinLen match {
       case Some(l) =>
         val cleaned = Dedup.exactSubstrCutByGrams(

@@ -1690,9 +1690,17 @@ object Dedup {
       // metric); the set-equality fixpoint test is a short-circuited count
       // compare + an anti-join over two checkpointed sliver frames.
       val obs = org.apache.spark.sql.Observation()
-      val next = ss.repartition(width, col("u"))
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint(true)
+      // FreshStats (round 14): a star round's plan is two keyed aggregates
+      // + two joins over the previous round's edges — size stats compound
+      // ~quartically per round through a stats-carrying checkpoint, which
+      // would hang the driver in BigInteger stats estimation on a deep
+      // chain graph (the Bradley-Terry cliff; see
+      // Shim.localCheckpointFreshStats). The propagation loop above keeps
+      // the plain checkpoint: its growth is linear (one edges-factor per
+      // round) and the carried stats let AQE broadcast the label sliver.
+      val next = org.apache.spark.sql.graft.Shim.localCheckpointFreshStats(
+        ss.repartition(width, col("u"))
+          .observe(obs, count(lit(1)).as("n")))
       val nextCount = obs.get("n").asInstanceOf[Long]
       converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty

@@ -107,7 +107,14 @@ object Graph {
         .join(bad.withColumnRenamed("v", "a"), Seq("a"), "left_anti")
         .join(bad.withColumnRenamed("v", "b"), Seq("b"), "left_anti")
         .select("a", "b")
-      if (it % 2 == 0) pruned = pruned.localCheckpoint(true)
+      // FreshStats, not plain localCheckpoint (round 14): each round's plan
+      // is und JOIN bad JOIN bad with bad derived from und — size stats
+      // compound CUBICALLY per round through a stats-carrying checkpoint,
+      // and a slow-peeling graph near the 30-round guard would hang the
+      // driver in BigInteger stats math exactly like Bradley-Terry did
+      // (see Shim.localCheckpointFreshStats).
+      if (it % 2 == 0)
+        pruned = org.apache.spark.sql.graft.Shim.localCheckpointFreshStats(pruned)
       val n2 = pruned.count()
       stable = n2 == n
       n = n2

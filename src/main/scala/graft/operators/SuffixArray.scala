@@ -282,10 +282,32 @@ object SuffixArray {
       // what reaches the window computation.
       val probeSide =
         if (activeCnt <= BroadcastActiveMax) broadcast(active) else active
+      // Size the refinement exchange to the DATA TOO (round 14): the
+      // class-window sort below carries `block` chars per active row
+      // (~0.5KB at the default), and inheriting the session width hands
+      // each task activeCnt/width of that — at the f=30 hostile probe
+      // (46M active rows, width 32) that is ~790MB of sort working set
+      // per task × 32 concurrent, which spilled 9.4GB in r13 and OOMs
+      // outright in an 8GB local[32] driver. Repartition by the class key
+      // at the session's ADVISORY partition size (Spark's own
+      // post-shuffle sizing knob — cluster operators already tune it to
+      // their per-core memory; 64MB default) of window bytes per
+      // partition. The Window's ClusteredDistribution(_r) is satisfied by
+      // this exchange, so no second shuffle is added — the width of the
+      // ONE exchange just follows the bytes it must sort. Equal keys
+      // stay co-located (hash on _r), exactly as before; a single
+      // over-sized tie class still lands in one task (see the skew bound
+      // note on rankWidth).
+      val advisory = math.max(1L << 20,
+        ss.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val refWidth = math.max(1, math.min(1L << 20,
+        activeCnt * (block + 64L) / advisory + 1L)).toInt
       val paired = probeSide.join(docsTxt, "_d")
         .withColumn("_w",
           col("_t").substr((col("_o") + off).cast("int"), lit(block)))
         .drop("_t")
+        .repartition(refWidth, col("_r"))
       // Refine within each class: rank() over the window strings is
       // exactly min-position semantics (1 + the number of strictly-smaller
       // members, ties share), so subclass ranks slot into the parent
