@@ -5310,7 +5310,181 @@ object QueriesExt {
     },
     prefBradleyTerry._2._2))
 
+  // ----------------------------------------------- RL post-training ops
+  /** GRPO group-relative advantage gate ([[graft.operators.RlOps
+    * .groupAdvantage]]): rollout groups are users, rewards the event
+    * value; the oracle replays mean/stddev_samp/count as window
+    * aggregates over the same partition. Degenerate contract under test:
+    * zero-variance and single-sample groups must emit advantage 0.
+    */
+  private lazy val rlGroupAdvantage: Q = "x_rl_group_advantage" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.RlOps.groupAdvantage(
+          s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull),
+          Seq("user_id"), "value")
+        .select(col("event_id"), col("user_id"),
+          round(col("advantage"), 6).as("advantage"),
+          round(col("group_mean"), 6).as("group_mean"), col("n_samples")),
+    """SELECT event_id, user_id,
+      |  round(CASE WHEN s IS NULL OR s = 0 THEN 0.0 ELSE (value - m) / s END, 6) AS advantage,
+      |  round(m, 6) AS group_mean, n AS n_samples
+      |FROM (SELECT event_id, user_id, value,
+      |        avg(value) OVER w AS m, stddev_samp(value) OVER w AS s,
+      |        count(*) OVER w AS n
+      |      FROM events WHERE value IS NOT NULL
+      |      WINDOW w AS (PARTITION BY user_id))""".stripMargin))
+
+  /** Unbiased pass@k gate ([[graft.operators.RlOps.passAtK]], Chen et al.
+    * 2021 eq. 1): tasks are users, a sample passes when value > 100; the
+    * oracle replays the identical left-fold product Π (n−c−i)/(n−i) via
+    * list_reduce so both engines run the same double sequence. k = 1
+    * degenerates to c/n; k = 32 exercises the long-product path (n ≈ 66
+    * per user at gate SF).
+    */
+  private lazy val rlPassAtK: Q = "x_rl_pass_at_k" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.RlOps.passAtK(
+          s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull),
+          Seq("user_id"), col("value") > 100, Seq(1, 8, 32))
+        .select(col("user_id"), col("n"), col("c"),
+          round(col("pass_at_1"), 6).as("pass_at_1"),
+          round(col("pass_at_8"), 6).as("pass_at_8"),
+          round(col("pass_at_32"), 6).as("pass_at_32")),
+    {
+      def p(k: Int) =
+        s"""round(CASE WHEN n < $k THEN NULL WHEN n - c < $k THEN 1.0
+           |  ELSE 1.0 - list_reduce(
+           |    list_prepend(1.0::DOUBLE, list_transform(range(0, $k),
+           |      i -> (n - c - i)::DOUBLE / (n - i)::DOUBLE)),
+           |    (x, y) -> x * y) END, 6) AS pass_at_$k""".stripMargin
+      s"""SELECT user_id, n, c, ${p(1)}, ${p(8)}, ${p(32)}
+         |FROM (SELECT user_id, count(*)::BIGINT AS n,
+         |        sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS c
+         |      FROM events WHERE value IS NOT NULL GROUP BY user_id)""".stripMargin
+    }))
+
+  /** Sampled-KL estimator gate ([[graft.operators.RlOps.klEstimators]],
+    * Schulman's k1/k2/k3): per-sample policy and reference logprobs are
+    * deterministic affine transforms of the event value (so logr =
+    * lp_ref − lp_pol spans ≈ (−0.09, 1.14) — enough spread that the
+    * three estimators visibly disagree); both engines replay the exact
+    * same double expressions before the grouped means.
+    */
+  private lazy val rlKlEstimate: Q = "x_rl_kl_estimate" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull)
+        .withColumn("lp_pol", lit(-1.0) - col("value") / 500)
+        .withColumn("lp_ref", col("lp_pol") + (col("value") - 35) / 400)
+      operators.RlOps.klEstimators(ev, Seq("event_type"), col("lp_pol"), col("lp_ref"))
+        .select(col("event_type"), col("n"),
+          round(col("kl_k1"), 6).as("kl_k1"),
+          round(col("kl_k2"), 6).as("kl_k2"),
+          round(col("kl_k3"), 6).as("kl_k3"))
+    },
+    """WITH t AS (SELECT event_type,
+      |    -1.0 - value / 500 AS lp_pol,
+      |    (-1.0 - value / 500) + (value - 35) / 400 AS lp_ref
+      |  FROM events WHERE value IS NOT NULL),
+      |u AS (SELECT event_type, lp_ref - lp_pol AS lr FROM t)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  round(avg(-lr), 6) AS kl_k1,
+      |  round(avg(lr * lr / 2), 6) AS kl_k2,
+      |  round(avg(exp(lr) - 1.0 - lr), 6) AS kl_k3
+      |FROM u GROUP BY event_type""".stripMargin))
+
+  /** DPO implicit-reward margin gate ([[graft.operators.RlOps
+    * .dpoMarginStats]], Rafailov et al. 2023 eq. 5): chosen/rejected
+    * policy and reference logprobs are deterministic transforms of order
+    * columns (the %15 == 0 stratum pins the exact-zero-margin contract:
+    * both log-ratio terms cancel EXACTLY, so reward_acc must not count
+    * them); quantiles are the exact `percentile` ≡ `quantile_cont`
+    * pairing proven by the corpus-quantile gate.
+    */
+  private lazy val rlDpoMargin: Q = "x_rl_dpo_margin" -> ((
+    (s: SparkSession, dir: String) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val lpcPol = -col("o_totalprice") / 100000
+      val lprPol = -col("o_totalprice") / 100000 - (col("o_orderkey") % 7) / lit(100.0)
+      val lpcRef = lpcPol - (col("o_orderkey") % 5) / lit(200.0)
+      val lprRef = lprPol - (col("o_orderkey") % 3) / lit(150.0)
+      operators.RlOps.dpoMarginStats(o, Seq("o_orderpriority"), beta = 0.1,
+          lpcPol, lprPol, lpcRef, lprRef)
+        .select(col("o_orderpriority"), col("n_pairs"),
+          round(col("reward_acc"), 6).as("reward_acc"),
+          round(col("mean_margin"), 6).as("mean_margin"),
+          round(col("p50_margin"), 6).as("p50_margin"),
+          round(col("p90_margin"), 6).as("p90_margin"))
+    },
+    """WITH t AS (SELECT o_orderpriority,
+      |    -o_totalprice / 100000 AS lpc_pol,
+      |    -o_totalprice / 100000 - (o_orderkey % 7) / 100.0 AS lpr_pol,
+      |    (-o_totalprice / 100000) - (o_orderkey % 5) / 200.0 AS lpc_ref,
+      |    (-o_totalprice / 100000 - (o_orderkey % 7) / 100.0) - (o_orderkey % 3) / 150.0 AS lpr_ref
+      |  FROM orders),
+      |m AS (SELECT o_orderpriority,
+      |        0.1 * ((lpc_pol - lpc_ref) - (lpr_pol - lpr_ref)) AS _margin FROM t)
+      |SELECT o_orderpriority, count(*)::BIGINT AS n_pairs,
+      |  round(avg(CASE WHEN _margin > 0 THEN 1.0 ELSE 0.0 END), 6) AS reward_acc,
+      |  round(avg(_margin), 6) AS mean_margin,
+      |  round(quantile_cont(_margin, 0.5), 6) AS p50_margin,
+      |  round(quantile_cont(_margin, 0.9), 6) AS p90_margin
+      |FROM m GROUP BY o_orderpriority""".stripMargin))
+
+  /** Streaming twin of the GRPO advantage gate: four AvailableNow
+    * micro-batches accumulate MERGEABLE per-group moments (n, Σr, Σr² —
+    * [[graft.operators.RlOps.rewardMoments]]), then the full table is
+    * scored against the accumulated normalizer
+    * ([[graft.operators.RlOps.advantageFromMoments]]). The invariant
+    * under test: per-batch moment tables SUM into exactly the
+    * whole-history mean/std, so the streamed result hash-matches the
+    * one-shot batch oracle (same SQL as x_rl_group_advantage minus the
+    * mean column).
+    */
+  private lazy val stRlAdvantage: Q = "st_rl_advantage" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val ev = s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull)
+        .select("event_id", "user_id", "value")
+      val tmpPath = scratchDir("strladv")
+      val tmp = tmpPath.toString
+      try {
+        (0L until 4L).foreach { b =>
+          ev.where(pmod(col("event_id"), lit(4L)) === b)
+            .repartition(1).write.mode("append").parquet(s"$tmp/topic")
+        }
+        operators.RlOps.rewardMoments(ev.limit(0), Seq("user_id"), "value")
+          .withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(s"$tmp/state")
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            operators.RlOps.rewardMoments(batch.toDF(), Seq("user_id"), "value")
+              .write.mode("overwrite").parquet(s"$tmp/state/batch_id=$bid")
+          }
+          .start()
+        q.awaitTermination()
+        val moments = s.read.parquet(s"$tmp/state").drop("batch_id")
+          .groupBy("user_id").agg(
+            sum("m_n").as("m_n"), sum("m_sum").as("m_sum"), sum("m_sumsq").as("m_sumsq"))
+        operators.RlOps.advantageFromMoments(ev, moments, Seq("user_id"), "value")
+          .select(col("event_id"), col("user_id"),
+            round(col("advantage"), 6).as("advantage"), col("n_samples"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """SELECT event_id, user_id,
+      |  round(CASE WHEN s IS NULL OR s = 0 THEN 0.0 ELSE (value - m) / s END, 6) AS advantage,
+      |  n AS n_samples
+      |FROM (SELECT event_id, user_id, value,
+      |        avg(value) OVER w AS m, stddev_samp(value) OVER w AS s,
+      |        count(*) OVER w AS n
+      |      FROM events WHERE value IS NOT NULL
+      |      WINDOW w AS (PARTITION BY user_id))""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,

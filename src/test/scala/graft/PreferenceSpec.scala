@@ -182,12 +182,18 @@ class PreferenceSpec extends SparkSpec {
       // And the converged fit ranks identically to fixed-8 (order safety).
       assert(fix8.toSeq.sortBy(-_._2).map(_._1) == conv.toSeq.sortBy(-_._2).map(_._1),
         s"$label: convergence changed the RANKING")
-      // tol=0 keeps the fixed-iteration contract bit-for-bit (oracle parity).
+      // tol=0 keeps the fixed-iteration contract (oracle parity): same
+      // iteration count, same values up to last-ulp shuffle-merge jitter —
+      // the per-iteration keyed double sum merges partials in task
+      // completion order, so two runs of the SAME fit can differ in the
+      // final bit (observed once in ~50 suite runs); the gates absorb
+      // this with round(…, 6), the spec with a 1e-12 relative bound.
       val (fix8b, it8) = Preference.bradleyTerryFromCountsConverged(
         cnts, "w", "l", "n", 8, 0.5, tol = 0.0)
       assert(it8 == 8)
       fix8b.collect().map(r => r.getString(0) -> r.getDouble(1)).foreach {
-        case (k, s) => assert(s == fix8(k), s"$label $k tol=0 determinism")
+        case (k, s) => assert(math.abs(s - fix8(k)) <= 1e-12 * math.abs(fix8(k)),
+          s"$label $k tol=0 parity: $s vs ${fix8(k)}")
       }
     }
   }
