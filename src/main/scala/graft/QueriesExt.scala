@@ -5430,6 +5430,95 @@ object QueriesExt {
       |  round(quantile_cont(_margin, 0.9), 6) AS p90_margin
       |FROM m GROUP BY o_orderpriority""".stripMargin))
 
+  /** Reward length-bias gate ([[graft.operators.RlOps.rewardLengthBias]]):
+    * completion length is synthesized from the event id and the reward
+    * given a KNOWN planted slope (r = value + 0.3·len), so the fitted
+    * per-type slope must recover ≈0.3 plus the natural value noise; the
+    * oracle replays covar_samp/var_samp/corr, which share the (n−1)
+    * convention across engines.
+    */
+  private lazy val rlLengthBias: Q = "x_rl_length_bias" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull)
+        .withColumn("len", (col("event_id") % 50 + 10).cast("double"))
+        .withColumn("r", col("value") + lit(0.3) * col("len"))
+      operators.RlOps.rewardLengthBias(ev, Seq("event_type"), "r", "len")
+        .select(col("event_type"), col("n"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+    },
+    """WITH t AS (SELECT event_type,
+      |    (event_id % 50 + 10)::DOUBLE AS len,
+      |    value + 0.3 * ((event_id % 50 + 10)::DOUBLE) AS r
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  round(CASE WHEN var_samp(len) IS NULL OR var_samp(len) = 0 THEN NULL
+      |    ELSE covar_samp(len, r) / var_samp(len) END, 6) AS slope,
+      |  round(CASE WHEN var_samp(len) IS NULL OR var_samp(len) = 0 THEN NULL
+      |    ELSE avg(r) - (covar_samp(len, r) / var_samp(len)) * avg(len) END, 6) AS intercept,
+      |  round(CASE WHEN var_samp(len) IS NULL OR var_samp(len) = 0
+      |             OR var_samp(r) IS NULL OR var_samp(r) = 0 THEN NULL
+      |    ELSE covar_samp(len, r) * covar_samp(len, r)
+      |         / (var_samp(len) * var_samp(r)) END, 6) AS r2
+      |FROM t GROUP BY event_type""".stripMargin))
+
+  /** Rollout-diversity gate ([[graft.operators.RlOps.rolloutDiversity]]):
+    * prompts are users, completions the event type (5 distinct values ≫
+    * collapsed against ~66 rollouts per user — the mode-collapse regime
+    * the report exists to flag); the oracle replays the two-level count
+    * exactly.
+    */
+  private lazy val rlRolloutDiversity: Q = "x_rl_rollout_diversity" -> ((
+    (s: SparkSession, dir: String) =>
+      operators.RlOps.rolloutDiversity(
+          s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull),
+          Seq("user_id"), "event_type")
+        .select(col("user_id"), col("n"), col("n_distinct"),
+          round(col("distinct_frac"), 6).as("distinct_frac"),
+          round(col("top_share"), 6).as("top_share")),
+    """WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS _c
+      |  FROM events WHERE value IS NOT NULL GROUP BY user_id, event_type)
+      |SELECT user_id, sum(_c)::BIGINT AS n, count(*)::BIGINT AS n_distinct,
+      |  round(count(*)::DOUBLE / sum(_c)::DOUBLE, 6) AS distinct_frac,
+      |  round(max(_c)::DOUBLE / sum(_c)::DOUBLE, 6) AS top_share
+      |FROM c GROUP BY user_id""".stripMargin))
+
+  /** Off-policy evaluation gate ([[graft.operators.RlOps.offPolicyValue]]):
+    * behavior and target logprobs are deterministic transforms of the
+    * event value (log-ratio spans ≈ (−0.09, 1.14), so a measurable
+    * fraction of weights hits the 2.0 clip — clip_frac must be > 0 for
+    * the gate to be testing anything); the oracle replays the identical
+    * least(exp(lr), clip) weights and all four estimators.
+    */
+  private lazy val rlIpsEval: Q = "x_rl_ips_eval" -> ((
+    (s: SparkSession, dir: String) => {
+      val ev = s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull)
+        .withColumn("lp_beh", lit(-1.0) - col("value") / 500)
+        .withColumn("lp_tgt", col("lp_beh") + (col("value") - 35) / 400)
+        .withColumn("r", when(col("value") > 100, 1.0).otherwise(0.0))
+      operators.RlOps.offPolicyValue(ev, Seq("event_type"), "r",
+          col("lp_tgt"), col("lp_beh"), clip = 2.0)
+        .select(col("event_type"), col("n"),
+          round(col("ips"), 6).as("ips"),
+          round(col("snips"), 6).as("snips"),
+          round(col("ess"), 6).as("ess"),
+          round(col("clip_frac"), 6).as("clip_frac"))
+    },
+    """WITH t AS (SELECT event_type,
+      |    CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END AS r,
+      |    ((-1.0 - value / 500) + (value - 35) / 400) - (-1.0 - value / 500) AS lr
+      |  FROM events WHERE value IS NOT NULL),
+      |u AS (SELECT event_type, r, least(exp(lr), 2.0) AS w,
+      |        CASE WHEN exp(lr) > 2.0 THEN 1.0 ELSE 0.0 END AS clipped
+      |  FROM t)
+      |SELECT event_type, count(*)::BIGINT AS n,
+      |  round(avg(w * r), 6) AS ips,
+      |  round(sum(w * r) / sum(w), 6) AS snips,
+      |  round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+      |  round(avg(clipped), 6) AS clip_frac
+      |FROM u GROUP BY event_type""".stripMargin))
+
   /** Streaming twin of the GRPO advantage gate: four AvailableNow
     * micro-batches accumulate MERGEABLE per-group moments (n, Σr, Σr² —
     * [[graft.operators.RlOps.rewardMoments]]), then the full table is
@@ -5485,6 +5574,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
+    rlLengthBias, rlRolloutDiversity, rlIpsEval,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,

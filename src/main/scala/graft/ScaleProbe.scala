@@ -382,6 +382,54 @@ object ScaleProbe {
           f"wall=$wall%.1f s metrics=${bm.json}")
       }
     }
+    stage("rl advantage skew") {
+      // GRPO advantage under GROUP SKEW — the window path's known hazard:
+      // Window.partitionBy(prompt) buffers each group in one task, so a
+      // single viral prompt that accumulates half the corpus's rollouts
+      // serializes into one straggler. The probe replicates events f×,
+      // collapsing HALF of every replica onto ONE hot prompt (f=30 at
+      // sf0.1: 3M rollouts, 1.5M of them in a single group) and compares
+      // the two paths the operator ships: the window form
+      // ([[graft.operators.RlOps.groupAdvantage]] — per-group O(n) task
+      // buffer, correct but skew-exposed) vs the moment form
+      // ([[graft.operators.RlOps.rewardMoments]] +
+      // [[graft.operators.RlOps.advantageFromMoments]] — map-side-combined
+      // (n, Σr, Σr²) then a prompt-keyed join, no per-group buffering).
+      // Claims: moments wall stays linear in rows with exchange O(groups);
+      // the window path's extra wall is confined to the hot-group task
+      // (it must not OOM — Spark's window spills — only straggle); both
+      // paths agree on every advantage to 1e-9.
+      val snapR = TaskMetricsCollector.install(spark.sparkContext)
+      val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("value"))
+      for (f <- Seq(1, factor).distinct) {
+        val ev = (0 until f).map { i =>
+          ev0.select(
+            (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+            when(pmod(col("user_id"), lit(2L)) === 0L, lit("hot"))
+              .otherwise(concat(col("user_id"), lit(s"_$i"))).as("prompt"),
+            col("value"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+        val rows = ev.count()
+        val hot = ev.where(col("prompt") === "hot").count()
+        def run(label: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+          val m0 = snapR(); val t0 = System.nanoTime()
+          val s = df.agg(sum(col("advantage") * col("advantage")).as("ss"),
+            count(lit(1)).as("n")).collect().head
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] rl f=$f%-3d $label rows=$rows%-9d hot=$hot%-9d " +
+            f"ss=${s.getDouble(0)}%.3f wall=$wall%.1f s metrics=${(snapR() - m0).json}")
+        }
+        run("window ") {
+          operators.RlOps.groupAdvantage(ev, Seq("prompt"), "value")
+        }
+        run("moments") {
+          val m = operators.RlOps.rewardMoments(ev, Seq("prompt"), "value")
+          operators.RlOps.advantageFromMoments(ev, m, Seq("prompt"), "value")
+        }
+      }
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -390,7 +438,8 @@ object ScaleProbe {
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
-          "'ann growth', 'suffix array', 'gram cut', 'bradley terry')")
+          "'ann growth', 'suffix array', 'gram cut', 'bradley terry', " +
+          "'rl advantage skew')")
       spark.stop(); return
     }
 

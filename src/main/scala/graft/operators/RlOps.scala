@@ -59,15 +59,22 @@ object RlOps {
   /** Advantage of a (group, reward) row against ACCUMULATED moments:
     * mean = Σr/n, var = (Σr² − (Σr)²/n)/(n−1). Same degenerate-case
     * contract as [[groupAdvantage]]. `moments` must carry the
-    * [[rewardMoments]] columns plus the group key.
+    * [[rewardMoments]] columns plus the group key. The moment table is
+    * BROADCAST by default (a rollout batch has bounded prompt count, and
+    * Catalyst's pessimistic post-aggregation size estimate otherwise
+    * plans a sort-merge join that re-shuffles the full sample table —
+    * measured in the 'rl advantage skew' probe); at leaderboard scales
+    * where the prompt table itself is too big to broadcast, pass
+    * `broadcastMoments = false` and pay the keyed join exchange.
     */
   def advantageFromMoments(
       df: DataFrame, moments: DataFrame,
-      groupCols: Seq[String], rewardCol: String): DataFrame = {
+      groupCols: Seq[String], rewardCol: String,
+      broadcastMoments: Boolean = true): DataFrame = {
     val mean = col("m_sum") / col("m_n")
     val varS = (col("m_sumsq") - col("m_sum") * col("m_sum") / col("m_n")) /
       (col("m_n") - lit(1L))
-    df.join(broadcastIfSmall(moments), groupCols, "left")
+    df.join(if (broadcastMoments) broadcast(moments) else moments, groupCols, "left")
       .withColumn("group_mean", mean)
       .withColumn("group_std", when(col("m_n") > 1L, sqrt(greatest(varS, lit(0.0)))))
       .withColumn("n_samples", col("m_n"))
@@ -76,12 +83,6 @@ object RlOps {
           .otherwise((col(rewardCol) - col("group_mean")) / col("group_std")))
       .drop("m_n", "m_sum", "m_sumsq")
   }
-
-  /** Moment tables are prompt-sized, usually broadcastable; leave the
-    * decision to AQE by default but keep the hook explicit for callers
-    * that know the group cardinality.
-    */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
 
   /** Unbiased pass@k (Chen et al. 2021, eq. 1): per task with n samples of
     * which c pass, pass@k = 1 − C(n−c, k)/C(n, k), computed as the
@@ -123,6 +124,90 @@ object RlOps {
       avg(-lr).as("kl_k1"),
       avg(lr * lr / 2).as("kl_k2"),
       avg(exp(lr) - lit(1.0) - lr).as("kl_k3"))
+  }
+
+  /** Reward length-bias diagnostic: per group, the OLS regression of
+    * reward on completion length — slope (reward points per extra token),
+    * intercept, and Pearson r² — the standard check for a reward model
+    * that has learned "longer is better" (the verbosity bias every RLHF
+    * pipeline audits before trusting its scores; see e.g. Singhal et al.
+    * 2023, "A Long Way to Go: Investigating Length Correlations in
+    * RLHF"). slope = cov(len, r)/var(len), sample-(n−1) convention both
+    * sides; a zero-variance-length group gets NULL slope (no signal, not
+    * ±∞). One hash aggregation with map-side combine.
+    */
+  def rewardLengthBias(
+      df: DataFrame, groupCols: Seq[String],
+      rewardCol: String, lenCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        covar_samp(col(lenCol), col(rewardCol)).as("_cov"),
+        var_samp(col(lenCol)).as("_var"),
+        // r² as cov²/(var_l·var_r) rather than corr(): Spark 4's ANSI
+        // `corr` raises DIVIDE_BY_ZERO on a zero-variance column instead
+        // of returning NULL, and the explicit formula is also the one the
+        // oracle can replay without engine-specific corr internals.
+        var_samp(col(rewardCol)).as("_varr"),
+        avg(col(rewardCol)).as("_mr"),
+        avg(col(lenCol)).as("_ml"))
+      .withColumn("slope",
+        when(col("_var").isNull || col("_var") === 0.0, lit(null).cast("double"))
+          .otherwise(col("_cov") / col("_var")))
+      .withColumn("intercept",
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise(col("_mr") - col("slope") * col("_ml")))
+      .withColumn("r2",
+        when(col("slope").isNull || col("_varr").isNull || col("_varr") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(col("_cov") * col("_cov") / (col("_var") * col("_varr"))))
+      .drop("_cov", "_var", "_varr", "_mr", "_ml")
+
+  /** Rollout diversity / mode-collapse report: per prompt group, the
+    * sample count, distinct-completion count and fraction, and the modal
+    * completion's share (ties broken toward the larger share — the number
+    * itself, not the mode value, is the diagnostic). A policy collapsing
+    * onto one completion drives distinct_frac → 1/n and top_share → 1;
+    * healthy exploration keeps top_share low. Two keyed aggregations, the
+    * second over (prompt → distinct completions) — bounded by distinct
+    * rollout texts, with map-side combine on both.
+    */
+  def rolloutDiversity(
+      df: DataFrame, groupCols: Seq[String], completionCol: String): DataFrame = {
+    val perCompletion = df.groupBy((groupCols :+ completionCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    perCompletion.groupBy(groupCols.map(col): _*).agg(
+        sum(col("_c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        max(col("_c")).as("_top"))
+      .withColumn("distinct_frac",
+        col("n_distinct").cast("double") / col("n").cast("double"))
+      .withColumn("top_share", col("_top").cast("double") / col("n").cast("double"))
+      .drop("_top")
+  }
+
+  /** Off-policy value estimation over logged rollouts (x ~ behavior,
+    * evaluate target): importance weight w = exp(logp_target −
+    * logp_behavior) clipped at `clip` (the bias-variance knob every IPS
+    * deployment sets), then per group: IPS = mean(w·r), SNIPS =
+    * Σ(w·r)/Σw (self-normalized — Swaminathan & Joachims 2015), effective
+    * sample size ESS = (Σw)²/Σw² (how many "real" samples the weighted
+    * estimate is worth — the health metric that says whether the logged
+    * data can evaluate this target at all), and the clipped fraction.
+    * One hash aggregation with map-side combine; weights are computed
+    * per-row in codegen, never materialized.
+    */
+  def offPolicyValue(
+      df: DataFrame, groupCols: Seq[String], rewardCol: String,
+      lpTarget: Column, lpBehavior: Column, clip: Double): DataFrame = {
+    val w = least(exp(lpTarget - lpBehavior), lit(clip))
+    df.withColumn("_w", w)
+      .withColumn("_clipped", (exp(lpTarget - lpBehavior) > clip).cast("double"))
+      .groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).as("n"),
+        avg(col("_w") * col(rewardCol)).as("ips"),
+        (sum(col("_w") * col(rewardCol)) / sum(col("_w"))).as("snips"),
+        (sum(col("_w")) * sum(col("_w")) / sum(col("_w") * col("_w"))).as("ess"),
+        avg(col("_clipped")).as("clip_frac"))
   }
 
   /** DPO implicit-reward margin report (Rafailov et al. 2023): the

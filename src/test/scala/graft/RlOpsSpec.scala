@@ -94,6 +94,68 @@ class RlOpsSpec extends SparkSpec {
     assert(tiny.isNullAt(tiny.fieldIndex("pass_at_2")))
   }
 
+  // --------------------------------------------------- reward length bias
+  test("rewardLengthBias recovers a noiseless planted slope exactly; r2 = 1") {
+    val df = Seq((10.0, 2.0 + 0.5 * 10), (20.0, 2.0 + 0.5 * 20),
+      (30.0, 2.0 + 0.5 * 30), (45.0, 2.0 + 0.5 * 45))
+      .map { case (l, r) => ("g", l, r) }.toDF("grp", "len", "r")
+    val out = RlOps.rewardLengthBias(df, Seq("grp"), "r", "len").collect().head
+    assert(math.abs(out.getAs[Double]("slope") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("intercept") - 2.0) < 1e-10)
+    assert(math.abs(out.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("rewardLengthBias: zero-variance length → NULL slope, not ±inf") {
+    val df = Seq(("g", 10.0, 1.0), ("g", 10.0, 2.0), ("g", 10.0, 3.0))
+      .toDF("grp", "len", "r")
+    val out = RlOps.rewardLengthBias(df, Seq("grp"), "r", "len").collect().head
+    assert(out.isNullAt(out.fieldIndex("slope")))
+    assert(out.isNullAt(out.fieldIndex("intercept")))
+  }
+
+  // --------------------------------------------------- rollout diversity
+  test("rolloutDiversity: collapse and full-diversity extremes") {
+    val df = Seq(
+      ("collapsed", "same"), ("collapsed", "same"), ("collapsed", "same"), ("collapsed", "same"),
+      ("diverse", "a"), ("diverse", "b"), ("diverse", "c"), ("diverse", "d"),
+      ("mixed", "a"), ("mixed", "a"), ("mixed", "a"), ("mixed", "b"))
+      .toDF("prompt", "completion")
+    val out = RlOps.rolloutDiversity(df, Seq("prompt"), "completion")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_distinct"),
+          r.getAs[Double]("distinct_frac"), r.getAs[Double]("top_share")))).toMap
+    assert(out("collapsed") == ((4L, 1L, 0.25, 1.0)))
+    assert(out("diverse") == ((4L, 4L, 1.0, 0.25)))
+    assert(out("mixed") == ((4L, 2L, 0.5, 0.75)))
+  }
+
+  // ----------------------------------------------------- off-policy eval
+  test("offPolicyValue: identical policies → IPS = SNIPS = mean reward, ESS = n") {
+    val df = Seq(("g", -1.0, -1.0, 1.0), ("g", -2.0, -2.0, 0.0),
+      ("g", -0.5, -0.5, 1.0), ("g", -3.0, -3.0, 0.0))
+      .toDF("grp", "lp_t", "lp_b", "r")
+    val out = RlOps.offPolicyValue(df, Seq("grp"), "r",
+      col("lp_t"), col("lp_b"), clip = 2.0).collect().head
+    assert(math.abs(out.getAs[Double]("ips") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("snips") - 0.5) < 1e-12)
+    assert(math.abs(out.getAs[Double]("ess") - 4.0) < 1e-12)
+    assert(out.getAs[Double]("clip_frac") == 0.0)
+  }
+
+  test("offPolicyValue: clip engages and caps the weight; SNIPS self-normalizes") {
+    // lp_t - lp_b = ln(4) → raw weight 4, clipped to 2 on every row
+    val lnW = math.log(4.0)
+    val df = Seq(("g", 0.0, -lnW, 1.0), ("g", 0.0, -lnW, 0.0))
+      .toDF("grp", "lp_t", "lp_b", "r")
+    val out = RlOps.offPolicyValue(df, Seq("grp"), "r",
+      col("lp_t"), col("lp_b"), clip = 2.0).collect().head
+    assert(out.getAs[Double]("clip_frac") == 1.0)
+    assert(math.abs(out.getAs[Double]("ips") - 1.0) < 1e-12)   // (2*1 + 2*0)/2
+    assert(math.abs(out.getAs[Double]("snips") - 0.5) < 1e-12) // 2/(2+2)
+    // all weights equal → ESS = n despite clipping
+    assert(math.abs(out.getAs[Double]("ess") - 2.0) < 1e-12)
+  }
+
   // ------------------------------------------------------- KL estimators
   test("klEstimators k1/k2/k3 match closed forms on a fixed sample") {
     val lrs = Seq(0.3, -0.1, 0.05, 0.2)
