@@ -5310,6 +5310,50 @@ object QueriesExt {
     },
     prefBradleyTerry._2._2))
 
+  /** Bucketed co-located join gate ([[graft.operators.Bucketing]]): both
+    * sides written `bucketBy(8, l_orderkey)` + sorted, then joined through
+    * [[graft.operators.Bucketing.colocatedJoin]] (bucket-spec validated) —
+    * the pay-the-shuffle-once layout for recurring fact joins. The
+    * EXCHANGE-FREE plan shape is asserted in BucketingSpec on executed
+    * shuffle-record metrics; this gate proves output parity of the whole
+    * write→catalog→join path against the plain-join oracle. Decimal-summed
+    * revenue (shuffle-order-immune, the q1 pattern).
+    */
+  private lazy val joinBucketed: Q = "x_join_bucketed" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmpPath = scratchDir("bkt")
+      val tmp = tmpPath.toString
+      try {
+        val l = s.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        operators.Bucketing.writeBucketed(l, "graft_bkt_lineitem", s"$tmp/l",
+          Seq("l_orderkey"), numBuckets = 8)
+        operators.Bucketing.writeBucketed(o, "graft_bkt_orders", s"$tmp/o",
+          Seq("l_orderkey"), numBuckets = 8)
+        val j = operators.Bucketing.colocatedJoin(s,
+          "graft_bkt_lineitem", "graft_bkt_orders", Seq("l_orderkey"))
+        val price = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(18,2)")
+        j.groupBy("o_orderstatus")
+          .agg(
+            sum(price * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .localCheckpoint(true)
+      } finally {
+        s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+        s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+        rmTree(tmpPath.toFile)
+      }
+    },
+    """SELECT o_orderstatus,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*)::BIGINT AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin))
+
   // ----------------------------------------------- RL post-training ops
   /** GRPO group-relative advantage gate ([[graft.operators.RlOps
     * .groupAdvantage]]): rollout groups are users, rewards the event
@@ -5574,7 +5618,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
-    rlLengthBias, rlRolloutDiversity, rlIpsEval,
+    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,

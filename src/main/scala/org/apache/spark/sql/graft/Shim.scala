@@ -237,4 +237,47 @@ object Shim {
       },
       "built-in")
   }
+
+  /** Execute `df` and return (selectedBuckets, totalBuckets) for every
+    * BUCKETED parquet scan in the executed plan. Bucket pruning does NOT
+    * show in the `numFiles` metric (that counts selected partitions before
+    * the bucket filter); the executed fact lives in the scan's
+    * `optionalBucketSet` — a None means the scan is bucketed but unpruned
+    * (reported as total/total).
+    */
+  def selectedBuckets(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: exchange.ReusedExchangeExec => scans(r.child)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val qe = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution
+    scans(qe.executedPlan).distinct.flatMap { s =>
+      s.relation.bucketSpec.map { spec =>
+        (s.optionalBucketSet.map(_.cardinality()).getOrElse(spec.numBuckets),
+          spec.numBuckets)
+      }
+    }
+  }
+
+  /** The catalog bucket spec of a saved table: (numBuckets, bucketCols,
+    * sortCols), None for unbucketed tables. `sessionState.catalog` is
+    * `private[sql]`, hence the shim home — [[graft.operators.Bucketing]]
+    * validates co-located joins on this before trusting the plan shape.
+    */
+  def bucketSpec(spark: org.apache.spark.sql.SparkSession,
+      table: String): Option[(Int, Seq[String], Seq[String])] = {
+    val cat = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+    val id = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parseTableIdentifier(table)
+    cat.getTableMetadata(id).bucketSpec
+      .map(b => (b.numBuckets, b.bucketColumnNames, b.sortColumnNames))
+  }
 }
