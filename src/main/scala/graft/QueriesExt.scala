@@ -5354,6 +5354,45 @@ object QueriesExt {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderstatus""".stripMargin))
 
+  /** Dynamic-partition-pruning gate: the fact table written
+    * `partitionBy(event_type)`, joined to a FILTERED small dim on the
+    * partition column — the star-join shape where Spark plants the dim's
+    * surviving keys as a runtime subquery filter on the fact scan, so
+    * only 2 of 5 partition directories are ever read (the executed-metric
+    * assertion lives in ParquetLayoutSpec; this gate proves output parity
+    * of the layout→DPP-join→aggregate path). Complements x_join_bucketed:
+    * bucketing kills the recurring join EXCHANGE, partitioning + DPP
+    * kills the fact SCAN.
+    */
+  private lazy val joinDpp: Q = "x_join_dpp" -> ((
+    (s: SparkSession, dir: String) => {
+      val tmpPath = scratchDir("dpp")
+      val tmp = tmpPath.toString
+      try {
+        s.read.parquet(s"$dir/events.parquet").where(col("value").isNotNull)
+          .write.partitionBy("event_type").parquet(s"$tmp/fact")
+        val fact = s.read.parquet(s"$tmp/fact")
+        import s.implicits._
+        // The dim must be a FILE scan for DPP to key on its filter — an
+        // in-memory Seq gets constant-folded (ConvertToLocalRelation) and
+        // leaves no selective predicate (pinned in ParquetLayoutSpec).
+        Seq(("click", 3.0), ("purchase", 2.5), ("view", 0.5),
+          ("error", 0.1), ("signup", 1.0)).toDF("event_type", "weight")
+          .write.parquet(s"$tmp/dim")
+        val dim = s.read.parquet(s"$tmp/dim").where(col("weight") >= 2.0)
+        fact.join(broadcast(dim), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      |GROUP BY event_type""".stripMargin))
+
   // ----------------------------------------------- RL post-training ops
   /** GRPO group-relative advantage gate ([[graft.operators.RlOps
     * .groupAdvantage]]): rollout groups are users, rewards the event
@@ -5618,7 +5657,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
-    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed,
+    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed, joinDpp,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,

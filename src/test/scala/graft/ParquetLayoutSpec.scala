@@ -37,6 +37,34 @@ class ParquetLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10000)
   }
 
+  test("dynamic partition pruning: star join reads only the dim-selected fact dirs") {
+    val out = Files.createTempDirectory("graft-dpp").toString + "/fact"
+    val fact = (0 until 5000)
+      .map(i => (Seq("a", "b", "c", "d", "e")(i % 5), i.toLong, i * 1.0))
+      .toDF("part", "k", "v")
+    fact.write.partitionBy("part").parquet(out)
+    val back = spark.read.parquet(out)
+    val allFiles = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    // Filtered dim joined on the partition column: Spark's DPP plants the
+    // dim's surviving keys as a runtime subquery filter on the fact scan —
+    // asserted on the executed scan's numFiles metric (Shim descends into
+    // DPP subqueries), not a plan-string grep. 2 of 5 dims survive, so the
+    // fact scan must touch ≤ 2/5 of the files. The dim must be a FILE scan:
+    // an in-memory Seq dim gets its filter constant-folded away by
+    // ConvertToLocalRelation, leaving no selective predicate for DPP to
+    // key on — the same trap a user hits joining a literal lookup table.
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("a", 10), ("b", 1), ("c", 1), ("d", 1), ("e", 20))
+      .toDF("part", "w").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("w") >= 10)
+    val joined = back.join(broadcast(dim), Seq("part"))
+    val factFiles = org.apache.spark.sql.graft.Shim.scannedFileCounts(joined).max
+    assert(factFiles > 0 && factFiles <= allFiles * 2 / 5,
+      s"DPP fact scan touched $factFiles of $allFiles files")
+    assert(joined.count() == 2000)
+  }
+
   test("IVF cell layout: probes read a partition-pruned subset of cells") {
     import graft.operators.Similarity
     val out = Files.createTempDirectory("graft-ivf-layout").toString + "/ivf"
