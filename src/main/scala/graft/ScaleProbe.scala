@@ -430,6 +430,63 @@ object ScaleProbe {
         }
       }
     }
+    stage("bucketed join growth") {
+      // The pay-the-shuffle-once claim under data growth: a recurring
+      // fact⋈fact-sized join (lineitem⋈orders on orderkey, replicated f×
+      // with disjoint key spaces) run (a) as a plain sort-merge join —
+      // BOTH sides shuffle on every execution, volume linear in f — and
+      // (b) through the bucketed layout — the write pays one partitioned
+      // shuffle, then EVERY subsequent co-located join moves zero shuffle
+      // records at any f. Broadcast is disabled so (a) is a genuine SMJ;
+      // the bucketed join's zero is structural (validated bucket specs),
+      // not a small-data accident.
+      val snapJ = TaskMetricsCollector.install(spark.sparkContext)
+      val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice")
+      val or0 = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        for (f <- Seq(1, factor).distinct) {
+          def rep(df: org.apache.spark.sql.DataFrame) = (0 until f).map { i =>
+            df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+          }.reduce(_ unionAll _).localCheckpoint(true)
+          val (lf, of) = (rep(li0), rep(or0))
+          // Bucket count sized to DATA, not to the session: ~100k fact rows
+          // per bucket. Measured here at f=30 (18M rows): 32 buckets walls
+          // the co-located join at 62s (560k-row per-task merges, GC-bound,
+          // parallelism capped at numBuckets) vs 1.0s at 256 — the same
+          // width-follows-data rule as the suffix-array exchange.
+          val nb = math.max(32L, lf.count() / 100000L).toInt
+          def timedJ(label: String)(body: => Long): Unit = {
+            val m0 = snapJ(); val t0 = System.nanoTime()
+            val n = body
+            println(f"[probe] bktjoin f=$f%-3d $label nb=$nb%-4d rows=$n%-10d " +
+              f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s metrics=${(snapJ() - m0).json}")
+          }
+          timedJ("plain SMJ    ") { lf.join(of, Seq("l_orderkey")).count() }
+          val tmp = java.nio.file.Files.createTempDirectory("probe-bkt").toString
+          try {
+            timedJ("bucket write ") {
+              operators.Bucketing.writeBucketed(lf, s"probe_bkt_l_$f", s"$tmp/l",
+                Seq("l_orderkey"), numBuckets = nb)
+              operators.Bucketing.writeBucketed(of, s"probe_bkt_o_$f", s"$tmp/o",
+                Seq("l_orderkey"), numBuckets = nb)
+              0L
+            }
+            timedJ("colocated SMJ") {
+              operators.Bucketing.colocatedJoin(spark,
+                s"probe_bkt_l_$f", s"probe_bkt_o_$f", Seq("l_orderkey")).count()
+            }
+          } finally {
+            spark.sql(s"DROP TABLE IF EXISTS probe_bkt_l_$f")
+            spark.sql(s"DROP TABLE IF EXISTS probe_bkt_o_$f")
+            rmTreeLocal(new java.io.File(tmp))
+          }
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
     if (onlyStage.isDefined) {
       // A filter matching nothing must be loud — a silent empty run is
       // indistinguishable from an instant stage.
@@ -439,7 +496,7 @@ object ScaleProbe {
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
           "'ann growth', 'suffix array', 'gram cut', 'bradley terry', " +
-          "'rl advantage skew')")
+          "'rl advantage skew', 'bucketed join growth')")
       spark.stop(); return
     }
 
