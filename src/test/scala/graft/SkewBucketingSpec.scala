@@ -112,4 +112,47 @@ class SkewBucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_lsh_index")
     }
   }
+
+  test("AQE skew-join split fires: the executed SMJ is marked isSkewJoin") {
+    // The Skew scaladoc claims "AQE's skew-join splitting handles most
+    // runtime skew" — pin it on an executed plan instead of taking Spark's
+    // word: one key holds ~80% of a 200k-row left side; with the skew
+    // thresholds lowered to gate-data scale, AQE must replan the SMJ with
+    // isSkewJoin=true (the hot partition fans out over multiple tasks).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // md5 payload: skew detection reads COMPRESSED map-output sizes, and
+      // a repetitive literal payload lz4-compresses under the threshold.
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 8, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("v"))
+      val right = spark.range(2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, Seq("k"))
+      // Execute THIS dataset (a .count() would execute a different query
+      // and leave j's own AQE plan un-replanned), then read its final plan.
+      // 160k hot rows match k=0, plus the 400 ids < 2000 with id%10 ∈ {8,9}.
+      assert(j.collect().length === 160400)
+      def smjs(p: SparkPlan): Seq[SortMergeJoinExec] = p match {
+        case s: SortMergeJoinExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => smjs(a.executedPlan)
+        case q: QueryStageExec => smjs(q.plan)
+        case other => other.children.flatMap(smjs)
+      }
+      val joins = smjs(
+        j.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.executedPlan)
+      assert(joins.nonEmpty, "no SortMergeJoin in the executed plan")
+      assert(joins.exists(_.isSkewJoin),
+        "AQE did not mark the skewed SMJ as isSkewJoin — the skew-split " +
+          "claim in Skew's scaladoc would be false at this shape")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
