@@ -156,6 +156,51 @@ class RlOpsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("ess") - 2.0) < 1e-12)
   }
 
+  // ------------------------------------------- randomized property sweep
+  test("randomized: pass@k == brute-force enumeration across seeds and shapes") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 25) {
+      val n = 2 + rng.nextInt(10)          // 2..11 samples
+      val k = 1 + rng.nextInt(5)           // 1..5
+      val passes = Seq.fill(n)(rng.nextBoolean())
+      val df = passes.zipWithIndex.map { case (p, i) => ("t", i, p) }
+        .toDF("task", "i", "ok")
+      val got = RlOps.passAtK(df, Seq("task"), col("ok"), Seq(k)).collect().head
+      val cell = Option(got.getAs[java.lang.Double](s"pass_at_$k")).map(_.toDouble)
+      if (n < k) assert(cell.isEmpty, s"trial $trial: n=$n < k=$k must be NULL")
+      else {
+        val want = bruteForcePassAtK(passes, k)
+        assert(cell.isDefined && math.abs(cell.get - want) < 1e-12,
+          s"trial $trial: n=$n k=$k c=${passes.count(identity)} got=$cell want=$want")
+      }
+    }
+  }
+
+  test("randomized: moment-scored advantages == window advantages on every slicing") {
+    val rng = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 60).map(i =>
+        (s"p${rng.nextInt(6)}", rng.nextInt(40).toDouble, i))
+      val df = rows.toDF("prompt", "r", "rid")
+      val nSlices = 1 + rng.nextInt(5)
+      val moments = rows.grouped(math.max(1, rows.size / nSlices)).toSeq
+        .map(sl => RlOps.rewardMoments(sl.toDF("prompt", "r", "rid"), Seq("prompt"), "r"))
+        .reduce(_ unionByName _)
+        .groupBy("prompt").agg(sum("m_n").as("m_n"),
+          sum("m_sum").as("m_sum"), sum("m_sumsq").as("m_sumsq"))
+      val a = RlOps.advantageFromMoments(df, moments, Seq("prompt"), "r")
+        .select("rid", "advantage").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val b = RlOps.groupAdvantage(df, Seq("prompt"), "r")
+        .select("rid", "advantage").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(a.keySet == b.keySet)
+      a.foreach { case (k, v) =>
+        assert(math.abs(v - b(k)) < 1e-9, s"trial $trial rid=$k: $v vs ${b(k)}")
+      }
+    }
+  }
+
   // ------------------------------------------------------- KL estimators
   test("klEstimators k1/k2/k3 match closed forms on a fixed sample") {
     val lrs = Seq(0.3, -0.1, 0.05, 0.2)
