@@ -5393,6 +5393,23 @@ object QueriesExt {
       |WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
       |GROUP BY event_type""".stripMargin))
 
+  /** Order-invariant corpus version digest gate
+    * ([[graft.operators.CorpusStats.corpusDigest]]): per-source
+    * (n_docs, XOR, exact SUM) of 60-bit md5-prefix content hashes — the
+    * cheap "is this the same corpus?" check across copies/engines/
+    * partitionings, mergeable for append-only ingest. Both accumulators
+    * are commutative, so the gate hash is partitioning-proof by
+    * construction; the oracle replays the identical hex-prefix hashing.
+    */
+  private lazy val corpusDigestGate: Q = "x_corpus_digest" -> ((
+    (s: SparkSession, dir: String) =>
+      graft.operators.CorpusStats.corpusDigest(docs(s, dir), Seq("source"), "text"),
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS digest_xor,
+      |  (sum(('0x' || substr(md5(text), 1, 15))::BIGINT)::HUGEINT
+      |     % 2305843009213693951)::BIGINT AS digest_sum
+      |FROM documents GROUP BY source""".stripMargin))
+
   // ----------------------------------------------- RL post-training ops
   /** GRPO group-relative advantage gate ([[graft.operators.RlOps
     * .groupAdvantage]]): rollout groups are users, rewards the event
@@ -5657,7 +5674,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
-    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed, joinDpp,
+    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed, joinDpp, corpusDigestGate,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,

@@ -982,6 +982,28 @@ object QueriesParity {
     """SELECT json_extract(props, '$.k')::INT AS k, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin))
 
+  /** VARIANT path (Spark 4's semi-structured type, the modern JSON-column
+    * surface next to q_json_props' string-path get_json_object): props
+    * parses into a BINARY variant once, typed extraction via variant_get —
+    * the shape that lets Catalyst avoid re-parsing the JSON text per
+    * accessed field. The oracle replays the same extraction over DuckDB's
+    * JSON path; the gate pins that the variant encode/decode round-trip is
+    * value-identical to direct string extraction.
+    */
+  private val qVariant: Q = "q_variant" -> ((
+    (s: SparkSession, dir: String) =>
+      events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k")),
+    """SELECT event_type, count(*)::BIGINT AS n,
+      |  sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+      |  min(json_extract(props, '$.k')::INT) AS min_k,
+      |  max(json_extract(props, '$.k')::INT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin))
+
   /** CUBE — completes the grouping-shape trio next to q_rollup (ROLLUP) and
     * q_grouping_sets (explicit sets): all four (flag, status) marginal
     * combinations from one Expand. */
@@ -1183,6 +1205,6 @@ object QueriesParity {
     tTransformRules, t6StrCode, t7DatetimeNo, tScalarConvs,
     j1K6Mask, j2DedupAnti, j2DedupBloom, a1DeltaWatermark, a2Summary,
     q1PricingAgg, q3JoinTopk, qWindowRank, qSessionize, qRollup, qSetOps, qNtile, qExists,
-    qFrames, qGroupingSets, qPivot, qJsonProps, qOuterJoin, qDateParts, qCube, qUnpivot,
+    qFrames, qGroupingSets, qPivot, qJsonProps, qVariant, qOuterJoin, qDateParts, qCube, qUnpivot,
     qRecursiveCte, qLateral, qGroupByAll, qListagg, qRangeFrame)
 }

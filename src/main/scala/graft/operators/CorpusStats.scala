@@ -223,4 +223,31 @@ object CorpusStats {
       .agg(round(sum(col("cnt")).cast("double") / first(col("total")).cast("double"), 6)
         .as("coverage"))
   }
+
+  /** Order-invariant corpus version digest — the cheap answer to "is this
+    * the same corpus?" across copies, engines, and re-partitionings: per
+    * group, (n_docs, XOR of per-doc 60-bit content hashes, exact SUM of
+    * the same hashes). XOR and SUM are commutative-associative, so the
+    * digest is independent of row order and partitioning AND mergeable
+    * (per-shard digests combine by xor/sum/add — an append-only ingest
+    * can maintain it incrementally). The two accumulators are
+    * complementary: XOR alone is blind to an even number of identical
+    * duplicates (x⊕x = 0), SUM alone to reorderings of which doc carries
+    * which edit; together with the count, any single-doc change flips
+    * both. Hash = first 15 hex chars of md5 (60 bits, engine-portable —
+    * the same md5-prefix idiom as the MinHash family); the SUM is carried
+    * modulo the Mersenne prime 2^61−1 — still commutative/mergeable
+    * ((a+b) mod p = ((a mod p)+(b mod p)) mod p), but the published value
+    * stays an exact int64 on every engine (a raw Σ of 60-bit hashes
+    * overflows a long, and decimal sums round to float64 in some client
+    * bridges — both failure modes observed building this gate).
+    */
+  def corpusDigest(docs: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("long")
+    docs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      bit_xor(h).as("digest_xor"),
+      (sum(h.cast("decimal(28,0)")) % lit(p)).cast("long").as("digest_sum"))
+  }
 }

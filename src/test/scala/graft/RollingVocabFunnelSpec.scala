@@ -95,4 +95,44 @@ class RollingVocabFunnelSpec extends SparkSpec {
     q.stop()
     assert(reached == Map(1L -> 1))
   }
+
+  test("corpusDigest: partitioning-invariant, mergeable, change-sensitive") {
+    import graft.operators.CorpusStats
+    val rows = (1 to 200).map(i => ("s" + i % 3, s"document body $i"))
+    val df = rows.toDF("source", "text")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = key(CorpusStats.corpusDigest(df, Seq("source"), "text"))
+    // Row order / partitioning invariance: shuffled + repartitioned input
+    // produces the identical digest (xor and mod-p sum are commutative).
+    val scrambled = key(CorpusStats.corpusDigest(
+      df.orderBy(org.apache.spark.sql.functions.rand(7)).repartition(13),
+      Seq("source"), "text"))
+    assert(scrambled == base)
+    // Mergeable: digests of two disjoint halves combine to the whole —
+    // count adds, xor xors, sum adds mod p.
+    val p = 2305843009213693951L
+    val a = key(CorpusStats.corpusDigest(rows.take(90).toDF("source", "text"), Seq("source"), "text"))
+    val b = key(CorpusStats.corpusDigest(rows.drop(90).toDF("source", "text"), Seq("source"), "text"))
+    base.foreach { case (src, (n, x, sm)) =>
+      val (na, xa, sa) = a.getOrElse(src, (0L, 0L, 0L))
+      val (nb, xb, sb) = b.getOrElse(src, (0L, 0L, 0L))
+      assert(na + nb == n, src)
+      assert((xa ^ xb) == x, src)
+      assert((sa + sb) % p == sm, src)
+    }
+    // Change-sensitive: editing one document flips the digest.
+    val edited = key(CorpusStats.corpusDigest(
+      (("s1", "document body 1 EDITED") +: rows.tail).toDF("source", "text"),
+      Seq("source"), "text"))
+    assert(edited("s1") != base("s1"))
+    // The documented XOR blind spot: an even count of identical copies
+    // cancels in xor — but the count and sum both still move.
+    val dup = key(CorpusStats.corpusDigest(
+      (rows ++ Seq(("s1", "document body 1"), ("s1", "document body 1"))).toDF("source", "text"),
+      Seq("source"), "text"))
+    assert(dup("s1")._2 == base("s1")._2)  // xor blind
+    assert(dup("s1")._1 == base("s1")._1 + 2 && dup("s1")._3 != base("s1")._3)
+  }
 }
