@@ -5410,6 +5410,50 @@ object QueriesExt {
       |     % 2305843009213693951)::BIGINT AS digest_sum
       |FROM documents GROUP BY source""".stripMargin))
 
+  /** Streaming twin of the corpus digest: four AvailableNow micro-batches
+    * each write their own per-batch digest partition (batch_id OVERWRITE,
+    * crash-idempotent); the accumulated state merges by the digest's own
+    * algebra — counts add, XORs xor (bit_xor of the per-batch xors), sums
+    * add mod p — and must equal the one-shot batch digest exactly (shares
+    * its oracle VERBATIM). This is the append-only-ingest deployment
+    * shape: a corpus version stamp maintained incrementally without ever
+    * rescanning landed data.
+    */
+  private lazy val stCorpusDigest: Q = "st_corpus_digest" -> ((
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val tmpPath = scratchDir("stdig")
+      val tmp = tmpPath.toString
+      try {
+        (0L until 4L).foreach { b =>
+          d.where(pmod(col("doc_id"), lit(4L)) === b)
+            .repartition(1).write.mode("append").parquet(s"$tmp/topic")
+        }
+        graft.operators.CorpusStats.corpusDigest(d.limit(0), Seq("source"), "text")
+          .withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(s"$tmp/state")
+        val q = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+            graft.operators.CorpusStats.corpusDigest(batch.toDF(), Seq("source"), "text")
+              .write.mode("overwrite").parquet(s"$tmp/state/batch_id=$bid")
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/state").drop("batch_id")
+          .groupBy("source").agg(
+            sum("n_docs").as("n_docs"),
+            bit_xor(col("digest_xor")).as("digest_xor"),
+            (sum(col("digest_sum").cast("decimal(28,0)")) % lit(2305843009213693951L))
+              .cast("long").as("digest_sum"))
+          .localCheckpoint(true)
+      } finally rmTree(tmpPath.toFile)
+    },
+    corpusDigestGate._2._2))
+
   // ----------------------------------------------- RL post-training ops
   /** GRPO group-relative advantage gate ([[graft.operators.RlOps
     * .groupAdvantage]]): rollout groups are users, rewards the event
@@ -5674,7 +5718,7 @@ object QueriesExt {
 
   val all: Seq[Q] = Seq(
     rlGroupAdvantage, rlPassAtK, rlKlEstimate, rlDpoMargin, stRlAdvantage,
-    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed, joinDpp, corpusDigestGate,
+    rlLengthBias, rlRolloutDiversity, rlIpsEval, joinBucketed, joinDpp, corpusDigestGate, stCorpusDigest,
     prefBradleyTerry, stPrefBtIncrement,
     eventsAttribution, eventsRfm, eventsPaths, eventsConcurrency,
     dedupWeightedJaccard, dedupLines, textTextrank, linkJaroWinkler,
