@@ -201,6 +201,40 @@ class RlOpsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------- crash-replay idempotence
+  test("per-batch moment partitions: a replayed batch OVERWRITES, never doubles") {
+    // The st_rl_advantage / st_corpus_digest discipline: foreachBatch
+    // writes mode=overwrite into state/batch_id=<bid>, so a crash between
+    // sink-write and checkpoint-commit that replays the batch REPLACES its
+    // own output. Simulate the replay directly: write four batch moment
+    // partitions, re-write batch 2, and assert the accumulated normalizer
+    // is byte-equal to the no-crash accumulation AND to the one-shot fit.
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+    try {
+      val rows = (1 to 80).map(i => (s"p${i % 4}", (i * 13 % 29).toDouble, i % 4))
+      val df = rows.toDF("prompt", "r", "bid")
+      def writeBatch(bid: Int): Unit =
+        RlOps.rewardMoments(df.where(col("bid") === bid), Seq("prompt"), "r")
+          .write.mode("overwrite").parquet(s"$dir/state/batch_id=$bid")
+      (0 to 3).foreach(writeBatch)
+      writeBatch(2) // the crash replay
+      val acc = spark.read.parquet(s"$dir/state").drop("batch_id")
+        .groupBy("prompt").agg(sum("m_n").as("m_n"),
+          sum("m_sum").as("m_sum"), sum("m_sumsq").as("m_sumsq"))
+      val viaState = RlOps.advantageFromMoments(df, acc, Seq("prompt"), "r")
+        .select("prompt", "r", "advantage").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val oneShot = RlOps.groupAdvantage(df, Seq("prompt"), "r")
+        .select("prompt", "r", "advantage").collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(viaState.keySet == oneShot.keySet)
+      viaState.foreach { case (k, v) => assert(math.abs(v - oneShot(k)) < 1e-9, k) }
+      // And the count proves no doubling: total n across groups == rows.
+      val totalN = acc.agg(sum("m_n")).collect().head.getLong(0)
+      assert(totalN == 80L, s"replayed batch doubled the state: n=$totalN")
+    } finally QueriesExt.rmTree(dir.toFile)
+  }
+
   // ------------------------------------------------------- KL estimators
   test("klEstimators k1/k2/k3 match closed forms on a fixed sample") {
     val lrs = Seq(0.3, -0.1, 0.05, 0.2)
