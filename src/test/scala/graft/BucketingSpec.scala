@@ -54,6 +54,28 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("bucketed aggregation on the bucket key is also exchange-free") {
+    // The layout pays off beyond joins: a groupBy on the bucket key reads
+    // each bucket as an already-hash-partitioned input, so the aggregate
+    // plans with NO exchange — the recurring daily-rollup shape gets the
+    // same pay-once treatment as the join.
+    val tmp = scratch()
+    withTables("bspec_g") {
+      try {
+        Bucketing.writeBucketed(leftDf, "bspec_g", s"$tmp/g", Seq("k"), 4)
+        val agg = spark.table("bspec_g").groupBy("k")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        assert(Shim.shuffleRecordsWritten(agg) == 0L,
+          "groupBy on the bucket key wrote shuffle records")
+        val viaPlain = leftDf.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        val viaBucket = agg.collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        assert(viaBucket == viaPlain)
+      } finally rm(tmp.toFile)
+    }
+  }
+
   test("bucket pruning: key-equality filter scans 1 of n bucket files") {
     val tmp = scratch()
     withTables("bspec_p") {
