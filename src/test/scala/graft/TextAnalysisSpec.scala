@@ -11,6 +11,57 @@ class TextAnalysisSpec extends SparkSpec {
   private def redact(s: String): String =
     Seq(s).toDF("t").select(TextAnalysis.redactPii(col("t"))).as[String].head()
 
+  test("langId: marker argmax with en-first tie-break; no markers → und") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      "the cat and the dog went to the market",          // en markers ×5
+      "el que la de los por una casa grande",            // es markers
+      "der hund und die katze ist nicht mit",            // de markers
+      "xyzzy plugh quux frobnicate",                     // nothing → und
+      "the el").toDF("text")                             // 1-1 tie → en first
+    val out = df.select(graft.functions.TextAnalysis.langId(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "es", "de", "und", "en"))
+  }
+
+  test("quality facets: hand-computed score, bounds, and length saturation") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    // "the cat sat." — 12 chars, 3 tokens, 1 en-stopword, 1 punct char:
+    // len 12/500=0.024, sw 1/3, punct 1/12 → capped 10/12
+    val expected = BigDecimal(0.024 * 0.5 + (1.0 / 3) * 0.4 + (1 - 10.0 / 12) * 0.1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Seq("the cat sat.").toDF("text")
+      .select(TextAnalysis.qualityScore(col("text"))).collect().head.getDouble(0)
+    assert(math.abs(got - expected) < 1e-9, s"$got vs $expected")
+    // Bounds: every score in [0,1] across shapes incl. empty and huge.
+    val scores = Seq("", "a", "the " * 400, "!!!!!!!!", "x. y. z.")
+      .toDF("text").select(TextAnalysis.qualityScore(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0), scores.mkString(","))
+    // Length term saturates at 500 chars — longer adds nothing by itself.
+    val Seq(at500, at5000) = Seq("z " * 250, "z " * 2500).map(t =>
+      Seq(t).toDF("text").select(TextAnalysis.qualityScore(col("text")))
+        .collect().head.getDouble(0))
+    assert(at500 == at5000)
+  }
+
+  test("token counting and fingerprint: hand counts, determinism, sensitivity") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    val df = Seq("  the  quick,brown fox — 42 jumps!  ").toDF("text")
+    val n = df.select(TextAnalysis.nTokens(col("text"))).collect().head.getInt(0)
+    assert(n == 6, s"whitespace tokens: got $n") // the|quick,brown|fox|—|42|jumps!
+    val fp = (s: String) => Seq(s).toDF("text")
+      .select(TextAnalysis.rollingFingerprint(col("text")))
+      .collect().head.getLong(0)
+    assert(fp("same text") == fp("same text"))
+    assert(fp("same text") != fp("same text!"))
+  }
+
   test("pii redaction: email, fnr, phone (with and without +47)") {
     assert(redact("mail ola.nordmann+x@nav.example.no her") == "mail <EMAIL> her")
     assert(redact("fnr 12345678901 slutt") == "fnr <FNR> slutt")
