@@ -1,8 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.graft.Shim
 
@@ -18,15 +22,13 @@ import org.apache.spark.sql.graft.Shim
   * prefix of two suffixes regardless of any concatenation order).
   *
   * Construction is SEED RANK + BUCKET REFINEMENT (Larsson–Sadakane bucket
-  * refinement with direct blocked comparison), expressed relationally:
+  * refinement with direct blocked comparison):
   *  - the seed pass ranks each suffix by its first
   *    [[SuffixArray.InitPrefix]] code points (binary order — identical to
   *    UTF-8 byte order, the collation DuckDB's `ORDER BY` uses, so oracle
-  *    replays agree; a substring that ends at the document boundary is
-  *    shorter and sorts first, exactly string order). Ranks are
-  *    MIN-POSITION (class rank = sorted position of the class head), which
-  *    makes them local under refinement: uniquely-ranked suffixes freeze
-  *    immediately and are never read again;
+  *    replays agree). Ranks are MIN-POSITION (class rank = sorted position
+  *    of the class head), which makes them local under refinement:
+  *    uniquely-ranked suffixes freeze immediately and are never read again;
   *  - each refinement round re-sorts ONLY still-tied classes by the next
   *    [[SuffixArray.CompareBlock]] characters of their suffixes, fetched
   *    from the documents table by a broadcast join — the direct,
@@ -38,13 +40,23 @@ import org.apache.spark.sql.graft.Shim
   *  - one final global pass converts the converged min-position ranks to
   *    the DENSE ranks of the public contract.
   *
-  * The global rank passes use [[denseRankGlobal]]-style two-phase ranking —
-  * range-partition + local window + O(partitions) driver prefix offsets; no
-  * single-partition window, no global sort skew. Scale shape: TWO
-  * corpus-wide range exchanges total (seed + final dense), plus per-round
-  * work proportional to the still-tied suffixes only (measured 12% of the
-  * sf0.1 corpus after the 32-char seed) with rounds ≈ ceil(repeat-depth /
-  * block) — typically one.
+  * EXCHANGE SHAPE AND SKEW (round 15 — this is the load-bearing design):
+  * every pass is ONE range exchange whose key ends in the (doc, offset)
+  * tiebreak, so partitions are balanced BY CONSTRUCTION no matter how
+  * skewed the key distribution is — a corpus where half the suffixes share
+  * one ≥32-char boilerplate window spreads that tie class across as many
+  * partitions as its row count demands. The per-partition rank/size scan
+  * is a single `mapPartitions` pass over the sorted partition (NOT a
+  * `Window.partitionBy(pid)`, which EnsureRequirements would feed with a
+  * second corpus-wide hash exchange — measured on the round-14 shape: the
+  * window form re-shuffled the whole suffix frame a second time per pass
+  * AND re-concentrated oversized classes into single hash groups). Classes
+  * that straddle a partition boundary — only the FIRST and LAST class of
+  * each partition can — are reconciled from ≤2 tiny boundary records per
+  * partition: global stats (min position, total size, cross-partition
+  * strictly-smaller counts) are aggregated over that O(partitions) record
+  * frame and broadcast-joined back, so the reconciliation moves kilobytes
+  * while the corpus-sized frame never shuffles again.
   */
 object SuffixArray {
 
@@ -62,8 +74,8 @@ object SuffixArray {
 
   /** Rows per range partition the ranker targets. A suffix row in the
     * seed exchange is a (doc, off, 32-char key) tuple ≈ 100–150B plus
-    * window-sort overhead, so 256k rows keep a partition's sort working
-    * set a few tens of MB — comfortably in executor memory at any scale.
+    * sort overhead, so 256k rows keep a partition's sort working set a
+    * few tens of MB — comfortably in executor memory at any scale.
     *
     * The width is sized to the DATA, in BOTH directions (round 14): the
     * session conf is neither a floor (gate-sized inputs would pay
@@ -78,15 +90,12 @@ object SuffixArray {
     * documented scale path long before that point (see the curation
     * YAML's SA-vs-gram-cut boundary note).
     *
-    * Skew bound, documented: equal seed keys land in ONE range partition
-    * by construction, so a single ≥32-char boilerplate value repeated X
-    * times concentrates X rows in one task's window sort regardless of
-    * width. The per-class width bound is therefore max-class-size, not
-    * rows/width; a corpus dominated by one such value needs the gram-cut
-    * path (which caps posting lists) or a pre-pass stripping the
-    * boilerplate — the refinement rounds are safe either way (they
-    * re-sort only still-tied classes, and an exhausted equal class
-    * freezes rather than loops).
+    * Skew bound (round 15): per-task width is rows/width REGARDLESS of
+    * key skew — the range keys end in the (doc, offset) tiebreak, so an
+    * oversized tie class SPREADS across partitions and is reconciled from
+    * boundary records (see the class scaladoc). The former contract
+    * ("equal seed keys land in ONE partition, per-class width bound is
+    * max-class-size") no longer applies.
     */
   private def rankWidth(ss: org.apache.spark.sql.SparkSession, rows: Long): Int = {
     val w = (rows + 262143L) / 262144L
@@ -95,45 +104,6 @@ object SuffixArray {
         "shard the corpus (or use Dedup.exactSubstrCutByGrams, the documented " +
         "scale path) instead of one monolithic SA build")
     math.max(1L, w).toInt
-  }
-
-  /** Global 1-based DENSE rank of `keys` tuples (binary/lexicographic
-    * order), appended as `out`; also returns the total distinct-tuple
-    * count (a convergence signal for rank-refinement callers, measured
-    * here for free). Two-phase: range-partition the rows (duplicates land in the
-    * same range by construction), dense-rank locally per partition, lift
-    * by per-partition DISTINCT-count offsets (O(partitions) driver rows —
-    * same bounded-collect discipline as the bucket rollups). Rank VALUES
-    * are partition-independent (they are the mathematical dense rank), so
-    * results are deterministic even though range boundaries come from
-    * sampling. Only the post-sort frame is eagerly localCheckpoint-ed
-    * (it is consumed by the offset collect AND every downstream read);
-    * the returned frame is a broadcast-join veneer over that
-    * materialization — re-reading it costs a checkpoint scan, never a
-    * re-sort, so a second checkpoint would only add a job per round.
-    */
-  private[operators] def denseRankGlobal(
-      df: DataFrame, keys: Seq[String], out: String, width: Int): (DataFrame, Long) = {
-    val ss = df.sparkSession
-    val kc = keys.map(col)
-    val win = Window.partitionBy("_pid").orderBy(kc: _*)
-    val local = df
-      .repartitionByRange(width, kc: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lr", dense_rank().over(win))
-      .localCheckpoint(true)
-    val counts = local.groupBy("_pid").agg(max("_lr").as("_n"))
-      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
-    val offsets = (0 until width).scanLeft(0L) {
-      case (acc, p) => acc + counts.getOrElse(p, 0L)
-    }
-    import ss.implicits._
-    val offDf = (0 until width).map(p => (p, offsets(p))).toDF("_pid", "_off")
-    val ranked = local
-      .join(broadcast(offDf), "_pid")
-      .withColumn(out, col("_off") + col("_lr"))
-      .drop("_pid", "_lr", "_off")
-    (ranked, offsets(width))
   }
 
   /** Active-set rows above this count fall back from a broadcast probe to a
@@ -152,6 +122,282 @@ object SuffixArray {
     * the cut could act on.
     */
   val CompareBlock = 512
+
+  // ------------------------------------------------------------------
+  // Per-partition scans (mapPartitions over range-sorted partitions).
+  // Row kinds in the scan outputs: 0 = data row, 1 = boundary record.
+  // ------------------------------------------------------------------
+
+  /** Seed-pass scan: input rows (id, off, key) sorted by key within the
+    * partition. Emits one data row per suffix with its class's LOCAL head
+    * position `_lr` and LOCAL size `_sz` (global values for classes
+    * contained in the partition — only the first/last class can straddle),
+    * plus ≤2 boundary records carrying the first/last class's key, head
+    * position, local size, and the partition row count. The 32-char key
+    * column therefore never materializes beyond the boundary records.
+    */
+  private def seedScan(idType: DataType): (StructType, Iterator[Row] => Iterator[Row]) = {
+    val schema = StructType(Seq(
+      StructField("_kind", IntegerType, nullable = false),
+      StructField("_d", idType, nullable = true),
+      StructField("_o", LongType, nullable = true),
+      StructField("_lr", LongType, nullable = false),
+      StructField("_sz", LongType, nullable = false),
+      StructField("_k", StringType, nullable = true),
+      StructField("_pn", LongType, nullable = true),
+      StructField("_pid", IntegerType, nullable = false)))
+    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+      private val pid = TaskContext.getPartitionId()
+      private val in = rows.buffered
+      private var pos = 0L
+      private var out: Iterator[Row] = Iterator.empty
+      // (key, headPos, size) of the partition's first and latest class run
+      private var firstRun: (String, Long, Long) = null
+      private var lastRun: (String, Long, Long) = null
+      private var recsDone = false
+
+      private def advance(): Unit = {
+        if (in.hasNext) {
+          val key = in.head.getString(2)
+          val start = pos + 1L
+          val buf = new ArrayBuffer[(Any, Long)]()
+          while (in.hasNext && in.head.getString(2) == key) {
+            val r = in.next(); pos += 1L
+            buf += ((r.get(0), r.getLong(1)))
+          }
+          val sz = buf.length.toLong
+          val run = (key, start, sz)
+          if (firstRun == null) firstRun = run
+          lastRun = run
+          out = buf.iterator.map { case (d, o) =>
+            Row(0, d, o, start, sz, null, null, pid)
+          }
+        } else if (!recsDone) {
+          recsDone = true
+          if (lastRun != null) {
+            val pn = pos
+            def rec(r: (String, Long, Long)) = Row(1, null, null, r._2, r._3, r._1, pn, pid)
+            out =
+              if (firstRun eq lastRun) Iterator(rec(firstRun))
+              else Iterator(rec(firstRun), rec(lastRun))
+          }
+        }
+      }
+      def hasNext: Boolean = {
+        while (!out.hasNext && !recsDone) advance()
+        out.hasNext
+      }
+      def next(): Row = { if (!hasNext) Iterator.empty.next(); out.next() }
+    }
+    (schema, fn)
+  }
+
+  /** Refinement-round scan: input rows (id, off, rank, window) sorted by
+    * (rank, window) within the partition. Emits one data row per suffix
+    * with its subclass's LOCAL min-position rank-within-class `_lrk`,
+    * LOCAL subclass size `_lsub`, and the window-nonempty bit, plus ≤2
+    * boundary records (the partition's first and last subclass run)
+    * carrying the subclass key (rank, window), its local size, the owning
+    * class's local row count, and — on the last record — the local rank of
+    * that final run (so tail-subclass rows are identifiable without
+    * carrying the window on any data row).
+    */
+  private def refineScan(idType: DataType): (StructType, Iterator[Row] => Iterator[Row]) = {
+    val schema = StructType(Seq(
+      StructField("_kind", IntegerType, nullable = false),
+      StructField("_d", idType, nullable = true),
+      StructField("_o", LongType, nullable = true),
+      StructField("_r", LongType, nullable = false),
+      StructField("_lrk", LongType, nullable = false),
+      StructField("_lsub", LongType, nullable = false),
+      StructField("_wne", BooleanType, nullable = true),
+      StructField("_w", StringType, nullable = true),
+      StructField("_clsCnt", LongType, nullable = true),
+      StructField("_isFirst", BooleanType, nullable = true),
+      StructField("_isLast", BooleanType, nullable = true),
+      StructField("_pid", IntegerType, nullable = false)))
+    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+      private val pid = TaskContext.getPartitionId()
+      private val in = rows.buffered
+      private var out: Iterator[Row] = Iterator.empty
+      private var recsDone = false
+      // current class state
+      private var clsKey = 0L
+      private var clsRows = 0L        // rows of the current class emitted so far
+      private var haveCls = false
+      // partition boundary bookkeeping
+      private var firstRun: (Long, String, Long, Long) = null // (r, w, lrk, size)
+      private var lastRun: (Long, String, Long, Long) = null
+      private var firstClsR = 0L
+      private var firstClsCnt = -1L   // finalized when the first class ends
+
+      private def advance(): Unit = {
+        if (in.hasNext) {
+          val r = in.head.getLong(2)
+          val w = in.head.getString(3)
+          if (!haveCls || r != clsKey) {
+            if (haveCls && clsKey == firstClsR && firstClsCnt < 0) firstClsCnt = clsRows
+            clsKey = r; clsRows = 0L; haveCls = true
+            if (firstRun == null) firstClsR = r
+          }
+          val lrk = clsRows + 1L
+          val buf = new ArrayBuffer[(Any, Long)]()
+          while (in.hasNext && in.head.getLong(2) == r && in.head.getString(3) == w) {
+            val row = in.next()
+            buf += ((row.get(0), row.getLong(1)))
+          }
+          val sz = buf.length.toLong
+          clsRows += sz
+          val run = (r, w, lrk, sz)
+          if (firstRun == null) firstRun = run
+          lastRun = run
+          val wne = w.nonEmpty
+          out = buf.iterator.map { case (d, o) =>
+            Row(0, d, o, r, lrk, sz, wne, null, null, null, null, pid)
+          }
+        } else if (!recsDone) {
+          recsDone = true
+          if (lastRun != null) {
+            if (firstClsCnt < 0) firstClsCnt = clsRows // single-class partition
+            val lastClsCnt = clsRows
+            if (firstRun eq lastRun) {
+              out = Iterator(Row(1, null, null, firstRun._1, firstRun._3,
+                firstRun._4, null, firstRun._2, firstClsCnt, true, true, pid))
+            } else {
+              out = Iterator(
+                Row(1, null, null, firstRun._1, firstRun._3, firstRun._4,
+                  null, firstRun._2, firstClsCnt, true, false, pid),
+                Row(1, null, null, lastRun._1, lastRun._3, lastRun._4,
+                  null, lastRun._2, lastClsCnt, false, true, pid))
+            }
+          }
+        }
+      }
+      def hasNext: Boolean = {
+        while (!out.hasNext && !recsDone) advance()
+        out.hasNext
+      }
+      def next(): Row = { if (!hasNext) Iterator.empty.next(); out.next() }
+    }
+    (schema, fn)
+  }
+
+  /** Global 1-based DENSE rank of `keys` tuples (binary/lexicographic
+    * order), appended as `out`; also returns the total distinct-tuple
+    * count (a convergence signal for rank-refinement callers, measured
+    * here for free). ONE range exchange keyed (keys ++ salt) — the salt
+    * spreads oversized tie classes so partitions stay balanced under any
+    * key skew — then a single sorted `mapPartitions` scan assigns local
+    * dense ranks and emits a first/last-key boundary record per partition.
+    * Ranks lift to global by per-partition distinct-count offsets ADJUSTED
+    * for boundary-straddling keys (a key spanning partitions p..q is
+    * locally counted q−p+1 times; each straddled boundary subtracts one),
+    * which makes the straddling key's rows agree on one global rank with
+    * NO row-level correction: the later partition's local rank 1 plus its
+    * adjusted offset equals the earlier partition's value by construction.
+    * O(partitions) driver rows — same bounded-collect discipline as the
+    * bucket rollups. Rank VALUES are partition-independent (they are the
+    * mathematical dense rank), so results are deterministic even though
+    * range boundaries come from sampling.
+    */
+  private[operators] def denseRankGlobal(
+      df: DataFrame, keys: Seq[String], out: String, width: Int,
+      salt: Seq[String] = Nil): (DataFrame, Long) = {
+    val ss = df.sparkSession
+    import ss.implicits._
+    val dataCols = df.schema.fields.map(_.name).toSeq
+    val keyIdx = keys.map(dataCols.indexOf)
+    val schema = StructType(
+      df.schema.fields.map(f => f.copy(nullable = true)).toSeq ++ Seq(
+        StructField("_kind", IntegerType, nullable = false),
+        StructField("_lr", LongType, nullable = false),
+        StructField("_cnt", LongType, nullable = true),
+        StructField("_pid", IntegerType, nullable = false)))
+    val nIn = dataCols.length
+    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+      private val pid = TaskContext.getPartitionId()
+      private val in = rows.buffered
+      private var rank = 0L
+      private var prevKey: Seq[Any] = null
+      private var firstKey: Seq[Any] = null
+      private var recsDone = false
+      private var out0: Iterator[Row] = Iterator.empty
+      private def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+      private def advance(): Unit = {
+        if (in.hasNext) {
+          val r = in.next()
+          val k = keyOf(r)
+          if (prevKey == null || k != prevKey) { rank += 1L; prevKey = k }
+          if (firstKey == null) firstKey = k
+          out0 = Iterator(Row.fromSeq(
+            r.toSeq ++ Seq(0, rank, null, pid)))
+        } else if (!recsDone) {
+          recsDone = true
+          if (prevKey != null) {
+            def rec(k: Seq[Any], cnt: Any) = Row.fromSeq(
+              (0 until nIn).map(i => if (keyIdx.contains(i)) k(keyIdx.indexOf(i)) else null) ++
+                Seq(1, 0L, cnt, pid))
+            out0 =
+              if (firstKey == prevKey) Iterator(rec(firstKey, rank))
+              else Iterator(rec(firstKey, null), rec(prevKey, rank))
+          }
+        }
+      }
+      def hasNext: Boolean = {
+        while (!out0.hasNext && !recsDone) advance()
+        out0.hasNext
+      }
+      def next(): Row = { if (!hasNext) Iterator.empty.next(); out0.next() }
+    }
+    val rangeCols = (keys ++ salt).map(col)
+    val chk = df
+      .repartitionByRange(width, rangeCols: _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .mapPartitions(fn)(RowEncoder.encoderFor(schema))
+      .localCheckpoint(true)
+    // Boundary records: per pid the first key (cnt null) and last key
+    // (cnt = local distinct count); merged when the partition holds one
+    // key. O(width) rows of primitive key columns — driver-safe.
+    val recs = chk.where(col("_kind") === 1)
+      .select((Seq(col("_pid"), col("_cnt")) ++ keys.map(col)): _*)
+      .collect()
+    val cnts = new Array[Long](width)
+    val firstK = new Array[Seq[Any]](width)
+    val lastK = new Array[Seq[Any]](width)
+    recs.foreach { r =>
+      val p = r.getInt(0)
+      val k = (2 until 2 + keys.length).map(r.get)
+      if (r.isNullAt(1)) firstK(p) = k
+      else {
+        cnts(p) = r.getLong(1)
+        lastK(p) = k
+        if (firstK(p) == null) firstK(p) = k // single-key partition
+      }
+    }
+    // Adjusted offsets: subtract one per straddled boundary (lastKey(q) ==
+    // firstKey(q+1) means the key was locally counted on both sides).
+    val adjOff = new Array[Long](width + 1)
+    var acc = 0L
+    var p = 0
+    while (p < width) {
+      val dup = p > 0 && lastK(p - 1) != null && firstK(p) != null &&
+        lastK(p - 1) == firstK(p)
+      adjOff(p) = acc - (if (dup) 1L else 0L)
+      acc = adjOff(p) + cnts(p)
+      p += 1
+    }
+    adjOff(width) = acc
+    val offDf = (0 until width).map(i => (i, adjOff(i))).toDF("_pid", "_off")
+    val ranked = chk.where(col("_kind") === 0)
+      .join(broadcast(offDf), "_pid")
+      .withColumn(out, col("_off") + col("_lr"))
+      .select((dataCols :+ out).map(col): _*)
+    (ranked, acc)
+  }
+
+  private def commonPrefixLen(a: Column, b: Column, cap: Int): Column =
+    Shim.column(graft.expressions.CommonPrefixLen(
+      Shim.expression(a), Shim.expression(b), cap))
 
   /** Build the suffix array: one row per (doc, 1-based char offset) with
     * its global dense `rank` in suffix order. Equal suffixes share a rank.
@@ -183,7 +429,8 @@ object SuffixArray {
     *    direct comparison is cheaper per round AND needs far fewer rounds.
     *  - Dense ranks (the public contract, equal suffixes share a rank) are
     *    recovered by one final global pass over the converged min-position
-    *    ranks (a single long key).
+    *    ranks (a single long key, (doc, off)-salted against oversized
+    *    equal-suffix classes).
     *
     * `block` is exposed for tests (a tiny block forces many rounds); the
     * default is the production setting.
@@ -197,7 +444,8 @@ object SuffixArray {
     val (raw, width) = buildRaw(docs, idCol, textCol, maxRounds, block)
     // Dense ranks for the public contract: one global pass over the
     // converged min-position ranks (a single long key).
-    val (dense, _) = denseRankGlobal(raw, Seq("_r"), "_dr", width)
+    val (dense, _) = denseRankGlobal(raw, Seq("_r"), "_dr", width,
+      salt = Seq("_d", "_o"))
     dense.select(col("_d").as(idCol), col("_o").as("off"),
       col("_dr").as("rank"))
   }
@@ -217,6 +465,7 @@ object SuffixArray {
     require(block >= 1, "block must be >= 1")
     val ss = docs.sparkSession
     import ss.implicits._
+    val idType = docs.schema(idCol).dataType
     // The suffix count IS the corpus character count, so it comes from a
     // pre-explode aggregate (one cheap scan of `docs`) — it sizes the rank
     // exchanges without counting the exploded rowset.
@@ -233,37 +482,48 @@ object SuffixArray {
         explode(sequence(lit(1L), length(col(textCol)).cast("long"))).as("_o"))
       .select(col("_d"), col("_o"),
         col("_t").substr(col("_o").cast("int"), lit(InitPrefix)).as("_c"))
-    // Seed pass — the ONE corpus-wide exchange: range-partition by the
-    // seed window (equal keys land together by construction), row_number
-    // locally, lift to global positions by per-partition row counts, then
-    // take each seed class's min position as its rank and its size as the
-    // freeze signal. Positions of class HEADS depend only on how many
-    // suffixes sort strictly below, so ranks are deterministic even though
-    // range boundaries come from sampling.
-    val winPos = Window.partitionBy("_pid").orderBy("_c")
-    val winCls = Window.partitionBy("_pid", "_c")
-    // Class-local min row-number and class size are computed BEFORE the
-    // checkpoint so the seed-key column (InitPrefix chars per suffix) never
-    // materializes; offsets lift the local min to the global min position
-    // (the class is contained in one range partition by construction).
-    val local = sufs
-      .repartitionByRange(width, col("_c"))
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_rn", row_number().over(winPos))
-      .withColumn("_lr", min("_rn").over(winCls))
-      .withColumn("_sz", count(lit(1)).over(winCls))
-      .drop("_c", "_rn")
+    // Seed pass — the ONE corpus-wide exchange: range-partition by
+    // (window, doc, off) — the tiebreak keeps partitions balanced under
+    // any key skew — then one sorted scan per partition assigns each
+    // class its local head position and size, emitting the first/last
+    // class of each partition as boundary records (the only classes that
+    // can straddle). The seed-key column (InitPrefix chars per suffix)
+    // never materializes beyond those ≤2 records per partition. Class
+    // head positions depend only on how many suffixes sort strictly
+    // below, so ranks are deterministic even though range boundaries come
+    // from sampling.
+    val (seedSchema, seedFn) = seedScan(idType)
+    val chk = sufs
+      .repartitionByRange(width, col("_c"), col("_d"), col("_o"))
+      .sortWithinPartitions(col("_c"))
+      .mapPartitions(seedFn)(RowEncoder.encoderFor(seedSchema))
       .localCheckpoint(true)
-    val rowCounts = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
+    val recs = chk.where(col("_kind") === 1)
+    // Per-partition row counts ride the boundary records: O(width) driver
+    // rows lift local head positions to global positions.
+    val pnByPid = recs.select(col("_pid"), col("_pn")).distinct()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until width).scanLeft(0L) {
-      case (acc, p) => acc + rowCounts.getOrElse(p, 0L)
+      case (acc, p) => acc + pnByPid.getOrElse(p, 0L)
     }
     val offDf = (0 until width).map(p => (p, offsets(p))).toDF("_pid", "_off")
-    val based = local
+    // Straddling-class reconciliation: group the boundary records by the
+    // seed key (equal keys ARE the same class — range order makes a class
+    // contiguous across partitions), take the global min position and the
+    // global size, and broadcast the per-(partition, head-position) fixup
+    // back onto the rows. Non-straddling first/last classes get the
+    // identity fixup; interior classes never need one.
+    val gstats = recs.join(broadcast(offDf), "_pid")
+      .groupBy("_k")
+      .agg(min(col("_off") + col("_lr")).as("_gmin"), sum("_sz").as("_gtot"))
+    val corrSeed = recs.join(gstats, "_k")
+      .select(col("_pid"), col("_lr"), col("_gmin"), col("_gtot"))
+    val based = chk.where(col("_kind") === 0)
       .join(broadcast(offDf), "_pid")
-      .withColumn("_r", col("_off") + col("_lr"))
-      .select(col("_d"), col("_o"), col("_r"), col("_sz"))
+      .join(broadcast(corrSeed), Seq("_pid", "_lr"), "left")
+      .select(col("_d"), col("_o"),
+        coalesce(col("_gmin"), col("_off") + col("_lr")).as("_r"),
+        coalesce(col("_gtot"), col("_sz")).as("_sz"))
     // Frozen rows stay as lazy filters over their round's checkpointed
     // frame (a narrow re-scan, never a re-sort); only the shrinking active
     // set is re-materialized per round.
@@ -275,66 +535,97 @@ object SuffixArray {
     var off = InitPrefix.toLong // chars already compared per active suffix
     var rounds = 0
     var done = activeCnt == 0L
+    val (refSchema, refFn) = refineScan(idType)
     while (!done && rounds < maxRounds) {
       // Fetch each active suffix's next `block` characters by joining back
       // to the documents table — broadcast the (small) active side so the
       // corpus text is only SCANNED, with the join's doc-id filter pruning
-      // what reaches the window computation.
+      // what reaches the per-partition scan.
       val probeSide =
         if (activeCnt <= BroadcastActiveMax) broadcast(active) else active
-      // Size the refinement exchange to the DATA TOO (round 14): the
-      // class-window sort below carries `block` chars per active row
-      // (~0.5KB at the default), and inheriting the session width hands
-      // each task activeCnt/width of that — at the f=30 hostile probe
-      // (46M active rows, width 32) that is ~790MB of sort working set
-      // per task × 32 concurrent, which spilled 9.4GB in r13 and OOMs
-      // outright in an 8GB local[32] driver. Repartition by the class key
-      // at the session's ADVISORY partition size (Spark's own
-      // post-shuffle sizing knob — cluster operators already tune it to
-      // their per-core memory; 64MB default) of window bytes per
-      // partition. The Window's ClusteredDistribution(_r) is satisfied by
-      // this exchange, so no second shuffle is added — the width of the
-      // ONE exchange just follows the bytes it must sort. Equal keys
-      // stay co-located (hash on _r), exactly as before; a single
-      // over-sized tie class still lands in one task (see the skew bound
-      // note on rankWidth).
+      // Size the refinement exchange to the DATA TOO (round 14): each
+      // active row carries `block` chars (~0.5KB at the default); target
+      // the session's ADVISORY partition size (Spark's own post-shuffle
+      // sizing knob — cluster operators already tune it to their per-core
+      // memory; 64MB default) of window bytes per partition, so the ONE
+      // exchange's width follows the bytes it must sort. The (doc, off)
+      // tiebreak in the range key spreads an oversized tie class across
+      // partitions — the per-task bound is rows/width by construction
+      // (round 15; boundary classes are reconciled below).
       val advisory = math.max(1L << 20,
         ss.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
       val refWidth = math.max(1, math.min(1L << 20,
         activeCnt * (block + 64L) / advisory + 1L)).toInt
       val paired = probeSide.join(docsTxt, "_d")
-        .withColumn("_w",
-          col("_t").substr((col("_o") + off).cast("int"), lit(block)))
-        .drop("_t")
-        .repartition(refWidth, col("_r"))
-      // Refine within each class: rank() over the window strings is
-      // exactly min-position semantics (1 + the number of strictly-smaller
-      // members, ties share), so subclass ranks slot into the parent
-      // interval without touching any other class. Both windows shuffle
-      // ACTIVE rows only. A window that runs past the end of the document
-      // is shorter and sorts first — the shorter-suffix-first rule of
-      // string order, for free.
-      val winR = Window.partitionBy("_r").orderBy("_w")
-      val winSub = Window.partitionBy("_r", "_w")
-      // The comparison window column is DROPPED before materialization —
-      // checkpointing it would hold `block` chars per active row (the f=30
-      // hostile probe OOMed exactly there); only its length survives, as
-      // the exhaustion bit.
-      val refined = paired
-        .withColumn("_r2", col("_r") + rank().over(winR) - 1L)
-        .withColumn("_sz", count(lit(1)).over(winSub))
-        .withColumn("_live",
-          (col("_sz") > 1 && length(col("_w")) > 0).cast("int"))
-        .drop("_w")
+        .select(col("_d"), col("_o"), col("_r"),
+          col("_t").substr((col("_o") + off).cast("int"), lit(block)).as("_w"))
+      // Refine within each class: the sorted scan assigns each subclass
+      // run its min-position rank-within-class (1 + rows of the class
+      // strictly below — ties share), so subclass ranks slot into the
+      // parent interval without touching any other class. A window that
+      // runs past the end of the document is shorter and sorts first —
+      // the shorter-suffix-first rule of string order, for free. The
+      // comparison window is DROPPED inside the scan (checkpointing it
+      // would hold `block` chars per active row — the f=30 hostile probe
+      // OOMed exactly there); only its nonempty bit survives, as the
+      // exhaustion signal, plus the ≤2 boundary records per partition
+      // that carry a window for cross-partition subclass accounting.
+      val rchk = paired
+        .repartitionByRange(refWidth, col("_r"), col("_w"), col("_d"), col("_o"))
+        .sortWithinPartitions(col("_r"), col("_w"))
+        .mapPartitions(refFn)(RowEncoder.encoderFor(refSchema))
         .localCheckpoint(true)
+      // Straddling-class reconciliation from the O(refWidth) boundary
+      // records: per (partition, class) the rows-in-earlier-partitions
+      // total (all strictly smaller except head-window equals, which the
+      // head record's cross-partition prefix count removes) and the
+      // global sizes of the partition's head/tail subclasses. All frames
+      // here are ≤2 rows per partition; the corpus-sized frame sees one
+      // broadcast join, no second exchange.
+      val rrecs = rchk.where(col("_kind") === 1)
+      val wSubPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy("_r", "_w").orderBy("_pid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val recsS = rrecs
+        .withColumn("_totSub", sum("_lsub").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_r", "_w")))
+        .withColumn("_prevSub", coalesce(sum("_lsub").over(wSubPrev), lit(0L)))
+      val wClsPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy("_r").orderBy("_pid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val clsPrev = rrecs.groupBy("_pid", "_r")
+        .agg(max("_clsCnt").as("_cc"))
+        .withColumn("_totalPrev", coalesce(sum("_cc").over(wClsPrev), lit(0L)))
+        .select("_pid", "_r", "_totalPrev")
+      val headP = recsS.where(col("_isFirst"))
+        .select(col("_pid"), col("_r"), col("_prevSub").as("_eqPrevHead"),
+          col("_totSub").as("_totHead"))
+      val tailP = recsS.where(col("_isLast"))
+        .select(col("_pid"), col("_r"), col("_totSub").as("_totTail"),
+          col("_lrk").as("_tailLrk"))
+      val corr = clsPrev
+        .join(headP, Seq("_pid", "_r"), "left")
+        .join(tailP, Seq("_pid", "_r"), "left")
+        .localCheckpoint(true)
+      val refined = rchk.where(col("_kind") === 0)
+        .join(broadcast(corr), Seq("_pid", "_r"), "left")
+        .withColumn("_r2", col("_r") + (col("_lrk") - 1L) +
+          coalesce(col("_totalPrev"), lit(0L)) -
+          when(col("_lrk") === 1L, coalesce(col("_eqPrevHead"), lit(0L)))
+            .otherwise(lit(0L)))
+        .withColumn("_sz",
+          when(col("_lrk") === 1L, coalesce(col("_totHead"), col("_lsub")))
+            .when(col("_lrk") === col("_tailLrk"),
+              coalesce(col("_totTail"), col("_lsub")))
+            .otherwise(col("_lsub")))
       // One tiny driver row per round: the surviving-tie count and whether
       // any surviving tie still has text left to compare. An exhausted tie
       // (empty window on every member) is a class of genuinely EQUAL
       // suffixes — they share their rank forever, which IS convergence.
       val Array(nextCnt, liveCnt) = refined
         .agg(sum(when(col("_sz") > 1, 1L).otherwise(0L)),
-          sum(col("_live").cast("long")))
+          sum(when(col("_sz") > 1 && col("_wne"), 1L).otherwise(0L)))
         .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Long]).getOrElse(0L))
         .toArray
       frozen = refined.where(col("_sz") === 1)
@@ -351,10 +642,6 @@ object SuffixArray {
         s"($activeCnt of $total suffixes still tied)")
     ((frozen :+ active.select("_d", "_o", "_r")).reduce(_ unionAll _), width)
   }
-
-  private def commonPrefixLen(a: Column, b: Column, cap: Int): Column =
-    Shim.column(graft.expressions.CommonPrefixLen(
-      Shim.expression(a), Shim.expression(b), cap))
 
   /** Exact repeated substrings of length >= `minLen`: adjacent suffixes in
     * suffix-array order compared by [[graft.expressions.CommonPrefixLen]]
