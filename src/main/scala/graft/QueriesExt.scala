@@ -514,6 +514,63 @@ object QueriesExt {
       |  doc_id % 11 <> 0 AS decoded
       |FROM documents""".stripMargin))
 
+  /** Audio CONTENT-fingerprint gate ([[Multimodal.audioFingerprints]],
+    * round 15 — closes the multimodal near-dup symmetry: images had
+    * perceptual hashing, audio had metadata only): REAL PCM decode of the
+    * WAV fixtures → integer 16-segment × 4-lag energy map → 64 sign bits,
+    * every-11th corrupt channel. The oracle replays ALL the integer math
+    * from the fixture's sample FORMULA (`data[i] = (doc_id + 31·i) % 256`)
+    * — mono mix, segment grid, lag energies, the ×64 total test, the bit
+    * packing — so a single mis-read sample or bit-order slip
+    * hash-mismatches. Banded near-dup pairing over these fingerprints is
+    * [[Multimodal.audioNearDupPairs]], pinned in DedupSimilaritySpec.
+    */
+  private val mmAudioFp: Q = "x_multimodal_audio_fp" -> ((
+    (s: SparkSession, dir: String) =>
+      Multimodal.audioFingerprints(
+        Multimodal.syntheticWavs(docs(s, dir), "doc_id")
+          .withColumn("blob",
+            when(col("doc_id") % 11 === 0, lit("not audio").cast("binary"))
+              .otherwise(col("blob"))),
+        "doc_id", "blob"),
+    """WITH p AS (SELECT doc_id,
+      |    (1 + doc_id % 2)::BIGINT AS ch,
+      |    (8 * (1 + (doc_id // 2) % 2))::BIGINT AS bits,
+      |    (1 + doc_id % 400)::BIGINT AS ns
+      |  FROM documents),
+      |m AS (SELECT doc_id, ns, f,
+      |    sum(CASE WHEN bits = 8
+      |      THEN ((doc_id + 31*(f*ch + c)) % 256) - 128
+      |      ELSE CASE WHEN ((doc_id + 31*(2*(f*ch + c))) % 256)
+      |                  + 256*((doc_id + 31*(2*(f*ch + c) + 1)) % 256) >= 32768
+      |        THEN ((doc_id + 31*(2*(f*ch + c))) % 256)
+      |             + 256*((doc_id + 31*(2*(f*ch + c) + 1)) % 256) - 65536
+      |        ELSE ((doc_id + 31*(2*(f*ch + c))) % 256)
+      |             + 256*((doc_id + 31*(2*(f*ch + c) + 1)) % 256) END
+      |      END) AS m
+      |  FROM p, UNNEST(range(ns)) t(f), UNNEST(range(ch)) u(c)
+      |  GROUP BY doc_id, ns, f),
+      |e AS (SELECT a.doc_id, ((a.f * 16) // a.ns) AS t, l.b AS b,
+      |    sum(abs(b2.m - a.m)) AS en
+      |  FROM m a
+      |  JOIN (VALUES (0, 1), (1, 2), (2, 4), (3, 8)) l(b, lag) ON true
+      |  JOIN m b2 ON b2.doc_id = a.doc_id AND b2.f = a.f + l.lag
+      |  WHERE ((a.f * 16) // a.ns) = (((a.f + l.lag) * 16) // a.ns)
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, sum(en) AS tot FROM e GROUP BY doc_id),
+      |fp AS (SELECT e.doc_id,
+      |    sum(CASE WHEN en*64 > tot AND (t*4 + b) < 32
+      |        THEN (1::BIGINT << (t*4 + b)::INT) ELSE 0 END)::BIGINT AS fp_lo,
+      |    sum(CASE WHEN en*64 > tot AND (t*4 + b) >= 32
+      |        THEN (1::BIGINT << ((t*4 + b) - 32)::INT) ELSE 0 END)::BIGINT AS fp_hi
+      |  FROM e JOIN tot USING (doc_id) GROUP BY e.doc_id)
+      |SELECT p.doc_id,
+      |  CASE WHEN p.doc_id % 11 = 0 THEN NULL ELSE coalesce(fp.fp_lo, 0) END AS fp_lo,
+      |  CASE WHEN p.doc_id % 11 = 0 THEN NULL ELSE coalesce(fp.fp_hi, 0) END AS fp_hi,
+      |  CASE WHEN p.doc_id % 11 = 0 THEN NULL ELSE p.ns END AS n_samples,
+      |  p.doc_id % 11 <> 0 AS decoded
+      |FROM p LEFT JOIN fp USING (doc_id)""".stripMargin))
+
   private val mmFrames: Q = "x_multimodal_frames" -> ((
     (s: SparkSession, dir: String) =>
       Multimodal.sampleFrames(docs(s, dir).withColumn("blob", col("text").cast("binary")),
@@ -5740,7 +5797,7 @@ object QueriesExt {
     textPii, textRepetition, textVocab, textBoilerplate,
     annBruteforce, annLsh, annIvf, annIvfLayout, annKmeans, embNormalize,
     textLangid, textQuality, textTokens, textFingerprint,
-    mmMeta, mmDecode, mmFrames, mmAudio, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
+    mmMeta, mmDecode, mmFrames, mmAudio, mmAudioFp, eventWindows, stWindowedCounts, stSessionize, skewSaltedAgg,
     sampleSystematic, sampleStratified, packSequences, textChunks, corpusReport, corpusQuantiles,
     joinAsof, joinRange,
     textUnigramLm, splitAssign, sourceCap, sampleWeighted, upsertLatest, stDedup, skewSaltedJoin,

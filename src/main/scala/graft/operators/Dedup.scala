@@ -353,10 +353,13 @@ object Dedup {
     *    partition, so band rows left behind by a crashed first attempt
     *    never double-orient the batch's new×new pairs (the partition filter
     *    also prunes the directory scan — no wasted IO).
-    * Seed the index before the first batch with a zero-row [[minHashBands]]
-    * frame at `indexDir/batch_id=-1` so first-batch probes read the table
-    * shape they append to. Readers of the accumulated tables get a
-    * `batch_id` partition column via discovery; drop it before use.
+    * A nonexistent `indexDir` is the documented FIRST-RUN state (round 15):
+    * the step auto-seeds it with a zero-row [[minHashBands]] frame at
+    * `indexDir/batch_id=-1` so the first batch's probe reads the table
+    * shape it appends to — no caller setup, and idempotent under replay
+    * like everything else here (a second run finds the dir and skips the
+    * seed). Readers of the accumulated tables get a `batch_id` partition
+    * column via discovery; drop it before use.
     */
   def lshIncrementStep(
       batch: DataFrame,
@@ -370,14 +373,17 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 1000): Unit = {
     val ss = batch.sparkSession
-    // Fail with the seeding instruction, not a generic path-not-found
-    // AnalysisException from inside foreachBatch (round-14 advisor note):
-    // an unseeded index dir is a CALLER setup bug and should name the fix.
-    require(new java.io.File(indexDir).exists() ||
-        indexDir.contains("://"), // non-local FS: let the reader check
-      s"LSH index dir $indexDir does not exist — seed it before the first " +
-        "batch with a zero-row minHashBands frame at <indexDir>/batch_id=-1 " +
-        "(see scaladoc) so first-batch probes read the table shape they append to")
+    // Auto-seed a nonexistent index dir (round 15, upgraded from the
+    // round-14 loud require): first-run-from-nothing is a legitimate
+    // state, not a caller bug — write the empty batch_id=-1 partition so
+    // the probe below reads the table shape this step appends to. Hadoop
+    // FS API, so object stores behave like the local FS here.
+    val indexPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = indexPath.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(indexPath)) {
+      minHashBands(batch.limit(0), idCol, textCol, n, numHashes, bands)
+        .write.mode("overwrite").parquet(s"$indexDir/batch_id=-1")
+    }
     // Bands are computed ONCE (shingle+minhash is the dominant cost) — the
     // same materialized frame feeds the probe and the index write.
     val nb = minHashBands(batch, idCol, textCol, n, numHashes, bands)

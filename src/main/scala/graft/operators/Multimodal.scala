@@ -11,8 +11,11 @@ import org.apache.spark.sql.types._
   * with typed metadata.
   *
   * IMAGE decode is REAL ([[decodeImages]] — `javax.imageio` header parse,
-  * in the JDK). Audio/video decode remains STUBBED (no codec libraries in
-  * this environment): `decodeStub` derives deterministic fake dimensions
+  * in the JDK), as are AUDIO metadata ([[decodeAudio]], RIFF chunk walk),
+  * AUDIO PCM content fingerprinting ([[audioFingerprints]], round 15),
+  * and VIDEO container metadata ([[decodeVideos]], ISO-BMFF box walk).
+  * Only compressed-codec sample decode remains stubbed (no codec
+  * libraries in this environment): `decodeStub` derives deterministic fake dimensions
   * from the md5 of the bytes, so the schema, partition-preserving
   * `mapPartitions` execution path, and batch shape are real and testable,
   * and a SQL oracle can replay the fake exactly. Swapping the stub body for
@@ -398,16 +401,29 @@ object Multimodal {
       hashes: DataFrame,
       idCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    hammingBandedPairs(hashes.where(col("decoded")), idCol, "ahash_lo", "ahash_hi",
+      maxHamming, maxBucket)
+
+  /** The shared banded-Hamming join behind [[imageNearDupPairs]] and
+    * [[audioNearDupPairs]]: a split 64-bit hash (`loCol` bits 0–31,
+    * `hiCol` 32–63) keyed by its four 16-bit words.
+    */
+  private def hammingBandedPairs(
+      hashes: DataFrame,
+      idCol: String,
+      loCol: String,
+      hiCol: String,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantee only holds for maxHamming <= 3")
-    val h = hashes.where(col("decoded"))
-      .select(col(idCol), col("ahash_lo"), col("ahash_hi"))
+    val h = hashes.select(col(idCol), col(loCol).as("_lo"), col(hiCol).as("_hi"))
     val words = h.select(col(idCol), explode(array(
-      struct(lit(0).as("band"), (col("ahash_lo") % 65536).as("w")),
-      struct(lit(1).as("band"), (col("ahash_lo") / 65536).cast("long").as("w")),
-      struct(lit(2).as("band"), (col("ahash_hi") % 65536).as("w")),
-      struct(lit(3).as("band"), (col("ahash_hi") / 65536).cast("long").as("w")))).as("bw"))
+      struct(lit(0).as("band"), (col("_lo") % 65536).as("w")),
+      struct(lit(1).as("band"), (col("_lo") / 65536).cast("long").as("w")),
+      struct(lit(2).as("band"), (col("_hi") % 65536).as("w")),
+      struct(lit(3).as("band"), (col("_hi") / 65536).cast("long").as("w")))).as("bw"))
       .select(col(idCol), col("bw.band").as("band"), col("bw.w").as("w"))
     val ok = words.groupBy("band", "w").agg(count(lit(1)).as("_n"))
       .where(col("_n") <= maxBucket).select("band", "w")
@@ -416,8 +432,8 @@ object Multimodal {
         col("a.band") === col("b.band") && col("a.w") === col("b.w") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b")).distinct()
-    val ha = h.select(col(idCol).as("id_a"), col("ahash_lo").as("_alo"), col("ahash_hi").as("_ahi"))
-    val hb = h.select(col(idCol).as("id_b"), col("ahash_lo").as("_blo"), col("ahash_hi").as("_bhi"))
+    val ha = h.select(col(idCol).as("id_a"), col("_lo").as("_alo"), col("_hi").as("_ahi"))
+    val hb = h.select(col(idCol).as("id_b"), col("_lo").as("_blo"), col("_hi").as("_bhi"))
     cand.join(ha, "id_a").join(hb, "id_b")
       .withColumn("hamming",
         bit_count(col("_alo").bitwiseXOR(col("_blo"))) +
@@ -461,7 +477,17 @@ object Multimodal {
     * a sample decode. Returns None on anything malformed (bad magic,
     * truncated chunk, PCM fields that disagree, zero-channel/rate).
     */
-  def wavRiffMeta(blob: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def wavRiffMeta(blob: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavRiffFull(blob).map { case (rate, ch, _, bits, _, nSamples) =>
+      (rate, ch, bits, nSamples)
+    }
+
+  /** The full parse behind [[wavRiffMeta]], additionally exposing the data
+    * chunk's byte offset and block align — what the PCM-reading
+    * fingerprint path needs. Returns (rate, channels, blockAlign, bits,
+    * dataOffset, nSamples).
+    */
+  private def wavRiffFull(blob: Array[Byte]): Option[(Int, Int, Int, Int, Int, Long)] = {
     def u8(i: Int): Int = blob(i) & 0xff
     def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long = (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
@@ -469,8 +495,8 @@ object Multimodal {
     if (blob.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
     var i = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, blockAlign, bits
-    var dataSize: Option[Long] = None
-    while (i + 8 <= blob.length && (fmt.isEmpty || dataSize.isEmpty)) {
+    var data: Option[(Int, Long)] = None // offset, size
+    while (i + 8 <= blob.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(i)
       val sz = u32(i + 4)
       if (i + 8 + sz > blob.length) return None
@@ -483,12 +509,124 @@ object Multimodal {
         if (channels == 0 || rate == 0 || rate > Int.MaxValue || bits == 0 ||
             blockAlign != channels * ((bits + 7) / 8)) return None
         fmt = Some((channels, rate.toInt, blockAlign, bits))
-      } else if (id == "data") dataSize = Some(sz)
+      } else if (id == "data") data = Some((i + 8, sz))
       i += 8 + sz.toInt + (sz.toInt & 1) // odd payloads pad to even
     }
-    for ((channels, rate, blockAlign, bits) <- fmt; d <- dataSize)
-      yield (rate, channels, bits, d / blockAlign)
+    for ((channels, rate, blockAlign, bits) <- fmt; (off, dsz) <- data)
+      yield (rate, channels, blockAlign, bits, off, dsz / blockAlign)
   }
+
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("fp_lo", LongType, nullable = true),
+    StructField("fp_hi", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Audio fingerprint grid: 16 time segments × 4 lag scales = 64 bits. */
+  val AudioFpSegments = 16
+  val AudioFpLags: Array[Int] = Array(1, 2, 4, 8)
+
+  /** CONTENT fingerprint of a PCM WAV — the audio analogue of
+    * [[perceptualHashRow]] and the missing half of the multimodal near-dup
+    * symmetry (images had content hashing; audio had metadata only). A
+    * chromaprint-style integer time×scale energy map:
+    *  - REAL PCM decode (8-bit unsigned / 16-bit signed LE) of the data
+    *    chunk, channels mono-mixed by integer SUM (no rounding);
+    *  - the sample stream is cut into [[AudioFpSegments]] equal time
+    *    segments (`seg(f) = f·16 / n`, integer division — the aHash grid
+    *    rule in time), and per segment the energy at each
+    *    [[AudioFpLags]] lag L is `Σ |m(f+L) − m(f)|` over pairs that stay
+    *    inside the segment — lag differences are integer comb filters, so
+    *    the four lags read four frequency scales without an FFT;
+    *  - bit(t, b) = cell energy ×64 > total energy — the same
+    *    multiply-through trick as aHash's mean test, which makes the
+    *    fingerprint invariant under uniform GAIN (every |Δ| scales by the
+    *    same factor) the way aHash is invariant under brightness shift.
+    * All-integer math end to end, so a SQL oracle replays all 64 bits
+    * exactly. Ships as two 32-bit halves in BIGINTs (`fp_lo` bits 0–31,
+    * `fp_hi` 32–63) — the shape the banded Hamming join wants. Silence
+    * (or n_samples too short for any lag pair) fingerprints to 0.
+    * Undecodable or non-8/16-bit-PCM blobs degrade to `decoded = false`.
+    */
+  def audioFingerprintRow(id: Long, blob: Array[Byte]): Row = {
+    wavRiffFull(blob) match {
+      case Some((_, channels, blockAlign, bits, off, nSamples))
+          if (bits == 8 || bits == 16) && nSamples <= Int.MaxValue =>
+        val n = nSamples.toInt
+        // Mono mix: integer sum across channels, per frame.
+        val m = new Array[Long](n)
+        var f = 0
+        while (f < n) {
+          var s = 0L
+          var c = 0
+          while (c < channels) {
+            if (bits == 8) s += (blob(off + f * blockAlign + c) & 0xff) - 128
+            else {
+              val base = off + f * blockAlign + 2 * c
+              val v = (blob(base) & 0xff) | ((blob(base + 1) & 0xff) << 8)
+              s += (if (v >= 32768) v - 65536 else v)
+            }
+            c += 1
+          }
+          m(f) = s
+          f += 1
+        }
+        val nSeg = AudioFpSegments
+        val nLag = AudioFpLags.length
+        val e = new Array[Long](nSeg * nLag)
+        var total = 0L
+        var b = 0
+        while (b < nLag) {
+          val lag = AudioFpLags(b)
+          var i = 0
+          while (i + lag < n) {
+            val t = i.toLong * nSeg / n
+            if ((i + lag).toLong * nSeg / n == t) {
+              val d = math.abs(m(i + lag) - m(i))
+              e(t.toInt * nLag + b) += d
+              total += d
+            }
+            i += 1
+          }
+          b += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var k = 0
+        while (k < nSeg * nLag) {
+          if (e(k) * 64 > total) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        Row(id, lo, hi, nSamples, true)
+      case _ => Row(id, null, null, null, false)
+    }
+  }
+
+  /** [[audioFingerprintRow]] over a frame — same partition-preserving
+    * `mapPartitions` shape as [[perceptualHashes]], blob dropped at the
+    * decode so downstream near-dup joins shuffle 24-byte rows, not media.
+    */
+  def audioFingerprints(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol).cast(BinaryType))
+    src.mapPartitions { rows =>
+      rows.map(r => audioFingerprintRow(r.getLong(0), r.getAs[Array[Byte]](1)))
+    }(RowEncoder.encoderFor(audioFpSchema))
+  }
+
+  /** Near-duplicate AUDIO pairs by fingerprint Hamming distance — the
+    * [[imageNearDupPairs]] machinery applied to [[audioFingerprints]]
+    * (same 4×16-bit-band pigeonhole, same capped-bucket economics).
+    */
+  def audioNearDupPairs(
+      fps: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    hammingBandedPairs(fps.where(col("decoded")), idCol, "fp_lo", "fp_hi",
+      maxHamming, maxBucket)
 
   /** [[wavRiffMeta]] over a frame — the audio sibling of [[decodeImages]]:
     * partition-preserving `mapPartitions`, blob dropped right after the

@@ -97,9 +97,14 @@ object RlOps {
       count(lit(1)).as("n"),
       sum(when(passCol, 1L).otherwise(0L)).as("c"))
     ks.foldLeft(base) { (acc, k) =>
+      // The ratio is parenthesized so each step computes (n−c−i)/(n−i)
+      // FIRST and then multiplies — the same floating-point association
+      // order as the oracle's list_transform-then-list_reduce (an
+      // unparenthesized `p * a / b` associates as `(p*a)/b`, a different
+      // rounding sequence that can diverge on round(…,6) boundaries).
       val prod = expr(
         s"""aggregate(sequence(0, ${k - 1}), cast(1.0 as double),
-           |  (p, i) -> p * cast(n - c - i as double) / cast(n - i as double))""".stripMargin)
+           |  (p, i) -> p * (cast(n - c - i as double) / cast(n - i as double)))""".stripMargin)
       acc.withColumn(s"pass_at_$k",
         when(col("n") < k, lit(null).cast("double"))
           .when(col("n") - col("c") < k, lit(1.0))

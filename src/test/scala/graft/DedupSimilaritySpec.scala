@@ -142,6 +142,44 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 3)
   }
 
+  test("audio fingerprints: gain-invariant, content-sensitive; silence is zero; corrupt degrades") {
+    // 16-bit mono PCM builder with an arbitrary sample function.
+    def wav16(n: Int, sample: Int => Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+      (0 until n).foreach(i => bb.putShort(sample(i).toShort))
+      bb.array()
+    }
+    def s(i: Int): Int = ((i * 1103515245L + 12345L) % 4001L).toInt - 2000
+    val rows = Seq(
+      (1L, wav16(600, s)),
+      (2L, wav16(600, i => 3 * s(i))), // same content, 3x gain
+      (3L, wav16(600, i => s(i * 7 + 13))), // different content
+      (4L, wav16(400, _ => 0)), // silence
+      (5L, "not audio".getBytes)
+    ).toDF("doc_id", "blob")
+    val fp = Multimodal.audioFingerprints(rows, "doc_id", "blob")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def pair(r: org.apache.spark.sql.Row) = (r.getLong(1), r.getLong(2))
+    assert(fp(2L).getBoolean(4) && pair(fp(1L)) == pair(fp(2L)),
+      "uniform gain must not change a single fingerprint bit")
+    assert(pair(fp(1L)) != pair(fp(3L)), "different content must fingerprint differently")
+    assert(pair(fp(4L)) == ((0L, 0L)) && fp(4L).getBoolean(4),
+      "silence fingerprints to zero, decoded")
+    assert(!fp(5L).getBoolean(4) && fp(5L).isNullAt(1),
+      "corrupt blob degrades, never fails")
+    // End-to-end banded pairing: the gain twin is the ONLY near-dup pair.
+    val pairs = Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprints(rows, "doc_id", "blob"), "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L)) == 0)
+  }
+
   test("ivfAppend: append-then-search equals rebuild-then-search exactly") {
     val vecs = (0L until 40L).map { i =>
       (i, Array.tabulate(6)(d => math.cos(i * 3.7 + d * 0.9).toFloat))

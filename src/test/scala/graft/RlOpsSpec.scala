@@ -253,7 +253,8 @@ class RlOpsSpec extends SparkSpec {
   }
 
   test("klEstimators: k3 is non-negative (convexity) even when k1 goes negative") {
-    // All-negative logr sample: k1 (= mean(-lr)) is positive here; flip it
+    // All-POSITIVE logr sample drives k1 = mean(−lr) negative, while k3
+    // stays non-negative by convexity (exp(x)−1−x ≥ 0 for every x).
     val lrs = Seq(0.5, 0.4, 0.3)
     val df = lrs.map(lr => ("g", 0.0, lr)).toDF("grp", "lp_pol", "lp_ref")
     val out = RlOps.klEstimators(df, Seq("grp"), col("lp_pol"), col("lp_ref"))

@@ -9,17 +9,23 @@ Usage: python3 tools/adjudicate.py OLD.json NEW.json [--auto-ab [--append-baseli
 
 Rule (amended round 13 after the r12 four-pack proved cpuMs itself
 inflates 3-4x under SMT/frequency contention while shuffle bytes stay
-byte-identical): shuffle volume is deterministic for a fixed plan+data,
-so SHUFFLE is the trusted signal and cpuMs is only corroborating.
+byte-identical; re-based round 15 after the r14 judge session measured the
+inflation reaching 6.2x — x_dedup_editdist 13.9s->68.2s cpu on
+byte-identical shuffle and identical src/main): shuffle volume is
+deterministic for a fixed plan+data, so SHUFFLE BYTES ARE THE ONLY
+LOAD-PROOF AXIS. cpuMs is ADVISORY — it can corroborate a quiet
+comparison but can never convict on a loaded one; any cpu-only spike
+needs a quiet min-of-4 A/B before it counts as a regression.
 
 Verdict per gate with wall ratio >= THRESH and absolute delta >= MIN_ABS:
   - LOAD     : shuffle bytes at band AND cpuMs at band -> external machine
                load by construction; cleared, no further action.
-  - AB-NEEDED: shuffle bytes at band but cpuMs off-band -> load-pattern
-               but unproven (contention inflates cpuMs too); the round-11
-               protocol requires a same-JVM BenchAB min-of-4 row. With
-               --auto-ab this script RUNS it and prints the rows, so a
-               round closes with zero pending adjudications.
+  - AB-NEEDED: shuffle bytes at band but cpuMs off-band -> cpu says
+               nothing by itself (advisory; inflates <=6.2x under load),
+               so the round-11 protocol requires a same-JVM BenchAB
+               min-of-4 row to separate load from a real cpu regression.
+               With --auto-ab this script RUNS it and prints the rows, so
+               a round closes with zero pending adjudications.
   - PLAN     : shuffle bytes moved -> a real plan/code change;
                investigate (auto-AB still measures the quiet cost).
   - NO-TELEMETRY: one side lacks cpu/shuffle fields (pre-round-12
@@ -99,7 +105,7 @@ def main():
             need_ab.append((g, w0, w1))
             kind = "plan"
         elif cpu_off:
-            verdict = "AB-NEEDED (shuffle at band, cpu off-band)"
+            verdict = "AB-NEEDED (shuffle at band; cpu advisory, inflates <=6.2x under load)"
             need_ab.append((g, w0, w1))
             kind = "ab-needed"
         else:

@@ -12,7 +12,11 @@ gate sets: their wall sums. Old boards can come from git history:
 
 This is the comparison every round-close section narrates — one command
 instead of ad-hoc python. Wall is NOT the adjudication signal on a loaded
-box (see adjudicate.py); cpuMs and shuffle bytes are.
+box (see adjudicate.py); shuffle bytes are the load-proof axis. cpuMs is
+ADVISORY ONLY under load: the round-14 judge session measured per-gate
+cpuMs inflating up to 6.2x (x_dedup_editdist 13.9s->68.2s) on
+byte-identical shuffle and identical src/main — treat cpu deltas >1.5x
+with unchanged shuffle as suspect-load and confirm with a quiet min-of-4.
 
 Dev tool only (driver-side python); never shipped with the library.
 """
@@ -44,7 +48,7 @@ def main() -> None:
     print(f"common {len(common)} gates:")
     print(f"  wall   {wn:10.1f}s vs {wo:10.1f}s  ratio {wn/wo:.3f}   (load-sensitive)")
     if co:
-        print(f"  cpuMs  {cn:10d}  vs {co:10d}   ratio {cn/co:.3f}   (load-invariant)")
+        print(f"  cpuMs  {cn:10d}  vs {co:10d}   ratio {cn/co:.3f}   (advisory: inflates <=6.2x under load)")
     if so:
         print(f"  shufR  {sn:10d}B vs {so:10d}B  ratio {sn/so:.4f}  (the plan signal)")
     if added:
@@ -54,8 +58,12 @@ def main() -> None:
         print(f"removed {len(removed)} gates (old wall {sum(qo[k] for k in removed):.1f}s): "
               + ", ".join(removed))
 
-    sdiff = [(k, to[k]["shufReadB"], tn[k]["shufReadB"]) for k in common
-             if k in tn and k in to and tn[k]["shufReadB"] != to[k]["shufReadB"]]
+    # .get with a sentinel: pre-round-12 boards lack shufReadB — skip those
+    # entries instead of raising KeyError (tot() already guards the same way).
+    sdiff = [(k, o, n) for k in common
+             for o in [to.get(k, {}).get("shufReadB")]
+             for n in [tn.get(k, {}).get("shufReadB")]
+             if o is not None and n is not None and o != n]
     print(f"shuffle-differing gates: {len(sdiff)}"
           + ("" if sdiff else "  (byte-identical board)"))
     for k, o, n in sorted(sdiff, key=lambda t: -abs(t[2] / max(t[1], 1) - 1))[:top]:
@@ -64,8 +72,10 @@ def main() -> None:
         print(f"  {k:30s} {o:12d} -> {n:12d}  ratio {r:.4f}  {flag}")
 
     movers = sorted(((qn[k] - qo[k], k) for k in common))
-    print(f"top wall movers (noise under load — check shuffle/cpu first):")
-    for d, k in movers[:3] + movers[-top:]:
+    print(f"top wall movers (noise under load — check shuffle first, cpu is advisory):")
+    # De-duplicate the two slices: with few common gates they overlap and
+    # the same gate would print twice.
+    for d, k in dict.fromkeys(movers[:3] + movers[-top:]):
         print(f"  {k:30s} {qo[k]:7.2f} -> {qn[k]:7.2f}s")
 
 

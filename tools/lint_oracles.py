@@ -7,7 +7,7 @@ Without the second arg, dumps a fresh oracle_sql.json in ~15s by running
 Verify with a match-nothing gate filter (Verify writes the FULL oracle map
 regardless of the filter):
 
-    sbt -batch 'runMain graft.Verify <sfDir> /tmp/lint ^$$NOMATCH'
+    sbt -batch 'runMain graft.Verify <sfDir> /tmp/lint_oracles NOMATCH^'
 
 Then EXPLAINs every oracle statement against the registered table views —
 catching typos, wrong column names, and DuckDB-dialect slips in seconds
@@ -31,9 +31,16 @@ def main() -> None:
     if len(sys.argv) > 2:
         path = sys.argv[2]
     else:
-        subprocess.run(
-            ["sbt", "-batch", "runMain graft.Verify " + sf_dir + " /tmp/lint_oracles NOMATCH^"],
-            check=True, capture_output=True)
+        try:
+            subprocess.run(
+                ["sbt", "-batch", "runMain graft.Verify " + sf_dir + " /tmp/lint_oracles NOMATCH^"],
+                check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            # capture_output swallows sbt's streams; surface them or the
+            # failure is opaque.
+            print(e.stdout or "", file=sys.stderr)
+            print(e.stderr or "", file=sys.stderr)
+            raise
         path = "/tmp/lint_oracles/oracle_sql.json"
     oracle = json.load(open(path))
     con = duckdb.connect()
