@@ -318,6 +318,57 @@ object ScaleProbe {
           f"spans(>=20)=$nSpans spansWall=$spanS%.1f s buildMetrics=${bm.json}")
       }
     }
+    stage("suffix skew") {
+      // The round-15 skew contract at probe scale: a 400-char boilerplate
+      // header prepended to EVERY doc puts >50% of all suffixes inside one
+      // shared 32-char seed window (the round-14 verdict's flagged hazard —
+      // under the old construction that whole tie class landed in a single
+      // task). Claims: every corpus-sized stage spreads its rows (per-task
+      // max within ~4x the median — printed below from EXECUTED task
+      // metrics, the same signal SuffixSkewSpec asserts), and build wall
+      // stays within a small factor of the unskewed 'suffix array' stage
+      // on the same corpus volume.
+      val stageTasks = scala.collection.concurrent.TrieMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val buf = stageTasks.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long])
+            buf.synchronized { buf += m.shuffleReadMetrics.recordsRead }
+          }
+        }
+      }
+      val snapK = TaskMetricsCollector.install(spark.sparkContext)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        for (f <- Seq(1, factor).distinct) {
+          val bigD = (0 until f).map { i =>
+            base.select((col("doc_id") + lit(i.toLong * 10 * n)).as("doc_id"),
+              concat(lit("a" * 400), col("text"), lit(s" replica$i")).as("text"))
+          }.reduce(_ union _).localCheckpoint(true)
+          stageTasks.clear()
+          org.apache.spark.sql.graft.Shim.drainListenerBus(spark.sparkContext)
+          val m0 = snapK(); val t0 = System.nanoTime()
+          val nSuf = graft.operators.SuffixArray.build(bigD, "doc_id", "text").count()
+          val buildS = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.graft.Shim.drainListenerBus(spark.sparkContext)
+          val bm = snapK() - m0
+          println(f"[probe] sufskew f=$f%-3d suffixes=$nSuf%-9d build=$buildS%.1f s " +
+            s"metrics=${bm.json}")
+          stageTasks.toSeq
+            .map { case (sid, recs) => (sid, recs.toVector.filter(_ > 0).sorted) }
+            .filter { case (_, recs) => recs.sum >= nSuf / 2 }
+            .sortBy(_._1)
+            .foreach { case (sid, recs) =>
+              val med = recs(recs.size / 2)
+              println(f"[probe] sufskew f=$f%-3d stage=$sid%-5d tasks=${recs.size}%-4d " +
+                f"taskRecords max=${recs.last} median=$med ratio=${recs.last.toDouble / math.max(1, med)}%.2f")
+            }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
     stage("gram cut") {
       // The ExactSubstr GRAM fast path under the same hostile replication:
       // replicas duplicate every window, so at f>1 essentially the ENTIRE
@@ -495,7 +546,7 @@ object ScaleProbe {
           s"'${onlyStage.get}' (filterable: 'exact dup spans', 'winnowing pairs only', " +
           "'topk agg vs window', 'weighted jaccard', 'triangles kcore', " +
           "'peak concurrency', 'attribution', 'streaming lsh increment', " +
-          "'ann growth', 'suffix array', 'gram cut', 'bradley terry', " +
+          "'ann growth', 'suffix array', 'suffix skew', 'gram cut', 'bradley terry', " +
           "'rl advantage skew', 'bucketed join growth')")
       spark.stop(); return
     }

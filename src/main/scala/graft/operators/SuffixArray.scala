@@ -3,10 +3,12 @@ package graft.operators
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import org.apache.spark.sql.graft.Shim
 
@@ -124,9 +126,21 @@ object SuffixArray {
   val CompareBlock = 512
 
   // ------------------------------------------------------------------
-  // Per-partition scans (mapPartitions over range-sorted partitions).
-  // Row kinds in the scan outputs: 0 = data row, 1 = boundary record.
+  // Per-partition scans (internal-row mapPartitions over range-sorted
+  // partitions — Shim.mapPartitionsInternal; the external-row codec cost
+  // ~6 allocations PER SUFFIX per pass and GC-bound the 46M-suffix growth
+  // probe). Row kinds in the scan outputs: 0 = data row, 1 = boundary
+  // record. Input rows are reused buffers: primitives are extracted
+  // immediately, UTF8String keys cloned once per RUN (never per row);
+  // output rides one reused SpecificInternalRow through one reused
+  // UnsafeProjection — consumers copy when they buffer, per the internal
+  // iterator contract.
   // ------------------------------------------------------------------
+
+  private def copyOf(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case x => x
+  }
 
   /** Seed-pass scan: input rows (id, off, key) sorted by key within the
     * partition. Emits one data row per suffix with its class's LOCAL head
@@ -136,7 +150,7 @@ object SuffixArray {
     * position, local size, and the partition row count. The 32-char key
     * column therefore never materializes beyond the boundary records.
     */
-  private def seedScan(idType: DataType): (StructType, Iterator[Row] => Iterator[Row]) = {
+  private def seedScan(idType: DataType): (StructType, Iterator[InternalRow] => Iterator[InternalRow]) = {
     val schema = StructType(Seq(
       StructField("_kind", IntegerType, nullable = false),
       StructField("_d", idType, nullable = true),
@@ -146,48 +160,95 @@ object SuffixArray {
       StructField("_k", StringType, nullable = true),
       StructField("_pn", LongType, nullable = true),
       StructField("_pid", IntegerType, nullable = false)))
-    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+    val fn = (rows: Iterator[InternalRow]) => new Iterator[InternalRow] {
       private val pid = TaskContext.getPartitionId()
-      private val in = rows.buffered
+      private val proj = UnsafeProjection.create(schema)
+      private val out = new SpecificInternalRow(schema.fields.map(_.dataType).toSeq)
       private var pos = 0L
-      private var out: Iterator[Row] = Iterator.empty
+      private val bufD = new ArrayBuffer[Any]()
+      private val bufO = new ArrayBuffer[Long]()
+      private var runKey: UTF8String = null
+      private var runStart = 1L
+      // values of the row that ended the current run, held across the flush
+      private var pendD: Any = null
+      private var pendO = 0L
+      private var pendK: UTF8String = null
+      private var pend = false
       // (key, headPos, size) of the partition's first and latest class run
-      private var firstRun: (String, Long, Long) = null
-      private var lastRun: (String, Long, Long) = null
+      private var firstRun: (UTF8String, Long, Long) = null
+      private var lastRun: (UTF8String, Long, Long) = null
       private var recsDone = false
+      private var cur: Iterator[InternalRow] = Iterator.empty
 
+      private def emit(kind: Int, d: Any, o: Long, oNull: Boolean, lr: Long,
+          sz: Long, k: UTF8String, pn: Long, pnNull: Boolean): InternalRow = {
+        out.setInt(0, kind)
+        if (d == null) out.setNullAt(1) else out.update(1, d)
+        if (oNull) out.setNullAt(2) else out.setLong(2, o)
+        out.setLong(3, lr)
+        out.setLong(4, sz)
+        if (k == null) out.setNullAt(5) else out.update(5, k)
+        if (pnNull) out.setNullAt(6) else out.setLong(6, pn)
+        out.setInt(7, pid)
+        proj(out)
+      }
+      private def closeRun(): Unit = {
+        val sz = bufD.length.toLong
+        val run = (runKey, runStart, sz)
+        if (firstRun == null) firstRun = run
+        lastRun = run
+        val ds = bufD.toArray
+        val os = bufO.toArray
+        bufD.clear(); bufO.clear()
+        val start = runStart
+        cur = new Iterator[InternalRow] {
+          private var i = 0
+          def hasNext: Boolean = i < ds.length
+          def next(): InternalRow = {
+            val r = emit(0, ds(i), os(i), oNull = false, start, sz, null, 0L, pnNull = true)
+            i += 1; r
+          }
+        }
+      }
       private def advance(): Unit = {
-        if (in.hasNext) {
-          val key = in.head.getString(2)
-          val start = pos + 1L
-          val buf = new ArrayBuffer[(Any, Long)]()
-          while (in.hasNext && in.head.getString(2) == key) {
-            val r = in.next(); pos += 1L
-            buf += ((r.get(0), r.getLong(1)))
+        if (pend || rows.hasNext) {
+          if (pend) {
+            runKey = pendK; runStart = pos + 1
+            bufD += pendD; bufO += pendO; pos += 1
+            pend = false
+          } else {
+            val r = rows.next()
+            runKey = r.getUTF8String(2).clone(); runStart = pos + 1
+            bufD += copyOf(r.get(0, idType)); bufO += r.getLong(1); pos += 1
           }
-          val sz = buf.length.toLong
-          val run = (key, start, sz)
-          if (firstRun == null) firstRun = run
-          lastRun = run
-          out = buf.iterator.map { case (d, o) =>
-            Row(0, d, o, start, sz, null, null, pid)
+          var open = true
+          while (open && rows.hasNext) {
+            val r = rows.next()
+            val k = r.getUTF8String(2)
+            if (k.equals(runKey)) {
+              bufD += copyOf(r.get(0, idType)); bufO += r.getLong(1); pos += 1
+            } else {
+              pendK = k.clone(); pendD = copyOf(r.get(0, idType)); pendO = r.getLong(1)
+              pend = true; open = false
+            }
           }
+          closeRun()
         } else if (!recsDone) {
           recsDone = true
           if (lastRun != null) {
             val pn = pos
-            def rec(r: (String, Long, Long)) = Row(1, null, null, r._2, r._3, r._1, pn, pid)
-            out =
-              if (firstRun eq lastRun) Iterator(rec(firstRun))
-              else Iterator(rec(firstRun), rec(lastRun))
+            val recs = if (firstRun eq lastRun) List(firstRun) else List(firstRun, lastRun)
+            // emit() reuses one row buffer — keep the calls inside next()
+            cur = recs.iterator.map(r =>
+              emit(1, null, 0L, oNull = true, r._2, r._3, r._1, pn, pnNull = false))
           }
         }
       }
       def hasNext: Boolean = {
-        while (!out.hasNext && !recsDone) advance()
-        out.hasNext
+        while (!cur.hasNext && !recsDone) advance()
+        cur.hasNext
       }
-      def next(): Row = { if (!hasNext) Iterator.empty.next(); out.next() }
+      def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); cur.next() }
     }
     (schema, fn)
   }
@@ -202,7 +263,7 @@ object SuffixArray {
     * that final run (so tail-subclass rows are identifiable without
     * carrying the window on any data row).
     */
-  private def refineScan(idType: DataType): (StructType, Iterator[Row] => Iterator[Row]) = {
+  private def refineScan(idType: DataType): (StructType, Iterator[InternalRow] => Iterator[InternalRow]) = {
     val schema = StructType(Seq(
       StructField("_kind", IntegerType, nullable = false),
       StructField("_d", idType, nullable = true),
@@ -216,68 +277,136 @@ object SuffixArray {
       StructField("_isFirst", BooleanType, nullable = true),
       StructField("_isLast", BooleanType, nullable = true),
       StructField("_pid", IntegerType, nullable = false)))
-    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+    val fn = (rows: Iterator[InternalRow]) => new Iterator[InternalRow] {
       private val pid = TaskContext.getPartitionId()
-      private val in = rows.buffered
-      private var out: Iterator[Row] = Iterator.empty
-      private var recsDone = false
+      private val proj = UnsafeProjection.create(schema)
+      private val out = new SpecificInternalRow(schema.fields.map(_.dataType).toSeq)
+      private val bufD = new ArrayBuffer[Any]()
+      private val bufO = new ArrayBuffer[Long]()
+      private var runR = 0L
+      private var runW: UTF8String = null
+      private var runLrk = 1L
+      // pending lookahead values (the row that ended the current run)
+      private var pendD: Any = null
+      private var pendO = 0L
+      private var pendR = 0L
+      private var pendW: UTF8String = null
+      private var pend = false
       // current class state
       private var clsKey = 0L
       private var clsRows = 0L        // rows of the current class emitted so far
       private var haveCls = false
       // partition boundary bookkeeping
-      private var firstRun: (Long, String, Long, Long) = null // (r, w, lrk, size)
-      private var lastRun: (Long, String, Long, Long) = null
+      private var firstRun: (Long, UTF8String, Long, Long) = null // (r, w, lrk, size)
+      private var lastRun: (Long, UTF8String, Long, Long) = null
       private var firstClsR = 0L
       private var firstClsCnt = -1L   // finalized when the first class ends
+      private var recsDone = false
+      private var cur: Iterator[InternalRow] = Iterator.empty
 
+      private def emitData(d: Any, o: Long, r: Long, lrk: Long, lsub: Long,
+          wne: Boolean): InternalRow = {
+        out.setInt(0, 0)
+        if (d == null) out.setNullAt(1) else out.update(1, d)
+        out.setLong(2, o)
+        out.setLong(3, r)
+        out.setLong(4, lrk)
+        out.setLong(5, lsub)
+        out.setBoolean(6, wne)
+        out.setNullAt(7); out.setNullAt(8); out.setNullAt(9); out.setNullAt(10)
+        out.setInt(11, pid)
+        proj(out)
+      }
+      private def emitRec(run: (Long, UTF8String, Long, Long), clsCnt: Long,
+          isFirst: Boolean, isLast: Boolean): InternalRow = {
+        out.setInt(0, 1)
+        out.setNullAt(1); out.setNullAt(2)
+        out.setLong(3, run._1)
+        out.setLong(4, run._3)
+        out.setLong(5, run._4)
+        out.setNullAt(6)
+        out.update(7, run._2)
+        out.setLong(8, clsCnt)
+        out.setBoolean(9, isFirst)
+        out.setBoolean(10, isLast)
+        out.setInt(11, pid)
+        proj(out)
+      }
+      private def openRun(d: Any, o: Long, r: Long, w: UTF8String): Unit = {
+        if (!haveCls || r != clsKey) {
+          if (haveCls && clsKey == firstClsR && firstClsCnt < 0) firstClsCnt = clsRows
+          clsKey = r; clsRows = 0L; haveCls = true
+          if (firstRun == null) firstClsR = r
+        }
+        runR = r; runW = w; runLrk = clsRows + 1L
+        bufD += d; bufO += o
+      }
+      private def closeRun(): Unit = {
+        val sz = bufD.length.toLong
+        clsRows += sz
+        val run = (runR, runW, runLrk, sz)
+        if (firstRun == null) firstRun = run
+        lastRun = run
+        val ds = bufD.toArray
+        val os = bufO.toArray
+        bufD.clear(); bufO.clear()
+        val wne = runW.numBytes > 0
+        val (r0, lrk0) = (runR, runLrk)
+        cur = new Iterator[InternalRow] {
+          private var i = 0
+          def hasNext: Boolean = i < ds.length
+          def next(): InternalRow = {
+            val row = emitData(ds(i), os(i), r0, lrk0, sz, wne)
+            i += 1; row
+          }
+        }
+      }
       private def advance(): Unit = {
-        if (in.hasNext) {
-          val r = in.head.getLong(2)
-          val w = in.head.getString(3)
-          if (!haveCls || r != clsKey) {
-            if (haveCls && clsKey == firstClsR && firstClsCnt < 0) firstClsCnt = clsRows
-            clsKey = r; clsRows = 0L; haveCls = true
-            if (firstRun == null) firstClsR = r
+        if (pend || rows.hasNext) {
+          if (pend) { openRun(pendD, pendO, pendR, pendW); pend = false }
+          else {
+            val r = rows.next()
+            openRun(copyOf(r.get(0, idType)), r.getLong(1), r.getLong(2),
+              r.getUTF8String(3).clone())
           }
-          val lrk = clsRows + 1L
-          val buf = new ArrayBuffer[(Any, Long)]()
-          while (in.hasNext && in.head.getLong(2) == r && in.head.getString(3) == w) {
-            val row = in.next()
-            buf += ((row.get(0), row.getLong(1)))
+          var open = true
+          while (open && rows.hasNext) {
+            val r = rows.next()
+            val rv = r.getLong(2)
+            val wv = r.getUTF8String(3)
+            if (rv == runR && wv.equals(runW)) {
+              bufD += copyOf(r.get(0, idType)); bufO += r.getLong(1)
+            } else {
+              pendD = copyOf(r.get(0, idType)); pendO = r.getLong(1)
+              pendR = rv; pendW = wv.clone()
+              pend = true; open = false
+            }
           }
-          val sz = buf.length.toLong
-          clsRows += sz
-          val run = (r, w, lrk, sz)
-          if (firstRun == null) firstRun = run
-          lastRun = run
-          val wne = w.nonEmpty
-          out = buf.iterator.map { case (d, o) =>
-            Row(0, d, o, r, lrk, sz, wne, null, null, null, null, pid)
-          }
+          closeRun()
         } else if (!recsDone) {
           recsDone = true
           if (lastRun != null) {
             if (firstClsCnt < 0) firstClsCnt = clsRows // single-class partition
             val lastClsCnt = clsRows
-            if (firstRun eq lastRun) {
-              out = Iterator(Row(1, null, null, firstRun._1, firstRun._3,
-                firstRun._4, null, firstRun._2, firstClsCnt, true, true, pid))
-            } else {
-              out = Iterator(
-                Row(1, null, null, firstRun._1, firstRun._3, firstRun._4,
-                  null, firstRun._2, firstClsCnt, true, false, pid),
-                Row(1, null, null, lastRun._1, lastRun._3, lastRun._4,
-                  null, lastRun._2, lastClsCnt, false, true, pid))
-            }
+            // emitRec reuses one row buffer — keep the calls inside next()
+            cur =
+              if (firstRun eq lastRun)
+                Iterator(0).map(_ => emitRec(firstRun, firstClsCnt, isFirst = true, isLast = true))
+              else {
+                val fcc = firstClsCnt
+                Iterator(
+                  () => emitRec(firstRun, fcc, isFirst = true, isLast = false),
+                  () => emitRec(lastRun, lastClsCnt, isFirst = false, isLast = true)
+                ).map(_.apply())
+              }
           }
         }
       }
       def hasNext: Boolean = {
-        while (!out.hasNext && !recsDone) advance()
-        out.hasNext
+        while (!cur.hasNext && !recsDone) advance()
+        cur.hasNext
       }
-      def next(): Row = { if (!hasNext) Iterator.empty.next(); out.next() }
+      def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); cur.next() }
     }
     (schema, fn)
   }
@@ -306,7 +435,8 @@ object SuffixArray {
     val ss = df.sparkSession
     import ss.implicits._
     val dataCols = df.schema.fields.map(_.name).toSeq
-    val keyIdx = keys.map(dataCols.indexOf)
+    val keyIdx = keys.map(dataCols.indexOf).toArray
+    val inTypes = df.schema.fields.map(_.dataType)
     val schema = StructType(
       df.schema.fields.map(f => f.copy(nullable = true)).toSeq ++ Seq(
         StructField("_kind", IntegerType, nullable = false),
@@ -314,46 +444,81 @@ object SuffixArray {
         StructField("_cnt", LongType, nullable = true),
         StructField("_pid", IntegerType, nullable = false)))
     val nIn = dataCols.length
-    val fn = (rows: Iterator[Row]) => new Iterator[Row] {
+    val fn = (rows: Iterator[InternalRow]) => new Iterator[InternalRow] {
       private val pid = TaskContext.getPartitionId()
-      private val in = rows.buffered
+      private val proj = UnsafeProjection.create(schema)
+      private val out = new SpecificInternalRow(schema.fields.map(_.dataType).toSeq)
       private var rank = 0L
-      private var prevKey: Seq[Any] = null
-      private var firstKey: Seq[Any] = null
+      private var prevKey: Array[Any] = null  // copied values, safe to hold
+      private var firstKey: Array[Any] = null
       private var recsDone = false
-      private var out0: Iterator[Row] = Iterator.empty
-      private def keyOf(r: Row): Seq[Any] = keyIdx.map(r.get)
+      private var cur: Iterator[InternalRow] = Iterator.empty
+      private def keyCopy(r: InternalRow): Array[Any] =
+        keyIdx.map(i => copyOf(r.get(i, inTypes(i))))
+      private def keyChanged(r: InternalRow): Boolean = {
+        if (prevKey == null) return true
+        var i = 0
+        while (i < keyIdx.length) {
+          if (r.get(keyIdx(i), inTypes(keyIdx(i))) != prevKey(i)) return true
+          i += 1
+        }
+        false
+      }
+      private def emitRec(k: Array[Any], cnt: Long, cntNull: Boolean): InternalRow = {
+        var i = 0
+        while (i < nIn) { out.setNullAt(i); i += 1 }
+        i = 0
+        while (i < keyIdx.length) { out.update(keyIdx(i), k(i)); i += 1 }
+        out.setInt(nIn, 1)
+        out.setLong(nIn + 1, 0L)
+        if (cntNull) out.setNullAt(nIn + 2) else out.setLong(nIn + 2, cnt)
+        out.setInt(nIn + 3, pid)
+        proj(out)
+      }
       private def advance(): Unit = {
-        if (in.hasNext) {
-          val r = in.next()
-          val k = keyOf(r)
-          if (prevKey == null || k != prevKey) { rank += 1L; prevKey = k }
-          if (firstKey == null) firstKey = k
-          out0 = Iterator(Row.fromSeq(
-            r.toSeq ++ Seq(0, rank, null, pid)))
+        if (rows.hasNext) {
+          val r = rows.next()
+          if (keyChanged(r)) { rank += 1L; prevKey = keyCopy(r) }
+          if (firstKey == null) firstKey = prevKey
+          var i = 0
+          while (i < nIn) {
+            val v = r.get(i, inTypes(i)) // views are fine: projected immediately
+            if (v == null) out.setNullAt(i) else out.update(i, v)
+            i += 1
+          }
+          out.setInt(nIn, 0)
+          out.setLong(nIn + 1, rank)
+          out.setNullAt(nIn + 2)
+          out.setInt(nIn + 3, pid)
+          cur = Iterator.single(proj(out))
         } else if (!recsDone) {
           recsDone = true
           if (prevKey != null) {
-            def rec(k: Seq[Any], cnt: Any) = Row.fromSeq(
-              (0 until nIn).map(i => if (keyIdx.contains(i)) k(keyIdx.indexOf(i)) else null) ++
-                Seq(1, 0L, cnt, pid))
-            out0 =
-              if (firstKey == prevKey) Iterator(rec(firstKey, rank))
-              else Iterator(rec(firstKey, null), rec(prevKey, rank))
+            val one = firstKey eq prevKey
+            val fk = firstKey
+            val pk = prevKey
+            val rk = rank
+            // emitRec reuses one row buffer — keep the calls inside next()
+            cur =
+              if (one) Iterator(0).map(_ => emitRec(fk, rk, cntNull = false))
+              else Iterator(
+                () => emitRec(fk, 0L, cntNull = true),
+                () => emitRec(pk, rk, cntNull = false)
+              ).map(_.apply())
           }
         }
       }
       def hasNext: Boolean = {
-        while (!out0.hasNext && !recsDone) advance()
-        out0.hasNext
+        while (!cur.hasNext && !recsDone) advance()
+        cur.hasNext
       }
-      def next(): Row = { if (!hasNext) Iterator.empty.next(); out0.next() }
+      def next(): InternalRow = { if (!hasNext) Iterator.empty.next(); cur.next() }
     }
     val rangeCols = (keys ++ salt).map(col)
-    val chk = df
-      .repartitionByRange(width, rangeCols: _*)
-      .sortWithinPartitions(keys.map(col): _*)
-      .mapPartitions(fn)(RowEncoder.encoderFor(schema))
+    val chk = Shim.mapPartitionsInternal(
+        df.repartitionByRange(width, rangeCols: _*)
+          .sortWithinPartitions(keys.map(col): _*),
+        schema)(fn)
       .localCheckpoint(true)
     // Boundary records: per pid the first key (cnt null) and last key
     // (cnt = local distinct count); merged when the partition holds one
@@ -493,10 +658,10 @@ object SuffixArray {
     // below, so ranks are deterministic even though range boundaries come
     // from sampling.
     val (seedSchema, seedFn) = seedScan(idType)
-    val chk = sufs
-      .repartitionByRange(width, col("_c"), col("_d"), col("_o"))
-      .sortWithinPartitions(col("_c"))
-      .mapPartitions(seedFn)(RowEncoder.encoderFor(seedSchema))
+    val chk = Shim.mapPartitionsInternal(
+        sufs.repartitionByRange(width, col("_c"), col("_d"), col("_o"))
+          .sortWithinPartitions(col("_c")),
+        seedSchema)(seedFn)
       .localCheckpoint(true)
     val recs = chk.where(col("_kind") === 1)
     // Per-partition row counts ride the boundary records: O(width) driver
@@ -551,7 +716,11 @@ object SuffixArray {
       // exchange's width follows the bytes it must sort. The (doc, off)
       // tiebreak in the range key spreads an oversized tie class across
       // partitions — the per-task bound is rows/width by construction
-      // (round 15; boundary classes are reconciled below).
+      // (round 15; boundary classes are reconciled below). Range
+      // partitioning's boundary-sampling pre-pass re-executes this
+      // broadcast join + substr once per round — pure scan+cpu, no
+      // shuffle; the hash-partition alternative that avoids it is
+      // exactly the one-class-one-task skew this shape exists to kill.
       val advisory = math.max(1L << 20,
         ss.sessionState.conf.getConf(
           org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
@@ -571,10 +740,10 @@ object SuffixArray {
       // OOMed exactly there); only its nonempty bit survives, as the
       // exhaustion signal, plus the ≤2 boundary records per partition
       // that carry a window for cross-partition subclass accounting.
-      val rchk = paired
-        .repartitionByRange(refWidth, col("_r"), col("_w"), col("_d"), col("_o"))
-        .sortWithinPartitions(col("_r"), col("_w"))
-        .mapPartitions(refFn)(RowEncoder.encoderFor(refSchema))
+      val rchk = Shim.mapPartitionsInternal(
+          paired.repartitionByRange(refWidth, col("_r"), col("_w"), col("_d"), col("_o"))
+            .sortWithinPartitions(col("_r"), col("_w")),
+          refSchema)(refFn)
         .localCheckpoint(true)
       // Straddling-class reconciliation from the O(refWidth) boundary
       // records: per (partition, class) the rows-in-earlier-partitions

@@ -266,6 +266,36 @@ object Shim {
     }
   }
 
+  /** Partition-preserving `mapPartitions` over INTERNAL rows — the
+    * zero-codec path for per-partition scans of corpus-sized frames
+    * (round 15, built for [[graft.operators.SuffixArray]]). The public
+    * `Dataset.mapPartitions` round-trips every row through the external
+    * codec (`CreateExternalRow` → `GenericRowWithSchema` + boxed fields →
+    * serializer): ~6 short-lived objects PER ROW per pass, which at the
+    * 46M-suffix growth probe turned into GC storms that tripled build
+    * wall. This variant hands the function the executed plan's
+    * `InternalRow` iterator directly (`queryExecution.toRdd`, so an
+    * upstream `repartitionByRange` + `sortWithinPartitions` arrives
+    * partitioned and sorted) and wraps the result back via
+    * `internalCreateDataFrame` — both `private[sql]`, hence the shim
+    * home.
+    *
+    * CONTRACT for `fn` (the standard internal-row iterator discipline):
+    * input rows are REUSED buffers — copy any field you hold across a
+    * `next()` (`UTF8String.clone()`, `InternalRow.copy()`); emitted rows
+    * may themselves be a reused buffer (e.g. one `UnsafeProjection`
+    * output) because every Spark consumer copies when it buffers.
+    */
+  def mapPartitionsInternal(
+      df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType)(
+      fn: Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow]): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.mapPartitions(fn), schema)
+  }
+
   /** The catalog bucket spec of a saved table: (numBuckets, bucketCols,
     * sortCols), None for unbucketed tables. `sessionState.catalog` is
     * `private[sql]`, hence the shim home — [[graft.operators.Bucketing]]
