@@ -166,7 +166,8 @@ object SuffixArray {
       private val out = new SpecificInternalRow(schema.fields.map(_.dataType).toSeq)
       private var pos = 0L
       private val bufD = new ArrayBuffer[Any]()
-      private val bufO = new ArrayBuffer[Long]()
+      // unboxed: a generic ArrayBuffer[Long] would box every offset
+      private val bufO = new scala.collection.mutable.ArrayBuilder.ofLong
       private var runKey: UTF8String = null
       private var runStart = 1L
       // values of the row that ended the current run, held across the flush
@@ -198,7 +199,7 @@ object SuffixArray {
         if (firstRun == null) firstRun = run
         lastRun = run
         val ds = bufD.toArray
-        val os = bufO.toArray
+        val os = bufO.result()
         bufD.clear(); bufO.clear()
         val start = runStart
         cur = new Iterator[InternalRow] {
@@ -282,7 +283,8 @@ object SuffixArray {
       private val proj = UnsafeProjection.create(schema)
       private val out = new SpecificInternalRow(schema.fields.map(_.dataType).toSeq)
       private val bufD = new ArrayBuffer[Any]()
-      private val bufO = new ArrayBuffer[Long]()
+      // unboxed: a generic ArrayBuffer[Long] would box every offset
+      private val bufO = new scala.collection.mutable.ArrayBuilder.ofLong
       private var runR = 0L
       private var runW: UTF8String = null
       private var runLrk = 1L
@@ -348,7 +350,7 @@ object SuffixArray {
         if (firstRun == null) firstRun = run
         lastRun = run
         val ds = bufD.toArray
-        val os = bufO.toArray
+        val os = bufO.result()
         bufD.clear(); bufO.clear()
         val wne = runW.numBytes > 0
         val (r0, lrk0) = (runR, runLrk)
