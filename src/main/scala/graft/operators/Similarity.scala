@@ -178,7 +178,14 @@ object Similarity {
         .select(col(keyCol),
           (aggregate(col("_l"), lit(0.0), (acc, x) => acc + x.getField("cosine"))
             / size(col("_l")).cast("double")).as(outCol))
-    val fwd = topK(left, right, idCol, vecCol, k)
+    // The forward shortlist feeds BOTH the neighborhood average and the
+    // scored join. Left lazy, those are two identical exchange subtrees
+    // whose dedup rides AQE exchange reuse — a RACE (round 15: the gate's
+    // shuffle bytes flipped bimodally run-to-run as the reuse did or did
+    // not fire; the same class as the r14 corpus-pipeline fix). The
+    // shortlist is queries×k rows — bounded at any corpus size — so
+    // materialize it once and make the reuse structural.
+    val fwd = topK(left, right, idCol, vecCol, k).localCheckpoint(true)
     val bwd = topK(right, left, idCol, vecCol, k)
     val avgL = avgOverK(fwd, "query_id", "avg_l")
     val avgR = avgOverK(bwd, "query_id", "avg_r")
