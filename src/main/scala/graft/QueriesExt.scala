@@ -5330,7 +5330,13 @@ object QueriesExt {
     */
   private lazy val stPrefBtIncrement: Q = "st_pref_bt_increment" -> ((
     (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
+      // Materialize the duel derivation ONCE (round 15): btDuels carries a
+      // corpus-wide window exchange, and the 4-slice staging loop re-ran it
+      // per slice — 4x the shuffle for identical bytes staged (measured:
+      // gate shufR 11.75 MB -> ~3 MB). The slices then filter a tiny
+      // checkpointed frame.
       val duels = btDuels(s, dir)
+        .select("winner", "loser", "event_id").localCheckpoint(true)
       val tmpPath = scratchDir("stbt")
       val tmp = tmpPath.toString
       try {
