@@ -6478,6 +6478,23 @@ object QueriesExt {
     * sample as a rank-≤-k window over the same md5-prefix row hashes, so
     * every emitted value matches exactly, not just in-band.
     */
+  /** Exact (lo=p40, p50, hi=p60) of `l_extendedprice` per return flag from
+    * ONE `percentile` buffer (round 15): the previous three separate
+    * `percentile` aggregates each built an identical full-group value
+    * buffer — 3x the partial-aggregate bytes through the exchange for the
+    * same sorted walk (guide: shuffle fewer bytes / aggregate before you
+    * shuffle). `percentile(v, array(...))` sorts one buffer and
+    * interpolates all three ranks from it — values bit-identical (same
+    * counts-map buffer, same per-p interpolation as the scalar form).
+    */
+  private def exactPriceBand(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.40D, 0.5D, 0.60D))").as("_ps"))
+      .select(col("l_returnflag"),
+        element_at(col("_ps"), 2).as("_p50"),
+        element_at(col("_ps"), 1).as("_lo"),
+        element_at(col("_ps"), 3).as("_hi"))
+
   private lazy val sketchQuantileSample: Q = "x_sketch_quantile_sample" -> ((
     (s: SparkSession, dir: String) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -6487,10 +6504,7 @@ object QueriesExt {
         col("l_extendedprice"), k = 512)
       val sq = sample.groupBy("l_returnflag")
         .agg(expr("percentile(v, 0.5)").as("_sp50"))
-      val ex = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.5)").as("_p50"),
-        expr("percentile(l_extendedprice, 0.40)").as("_lo"),
-        expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+      val ex = exactPriceBand(li)
       ex.join(sq, "l_returnflag")
         .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
           round(col("_sp50"), 6).as("sample_p50"),
@@ -6531,10 +6545,7 @@ object QueriesExt {
         Seq("l_returnflag"), 512, sampleOf(0), sampleOf(1))
       val sq = merged.groupBy("l_returnflag")
         .agg(expr("percentile(v, 0.5)").as("_sp50"))
-      val ex = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.5)").as("_p50"),
-        expr("percentile(l_extendedprice, 0.40)").as("_lo"),
-        expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+      val ex = exactPriceBand(li)
       ex.join(sq, "l_returnflag")
         .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
           round(col("_sp50"), 6).as("sample_p50"),
@@ -6613,10 +6624,7 @@ object QueriesExt {
           s.read.parquet(s"$tmp/state").drop("batch_id"))
         val sq = merged.groupBy("l_returnflag")
           .agg(expr("percentile(v, 0.5)").as("_sp50"))
-        val ex = li.groupBy("l_returnflag").agg(
-          expr("percentile(l_extendedprice, 0.5)").as("_p50"),
-          expr("percentile(l_extendedprice, 0.40)").as("_lo"),
-          expr("percentile(l_extendedprice, 0.60)").as("_hi"))
+        val ex = exactPriceBand(li.select("l_returnflag", "l_extendedprice"))
         ex.join(sq, "l_returnflag")
           .select(col("l_returnflag"), round(col("_p50"), 6).as("exact_p50"),
             round(col("_sp50"), 6).as("sample_p50"),
