@@ -69,8 +69,19 @@ object GraftSession {
     * Pins session TZ to UTC: the Conversions timestamp semantics
     * (naive-parse + from_utc_timestamp) depend on it, so a host session in
     * another TZ must not silently shift datetime-no outputs.
+    *
+    * Idempotent per session (round 15): every SparkEntry query wraps its
+    * body in configure, so a 250-gate bench re-ran the 22 temp-function
+    * registrations and 8 conf writes 250 times on one session — pure
+    * driver-side overhead (and 5,000+ "function replaced" log lines)
+    * between timed gates. A session already carrying the marker conf is
+    * returned untouched; everything configure sets is session-constant
+    * (the per-gate shuffle-partition overrides go through
+    * withStatePartitions, which restores, never through configure).
     */
   def configure(spark: SparkSession): SparkSession = {
+    if (spark.conf.getOption(ConfiguredMarker).contains("true")) return spark
+    spark.conf.set(ConfiguredMarker, "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.legacy.allowUntypedScalaUDF", "true")
@@ -82,6 +93,11 @@ object GraftSession {
     registerPlanExtensions(spark)
     spark
   }
+
+  /** Session marker: set by [[configure]] on first application so repeated
+    * per-query configure calls (the SparkEntry wrapper) are no-ops.
+    */
+  private val ConfiguredMarker = "spark.graft.configured"
 
   /** See the builder: RocksDB behind SPARK_GRAFT_ROCKSDB=1, else the
     * in-memory HDFS-backed default.
