@@ -3090,13 +3090,21 @@ object QueriesExt {
         // Offline index build, ONCE — per-batch work is probe-only.
         Similarity.assignCells(e, cents, "vec_id", "embedding")
           .write.partitionBy("cid").parquet(s"$tmp/index")
+        // Open the FROZEN index once, outside the batch loop (round 15):
+        // `read.parquet` inside foreachBatch re-listed the 16-cell
+        // partitioned directory and re-built its file index EVERY batch —
+        // driver-side listing 4x for an index that never changes mid-run
+        // (measured as the gate's 3.7-15.6 s quiet spread; the serving
+        // plan itself is probe-pruned and cheap). The hoisted DataFrame
+        // re-plans per batch against the one cached file index. Frozen
+        // index => identical per-query results, same oracle.
+        val assigned = s.read.parquet(s"$tmp/index")
         val q = s.readStream.schema(queries.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val assigned = batch.sparkSession.read.parquet(s"$tmp/index")
             Similarity.topKIvfPrebuilt(batch.toDF(), assigned, cents,
                 "vec_id", "embedding", k = 5, nProbe = 2)
               .write.mode("append").parquet(s"$tmp/out")
@@ -3131,13 +3139,16 @@ object QueriesExt {
         graft.operators.Dedup.benchmarkGrams(
             d.where(col("doc_id") % 97 === 0), "doc_id", "text", minLen = 20)
           .write.parquet(s"$tmp/bench")
+        // Open the frozen benchmark-gram table once, outside the batch
+        // loop (round 15, the st_ann_serve fix): per-batch `read.parquet`
+        // re-listed and re-indexed a table that never changes mid-run.
+        val bg = s.read.parquet(s"$tmp/bench")
         val q = s.readStream.schema(corpus.schema)
           .option("maxFilesPerTrigger", "1").parquet(s"$tmp/topic")
           .writeStream
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-            val bg = batch.sparkSession.read.parquet(s"$tmp/bench")
             graft.operators.Dedup.exactContaminationAgainstGrams(
                 batch.toDF(), "doc_id", "text", bg, minLen = 20)
               .write.mode("append").parquet(s"$tmp/out")
