@@ -64,9 +64,20 @@ object Dedup {
     */
   def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.select(col(idCol), tokens(col(textCol)).as("_ws"))
+    // Tokenize AFTER the parallelism exchange (round 15, guide §2.3
+    // project-before-the-exchange): the previous shape shuffled the token
+    // ARRAYS — the text's bytes again plus per-element array overhead —
+    // where the raw text column suffices. Inside the post-exchange
+    // projection the token array rides [[Similarity.letBound]] so the
+    // tokenizer still runs once per row, not once per shingle element
+    // (HOF lambdas have no common-subexpression elimination, and with no
+    // exchange between the two projections CollapseProject would inline
+    // `tokens` straight into the shingle lambda — the measured 150x
+    // re-tokenization trap documented at [[shinglesOf]]).
+    df.select(col(idCol), col(textCol).as("_t"))
       .repartition(parallelism, col(idCol))
-      .select(col(idCol), array_distinct(shinglesOf(col("_ws"), n)).as("shingles"))
+      .select(col(idCol), array_distinct(
+        Similarity.letBound(tokens(col("_t"))) { ws => shinglesOf(ws, n) }).as("shingles"))
   }
 
   /** (id, shingle) inverted-index table, distinct per doc (shuffle-free —
