@@ -1687,7 +1687,14 @@ object QueriesExt {
     * gate stays green.
     */
   private lazy val e2eYamlCurate: Q = "e2e_yaml_curate" -> ((
-    (s: SparkSession, dir: String) => {
+    // Gate-scale partition sizing (round 15, the x_corpus_pipeline
+    // rationale verbatim): the lifecycle's land→curate stages iterate
+    // through eager boundaries that re-materialize map-side at the STATIC
+    // shuffle partition count — 32-wide turns every tiny corpus-derived
+    // frame into near-empty tasks. At production scale this knob is sized
+    // to stage data volume; at gate SF the honest size is small. Results
+    // are partitioning-proof (exact dedup keep-min + md5-bucket split).
+    (s: SparkSession, dir: String) => withStatePartitions(s, 8) {
       val tmpPath = scratchDir("e2eyaml")
       val tmp = tmpPath.toString
       try {
