@@ -1073,13 +1073,33 @@ object Dedup {
           greatest(size(col("_lst")) - floor(lit(threshold) * size(col("_lst"))).cast("int"),
             lit(1))).as("_pfx"))
       .localCheckpoint(true) // three consumers: prefix index + both verify sides
-    val prefix = perDoc.select(col(idCol),
-      explode(col("_pfx")).as("_p")).select(col(idCol), col("_p.shingle").as("shingle"))
-    val cand = prefix.groupBy(col("shingle")).agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
+    // Prefix postings carry the element's POSITION in the canonical order
+    // and the doc's kept-shingle count, enabling PPJoin's positional filter
+    // (Xiao et al. 2008) on each collision row (round 15): a collision at
+    // 0-based positions (i, j) bounds the overlap by
+    // ub = min(|A| - i, |B| - j), and J > t requires
+    // n_inter·(1+t) > t·(|A|+|B|) — so a collision row with
+    // ub·(1+t) ≤ t·(|A|+|B|) cannot witness a qualifying pair. SOUND as a
+    // per-row filter before the distinct: a qualifying pair's EARLIEST
+    // shared element lies in both prefixes (the completeness theorem's own
+    // witness) and every shared element sits at positions ≥ (i, j) of that
+    // row, so its ub covers the true overlap and that row always survives.
+    // The 1e-9 slack is in the KEEP direction (a superset never drops a
+    // qualifying pair; the strict verify below is unchanged). Measured on
+    // the degenerate gate corpus: 645,530 -> far fewer verify pairs.
+    val prefix = perDoc.select(col(idCol), size(col("_arr")).as("_n"),
+        posexplode(col("_pfx")).as(Seq("_i", "_p")))
+      .select(col(idCol), col("_n"), col("_i"), col("_p.shingle").as("shingle"))
+    val cand = prefix.groupBy(col("shingle"))
+      .agg(collect_list(struct(col(idCol).as("id"), col("_i").as("i"), col("_n").as("n"))).as("ps"))
+      .where(size(col("ps")) > 1)
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .where(least(col("a.n") - col("a.i"), col("b.n") - col("b.i"))
+        .cast("double") * lit(1.0 + threshold) >
+        lit(threshold) * (col("a.n") + col("b.n")).cast("double") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Verify by ARRAY intersection against the (docs-sized, broadcastable)
     // per-doc kept arrays — on a degenerate low-vocab corpus the candidate
