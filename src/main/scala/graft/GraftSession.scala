@@ -45,8 +45,22 @@ object GraftSession {
       .config("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
       .config("spark.ui.enabled", "false")
 
+  /** Session for the library entry points (GraftMain/CurateMain). When a
+    * session already EXISTS (an embedding host — Bench, Verify, a notebook,
+    * a gate), it is reused via [[configure]] and its parallelism settings
+    * are left alone: `builder().getOrCreate()` would re-apply the builder's
+    * `spark.sql.shuffle.partitions` onto the live session (getOrCreate
+    * copies builder options onto an existing session), silently clobbering
+    * the host's sizing — found in round 15 as `withStatePartitions(8)`
+    * being undone mid-gate by the e2e pipeline's internal `get()`. Only
+    * when no session exists does the builder (with its scale defaults,
+    * including the partition count) construct one.
+    */
   def get(): SparkSession = {
-    val spark = builder().getOrCreate()
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(configure)
+      .getOrElse(builder().getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.register(spark)
     registerPlanExtensions(spark)
@@ -88,6 +102,7 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", stateStoreProvider)
     functions.GraftFunctions.register(spark)
     registerPlanExtensions(spark)
